@@ -1,0 +1,4 @@
+package graft
+
+/** Placeholder — populated in a later milestone (SURVEY.md §7.2 M4). */
+object MultimodalQueries { val all: Seq[Q] = Seq() }

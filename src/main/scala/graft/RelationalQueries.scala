@@ -1,0 +1,409 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Relational breadth over the TPC-H-ish tables (SURVEY.md §7.2 M2): the
+  * operators the reference lacks (§2.3 "absent" list) but any analytics
+  * engine — and the driver contract — requires. All built-in Catalyst
+  * operators; physical strategy notes per query.
+  *
+  * Oracle-parity conventions (see EventOps): doubles → DECIMAL before
+  * arithmetic; DuckDB integer sums cast to BIGINT (it widens to HUGEINT);
+  * explicit NULLS FIRST in DuckDB ORDER BY (Spark default) whenever a
+  * sort key is nullable (rollup/cube totals).
+  */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1-shaped pricing summary: one scan, partial+final hash agg on
+    // a 6-value grouping key — at 100 TB the shuffle moves only a few rows.
+    Q(
+      "q1_pricing_summary",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val price = dec(col("l_extendedprice"))
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val tax = col("l_tax").cast("decimal(4,2)")
+        val discPrice = (price * (lit(1).cast("decimal(3,0)") - disc)).cast("decimal(18,4)")
+        val charge = (discPrice * (lit(1).cast("decimal(3,0)") + tax)).cast("decimal(18,6)")
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).as("sum_qty"),
+            sum(price).as("sum_base_price"),
+            sum(discPrice).as("sum_disc_price"),
+            sum(charge).as("sum_charge"),
+            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+            (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+            (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"),
+          )
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+             |  sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+             |  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS sum_charge,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+             |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+
+    // Dimension join: part is small → explicit broadcast(), no shuffle of
+    // the fact side; agg shuffles only p_brand partials.
+    Q(
+      "q_join_broadcast",
+      (s, d) =>
+        lineitem(s, d)
+          .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            sum(dec(col("l_extendedprice"))).as("revenue"),
+            count(lit(1)).as("n"),
+          )
+          .orderBy("p_brand"),
+      Some("""SELECT p_brand,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    ),
+
+    // Fact-to-fact join: at 100 TB neither side broadcasts → hinted
+    // sort-merge join, shuffle both sides on the order key once.
+    Q(
+      "q_join_sortmerge",
+      (s, d) =>
+        orders(s, d)
+          .hint("merge")
+          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("l_extendedprice"))).as("revenue"),
+          )
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
+
+    // TPC-H Q5-shaped star join: dims broadcast down the chain, the
+    // single big shuffle is lineitem⋈orders on orderkey.
+    Q(
+      "q_join_multi_star",
+      (s, d) => {
+        val rn = region(s, d).filter(col("r_name") === "ASIA")
+        val dims = broadcast(
+          customer(s, d)
+            .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+            .join(rn, col("n_regionkey") === col("r_regionkey")),
+        )
+        lineitem(s, d)
+          .join(orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(dims, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum((dec(col("l_extendedprice")) * (lit(1).cast("decimal(3,0)") -
+              col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")).as("revenue"),
+          )
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    ),
+
+    // Left-semi join = EXISTS: never materializes the probe payload.
+    Q(
+      "q_semi_join",
+      (s, d) =>
+        orders(s, d)
+          .join(
+            lineitem(s, d).filter(col("l_quantity") > 45).select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"),
+            "left_semi",
+          )
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    // Left-anti join = NOT EXISTS.
+    Q(
+      "q_anti_join",
+      (s, d) =>
+        customer(s, d)
+          .join(
+            orders(s, d).select("o_custkey"),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti",
+          )
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+
+    // Top-k: orderBy+limit plans as TakeOrderedAndProject — each partition
+    // keeps k rows, no global sort. Deterministic tie-break on the key.
+    Q(
+      "q_topk_orders",
+      (s, d) =>
+        orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+    ),
+
+    // Ranked window: top-3 orders per customer by price.
+    Q(
+      "q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin),
+    ),
+
+    // Running-total window with an explicit ROWS frame and a fully
+    // deterministic ordering (shipdate has ties).
+    Q(
+      "q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lineitem(s, d)
+          .select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(dec(col("l_extendedprice"))).over(w).as("running_revenue"),
+          )
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+             |    OVER (PARTITION BY l_suppkey
+             |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |          ROWS UNBOUNDED PRECEDING) AS running_revenue
+             |FROM lineitem
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+    ),
+
+    // lag/lead analytics over the event stream.
+    Q(
+      "q_lag_delta",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .select(
+            col("event_id"), col("user_id"),
+            (col("value").cast("decimal(18,2)") -
+              lag(col("value").cast("decimal(18,2)"), 1).over(w)).as("delta"),
+            lead(col("event_type"), 1).over(w).as("next_type"),
+          )
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(value AS DECIMAL(18,2))
+             |    - lag(CAST(value AS DECIMAL(18,2))) OVER w AS delta,
+             |  lead(event_type) OVER w AS next_type
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin),
+    ),
+
+    // DISTINCT = shuffle on the full key; low-cardinality here.
+    Q(
+      "q_distinct",
+      (s, d) =>
+        customer(s, d)
+          .select("c_nationkey", "c_mktsegment")
+          .distinct()
+          .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin),
+    ),
+
+    // Exact distinct aggregation (expand + two-phase agg in Spark).
+    Q(
+      "q_count_distinct",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("distinct_parts"),
+            count(lit(1)).as("n"),
+          )
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
+    // HyperLogLog++ sketch — the scale path for distinct counting (no
+    // expand, mergeable partials). Sketch values are engine-specific →
+    // rows-only driver check, exactness asserted in the ScalaTest spec.
+    Q(
+      "q_approx_distinct",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          .orderBy("l_returnflag"),
+      None,
+    ),
+
+    // Set operations.
+    Q(
+      "q_union",
+      (s, d) =>
+        customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+          .union(
+            orders(s, d)
+              .filter(col("o_totalprice") > 200000)
+              .select(col("o_custkey").as("custkey")),
+          )
+          .distinct()
+          .orderBy("custkey"),
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |UNION
+             |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+             |ORDER BY custkey""".stripMargin),
+    ),
+    Q(
+      "q_intersect",
+      (s, d) =>
+        customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+          .intersect(orders(s, d).select(col("o_custkey").as("custkey")))
+          .orderBy("custkey"),
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |INTERSECT
+             |SELECT o_custkey FROM orders
+             |ORDER BY custkey""".stripMargin),
+    ),
+    Q(
+      "q_except",
+      (s, d) =>
+        customer(s, d)
+          .select(col("c_custkey").as("custkey"))
+          .except(orders(s, d).select(col("o_custkey").as("custkey")))
+          .orderBy("custkey"),
+      Some("""SELECT c_custkey AS custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey FROM orders
+             |ORDER BY custkey""".stripMargin),
+    ),
+
+    // ROLLUP / CUBE / GROUPING SETS (Expand-based multi-grouping).
+    // NULLS FIRST pinned in the oracle: Spark sorts nulls first by
+    // default, DuckDB last.
+    Q(
+      "q_rollup",
+      (s, d) =>
+        customer(s, d)
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(12,2)")).as("total_acctbal"),
+          )
+          .orderBy("n_name", "c_mktsegment"),
+      Some("""SELECT n_name, c_mktsegment, count(*) AS n,
+             |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS total_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP (n_name, c_mktsegment)
+             |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin),
+    ),
+    Q(
+      "q_cube",
+      (s, d) =>
+        lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).as("sum_qty"),
+            count(lit(1)).as("n"),
+          )
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    ),
+    Q(
+      "q_grouping_sets",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+                |FROM lineitem_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    ),
+
+    // Pivot (dynamic-to-static column transpose) with a pinned value list
+    // so schema is deterministic; oracle is conditional aggregation.
+    Q(
+      "q_pivot",
+      (s, d) =>
+        events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+  )
+}

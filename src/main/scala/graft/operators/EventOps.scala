@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference netflow semantics expressed over the driver's `events` table
+  * (FIXTURES.md §B mapping: `ts` ≈ timestamp_start/_arrival, `user_id` ≈
+  * host identity, `value` ≈ bytes, `props` ≈ raw JSON payload), so every
+  * operator is DuckDB-oracle-checkable on shared parquet.
+  *
+  * Numeric discipline for oracle parity: double columns are cast to
+  * DECIMAL(18,2) *before* aggregation so Spark and DuckDB both do exact
+  * decimal arithmetic (float summation order would otherwise make
+  * hash-compare flaky); averages are expressed as exact-decimal sum cast
+  * to double divided by a count — one FP op from identical inputs.
+  */
+object EventOps {
+
+  /** The reference's hard-coded host (192.168.178.80,
+    * accessTrend.ts:29) maps to a fixed user id.
+    */
+  val HostId = 7L
+
+  /** Reference timestamps are strings "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    * (README.md:105); recreate that encoding from the event time.
+    */
+  def tsString(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** P2 analog — JSON payload parse + projection over `props`. */
+  def parseProps(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+      )
+      .orderBy("event_id")
+
+  /** P10 analog — heartbeat filter: drop one literal event type. */
+  def heartbeatFilter(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") =!= lit("error"))
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .orderBy("event_id")
+
+  /** P6 + P8 analog — day / time-of-day substrings of the string form. */
+  def dayAndTimeOfDay(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        NetflowOps.day(tsString(col("ts"))).as("day"),
+        NetflowOps.timeOfDay(tsString(col("ts"))).as("tod"),
+      )
+      .orderBy("event_id")
+
+  /** P5 analog — inclusive lexicographic range filter on the string
+    * timestamp; '<= hi' without a time component excludes almost the
+    * whole `hi` day, exactly like the reference (accessTrend.ts:11-17).
+    */
+  def rangeFilter(events: DataFrame, lo: String, hi: String): DataFrame =
+    events
+      .filter(NetflowOps.rangeFilter(tsString(col("ts")), lo, hi))
+      .select(col("event_id"), col("user_id"), dec(col("value")).as("value"))
+      .orderBy("event_id")
+
+  /** P9 analog — realtime tick projection {time, value}. */
+  def tick(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") =!= lit("error"))
+      .select(
+        col("event_id"),
+        NetflowOps.timeOfDay(tsString(col("ts"))).as("time"),
+        dec(col("value")).as("value"),
+      )
+      .orderBy("event_id")
+
+  /** Flagship: Date Access Trend (P5∘P6∘P7∘A1/A2, accessTrend.ts:10-87)
+    * over events. Direction split via the host id; conditional sums
+    * compile to sum(CASE WHEN ...) with partial+final hash aggregation —
+    * the only shuffle is on the low-cardinality `day`.
+    */
+  def accessTrend(events: DataFrame, lo: String, hi: String): DataFrame = {
+    val ts = tsString(col("ts"))
+    events
+      .filter(NetflowOps.rangeFilter(ts, lo, hi))
+      .select(
+        NetflowOps.day(ts).as("day"),
+        when(col("user_id") === HostId, dec(col("value"))).otherwise(lit(0)).as("in_value"),
+        when(col("user_id") === HostId, lit(1L)).otherwise(lit(0L)).as("in_events"),
+        when(col("user_id") =!= HostId, dec(col("value"))).otherwise(lit(0)).as("out_value"),
+        when(col("user_id") =!= HostId, lit(1L)).otherwise(lit(0L)).as("out_events"),
+      )
+      .groupBy(col("day"))
+      .agg(
+        sum("in_value").as("in_value"),
+        sum("in_events").as("in_events"),
+        sum("out_value").as("out_value"),
+        sum("out_events").as("out_events"),
+      )
+      .orderBy("day")
+  }
+
+  /** A3 analog — 10-second tumbling-window aggregation (internalized
+    * pmacct flush). Same transform serves Structured Streaming with a
+    * watermark at the edge.
+    */
+  def window10s(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total_value"))
+      .select(col("window.start").as("window_start"), col("n"), col("total_value"))
+      .orderBy("window_start")
+
+  /** Sessionization (gaps-and-islands): a new session starts after a gap
+    * greater than `gapMinutes` of inactivity per user. Expressed with
+    * window functions so the oracle can replicate it; the streaming
+    * variant uses flatMapGroupsWithState over the same semantics.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            expr(s"timestampdiff(MICROSECOND, prev_ts, ts)") > gapSec * 1000000L,
+          1L,
+        ).otherwise(0L),
+      )
+      .withColumn("session_seq", sum("new_session").over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).as("session_value"),
+      )
+      .orderBy("user_id", "session_seq")
+  }
+}

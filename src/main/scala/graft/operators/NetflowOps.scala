@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.schemas.Schemas
+
+/** Reference-parity netflow operators (SURVEY.md §2), each a pure
+  * `DataFrame => DataFrame` so the same transform serves batch and
+  * Structured Streaming (the reference's own unification argument,
+  * README.md:192-193).
+  *
+  * Everything here is declarative Column algebra — no UDFs, no RDDs —
+  * so Catalyst keeps predicate pushdown / column pruning / whole-stage
+  * codegen on every path.
+  */
+object NetflowOps {
+
+  /** P1 — Kafka value extraction (README.md:110): drop the key, keep the
+    * value as UTF-8 text. Input is a Kafka-shaped frame (`value: binary`).
+    */
+  def kafkaValue(df: DataFrame): DataFrame =
+    df.selectExpr("CAST(value AS STRING) AS value")
+
+  /** P2 — JSON parse + 9-field projection/rename (README.md:115-127):
+    * `ip_proto`→`protocol`, `timestamp_start`→`timestamp`; missing keys
+    * become NULL exactly like the reference's dict `.get`.
+    */
+  def parseRawNetflow(df: DataFrame): DataFrame =
+    df.select(from_json(col("value"), Schemas.rawNetflow).as("r"))
+      .select(
+        col("r.ip_src").as("ip_src"),
+        col("r.ip_dst").as("ip_dst"),
+        col("r.event_type").as("event_type"),
+        col("r.packets").as("packets"),
+        col("r.bytes").as("bytes"),
+        col("r.ip_proto").as("protocol"),
+        col("r.timestamp_start").as("timestamp"),
+        col("r.port_src").as("port_src"),
+        col("r.port_dst").as("port_dst"),
+        col("r.timestamp_arrival").as("timestamp_arrival"),
+      )
+
+  /** P3 — nested tshark leaf extraction (README.md:259-268). Field names
+    * contain literal dots, hence the backticks. Output: 7 flat nullable
+    * string columns (README.md:274-286).
+    */
+  def extractTsharkLeaves(df: DataFrame): DataFrame =
+    df.select(
+      col("_source.layers.ip.`ip.dst`").as("ip_dst"),
+      col("_source.layers.ip.`ip.src`").as("ip_src"),
+      col("_source.layers.ip.`ip.version`").as("ip_ver"),
+      col("_source.layers.frame.`frame.time_epoch`").as("timestamp"),
+      col("_source.layers.tcp.`tcp.dstport`").as("tcp_dstport"),
+      col("_source.layers.tcp.`tcp.flags`").as("tcp_flags"),
+      col("_source.layers.tcp.`tcp.srcport`").as("tcp_srcport"),
+    )
+
+  /** P4 — epoch-seconds-string → timestamp. The reference used a Python
+    * UDF with a pseudocode body (README.md:250-254); the evident intent is
+    * this conversion, which Spark expresses codegen-natively — no UDF.
+    */
+  def epochStringToTimestamp(c: Column): Column =
+    timestamp_micros((c.cast("double") * 1000000L).cast("long"))
+
+  /** P5 — inclusive range filter on the *string* timestamp
+    * (accessTrend.ts:11-17): lexicographic compare on
+    * "yyyy-MM-dd HH:mm:ss.SSSSSS", so `<= '2019-11-15'` excludes almost
+    * all of Nov 15 — preserved exactly.
+    */
+  def rangeFilter(tsCol: Column, lo: String, hi: String): Column =
+    tsCol >= lit(lo) && tsCol <= lit(hi)
+
+  /** P6 — day extraction: first 10 chars of the string timestamp
+    * (accessTrend.ts:19-24). Spark substring is 1-based.
+    */
+  def day(tsCol: Column): Column = substring(tsCol, 1, 10)
+
+  /** P8 — time-of-day: chars [11,19) of the string timestamp →
+    * "HH:MM:SS" (websocket-server/index.js:44).
+    */
+  def timeOfDay(tsCol: Column): Column = substring(tsCol, 12, 8)
+
+  /** P7 — conditional flow-direction projection relative to a host
+    * (accessTrend.ts:25-68): traffic INTO the host counts when the host
+    * is the destination, OUT when it is the source; all else 0.
+    */
+  def directionSplit(df: DataFrame, host: String): DataFrame =
+    df.select(
+      day(col("timestamp")).as("day"),
+      when(col("ip_dst") === lit(host), col("bytes")).otherwise(0L).as("in_bytes"),
+      when(col("ip_dst") === lit(host), col("packets")).otherwise(0L).as("in_packets"),
+      when(col("ip_src") === lit(host), col("bytes")).otherwise(0L).as("out_bytes"),
+      when(col("ip_src") === lit(host), col("packets")).otherwise(0L).as("out_packets"),
+    )
+
+  /** P10 — heartbeat filter: drop messages whose whole value is the
+    * literal topic name (websocket-server/index.js:41).
+    */
+  def heartbeatFilter(df: DataFrame, topic: String): DataFrame =
+    df.filter(col("value") =!= lit(topic))
+
+  /** P9 — realtime tick projection {time, bytes}
+    * (websocket-server/index.js:42-46).
+    */
+  def tick(df: DataFrame): DataFrame =
+    df.select(timeOfDay(col("timestamp_arrival")).as("time"), col("bytes"))
+
+  /** A1+A2 (∘ P5, P6, P7) — the flagship Date Access Trend query
+    * (accessTrend.ts:10-87; SURVEY.md §3.3): range filter → direction
+    * split → per-day sums → ordered output. Catalyst plans this as
+    * partial+final hash aggregation with the filter pushed to the scan;
+    * at 100 TB the only shuffle is on `day` (low cardinality, tiny).
+    */
+  def accessTrend(curated: DataFrame, host: String, lo: String, hi: String): DataFrame =
+    directionSplit(curated.filter(rangeFilter(col("timestamp"), lo, hi)), host)
+      .groupBy(col("day"))
+      .agg(
+        sum("in_bytes").as("in_bytes"),
+        sum("in_packets").as("in_packets"),
+        sum("out_bytes").as("out_bytes"),
+        sum("out_packets").as("out_packets"),
+      )
+      .orderBy(col("day"))
+
+  /** A3 — internalized pmacct flow aggregation (README.md:57,63): sums of
+    * bytes/packets per flow key per 10-second tumbling window. Batch and
+    * streaming share this; streaming adds a watermark at the edge.
+    */
+  def flowWindowAgg(df: DataFrame, tsCol: Column, flowKeys: Seq[Column]): DataFrame =
+    df.groupBy((window(tsCol, "10 seconds") +: flowKeys): _*)
+      .agg(sum("bytes").as("bytes"), sum("packets").as("packets"))
+}
