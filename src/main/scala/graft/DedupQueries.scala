@@ -1,4 +1,120 @@
 package graft
 
-/** Placeholder — populated in a later milestone (SURVEY.md §7.2 M4). */
-object DedupQueries { val all: Seq[Q] = Seq() }
+import graft.operators.DedupOps
+import Tables.{documents, embeddings}
+import OracleSnippets._
+
+/** Deduplication queries over `documents`/`embeddings` (SURVEY.md §7.2
+  * M4). The LSH pipelines are deterministic end-to-end (portable hash
+  * family), so their oracles mirror the *whole pipeline* — bands,
+  * buckets, candidate pairs, verify — not just the final answer shape.
+  */
+object DedupQueries {
+
+  /** Word-3-gram shingles, 32-wide minhash in 8 bands × 4 rows
+    * (collision threshold ≈ (1/8)^(1/4) ≈ 0.59), verify at jaccard ≥ 0.8.
+    */
+  private val N = 3
+  private val K = 32
+  private val Bands = 8
+  private val RowsPerBand = K / Bands
+  private val JaccardThreshold = 0.8
+
+  /** 32-bit simhash, 4-chunk pigeonhole blocking, hamming ≤ 3 (exact:
+    * 4 bands > 3 differing bits ⇒ ≥1 intact shared band).
+    */
+  private val SimBits = 32
+  private val SimBands = 4
+  private val MaxHamming = 3
+
+  /** The synthetic embeddings have no true near-dups (max pairwise
+    * cosine ≈ 0.55), so the "near-dup" cut is set where the distribution
+    * has mass; the operator semantics are threshold-independent.
+    */
+  private val CosineThreshold = 0.4
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "dd_exact",
+      (s, d) => DedupOps.exactDedup(documents(s, d)),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin),
+    ),
+    Q(
+      "dd_jaccard_pairs",
+      (s, d) => DedupOps.jaccardPairs(documents(s, d), N, JaccardThreshold),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, ${shingleHashes("w")} AS sh
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  ${jaccard("a.sh", "b.sh")} AS jaccard
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE ${jaccard("a.sh", "b.sh")} >= $JaccardThreshold
+              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    Q(
+      "dd_minhash_lsh",
+      (s, d) => DedupOps.minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, ${shingleHashes("w")} AS sh
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+              |sg AS (SELECT doc_id, sh, ${minhashSig("sh", K)} AS sig FROM sh),
+              |bx AS (SELECT doc_id, sig,
+              |         unnest(generate_series(0, ${Bands - 1})) AS band_idx FROM sg),
+              |bk AS (SELECT doc_id, band_idx,
+              |         array_to_string(sig[band_idx*$RowsPerBand+1 : band_idx*$RowsPerBand+$RowsPerBand], '_') AS band_key
+              |       FROM bx),
+              |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |         FROM bk x JOIN bk y
+              |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |          AND x.doc_id < y.doc_id)
+              |SELECT c.doc_a, c.doc_b, ${jaccard("a.sh", "b.sh")} AS jaccard
+              |FROM cand c
+              |JOIN sh a ON a.doc_id = c.doc_a
+              |JOIN sh b ON b.doc_id = c.doc_b
+              |WHERE ${jaccard("a.sh", "b.sh")} >= $JaccardThreshold
+              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    Q(
+      "dd_simhash",
+      (s, d) => DedupOps.simhashFingerprints(documents(s, d), SimBits),
+      Some(s"""SELECT doc_id, ${simhash("string_split(text, ' ')", SimBits)} AS simhash
+              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    Q(
+      "dd_simhash_pairs",
+      (s, d) => DedupOps.simhashPairs(documents(s, d), SimBits, SimBands, MaxHamming),
+      Some {
+        val chunkBits = SimBits / SimBands
+        s"""WITH fp AS (
+           |  SELECT doc_id, ${simhash("string_split(text, ' ')", SimBits)} AS simhash
+           |  FROM documents),
+           |ck AS (SELECT doc_id, simhash,
+           |         unnest(generate_series(0, ${SimBands - 1})) AS chunk_idx FROM fp),
+           |cb AS (SELECT doc_id, simhash, chunk_idx,
+           |         CAST(floor(simhash / power(2, chunk_idx*$chunkBits)) AS BIGINT) % ${1L << chunkBits} AS chunk_bits
+           |       FROM ck)
+           |SELECT doc_a, doc_b, hamming FROM (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+           |  FROM cb x JOIN cb y
+           |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
+           |   AND x.doc_id < y.doc_id)
+           |WHERE hamming <= $MaxHamming
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+    ),
+    Q(
+      "dd_embed_neardup",
+      (s, d) => DedupOps.embeddingNearDupPairs(embeddings(s, d), CosineThreshold),
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |n AS (SELECT vec_id, ${unitNorm("e")} AS u FROM v)
+              |SELECT vec_a, vec_b, cosine FROM (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    ${dot("a.u", "b.u")} AS cosine
+              |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+              |WHERE cosine >= $CosineThreshold
+              |ORDER BY vec_a, vec_b""".stripMargin),
+    ),
+  )
+}

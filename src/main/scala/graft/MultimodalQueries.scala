@@ -1,4 +1,59 @@
 package graft
 
-/** Placeholder — populated in a later milestone (SURVEY.md §7.2 M4). */
-object MultimodalQueries { val all: Seq[Q] = Seq() }
+import graft.operators.MultimodalOps
+import Tables.documents
+
+/** Multimodal-column queries (SURVEY.md §7.2 M4): binary payloads with
+  * typed metadata, a (stubbed, deterministic) decode stage, and frame
+  * sampling. The typed mapPartitions pipeline behind these is
+  * `MultimodalOps.decodeAll`, asserted equal to the declarative twin in
+  * the ScalaTest spec; the oracle pins the declarative semantics.
+  */
+object MultimodalQueries {
+
+  private val mediaSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  octet_length(encode(text)) AS n_bytes, text
+      |FROM documents""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "mm_binary_meta",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        MultimodalOps
+          .asMedia(documents(s, d))
+          .select(
+            col("doc_id"),
+            col("media_type"),
+            octet_length(col("payload")).cast("long").as("n_bytes"),
+            sha2(col("payload"), 256).as("sha256"),
+            md5(col("payload")).as("md5"),
+          )
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, media_type, n_bytes, sha256(text) AS sha256, md5(text) AS md5
+              |FROM ($mediaSql) ORDER BY doc_id""".stripMargin),
+    ),
+    Q(
+      "mm_decode_meta",
+      (s, d) => MultimodalOps.decodeMeta(MultimodalOps.asMedia(documents(s, d))).orderBy("doc_id"),
+      Some(s"""SELECT doc_id, media_type, n_bytes,
+              |  64 + n_bytes % 512 AS width,
+              |  64 + (n_bytes * 31) % 512 AS height,
+              |  CAST(3 AS BIGINT) AS channels,
+              |  n_bytes % 16 + 1 AS n_frames
+              |FROM ($mediaSql) ORDER BY doc_id""".stripMargin),
+    ),
+    Q(
+      "mm_frame_sample",
+      (s, d) => MultimodalOps.sampleFrames(MultimodalOps.asMedia(documents(s, d)), step = 4),
+      Some(s"""SELECT doc_id, n_frames,
+              |  unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+              |FROM (SELECT doc_id, n_bytes % 16 + 1 AS n_frames
+              |      FROM ($mediaSql) WHERE media_type = 'video')
+              |ORDER BY doc_id, frame_idx""".stripMargin),
+    ),
+  )
+}

@@ -150,21 +150,23 @@ object RelationalQueries {
              |ORDER BY o_orderkey""".stripMargin),
     ),
 
-    // Left-anti join = NOT EXISTS.
+    // Left-anti join = NOT EXISTS. Filtered build side so the result is
+    // non-empty on the dense testdata (every customer has some order).
     Q(
       "q_anti_join",
       (s, d) =>
-        customer(s, d)
+        orders(s, d)
           .join(
-            orders(s, d).select("o_custkey"),
-            col("c_custkey") === col("o_custkey"),
+            lineitem(s, d).filter(col("l_quantity") > 49).select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"),
             "left_anti",
           )
-          .select("c_custkey", "c_name")
-          .orderBy("c_custkey"),
-      Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-             |ORDER BY c_custkey""".stripMargin),
+          .select("o_orderkey", "o_orderstatus")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+             |                  WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+             |ORDER BY o_orderkey""".stripMargin),
     ),
 
     // Top-k: orderBy+limit plans as TakeOrderedAndProject — each partition
@@ -325,11 +327,15 @@ object RelationalQueries {
       (s, d) =>
         customer(s, d)
           .select(col("c_custkey").as("custkey"))
-          .except(orders(s, d).select(col("o_custkey").as("custkey")))
+          .except(
+            orders(s, d)
+              .filter(col("o_totalprice") > 450000)
+              .select(col("o_custkey").as("custkey")),
+          )
           .orderBy("custkey"),
       Some("""SELECT c_custkey AS custkey FROM customer
              |EXCEPT
-             |SELECT o_custkey FROM orders
+             |SELECT o_custkey FROM orders WHERE o_totalprice > 450000
              |ORDER BY custkey""".stripMargin),
     ),
 

@@ -1,4 +1,62 @@
 package graft
 
-/** Placeholder — populated in a later milestone (SURVEY.md §7.2 M4). */
-object SimilarityQueries { val all: Seq[Q] = Seq() }
+import org.apache.spark.sql.functions.col
+import graft.operators.SimilarityOps
+import Tables.embeddings
+import OracleSnippets._
+
+/** Similarity-search queries over `embeddings` (SURVEY.md §7.2 M4):
+  * exact brute-force cosine top-k as the correctness baseline, plus the
+  * two scale paths (sign-LSH buckets, IVF cells). Scores are strict
+  * left-fold doubles, so even the top-k *ordering* is bit-reproducible
+  * in the DuckDB oracle.
+  */
+object SimilarityQueries {
+
+  /** Query set: the first ten vectors. */
+  private val QueryPred = "vec_id < 10"
+  private val TopK = 5
+  private val BucketK = 3
+
+  /** Probe dims for the sign-LSH: every 8th dimension (axis-aligned
+    * hyperplanes) → 256 buckets over the corpus.
+    */
+  private val ProbeDims: Seq[Int] = 0 until 64 by 8
+
+  private def topkSql(cellJoin: String, k: Int): String =
+    s"""WITH v AS (SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, label, embedding, ${unitNorm("e")} AS u FROM v),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        ${dot("q.u", "c.u")} AS cosine
+       |      FROM n q JOIN n c
+       |        ON q.$QueryPred AND q.vec_id <> c.vec_id $cellJoin)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM p)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "sim_topk_exact",
+      (s, d) => SimilarityOps.bruteForceTopK(embeddings(s, d), col("vec_id") < 10, TopK),
+      Some(topkSql("", TopK)),
+    ),
+    Q(
+      "sim_lsh_bucket",
+      (s, d) => SimilarityOps.lshBucketTopK(embeddings(s, d), col("vec_id") < 10, ProbeDims, BucketK),
+      Some(
+        topkSql(
+          s"AND ${signBucket("q.embedding", ProbeDims)} = ${signBucket("c.embedding", ProbeDims)}",
+          BucketK,
+        ),
+      ),
+    ),
+    Q(
+      "sim_ivf_cell",
+      (s, d) => SimilarityOps.ivfTopK(embeddings(s, d), col("vec_id") < 10, col("label"), BucketK),
+      Some(topkSql("AND q.label = c.label", BucketK)),
+    ),
+  )
+}

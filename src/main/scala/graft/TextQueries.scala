@@ -1,4 +1,76 @@
 package graft
 
-/** Placeholder — populated in a later milestone (SURVEY.md §7.2 M4). */
-object TextQueries { val all: Seq[Q] = Seq() }
+import org.apache.spark.sql.functions.col
+import graft.operators.TextOps
+import Tables.documents
+
+/** Text-analysis queries over `documents` (SURVEY.md §7.2 M4): token
+  * counting, quality scoring, language-id, fingerprinting — the
+  * pre-training-curation staples, each with an exact DuckDB oracle.
+  */
+object TextQueries {
+
+  private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "tx_token_stats",
+      (s, d) => TextOps.tokenStats(documents(s, d)),
+      Some(s"""SELECT doc_id, len(w) AS n_tokens,
+              |  len(list_distinct(w)) AS n_distinct,
+              |  len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS n_bpe_tokens,
+              |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+              |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |         list_transform(w, tkt -> CAST(length(tkt) AS BIGINT))),
+              |       (tka, tkb) -> tka + tkb) AS DOUBLE) / len(w) AS mean_token_len
+              |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+    ),
+    Q(
+      "tx_quality",
+      (s, d) => TextOps.qualityScore(documents(s, d)),
+      Some(s"""SELECT doc_id, n_tokens, stop_ratio, ttr,
+              |  (n_tokens >= 20 AND n_tokens <= 200 AND stop_ratio <= 0.3 AND ttr >= 0.1) AS keep
+              |FROM (
+              |  SELECT doc_id, len(w) AS n_tokens,
+              |    CAST(len(list_filter(w, qt -> qt IN ($stopList))) AS DOUBLE) / len(w) AS stop_ratio,
+              |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+              |ORDER BY doc_id""".stripMargin),
+    ),
+    Q(
+      "tx_lang_id",
+      (s, d) => TextOps.langId(documents(s, d)),
+      Some {
+        val scores = TextOps.LangMarkers
+          .map { case (lang, set) =>
+            val inList = set.map(m => s"'$m'").mkString(", ")
+            s"len(list_filter(w, lt -> lt IN ($inList))) AS score_$lang"
+          }
+          .mkString(",\n    ")
+        val best = TextOps.LangMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+        val caseChain = TextOps.LangMarkers.init
+          .map { case (l, _) => s"WHEN score_$l = $best THEN '$l'" }
+          .mkString(" ")
+        s"""SELECT doc_id, ${TextOps.LangMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")},
+           |  CASE $caseChain ELSE '${TextOps.LangMarkers.last._1}' END AS predicted,
+           |  lang,
+           |  (CASE $caseChain ELSE '${TextOps.LangMarkers.last._1}' END) = lang AS agrees
+           |FROM (
+           |  SELECT doc_id, lang,
+           |    $scores
+           |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
+    Q(
+      "tx_fingerprint",
+      (s, d) => TextOps.fingerprints(documents(s, d)),
+      Some(s"""SELECT doc_id,
+              |  ${OracleSnippets.charHash("text")} AS rolling_hash,
+              |  sha256(text) AS sha256,
+              |  md5(text) AS md5
+              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, over
+  * the `documents` (text) and `embeddings` (vector) tables.
+  *
+  * Scale design notes (the 100 TB story, tested at 500-doc SF):
+  *   - Exact dedup = one hash-shuffle on the content key; min(doc_id)
+  *     keeper policy is deterministic and mergeable (map-side combine).
+  *   - MinHash LSH replaces the O(n²) pair space with a band-bucket
+  *     equi-join: shuffle is on band keys, candidates per bucket only.
+  *   - SimHash near-dup uses pigeonhole band blocking: for hamming ≤ h
+  *     with b > h bands, two near-dups MUST share ≥1 intact band — an
+  *     *exact* blocking scheme (zero recall loss), so the pair join is an
+  *     equi-join on (band_idx, band_bits), never a cross join.
+  *   - Embedding near-dup keeps an exact brute-force baseline (the
+  *     oracle-checkable reference semantics) and delegates the scale path
+  *     to the sign-LSH bucketing in [[SimilarityOps]].
+  */
+object DedupOps {
+
+  /** Exact dedup: group identical normalized text, keep the smallest
+    * doc_id as the canonical copy. Output one row per distinct content
+    * with its duplicate count.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy("doc_id")
+
+  /** Exact all-pairs n-gram Jaccard over the distinct shingle-hash sets.
+    * This is the *reference semantics* for near-dup detection (the LSH
+    * operator must agree with it above the threshold); at cluster scale
+    * it is the verification stage run on LSH candidates only.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(col("doc_id"), HashOps.shingleHashes(col("text"), n).as("sh"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"),
+      )
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH near-dup pipeline: shingle → k-wide minhash signature
+    * → band keys → bucket equi-join → exact-Jaccard verify on candidates.
+    * Every stage is deterministic (portable hash family), so the whole
+    * pipeline — including which candidate pairs the bands surface — is
+    * reproducible in the SQL oracle.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      n: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val rowsPerBand = k / bands
+    val sets = docs
+      .select(col("doc_id"), HashOps.shingleHashes(col("text"), n).as("sh"))
+      .select(
+        col("doc_id"),
+        col("sh"),
+        HashOps.bandKeys(HashOps.minhashSignature(col("sh"), k), bands, rowsPerBand).as("bk"),
+      )
+    val bandsDf = sets.select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
+    val candidates = bandsDf
+      .as("x")
+      .join(
+        bandsDf.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    withSets
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"),
+      )
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document SimHash fingerprints (portable family). */
+  def simhashFingerprints(docs: DataFrame, bits: Int): DataFrame =
+    docs
+      .select(col("doc_id"), HashOps.simhash(split(col("text"), " "), bits).as("simhash"))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found by
+    * exact pigeonhole blocking: split the fingerprint into `blockBands`
+    * chunks; pairs within the hamming budget share ≥1 identical chunk
+    * (requires blockBands > maxHamming). Join is a pure equi-join on
+    * (chunk_idx, chunk_bits) — no cross join at any scale.
+    */
+  def simhashPairs(docs: DataFrame, bits: Int, blockBands: Int, maxHamming: Int): DataFrame = {
+    require(blockBands > maxHamming, "pigeonhole blocking needs bands > maxHamming")
+    val chunkBits = bits / blockBands
+    val fp = docs.select(col("doc_id"), HashOps.simhash(split(col("text"), " "), bits).as("simhash"))
+    // chunk c = floor(simhash / 2^(c*chunkBits)) mod 2^chunkBits —
+    // floor-division form (not shifts) so the oracle mirrors it verbatim;
+    // exact in doubles because simhash < 2^bits ≤ 2^52.
+    val chunks = fp.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(blockBands - 1)),
+          c => floor(col("simhash") / pow(lit(2.0), c * chunkBits)).cast("long") %
+            (1L << chunkBits),
+        ),
+      ).as(Seq("chunk_idx", "chunk_bits")),
+    )
+    chunks
+      .as("x")
+      .join(
+        chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_bits") === col("y.chunk_bits") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"),
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact embedding near-dup: all pairs with cosine ≥ threshold, dot
+    * products as strict left folds (bit-reproducible doubles). Baseline
+    * semantics; the bucketed scale path lives in [[SimilarityOps]].
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val v = embeddings.select(
+      col("vec_id"),
+      SimilarityOps.unitNorm(col("embedding")).as("u"),
+    )
+    val a = v.select(col("vec_id").as("vec_a"), col("u").as("u_a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("u").as("u_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), SimilarityOps.dot(col("u_a"), col("u_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+}

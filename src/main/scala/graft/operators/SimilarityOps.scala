@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), pure Catalyst higher-order functions — no UDFs, so
+  * every arithmetic step stays inside whole-stage codegen.
+  *
+  * Float→double casts are exact and both the dot product and the norm
+  * are strict left folds, so scores are bit-reproducible — the DuckDB
+  * oracle reproduces identical doubles, making even top-k *order*
+  * deterministic across engines (ties broken by neighbor id).
+  *
+  * Scale design: brute-force top-k is the correctness baseline (and is
+  * how the verify stage scores candidates); the scale paths bucket the
+  * corpus first — sign-LSH (axis-aligned random hyperplanes) or an IVF
+  * coarse partition — so the per-query work is one bucket, not the
+  * corpus, and the query set is always the broadcast side of the join.
+  */
+object SimilarityOps {
+
+  /** Strict left-fold dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cast to double and scale to unit L2 norm — cosine then reduces to a
+    * plain dot product (one division per element up front, not per pair).
+    */
+  def unitNorm(vec: Column): Column = {
+    val d = transform(vec, x => x.cast("double"))
+    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, v) => acc + v))
+    transform(d, x => x / n)
+  }
+
+  /** Brute-force cosine top-k: query rows (selected by `isQuery`) joined
+    * against the whole corpus. The query side is small by construction —
+    * Spark broadcasts it; the corpus is never shuffled.
+    */
+  def bruteForceTopK(embeddings: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val v = embeddings.select(col("vec_id"), unitNorm(col("embedding")).as("u"))
+    val queries = broadcast(
+      v.filter(isQuery).select(col("vec_id").as("query_id"), col("u").as("qu")),
+    )
+    val scored = queries
+      .join(v, col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        dot(col("qu"), col("u")).as("cosine"),
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Sign-LSH bucket id: one bit per probe dimension (axis-aligned
+    * hyperplane at 0), folded MSB→LSB. Deterministic and portable — the
+    * oracle derives identical buckets.
+    */
+  def signBucket(vec: Column, probeDims: Seq[Int]): Column =
+    probeDims.foldLeft(lit(0L)) { (acc, d) =>
+      acc * 2 + when(element_at(vec, d + 1) > 0f, 1L).otherwise(0L)
+    }
+
+  /** LSH-bucketed ANN: search only the query's sign bucket. The join is
+    * an equi-join on the bucket id — at 100 TB this shuffles each corpus
+    * row once into its bucket, instead of scoring the full corpus per
+    * query. Recall < 1 by design; the exact baseline is the oracle for
+    * effectiveness, this operator's oracle mirrors the bucketing itself.
+    */
+  def lshBucketTopK(embeddings: DataFrame, isQuery: Column, probeDims: Seq[Int], k: Int): DataFrame = {
+    val v = embeddings.select(
+      col("vec_id"),
+      unitNorm(col("embedding")).as("u"),
+      signBucket(col("embedding"), probeDims).as("bucket"),
+    )
+    val queries = broadcast(
+      v.filter(isQuery)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"), col("bucket")),
+    )
+    val scored = queries
+      .join(v, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        dot(col("qu"), col("u")).as("cosine"),
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style ANN with a precomputed coarse assignment column (here the
+    * `label` column stands in for the nearest-centroid cell id a k-means
+    * quantizer would produce): search only the query's cell.
+    */
+  def ivfTopK(embeddings: DataFrame, isQuery: Column, cell: Column, k: Int): DataFrame = {
+    val v = embeddings.select(col("vec_id"), unitNorm(col("embedding")).as("u"), cell.as("cell"))
+    val queries = broadcast(
+      v.filter(isQuery).select(col("vec_id").as("query_id"), col("u").as("qu"), col("cell")),
+    )
+    val scored = queries
+      .join(v, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        dot(col("qu"), col("u")).as("cosine"),
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+}

