@@ -1,0 +1,174 @@
+package graft.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd sketch expressions for the dedup pipelines.
+  *
+  * Each is semantically IDENTICAL to a composition of built-in
+  * higher-order functions (documented per expression; the DuckDB oracles
+  * mirror those compositions, so results stay hash-comparable) but
+  * evaluates as one tight loop per row. The HOF compositions were
+  * correct yet catastrophically slow: Catalyst inlines the producing
+  * array expression into each consuming lambda (projection collapsing
+  * reaches through repartition barriers), so e.g. a 32-function minhash
+  * re-evaluated tokenization+shingling+hashing 32× per row, each inner
+  * element interpreting several expression nodes. A whole-operator
+  * expression is the prescribed Catalyst extension point for exactly
+  * this case.
+  *
+  * Hash family (shared with [[PolyHash]] / `HashOps`):
+  * h_i(x) = (a_i·x + b_i) mod P, a_i = (i+1)·2654435761 mod P,
+  * b_i = (i+1)·2245366891 mod P, P = 2^31 − 1. All operands < 2^31, so
+  * Long arithmetic never overflows.
+  */
+object Sketches {
+  val P: Long = 2147483647L
+  val MulA: Long = 2654435761L
+  val MulB: Long = 2245366891L
+
+  /** `split(text, " ")` with Spark's limit −1 semantics (trailing empty
+    * strings kept), matching DuckDB `string_split(text, ' ')`.
+    */
+  def words(text: UTF8String): Array[String] = text.toString.split(" ", -1)
+
+  /** Distinct polyhashes of word n-gram shingles; documents shorter than
+    * n words contribute their full text as the single shingle — exactly
+    * `array_distinct(transform(sequence(1, greatest(size(w)-(n-1), 1)),
+    * i -> poly_hash(concat_ws(" ", slice(w, i, n)))))`.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val w = words(text)
+    val count = math.max(w.length - (n - 1), 1)
+    val seen = new mutable.LinkedHashSet[Long]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, w.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(w(j))
+        j += 1
+      }
+      seen += polyHashString(sb)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
+  private def polyHashString(s: java.lang.CharSequence): Long = {
+    var acc = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp = Character.codePointAt(s, i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** MinHash signature — `transform(sequence(0, k-1), i ->
+    * array_min(transform(hashes, h -> (a_i*h + b_i) % P)))`.
+    */
+  def minHashSig(hashes: ArrayData, k: Int): ArrayData = {
+    val m = hashes.numElements()
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = (i + 1) * MulA % P
+      val b = (i + 1) * MulB % P
+      var best = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val v = (a * hashes.getLong(j) + b) % P
+        if (v < best) best = v
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SimHash over the distinct-token set, bits folded MSB→LSB
+    * (`HashOps.simhash`'s documented fold): bit j is the sign of
+    * Σ_tokens (2·((h_j(poly_hash(w)) mod 2) − ½)).
+    */
+  def simHash(text: UTF8String, bits: Int): Long = {
+    // Distinct by WORD (array_distinct(words)), then hash — a hash
+    // collision between distinct words must contribute two votes, as in
+    // the declarative spec.
+    val seen = new mutable.LinkedHashSet[String]
+    words(text).foreach(seen += _)
+    val hs = seen.toArray.map(w => polyHashString(w))
+    var acc = 0L
+    var j = bits - 1
+    while (j >= 0) {
+      val a = (j + 1) * MulA % P
+      val b = (j + 1) * MulB % P
+      var vote = 0L
+      var i = 0
+      while (i < hs.length) {
+        vote += (if ((a * hs(i) + b) % P % 2 == 1) 1 else -1)
+        i += 1
+      }
+      acc = acc * 2 + (if (vote > 0) 1L else 0L)
+      j -= 1
+    }
+    acc
+  }
+}
+
+/** Distinct word-n-gram shingle hashes of a text column. */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    Sketches.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Sketches.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** k-wide minhash signature of a pre-hashed shingle set. */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(input: Any): Any =
+    Sketches.minHashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Sketches.minHashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** SimHash fingerprint of a text column over its distinct-token set. */
+case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+  override def nullSafeEval(input: Any): Any =
+    Sketches.simHash(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Sketches.simHash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+object SketchColumns {
+  def shingleHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.toColumn(ShingleHashesExpr(GraftColumnBridge.toExpression(text), n))
+  def minHashSig(hashes: Column, k: Int): Column =
+    GraftColumnBridge.toColumn(MinHashSigExpr(GraftColumnBridge.toExpression(hashes), k))
+  def simHash(text: Column, bits: Int): Column =
+    GraftColumnBridge.toColumn(SimHashExpr(GraftColumnBridge.toExpression(text), bits))
+}

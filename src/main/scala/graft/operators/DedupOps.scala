@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Partition count for compute-heavy stages (the session's shuffle
+    * parallelism — on a cluster this is sized to total cores).
+    */
+  private def partitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   /** Exact dedup: group identical normalized text, keep the smallest
     * doc_id as the canonical copy. Output one row per distinct content
     * with its duplicate count.
@@ -32,21 +38,36 @@ object DedupOps {
       .select(col("doc_id"), col("n_copies"))
       .orderBy("doc_id")
 
-  /** Exact all-pairs n-gram Jaccard over the distinct shingle-hash sets.
-    * This is the *reference semantics* for near-dup detection (the LSH
-    * operator must agree with it above the threshold); at cluster scale
-    * it is the verification stage run on LSH candidates only.
+  /** Exact n-gram Jaccard pairs above a (strictly positive) threshold,
+    * computed by the inverted-index set-similarity join: explode each
+    * document's distinct shingle set, equi-join postings on the shingle,
+    * and count co-occurrences — the count IS |A∩B|, so
+    * jaccard = c / (|A| + |B| − c) with no per-pair array work and no
+    * cross join anywhere. Pairs sharing zero shingles have jaccard 0 and
+    * are below any positive threshold, so the result is identical to the
+    * all-pairs definition (which the DuckDB oracle still states).
+    * At cluster scale every stage is an equi-shuffle on shingle / pair
+    * keys; skew from ultra-hot shingles is the known caveat (handled by
+    * prefix filtering or stop-shingle dropping in a production tuning).
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0, "inverted-index join requires a positive threshold")
     val sets = docs.select(col("doc_id"), HashOps.shingleHashes(col("text"), n).as("sh"))
-    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    val posts = sets.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+    posts
+      .as("x")
+      .join(posts.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        col("x.sz").as("sz_a"),
+        col("y.sz").as("sz_b"),
+      )
+      .agg(count(lit(1)).as("c"))
       .select(
         col("doc_a"),
         col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"),
+        (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c"))).as("jaccard"),
       )
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
@@ -66,12 +87,25 @@ object DedupOps {
       threshold: Double,
   ): DataFrame = {
     val rowsPerBand = k / bands
+    // The repartition calls are *exchange barriers*, not data movement
+    // for its own sake: Catalyst's CollapseProject would otherwise inline
+    // the shingle-hash array into the 32-iteration minhash lambda (32×
+    // recompute per row), and the band self-join / verify joins below
+    // would recompute the whole subtree per use — identical exchanges are
+    // computed once and deduped by ReuseExchange. The explicit partition
+    // count keeps AQE from coalescing the (byte-wise tiny, compute-wise
+    // expensive) signature stage onto one core.
+    val p = partitions(docs)
     val sets = docs
+      .repartition(p, col("doc_id"))
       .select(col("doc_id"), HashOps.shingleHashes(col("text"), n).as("sh"))
+      .repartition(p, col("doc_id"))
+      .select(col("doc_id"), col("sh"), HashOps.minhashSignature(col("sh"), k).as("sig"))
+      .repartition(p, col("doc_id"))
       .select(
         col("doc_id"),
         col("sh"),
-        HashOps.bandKeys(HashOps.minhashSignature(col("sh"), k), bands, rowsPerBand).as("bk"),
+        HashOps.bandKeys(col("sig"), bands, rowsPerBand).as("bk"),
       )
     val bandsDf = sets.select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
     val candidates = bandsDf
@@ -101,7 +135,7 @@ object DedupOps {
   /** Per-document SimHash fingerprints (portable family). */
   def simhashFingerprints(docs: DataFrame, bits: Int): DataFrame =
     docs
-      .select(col("doc_id"), HashOps.simhash(split(col("text"), " "), bits).as("simhash"))
+      .select(col("doc_id"), HashOps.simhash(col("text"), bits).as("simhash"))
       .orderBy("doc_id")
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found by
@@ -113,7 +147,14 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, bits: Int, blockBands: Int, maxHamming: Int): DataFrame = {
     require(blockBands > maxHamming, "pigeonhole blocking needs bands > maxHamming")
     val chunkBits = bits / blockBands
-    val fp = docs.select(col("doc_id"), HashOps.simhash(split(col("text"), " "), bits).as("simhash"))
+    // Exchange barrier: simhash computed once per row (in parallel — the
+    // explicit count keeps AQE from coalescing the compute-heavy stage),
+    // and the self-join below reuses one exchange instead of recomputing.
+    val p = partitions(docs)
+    val fp = docs
+      .repartition(p, col("doc_id"))
+      .select(col("doc_id"), HashOps.simhash(col("text"), bits).as("simhash"))
+      .repartition(p, col("doc_id"))
     // chunk c = floor(simhash / 2^(c*chunkBits)) mod 2^chunkBits —
     // floor-division form (not shifts) so the oracle mirrors it verbatim;
     // exact in doubles because simhash < 2^bits ≤ 2^52.

@@ -32,16 +32,16 @@ object HashOps {
 
   /** Portable polynomial rolling hash of a string column:
     * fold over characters, acc = (acc * 31 + codepoint) mod P, acc0 = 0.
-    * DuckDB mirror:
+    * Declarative form (kept as the spec; the DuckDB oracle mirrors it):
+    * `aggregate(transform(sequence(1, length(s)), i -> ascii(substr(s, i, 1))
+    *    :: long), 0L, (acc, c) -> (acc*31 + c) % P)` ⟷ DuckDB
     * `list_reduce(list_prepend(0, list_transform(generate_series(1, length(s)),
-    *    i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))), (x, y) -> (x*31 + y) % 2147483647)`
+    *    i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))), (x, y) -> (x*31 + y) % 2147483647)`.
+    * Evaluated via the codegen'd [[graft.expressions.PolyHash]] — same
+    * fold, one tight loop (the HOF form interpreted three nested lambdas
+    * per character and dominated minhash/simhash cost).
     */
-  def polyHash(s: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 31 + c) % P,
-    )
+  def polyHash(s: Column): Column = graft.expressions.PolyHash(s)
 
   /** i-th member of the universal family applied to a pre-hashed value:
     * h_i(x) = (a_i * x + b_i) mod P with a_i, b_i derived from i so the
@@ -64,20 +64,23 @@ object HashOps {
     )
 
   /** Distinct portable hashes of the n-gram shingle set — the document's
-    * set representation for minhash / jaccard.
+    * set representation for minhash / jaccard. Declarative spec (what the
+    * DuckDB oracle mirrors): `array_distinct(transform(shingles(split(
+    * text, " "), n), s => polyHash(s)))`; evaluated by the codegen'd
+    * [[graft.expressions.ShingleHashesExpr]].
     */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(split(text, " "), n), s => polyHash(s)))
+    graft.expressions.SketchColumns.shingleHashes(text, n)
 
   /** MinHash signature: sig[i] = min over the shingle-hash set of
     * h_i(hash). k signatures estimate Jaccard; mergeable partials make
-    * this a map-side-combinable agg at cluster scale.
+    * this a map-side-combinable agg at cluster scale. Declarative spec:
+    * `transform(sequence(0, k-1), i => array_min(transform(hashes,
+    * h => indexedHash(i, h))))`; evaluated by the codegen'd
+    * [[graft.expressions.MinHashSigExpr]].
     */
   def minhashSignature(hashes: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(hashes, h => indexedHash(i, h))),
-    )
+    graft.expressions.SketchColumns.minHashSig(hashes, k)
 
   /** LSH band keys: the signature split into `bands` rows-per-band
     * groups, each rendered as a join key string. Two documents with
@@ -90,27 +93,11 @@ object HashOps {
     )
 
   /** SimHash fingerprint over the distinct token set: bit j of the
-    * result is the sign of Σ_tokens (2·bit_j(h_j(polyHash(w))) − 1).
-    * `bits` ≤ 62 so the fingerprint stays a positive Long.
+    * result is the sign of Σ_tokens (2·bit_j(h_j(polyHash(w))) − 1),
+    * bits folded MSB→LSB as acc = acc*2 + bit (mirrors verbatim as a
+    * DuckDB list_reduce; `bits` ≤ 62 keeps the Long positive).
+    * Evaluated by the codegen'd [[graft.expressions.SimHashExpr]].
     */
-  def simhash(words: Column, bits: Int): Column = {
-    val hashes = transform(array_distinct(words), w => polyHash(w))
-    // Fold bits MSB→LSB as acc = acc*2 + bit — avoids any shift-by-column
-    // operator and mirrors verbatim as a DuckDB list_reduce.
-    aggregate(
-      transform(
-        sequence(lit(bits - 1), lit(0), lit(-1)),
-        j => {
-          val vote = aggregate(
-            hashes,
-            lit(0L),
-            (acc, h) => acc + when(indexedHash(j, h) % 2 === 1, 1L).otherwise(-1L),
-          )
-          when(vote > 0, lit(1L)).otherwise(lit(0L))
-        },
-      ),
-      lit(0L),
-      (acc, bit) => acc * 2 + bit,
-    )
-  }
+  def simhash(text: Column, bits: Int): Column =
+    graft.expressions.SketchColumns.simHash(text, bits)
 }
