@@ -71,6 +71,27 @@ object NetflowQueries {
              |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
              |FROM events GROUP BY window_start ORDER BY window_start""".stripMargin),
     ),
+    // Heavy hitters ("top talkers" in netflow terms): total traffic per
+    // host, top 10. TakeOrderedAndProject keeps k rows per partition —
+    // no global sort at any scale.
+    Q(
+      "nf_top_talkers",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            sum(col("value").cast("decimal(18,2)")).as("total_value"),
+            count(lit(1)).as("n_events"),
+          )
+          .orderBy(col("total_value").desc, col("user_id"))
+          .limit(10)
+      },
+      Some("""SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+             |  count(*) AS n_events
+             |FROM events GROUP BY user_id
+             |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin),
+    ),
     Q(
       "nf_sessionize",
       (s, d) => EventOps.sessionize(events(s, d), gapMinutes = 30),

@@ -392,6 +392,38 @@ object RelationalQueries {
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
     ),
 
+    // As-of join (operator Spark lacks): for each event, the most recent
+    // order of that customer at or before the event time. Implemented as
+    // union + per-key running last() — one shuffle, linear work, no
+    // per-key pair explosion (operators/AsOfJoinOp.scala). Oracle is
+    // DuckDB's native ASOF JOIN over the same deterministic dedup.
+    Q(
+      "q_asof_join",
+      (s, d) => {
+        val e = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        val o = orders(s, d).select(
+          col("o_custkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_orderkey"),
+        )
+        graft.operators.AsOfJoinOp
+          .asOfJoin(
+            e, o,
+            leftKey = col("user_id"), rightKey = col("o_custkey"),
+            leftTime = col("ts"), rightTime = col("o_orderdate"),
+            rightPayload = Seq("o_orderkey", "o_orderdate"),
+            rightTiebreak = col("o_orderkey"),
+          )
+          .orderBy("event_id")
+      },
+      Some("""WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+             |            FROM orders GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts, od.o_orderkey, od.o_orderdate
+             |FROM events e ASOF LEFT JOIN od
+             |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+             |ORDER BY event_id""".stripMargin),
+    ),
+
     // Pivot (dynamic-to-static column transpose) with a pinned value list
     // so schema is deterministic; oracle is conditional aggregation.
     Q(

@@ -58,5 +58,22 @@ object SimilarityQueries {
       (s, d) => SimilarityOps.ivfTopK(embeddings(s, d), col("vec_id") < 10, col("label"), BucketK),
       Some(topkSql("AND q.label = c.label", BucketK)),
     ),
+    // IVF training step: per-cell centroids. Means are computed as a
+    // vec_id-ordered left fold divided by the count, so the doubles are
+    // deterministic and bit-identical in the oracle (a plain avg() would
+    // depend on partition/accumulation order).
+    Q(
+      "sim_centroids",
+      (s, d) => SimilarityOps.centroids(embeddings(s, d), col("label")),
+      Some("""SELECT label, dim,
+             |  list_reduce(list_prepend(0.0, list(xd ORDER BY vec_id)),
+             |              (cda, cdb) -> cda + cdb) / count(*) AS centroid,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT vec_id, label,
+             |        unnest(CAST(embedding AS DOUBLE[])) AS xd,
+             |        generate_subscripts(embedding, 1) AS dim
+             |      FROM embeddings)
+             |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
+    ),
   )
 }

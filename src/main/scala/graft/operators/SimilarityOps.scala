@@ -100,6 +100,39 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF training step: per-cell centroid of the (double-cast) vectors,
+    * long-form output (cell, dim, centroid, n). The mean is an ordered
+    * left fold over vec_id divided by the count — deterministic doubles
+    * (a plain avg() would float with partition order), so the oracle
+    * reproduces them bit-for-bit. One shuffle on (cell, dim); at scale
+    * the fold-based mean would switch to a mergeable (sum, count) pair
+    * per partition with a documented tolerance instead.
+    */
+  def centroids(embeddings: DataFrame, cell: Column): DataFrame =
+    embeddings
+      .select(
+        col("vec_id"),
+        cell.as("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("pos", "xd")),
+      )
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"), col("xd"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("xd")))), s => s.getField("xd")),
+          lit(0.0),
+          (acc, v) => acc + v,
+        ).as("sum_xd"),
+        count(lit(1)).as("n"),
+      )
+      .select(
+        col("label"),
+        col("dim"),
+        (col("sum_xd") / col("n")).as("centroid"),
+        col("n"),
+      )
+      .orderBy("label", "dim")
+
   /** IVF-style ANN with a precomputed coarse assignment column (here the
     * `label` column stands in for the nearest-centroid cell id a k-means
     * quantizer would produce): search only the query's cell.

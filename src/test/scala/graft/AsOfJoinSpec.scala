@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoinOp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right row at or before each left time, per key") {
+    val quotes = Seq(
+      // (key, time, quote_id)
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (1L, ts("2024-01-01 11:00:00"), 102L), // same instant: max tiebreak wins
+      (2L, ts("2024-01-01 09:00:00"), 200L),
+    ).toDF("key", "qt", "quote_id")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "t1"), // → 100
+      (1L, ts("2024-01-01 11:00:00"), "t2"), // equal instant → 102 (<=, max tiebreak)
+      (1L, ts("2024-01-01 09:00:00"), "t3"), // before any quote → null
+      (2L, ts("2024-01-01 12:00:00"), "t4"), // → 200
+      (3L, ts("2024-01-01 12:00:00"), "t5"), // key with no quotes → null
+    ).toDF("key", "tt", "trade")
+
+    val out = AsOfJoinOp
+      .asOfJoin(
+        trades, quotes,
+        leftKey = col("key"), rightKey = col("key"),
+        leftTime = col("tt"), rightTime = col("qt"),
+        rightPayload = Seq("quote_id"),
+        rightTiebreak = col("quote_id"),
+      )
+      .select("trade", "quote_id")
+      .as[(String, Option[Long])]
+      .collect()
+      .toMap
+
+    assert(out == Map(
+      "t1" -> Some(100L),
+      "t2" -> Some(102L),
+      "t3" -> None,
+      "t4" -> Some(200L),
+      "t5" -> None,
+    ))
+  }
+
+  test("every left row is preserved (left as-of semantics)") {
+    val e = Tables.events(spark, Sf).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, Sf).select(
+      col("o_custkey"),
+      col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+      col("o_orderkey"),
+    )
+    val out = AsOfJoinOp.asOfJoin(
+      e, o,
+      leftKey = col("user_id"), rightKey = col("o_custkey"),
+      leftTime = col("ts"), rightTime = col("o_orderdate"),
+      rightPayload = Seq("o_orderkey"), rightTiebreak = col("o_orderkey"),
+    )
+    assert(out.count() == e.count())
+  }
+}
