@@ -26,10 +26,14 @@ object OracleSnippets {
     * from token-array column `w` (n fixed to 3 as in the queries).
     */
   def shingleHashes(w: String): String =
-    s"""list_distinct(list_transform(
-       |  list_transform(generate_series(1, greatest(len($w)-2, 1)),
-       |    shi -> array_to_string(($w)[shi:shi+2], ' ')),
-       |  shs -> ${charHash("shs")}))""".stripMargin
+    s"list_distinct(${shingleHashesOrdered(w, 3)})"
+
+  /** Positional (non-distinct) shingle hashes for an n-gram width. */
+  def shingleHashesOrdered(w: String, n: Int): String =
+    s"""list_transform(
+       |  list_transform(generate_series(1, greatest(len($w)-${n - 1}, 1)),
+       |    shi -> array_to_string(($w)[shi:shi+${n - 1}], ' ')),
+       |  shs -> ${charHash("shs")})""".stripMargin
 
   /** HashOps.minhashSignature over shingle-hash list column `sh`. */
   def minhashSig(sh: String, k: Int): String =

@@ -64,6 +64,18 @@ object TextQueries {
       },
     ),
     Q(
+      "tx_winnow",
+      (s, d) => TextOps.winnow(documents(s, d), k = 3, w = 4),
+      Some(s"""WITH hs AS (
+              |  SELECT doc_id, ${OracleSnippets.shingleHashesOrdered("string_split(text, ' ')", 3)} AS hs
+              |  FROM documents)
+              |SELECT doc_id,
+              |  unnest(list_distinct(list_transform(
+              |    generate_series(1, greatest(len(hs)-3, 1)),
+              |    wni -> list_min(hs[wni:wni+3])))) AS fingerprint
+              |FROM hs ORDER BY doc_id, fingerprint""".stripMargin),
+    ),
+    Q(
       "tx_fingerprint",
       (s, d) => TextOps.fingerprints(documents(s, d)),
       Some(s"""SELECT doc_id,

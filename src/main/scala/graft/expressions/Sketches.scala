@@ -38,15 +38,18 @@ object Sketches {
     */
   def words(text: UTF8String): Array[String] = text.toString.split(" ", -1)
 
-  /** Distinct polyhashes of word n-gram shingles; documents shorter than
-    * n words contribute their full text as the single shingle — exactly
+  /** Polyhashes of word n-gram shingles in position order (`distinct =
+    * false`) or deduplicated preserving first occurrence (`true`);
+    * documents shorter than n words contribute their full text as the
+    * single shingle. Distinct form is exactly
     * `array_distinct(transform(sequence(1, greatest(size(w)-(n-1), 1)),
-    * i -> poly_hash(concat_ws(" ", slice(w, i, n)))))`.
+    * i -> poly_hash(concat_ws(" ", slice(w, i, n)))))`; positional form
+    * drops the array_distinct (winnowing needs document order).
     */
-  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+  def shingleHashes(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val w = words(text)
     val count = math.max(w.length - (n - 1), 1)
-    val seen = new mutable.LinkedHashSet[Long]
+    val out = if (distinct) new mutable.LinkedHashSet[Long] else mutable.ArrayBuffer.empty[Long]
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < count) {
@@ -58,10 +61,10 @@ object Sketches {
         sb.append(w(j))
         j += 1
       }
-      seen += polyHashString(sb)
+      out += polyHashString(sb)
       i += 1
     }
-    new GenericArrayData(seen.toArray)
+    new GenericArrayData(out.toArray)
   }
 
   private def polyHashString(s: java.lang.CharSequence): Long = {
@@ -128,14 +131,17 @@ object Sketches {
   }
 }
 
-/** Distinct word-n-gram shingle hashes of a text column. */
-case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+/** Word-n-gram shingle hashes of a text column (distinct set or
+  * positional sequence).
+  */
+case class ShingleHashesExpr(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   override def nullSafeEval(input: Any): Any =
-    Sketches.shingleHashes(input.asInstanceOf[UTF8String], n)
+    Sketches.shingleHashes(input.asInstanceOf[UTF8String], n, distinct)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.Sketches.shingleHashes($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Sketches.shingleHashes($c, $n, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }
@@ -167,6 +173,8 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
 object SketchColumns {
   def shingleHashes(text: Column, n: Int): Column =
     GraftColumnBridge.toColumn(ShingleHashesExpr(GraftColumnBridge.toExpression(text), n))
+  def shingleHashesOrdered(text: Column, n: Int): Column =
+    GraftColumnBridge.toColumn(ShingleHashesExpr(GraftColumnBridge.toExpression(text), n, distinct = false))
   def minHashSig(hashes: Column, k: Int): Column =
     GraftColumnBridge.toColumn(MinHashSigExpr(GraftColumnBridge.toExpression(hashes), k))
   def simHash(text: Column, bits: Int): Column =

@@ -102,6 +102,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints (the MOSS scheme): k-gram hashes in document
+    * order, minimum per sliding window of w, distinct minima as the
+    * document's fingerprint set. Guarantees any shared run of ≥ w+k-1
+    * tokens yields a shared fingerprint — the standard local-similarity
+    * signature for plagiarism/near-dup detection. Tie rule is plain min
+    * (not robust winnowing's rightmost-min) so the SQL oracle mirrors it
+    * verbatim. Output long-form (doc_id, fingerprint).
+    */
+  def winnow(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val hs = graft.expressions.SketchColumns.shingleHashesOrdered(col("text"), k)
+    docs
+      .select(col("doc_id"), hs.as("hs"))
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(
+            transform(
+              sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+              i => array_min(slice(col("hs"), i, lit(w))),
+            ),
+          ),
+        ).as("fingerprint"),
+      )
+      .orderBy("doc_id", "fingerprint")
+  }
+
   /** Document fingerprints: the portable rolling hash (content-defined
     * identity, mergeable at any scale) plus standard digests.
     */

@@ -128,6 +128,16 @@ object NetflowStreams {
       .agg(sum("bytes").as("bytes"), sum("packets").as("packets"))
       .select(col("window.start").as("window_start"), col("bytes"), col("packets"))
 
+  /** Streaming exact dedup with bounded state: duplicates of the key
+    * columns arriving within the watermark delay are dropped; state for
+    * keys older than the watermark is evicted, so memory is bounded by
+    * the delay window, not the stream length. The streaming twin of
+    * `DedupOps.exactDedup` for at-least-once upstreams (the reference's
+    * Kafka receiver path, T8, can re-deliver flow records on recovery).
+    */
+  def dedupStream(df: DataFrame, keys: Seq[String], eventTimeCol: String, delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay).dropDuplicatesWithinWatermark(keys)
+
   /** P9/K4 — the realtime tick stream behind the websocket push:
     * heartbeat filter + {time, bytes} projection per record.
     */

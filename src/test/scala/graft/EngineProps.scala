@@ -1,0 +1,133 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+
+/** Differential property tests (SURVEY.md §5.3): generated inputs, the
+  * engine's Column algebra vs a straight-line Scala reference
+  * implementation. ScalaCheck Properties run natively under sbt test.
+  */
+object EngineProps extends Properties("graft") {
+
+  private lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val P = 2147483647L
+
+  /** polyHash obeys the rolling-concat identity:
+    * h(a ++ b) = (h(a)·31^|b| + h(b)) mod P.
+    */
+  property("polyHash rolling concat identity") = {
+    import spark.implicits._
+    val genStr = Gen.listOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
+    Prop.forAll(genStr, genStr) { (a, b) =>
+      val Seq(ha, hb, hab) = Seq(a, b, a + b)
+        .toDF("s")
+        .select(graft.expressions.PolyHash(col("s")))
+        .as[Long]
+        .collect()
+        .toSeq
+      val pow = b.foldLeft(1L)((acc, _) => acc * 31 % P)
+      hab == (ha * pow + hb) % P
+    }
+  }
+
+  /** accessTrend is a partition of in-range traffic: per day, in+out
+    * event counts equal the row count and in+out values equal the total.
+    */
+  property("accessTrend partitions in-range traffic by direction") = {
+    import spark.implicits._
+    val genEvent = for {
+      user <- Gen.chooseNum(0L, 12L)
+      day <- Gen.chooseNum(1, 28)
+      hour <- Gen.chooseNum(0, 23)
+      value <- Gen.chooseNum(0, 99999).map(_ / 100.0)
+    } yield (user, f"2024-01-$day%02d $hour%02d:00:00", value)
+
+    Prop.forAll(Gen.nonEmptyListOf(genEvent)) { events =>
+      val df = events
+        .toDF("user_id", "ts_s", "value")
+        .select(col("user_id"), to_timestamp(col("ts_s")).cast("timestamp_ntz").as("ts"), col("value"))
+      val got = EventOps
+        .accessTrend(df, "2024-01-05", "2024-01-25")
+        .select("day", "in_value", "in_events", "out_value", "out_events")
+        .as[(String, BigDecimal, Long, BigDecimal, Long)]
+        .collect()
+
+      val inRange = events.filter { case (_, ts, _) =>
+        val full = ts + ".000000"
+        full >= "2024-01-05" && full <= "2024-01-25"
+      }
+      val byDay = inRange.groupBy(_._2.take(10))
+      got.forall { case (day, inV, inN, outV, outN) =>
+        val rows = byDay.getOrElse(day, Nil)
+        val total = rows
+          .map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum
+        inN + outN == rows.size && (inV + outV) == total &&
+        inN == rows.count(_._1 == EventOps.HostId)
+      } && got.map(_._1).toSet == byDay.keySet
+    }
+  }
+
+  /** The reference's lexicographic string range (P5) agrees with proper
+    * timestamp comparison for well-formed "yyyy-MM-dd ..." strings when
+    * the bounds are date-only prefixes.
+    */
+  property("lexicographic range filter == timestamp range for well-formed strings") = {
+    import spark.implicits._
+    val genTs = for {
+      day <- Gen.chooseNum(1, 28)
+      hour <- Gen.chooseNum(0, 23)
+      min <- Gen.chooseNum(0, 59)
+    } yield f"2024-01-$day%02d $hour%02d:$min%02d:00.000000"
+    Prop.forAll(Gen.nonEmptyListOf(genTs)) { tss =>
+      val df = tss.toDF("timestamp")
+      val lex = df
+        .filter(graft.operators.NetflowOps.rangeFilter(col("timestamp"), "2024-01-10", "2024-01-20"))
+        .count()
+      val tsCmp = df
+        .filter(
+          to_timestamp(col("timestamp")) >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+            to_timestamp(col("timestamp")) <= to_timestamp(lit("2024-01-20 00:00:00")),
+        )
+        .count()
+      lex == tsCmp
+    }
+  }
+
+  /** Minhash signatures: deterministic per set, and coordinatewise
+    * monotone non-increasing when the shingle set grows (appending text
+    * keeps every interior 2-gram of the prefix, for prefixes ≥ 2 words).
+    */
+  property("minhash signature is a set function, monotone under union") = {
+    import spark.implicits._
+    val genWords = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    Prop.forAll(genWords, genWords) { (w1, w2) =>
+      val t1 = w1.mkString(" ")
+      val t12 = (w1 ++ w2).mkString(" ")
+      val sigs = Seq(t1, t1, t12)
+        .toDF("text")
+        .select(
+          graft.operators.HashOps
+            .minhashSignature(graft.operators.HashOps.shingleHashes(col("text"), 2), 16),
+        )
+        .as[Seq[Long]]
+        .collect()
+      val deterministic = sigs(0) == sigs(1)
+      val monotone =
+        w1.size < 2 || sigs(2).zip(sigs(0)).forall { case (grown, base) => grown <= base }
+      deterministic && monotone
+    }
+  }
+}

@@ -54,6 +54,39 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Timestamp]("datetime").getTime == 1573538280500L)
   }
 
+  test("streaming dedup drops within-watermark duplicates with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val dup = raw("a", "b", 100, "2019-11-11 06:18:01.000000")
+    in.addData(dup, dup, raw("a", "b", 50, "2019-11-11 06:18:09.000000"), dup)
+    val parsed = NetflowStreams
+      .parseKafkaNetflow(in.toDF().select(col("value").cast("binary").as("value")))
+      .withColumn("ts", to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val deduped = NetflowStreams.dedupStream(
+      parsed,
+      keys = Seq("ip_src", "ip_dst", "port_src", "port_dst", "protocol", "timestamp"),
+      eventTimeCol = "ts",
+      delay = "10 minutes",
+    )
+    NetflowStreams.runToMemory(deduped, "dedup_test")
+    assert(spark.table("dedup_test").count() == 2) // 3 copies + 1 distinct → 2
+  }
+
+  test("stream-static join enriches flows against a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hosts = Seq(("a", "serverA"), ("b", "serverB")).toDF("ip", "host_name")
+    val in = MemoryStream[String]
+    in.addData(raw("a", "b", 100, "2019-11-11 06:18:01.000000"))
+    val parsed = NetflowStreams
+      .parseKafkaNetflow(in.toDF().select(col("value").cast("binary").as("value")))
+    val enriched = parsed.join(hosts, parsed("ip_src") === hosts("ip"))
+      .select(col("ip_src"), col("host_name"), col("bytes"))
+    NetflowStreams.runToMemory(enriched, "enrich_test")
+    val r = spark.table("enrich_test").as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(("a", "serverA", 100L)))
+  }
+
   test("stateful sessionization agrees with the batch gaps-and-islands operator") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
