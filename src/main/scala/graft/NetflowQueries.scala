@@ -92,6 +92,50 @@ object NetflowQueries {
              |FROM events GROUP BY user_id
              |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin),
     ),
+    // Native session windows (Spark's streaming-capable sessionization —
+    // merges events whose time is within the gap of the session's
+    // current end; windows are half-open, so a gap of EXACTLY 30 min
+    // starts a new session, hence the >= in the oracle, vs the > of the
+    // gaps-and-islands operator below).
+    Q(
+      "nf_session_window",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).as("session_value"),
+          )
+          .select(
+            col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"),
+            col("session_value"),
+          )
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH w AS (
+             |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events
+             |), s AS (
+             |  SELECT *, CASE WHEN prev_ts IS NULL
+             |                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+             |                 THEN 1 ELSE 0 END AS new_session
+             |  FROM w
+             |), t AS (
+             |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM s
+             |)
+             |SELECT user_id, min(ts) AS session_start,
+             |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |       count(*) AS n_events,
+             |       sum(CAST(value AS DECIMAL(18,2))) AS session_value
+             |FROM t GROUP BY user_id, session_seq
+             |ORDER BY user_id, session_start""".stripMargin),
+    ),
     Q(
       "nf_sessionize",
       (s, d) => EventOps.sessionize(events(s, d), gapMinutes = 30),
