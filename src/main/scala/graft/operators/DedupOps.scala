@@ -38,36 +38,49 @@ object DedupOps {
       .select(col("doc_id"), col("n_copies"))
       .orderBy("doc_id")
 
-  /** Exact n-gram Jaccard pairs above a (strictly positive) threshold,
-    * computed by the inverted-index set-similarity join: explode each
-    * document's distinct shingle set, equi-join postings on the shingle,
-    * and count co-occurrences — the count IS |A∩B|, so
-    * jaccard = c / (|A| + |B| − c) with no per-pair array work and no
-    * cross join anywhere. Pairs sharing zero shingles have jaccard 0 and
-    * are below any positive threshold, so the result is identical to the
-    * all-pairs definition (which the DuckDB oracle still states).
-    * At cluster scale every stage is an equi-shuffle on shingle / pair
-    * keys; skew from ultra-hot shingles is the known caveat (handled by
-    * prefix filtering or stop-shingle dropping in a production tuning).
+  /** Exact n-gram Jaccard pairs above a (strictly positive) threshold —
+    * the prefix-filtered set-similarity join (All-Pairs/PPJoin family):
+    *
+    *  1. sort each document's distinct shingle-hash set (the hash value
+    *     is the canonical global order);
+    *  2. index only each set's PREFIX — its first |A| − ⌈t·|A|⌉ + 1
+    *     elements. Theorem: J(A,B) ≥ t ⇒ the prefixes share an element,
+    *     so the prefix-postings equi-join generates every qualifying
+    *     pair (no recall loss; proven by the ⌈t·|A|⌉ intersection lower
+    *     bound);
+    *  3. verify candidates with an allocation-free sorted merge-scan
+    *     intersect count; jaccard = c / (|A| + |B| − c).
+    *
+    * Identical output to the all-pairs definition (which the DuckDB
+    * oracle still states) at a fraction of the join volume: postings
+    * shrink ≈ (1−t)×, and no per-pair work happens outside the
+    * candidate set. Every stage is an equi-shuffle; nothing quadratic.
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    require(threshold > 0, "inverted-index join requires a positive threshold")
-    val sets = docs.select(col("doc_id"), HashOps.shingleHashes(col("text"), n).as("sh"))
-    val posts = sets.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
-    posts
+    require(threshold > 0, "prefix filtering requires a positive threshold")
+    val sets = docs.select(
+      col("doc_id"),
+      array_sort(HashOps.shingleHashes(col("text"), n)).as("sh"),
+    )
+    val sized = sets.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold).cast("int") + 1)
+    val posts = sized.select(
+      col("doc_id"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("h"),
+    )
+    val candidates = posts
       .as("x")
       .join(posts.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(
-        col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"),
-        col("x.sz").as("sz_a"),
-        col("y.sz").as("sz_b"),
-      )
-      .agg(count(lit(1)).as("c"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    candidates
+      .join(sized.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sized.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),
-        (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c"))).as("jaccard"),
+        (c.cast("double") / (col("sz_a") + col("sz_b") - c)).as("jaccard"),
       )
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
@@ -98,7 +111,7 @@ object DedupOps {
     val p = partitions(docs)
     val sets = docs
       .repartition(p, col("doc_id"))
-      .select(col("doc_id"), HashOps.shingleHashes(col("text"), n).as("sh"))
+      .select(col("doc_id"), array_sort(HashOps.shingleHashes(col("text"), n)).as("sh"))
       .repartition(p, col("doc_id"))
       .select(col("doc_id"), col("sh"), HashOps.minhashSignature(col("sh"), k).as("sig"))
       .repartition(p, col("doc_id"))
@@ -118,15 +131,16 @@ object DedupOps {
       )
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val withSets = candidates
+    // Verify stage: sorted merge-scan intersect count on candidates only
+    // (sh is sorted above; union size = sz_a + sz_b − c).
+    val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-    withSets
       .select(
         col("doc_a"),
         col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"),
+        (c.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - c)).as("jaccard"),
       )
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")

@@ -38,6 +38,20 @@ class DedupSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("prefix-filtered jaccard join equals brute-force all-pairs") {
+    val sets = documents(spark, Sf)
+      .select(col("doc_id"), HashOps.shingleHashes(col("text"), 3).as("sh"))
+      .as[(Long, Seq[Long])].collect()
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = sa.toSet.intersect(sb.toSet).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.8
+    } yield (a, b)).toSet
+    val got = DedupOps.jaccardPairs(documents(spark, Sf), 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty && got == brute)
+  }
+
   test("LSH candidates reproduce the exact jaccard pairs on testdata (recall = 1 here)") {
     val exact = DedupOps.jaccardPairs(documents(spark, Sf), 3, 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
