@@ -392,6 +392,28 @@ object RelationalQueries {
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
     ),
 
+    // Exact order statistics: percentile_disc picks actual data values
+    // (no interpolation), so results are bit-identical across engines.
+    // Spark plans WITHIN GROUP as a sort-based aggregate; at scale the
+    // approx_percentile sketch (q_approx_distinct's cousin) is the
+    // mergeable path.
+    Q(
+      "q_percentiles",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_pct")
+        s.sql("""SELECT l_returnflag,
+                |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS median_price,
+                |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_price,
+                |  count(*) AS n
+                |FROM lineitem_pct GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS median_price,
+             |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_price,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
     // As-of join (operator Spark lacks): for each event, the most recent
     // order of that customer at or before the event time. Implemented as
     // union + per-key running last() — one shuffle, linear work, no

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Operators must degrade to empty output (not throw) on empty input —
+  * the behavior a partition-pruned or fully-filtered scan produces in
+  * production.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+    .toDF("event_id", "ts", "user_id", "value")
+
+  test("dedup operators on empty input") {
+    assert(DedupOps.exactDedup(noDocs).count() == 0)
+    assert(DedupOps.jaccardPairs(noDocs, 3, 0.8).count() == 0)
+    assert(DedupOps.minhashLshPairs(noDocs, 3, 32, 8, 0.8).count() == 0)
+    assert(DedupOps.simhashPairs(noDocs, 32, 4, 3).count() == 0)
+  }
+
+  test("text operators on empty input") {
+    assert(TextOps.tokenStats(noDocs).count() == 0)
+    assert(TextOps.langId(noDocs.withColumn("lang", lit("en"))).count() == 0)
+    assert(TextOps.winnow(noDocs, 3, 4).count() == 0)
+  }
+
+  test("event operators on empty input") {
+    assert(EventOps.accessTrend(noEvents, "2024-01-01", "2024-01-31").count() == 0)
+    assert(EventOps.sessionize(noEvents, 30).count() == 0)
+    assert(EventOps.window10s(noEvents).count() == 0)
+  }
+}
