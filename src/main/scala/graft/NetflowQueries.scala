@@ -92,6 +92,23 @@ object NetflowQueries {
              |FROM events GROUP BY user_id
              |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin),
     ),
+    // Salted two-stage aggregation (skew technique, SkewOps): identical
+    // results to a plain GROUP BY — which is exactly what the oracle
+    // states — because decimal sums are order-insensitive. At scale this
+    // is the deliberate fix for one ultra-hot key turning the final agg
+    // into a straggler.
+    Q(
+      "nf_salted_agg",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.operators.SkewOps
+          .saltedAgg(events(s, d), col("user_id"), col("value").cast("decimal(18,2)"), buckets = 8)
+          .orderBy("key")
+      },
+      Some("""SELECT user_id AS key, sum(CAST(value AS DECIMAL(18,2))) AS total,
+             |  count(*) AS n
+             |FROM events GROUP BY user_id ORDER BY key""".stripMargin),
+    ),
     // Native session windows (Spark's streaming-capable sessionization —
     // merges events whose time is within the gap of the session's
     // current end; windows are half-open, so a gap of EXACTLY 30 min

@@ -290,6 +290,23 @@ object RelationalQueries {
       None,
     ),
 
+    // KLL/GK-style quantile sketch — the mergeable scale path for order
+    // statistics (exact percentile_disc sorts per group). Sketch results
+    // are engine-specific → rows-only check; the rank-error bound vs the
+    // exact answer is asserted in the ScalaTest spec.
+    Q(
+      "q_approx_percentile",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+            count(lit(1)).as("n"),
+          )
+          .orderBy("l_returnflag"),
+      None,
+    ),
+
     // Set operations.
     Q(
       "q_union",

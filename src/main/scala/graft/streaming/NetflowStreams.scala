@@ -128,6 +128,37 @@ object NetflowStreams {
       .agg(sum("bytes").as("bytes"), sum("packets").as("packets"))
       .select(col("window.start").as("window_start"), col("bytes"), col("packets"))
 
+  /** Stream-stream interval join: pair each flow A→B with the reverse
+    * flow B→A that starts within `window` after it — the bidirectional
+    * request/response matching a netflow analyzer needs. Both sides are
+    * watermarked so the join state is bounded: rows older than the
+    * watermark minus the interval are evicted. The equi-part of the
+    * condition (the symmetric 4-tuple) keys the shuffle; the time bound
+    * prunes state.
+    */
+  def pairBidirectionalFlows(curated: DataFrame, window: String = "10 seconds"): DataFrame = {
+    val withTs = curated
+      .withColumn("ts", to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .withWatermark("ts", window)
+    val fwd = withTs.select(
+      col("ip_src").as("f_src"), col("ip_dst").as("f_dst"),
+      col("port_src").as("f_psrc"), col("port_dst").as("f_pdst"),
+      col("bytes").as("f_bytes"), col("ts").as("f_ts"),
+    )
+    val rev = withTs.select(
+      col("ip_src").as("r_src"), col("ip_dst").as("r_dst"),
+      col("port_src").as("r_psrc"), col("port_dst").as("r_pdst"),
+      col("bytes").as("r_bytes"), col("ts").as("r_ts"),
+    )
+    fwd.join(
+      rev,
+      col("f_src") === col("r_dst") && col("f_dst") === col("r_src") &&
+        col("f_psrc") === col("r_pdst") && col("f_pdst") === col("r_psrc") &&
+        col("r_ts") >= col("f_ts") &&
+        col("r_ts") <= col("f_ts") + expr(s"INTERVAL $window"),
+    )
+  }
+
   /** Streaming exact dedup with bounded state: duplicates of the key
     * columns arriving within the watermark delay are dropped; state for
     * keys older than the watermark is evicted, so memory is bounded by

@@ -109,6 +109,43 @@ class StreamingSpec extends SparkSpec {
     assert(r == Seq(("a", "serverA", 100L)))
   }
 
+  test("stream-stream interval join pairs bidirectional flows with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    def rawP(src: String, dst: String, psrc: Int, pdst: Int, bytes: Long, ts: String): String =
+      s"""{"event_type":"purge","ip_src":"$src","ip_dst":"$dst","port_src":$psrc,"port_dst":$pdst,
+         |"ip_proto":"tcp","timestamp_start":"$ts","timestamp_arrival":"$ts","packets":1,"bytes":$bytes}"""
+        .stripMargin.replace("\n", "")
+    val in = MemoryStream[String]
+    in.addData(
+      rawP("10.0.0.1", "10.0.0.2", 1000, 2000, 100, "2019-11-11 06:18:01.000000"), // fwd
+      rawP("10.0.0.2", "10.0.0.1", 2000, 1000, 52, "2019-11-11 06:18:05.000000"), // matching rev (+4 s)
+      rawP("10.0.0.2", "10.0.0.1", 2000, 1000, 9, "2019-11-11 06:18:30.000000"), // rev too late (> 10 s)
+      rawP("10.0.0.9", "10.0.0.8", 1000, 2000, 7, "2019-11-11 06:18:02.000000"), // unmatched
+    )
+    val parsed = NetflowStreams.parseKafkaNetflow(
+      in.toDF().select(col("value").cast("binary").as("value")),
+    )
+    val pairs = NetflowStreams.pairBidirectionalFlows(parsed, "10 seconds")
+    NetflowStreams.runToMemory(pairs, "pairs_test")
+    val got = spark.table("pairs_test")
+      .select("f_bytes", "r_bytes").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 52L)))
+  }
+
+  test("Kafka re-publish serialization round-trips the curated record (K2 fix shape)") {
+    import spark.implicits._
+    val curated = Seq(
+      ("1.2.3.4", "5.6.7.8", "purge", 3L, 168L, "tcp", "2019-11-11 06:18:00.043547", 22, 58608),
+    ).toDF("ip_src", "ip_dst", "event_type", "packets", "bytes", "protocol", "timestamp", "port_src", "port_dst")
+    // The sink's executor-side serialization: to_json(struct(*)) AS value.
+    val wire = curated.selectExpr("to_json(struct(*)) AS value")
+    // A downstream consumer re-parses with the curated schema:
+    val back = wire.select(
+      from_json(col("value"), graft.schemas.Schemas.curatedNetflow).as("r"),
+    ).select("r.*")
+    assert(back.collect().toSeq == curated.collect().toSeq)
+  }
+
   test("stateful sessionization agrees with the batch gaps-and-islands operator") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
