@@ -100,14 +100,16 @@ object DedupOps {
       threshold: Double,
   ): DataFrame = {
     val rowsPerBand = k / bands
-    // The repartition calls are *exchange barriers*, not data movement
-    // for its own sake: Catalyst's CollapseProject would otherwise inline
-    // the shingle-hash array into the 32-iteration minhash lambda (32×
-    // recompute per row), and the band self-join / verify joins below
-    // would recompute the whole subtree per use — identical exchanges are
-    // computed once and deduped by ReuseExchange. The explicit partition
-    // count keeps AQE from coalescing the (byte-wise tiny, compute-wise
-    // expensive) signature stage onto one core.
+    // The repartition calls are *exchange barriers*: projection
+    // collapsing would otherwise inline the shingle-hash array into each
+    // consuming lambda (multiplicative recompute per row). The explicit
+    // partition count keeps AQE from coalescing the (byte-wise tiny,
+    // compute-wise expensive) signature stage onto one core. The band
+    // self-join and verify joins still recompute the signature subtree
+    // per use (column pruning makes the sides non-identical, so no
+    // exchange reuse) — cheap with the codegen'd expressions at test
+    // scale; a cluster pipeline persists the signature/band table once
+    // as the LSH *index* artifact and joins against that.
     val p = partitions(docs)
     val sets = docs
       .repartition(p, col("doc_id"))

@@ -58,10 +58,12 @@ object EventOps {
   /** P5 analog — inclusive lexicographic range filter on the string
     * timestamp; '<= hi' without a time component excludes almost the
     * whole `hi` day, exactly like the reference (accessTrend.ts:11-17).
+    * Evaluated via the pushdown-equivalent native-timestamp bounds
+    * (NetflowOps.rangeFilterPushdown) so the predicate reaches the scan.
     */
   def rangeFilter(events: DataFrame, lo: String, hi: String): DataFrame =
     events
-      .filter(NetflowOps.rangeFilter(tsString(col("ts")), lo, hi))
+      .filter(NetflowOps.rangeFilterPushdown(col("ts"), lo, hi))
       .select(col("event_id"), col("user_id"), dec(col("value")).as("value"))
       .orderBy("event_id")
 
@@ -84,7 +86,7 @@ object EventOps {
   def accessTrend(events: DataFrame, lo: String, hi: String): DataFrame = {
     val ts = tsString(col("ts"))
     events
-      .filter(NetflowOps.rangeFilter(ts, lo, hi))
+      .filter(NetflowOps.rangeFilterPushdown(col("ts"), lo, hi))
       .select(
         NetflowOps.day(ts).as("day"),
         when(col("user_id") === HostId, dec(col("value"))).otherwise(lit(0)).as("in_value"),

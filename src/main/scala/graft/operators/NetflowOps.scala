@@ -70,6 +70,21 @@ object NetflowOps {
   def rangeFilter(tsCol: Column, lo: String, hi: String): Column =
     tsCol >= lit(lo) && tsCol <= lit(hi)
 
+  /** P5 rewritten for pushdown over a NATIVE timestamp column. For
+    * date-only bounds the lexicographic predicate is exactly
+    * `ts >= lo 00:00:00 AND ts < hi 00:00:00`: every real timestamp
+    * string strictly extends its date prefix, so it compares greater
+    * than the bare `hi` date — day `hi` (midnight included) is excluded
+    * by both forms, and day `lo` midnight is included by both. Unlike
+    * the `date_format` string compare this is a single native compare
+    * per row, and on a table whose event time is stored as a native
+    * timestamp it reaches the parquet scan as a PushedFilter (row-group
+    * pruning at 100 TB; the test `events` table stores ns-longs, so
+    * there it "only" removes the per-row string formatting).
+    */
+  def rangeFilterPushdown(tsCol: Column, lo: String, hi: String): Column =
+    tsCol >= lit(lo).cast("timestamp_ntz") && tsCol < lit(hi).cast("timestamp_ntz")
+
   /** P6 — day extraction: first 10 chars of the string timestamp
     * (accessTrend.ts:19-24). Spark substring is 1-based.
     */

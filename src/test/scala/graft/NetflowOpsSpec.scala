@@ -67,6 +67,25 @@ class NetflowOpsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L)) // 1 below lo; 4 excluded by the string compare quirk
   }
 
+  test("P5 pushdown rewrite: native-timestamp bounds equal the string compare at the midnight boundary") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      Timestamp.valueOf("2019-11-04 23:59:59.999999"),
+      Timestamp.valueOf("2019-11-05 00:00:00.0"), // lo midnight: included by both forms
+      Timestamp.valueOf("2019-11-14 23:59:59.999999"),
+      Timestamp.valueOf("2019-11-15 00:00:00.0"), // hi midnight: EXCLUDED by both forms
+    ).toDF("ts").withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val viaString = rows
+      .filter(NetflowOps.rangeFilter(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), "2019-11-05", "2019-11-15"))
+      .collect().map(_.getAs[java.time.LocalDateTime](0)).toSet
+    val viaPushdown = rows
+      .filter(NetflowOps.rangeFilterPushdown(col("ts"), "2019-11-05", "2019-11-15"))
+      .collect().map(_.getAs[java.time.LocalDateTime](0)).toSet
+    assert(viaString == viaPushdown)
+    assert(viaPushdown.size == 2)
+  }
+
   test("A1/A2: access trend on the documented stored-record shape") {
     val host = "192.168.178.80"
     val rows = Seq(
