@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions._
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions as SQL functions, so `spark.sql` users get the same
+  * codegen'd operators as the Column API
+  * (`SELECT poly_hash(text), simhash(text, 32) FROM docs`).
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * standard plugin mechanism; no session-state internals touched.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("poly_hash"),
+        info("poly_hash", "poly_hash(str) - portable polynomial rolling hash mod 2^31-1"),
+        (args: Seq[Expression]) => PolyHash(args.head)),
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("shingle_hashes"),
+        info("shingle_hashes", "shingle_hashes(str, n) - distinct hashes of word n-gram shingles"),
+        (args: Seq[Expression]) => ShingleHashesExpr(args.head, intArg(args(1), "n"))),
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("minhash_sig"),
+        info("minhash_sig", "minhash_sig(array<long>, k) - k-wide minhash signature"),
+        (args: Seq[Expression]) => MinHashSigExpr(args.head, intArg(args(1), "k"))),
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("simhash"),
+        info("simhash", "simhash(str, bits) - simhash fingerprint over distinct tokens"),
+        (args: Seq[Expression]) => SimHashExpr(args.head, intArg(args(1), "bits"))),
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("array_dot"),
+        info("array_dot", "array_dot(array<double>, array<double>) - strict left-fold dot product"),
+        (args: Seq[Expression]) => ArrayDot(args.head, args(1))),
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("sorted_intersect_count"),
+        info("sorted_intersect_count",
+          "sorted_intersect_count(array<long>, array<long>) - |A∩B| of sorted duplicate-free arrays"),
+        (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))),
+    )
+  }
+}
