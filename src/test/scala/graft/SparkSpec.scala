@@ -13,6 +13,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config(
+      "spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toFile.getAbsolutePath,
+    )
     .getOrCreate()
 
   val Sf = "/root/testdata/sf0.001"
