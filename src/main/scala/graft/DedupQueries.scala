@@ -104,6 +104,36 @@ object DedupQueries {
            |ORDER BY doc_a, doc_b""".stripMargin
       },
     ),
+    // Group-level minhash sketch: element-wise min of per-doc signatures
+    // = the minhash of the UNION of the group's shingle sets, so whole
+    // sources compare by Jaccard without re-reading documents. Mergeable
+    // (any combine tree gives the same mins) — the map-side-combinable
+    // corpus sketch. Typed-API twin: MinHashUnionAggregator (asserted
+    // equal in tests); this declarative form is the oracle-checked one.
+    Q(
+      "dd_source_sketch",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        documents(s, d)
+          .select(
+            col("source"),
+            posexplode(
+              graft.expressions.SketchColumns
+                .minHashSig(graft.expressions.SketchColumns.shingleHashes(col("text"), N), K),
+            ).as(Seq("i", "sig_i")),
+          )
+          .groupBy(col("source"), col("i"))
+          .agg(min(col("sig_i")).as("sig_min"))
+          .orderBy("source", "i")
+      },
+      Some(s"""WITH sg AS (
+              |  SELECT source, ${minhashSig("sh", K)} AS sig
+              |  FROM (SELECT source, ${shingleHashes("w")} AS sh
+              |        FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+              |ex AS (SELECT source, unnest(generate_series(0, ${K - 1})) AS i, sig FROM sg)
+              |SELECT source, i, min(sig[i+1]) AS sig_min
+              |FROM ex GROUP BY source, i ORDER BY source, i""".stripMargin),
+    ),
     Q(
       "dd_embed_neardup",
       (s, d) => DedupOps.embeddingNearDupPairs(embeddings(s, d), CosineThreshold),

@@ -74,6 +74,25 @@ class DedupSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("MinHashUnionAggregator (typed UDAF) equals the explode+min declarative twin") {
+    import org.apache.spark.sql.functions.{udaf, posexplode, min => fmin}
+    val sigs = documents(spark, Sf).select(
+      col("source"),
+      graft.expressions.SketchColumns
+        .minHashSig(graft.expressions.SketchColumns.shingleHashes(col("text"), 3), 32).as("sig"),
+    )
+    val viaUdaf = sigs
+      .groupBy("source")
+      .agg(udaf(new graft.operators.MinHashUnionAggregator(32)).apply(col("sig")).as("gsig"))
+      .as[(String, Seq[Long])].collect().toMap
+    val viaExplode = sigs
+      .select(col("source"), posexplode(col("sig")).as(Seq("i", "s")))
+      .groupBy("source", "i").agg(fmin("s").as("m"))
+      .as[(String, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(viaUdaf.nonEmpty && viaUdaf == viaExplode)
+  }
+
   test("embedding near-dup pairs are symmetric-free (a < b) and above threshold") {
     val pairs = DedupOps.embeddingNearDupPairs(Tables.embeddings(spark, Sf), 0.4)
       .as[(Long, Long, Double)].collect()
