@@ -169,6 +169,34 @@ object RelationalQueries {
              |ORDER BY o_orderkey""".stripMargin),
     ),
 
+    // Full outer join: preserve customers with no qualifying orders AND
+    // (hypothetically) orders with no customer; null-safe day grouping
+    // via coalesce. Plans as sort-merge full outer — no broadcast
+    // variant exists for full outer, so both sides shuffle once.
+    Q(
+      "q_outer_join",
+      (s, d) =>
+        customer(s, d)
+          .join(
+            orders(s, d).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"),
+            "full_outer",
+          )
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_name"),
+            col("o_orderkey"),
+            col("o_totalprice"),
+          )
+          .orderBy("custkey", "o_orderkey"),
+      Some("""SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+             |  o_orderkey, o_totalprice
+             |FROM customer FULL OUTER JOIN
+             |  (SELECT * FROM orders WHERE o_totalprice > 400000) o
+             |  ON c_custkey = o_custkey
+             |ORDER BY custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin),
+    ),
+
     // Top-k: orderBy+limit plans as TakeOrderedAndProject — each partition
     // keeps k rows, no global sort. Deterministic tie-break on the key.
     Q(
