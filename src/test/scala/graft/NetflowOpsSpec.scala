@@ -38,6 +38,13 @@ class NetflowOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("bytes") == 10L)
   }
 
+  test("P2: corrupt JSON yields an all-NULL record, not a failure") {
+    val df = NetflowOps.parseRawNetflow(Seq("{not valid json!", "").toDF("value"))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    rows.foreach(r => (0 until r.length).foreach(i => assert(r.isNullAt(i))))
+  }
+
   test("P3+P4: nested tshark extraction with dotted leaves + epoch conversion") {
     val tsharkJson =
       """{"_source": {"layers": {

@@ -54,6 +54,23 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Timestamp]("datetime").getTime == 1573538280500L)
   }
 
+  test("maxFilesPerTrigger=1 admits one file per micro-batch (S2 admission control)") {
+    val dir = Files.createTempDirectory("tshark_multi").toFile
+    val json = (ip: String) =>
+      s"""[{"_source": {"layers": {
+         |  "frame": {"frame.time_epoch": "1573538280.5"},
+         |  "ip": {"ip.dst": "$ip", "ip.src": "10.0.0.1", "ip.version": "4"},
+         |  "tcp": {"tcp.dstport": "443", "tcp.flags": "0x18", "tcp.srcport": "51000"}}}}]""".stripMargin
+    Files.writeString(new java.io.File(dir, "cap1.json").toPath, json("10.0.0.2"))
+    Files.writeString(new java.io.File(dir, "cap2.json").toPath, json("10.0.0.3"))
+    val src = NetflowStreams.jsonFileSource(spark, dir.getAbsolutePath, maxFilesPerTrigger = 1)
+    val q = NetflowStreams.runToMemory(NetflowStreams.parseTshark(src), "admission_test")
+    assert(spark.table("admission_test").count() == 2)
+    // One file per trigger → at least two micro-batches processed rows.
+    val batchesWithRows = q.recentProgress.count(_.numInputRows > 0)
+    assert(batchesWithRows >= 2, s"expected >= 2 row-bearing batches, got $batchesWithRows")
+  }
+
   test("foreachBatch store sink appends micro-batches as parquet (K1/K3 fix)") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("store_sink").toFile.getAbsolutePath
