@@ -46,6 +46,42 @@ object MultimodalQueries {
               |  n_bytes % 16 + 1 AS n_frames
               |FROM ($mediaSql) ORDER BY doc_id""".stripMargin),
     ),
+    // Media ANN: stub feature-extract → cosine top-3 within media type
+    // (the IVF-style cell). Chains the multimodal plumbing into the
+    // similarity operators end-to-end; the embedding derivation is
+    // portable, so the whole chain is oracle-checked.
+    Q(
+      "mm_embed_topk",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val emb = MultimodalOps.stubEmbed(MultimodalOps.asMedia(documents(s, d)))
+          .select(col("doc_id").as("vec_id"), col("media_type"), col("embedding"))
+        graft.operators.SimilarityOps
+          .ivfTopK(emb, col("vec_id") < 10, col("media_type"), k = 3)
+      },
+      Some {
+        import OracleSnippets._
+        val h = charHash("text")
+        val emb = s"list_transform(generate_series(0, 7), ej -> CAST(($h * (ej+1)) % 1009 + 1 AS DOUBLE) / 1010.0)"
+        s"""WITH m AS (
+           |  SELECT doc_id AS vec_id,
+           |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           |    $emb AS e
+           |  FROM documents),
+           |n AS (SELECT vec_id, media_type, ${unitNorm("e")} AS u FROM m),
+           |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |        ${dot("q.u", "c.u")} AS cosine
+           |      FROM n q JOIN n c
+           |        ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+           |       AND q.media_type = c.media_type)
+           |SELECT query_id, neighbor_id, cosine, rank FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           |  FROM p)
+           |WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin
+      },
+    ),
     Q(
       "mm_frame_sample",
       (s, d) => MultimodalOps.sampleFrames(MultimodalOps.asMedia(documents(s, d)), step = 4),

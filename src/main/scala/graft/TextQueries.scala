@@ -64,6 +64,25 @@ object TextQueries {
       },
     ),
     Q(
+      "tx_curation_pipeline",
+      (s, d) => TextOps.curationPipeline(documents(s, d)),
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, text, lang, len(w) AS n_tokens,
+              |    CAST(len(list_filter(w, cq -> cq IN ($stopList))) AS DOUBLE) / len(w) AS stop_ratio,
+              |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
+              |  FROM (SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM documents)),
+              |kept AS (
+              |  SELECT * FROM scored
+              |  WHERE n_tokens >= 20 AND n_tokens <= 200 AND stop_ratio <= 0.3 AND ttr >= 0.1),
+              |deduped AS (
+              |  SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang,
+              |         min_by(n_tokens, doc_id) AS n_tokens
+              |  FROM kept GROUP BY text)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+              |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
+    Q(
       "tx_winnow",
       (s, d) => TextOps.winnow(documents(s, d), k = 3, w = 4),
       Some(s"""WITH hs AS (

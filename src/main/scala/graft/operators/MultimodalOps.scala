@@ -89,6 +89,27 @@ object MultimodalOps {
     )
   }
 
+  /** STUB feature extractor: a deterministic 8-dim "embedding" derived
+    * from the payload's portable hash — stands in for an image/audio
+    * encoder model (none available here). The Spark-side shape is the
+    * real thing: media rows in, fixed-width `array<double>` out, ready
+    * for the [[SimilarityOps]] ANN operators. e_j = ((h·(j+1)) mod 1009
+    * + 1) / 1010 keeps every value an exact positive double both engines
+    * reproduce (never a zero vector → cosine is always defined).
+    */
+  def stubEmbed(media: DataFrame, dims: Int = 8): DataFrame = {
+    import graft.expressions.PolyHash
+    val h = PolyHash(col("payload").cast("string"))
+    media.select(
+      col("doc_id"),
+      col("media_type"),
+      transform(
+        sequence(lit(0), lit(dims - 1)),
+        j => (h * (j + 1) % 1009L + 1L).cast("double") / 1010.0,
+      ).as("embedding"),
+    )
+  }
+
   /** Frame sampling: every `step`-th frame index of each video payload,
     * exploded to one row per sampled frame (the shape a frame-extract
     * stage consumes; partition count scales with input, not frames).

@@ -128,6 +128,30 @@ object TextOps {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** The end-to-end curation pipeline a pre-training corpus runs:
+    * quality-filter → exact-dedup (min doc_id keeper) → per-language
+    * corpus statistics. One composed Catalyst plan: the quality
+    * predicate evaluates at the scan, the dedup is one content-hash
+    * shuffle, the stats are a partial+final agg on `lang` — three
+    * logical stages, two shuffles, at any scale.
+    */
+  def curationPipeline(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val nTok = size(w)
+    val stopRatio = countIn(w, Stopwords).cast("double") / nTok
+    val ttr = size(array_distinct(w)).cast("double") / nTok
+    docs
+      .filter(nTok >= 20 && nTok <= 200 && stopRatio <= lit(0.3) && ttr >= lit(0.1))
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+      )
+      .orderBy("lang")
+  }
+
   /** Document fingerprints: the portable rolling hash (content-defined
     * identity, mergeable at any scale) plus standard digests.
     */
