@@ -64,10 +64,8 @@ object MultimodalQueries {
         val h = charHash("text")
         val emb = s"list_transform(generate_series(0, 7), ej -> CAST(($h * (ej+1)) % 1009 + 1 AS DOUBLE) / 1010.0)"
         s"""WITH m AS (
-           |  SELECT doc_id AS vec_id,
-           |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-           |    $emb AS e
-           |  FROM documents),
+           |  SELECT doc_id AS vec_id, media_type, $emb AS e
+           |  FROM ($mediaSql)),
            |n AS (SELECT vec_id, media_type, ${unitNorm("e")} AS u FROM m),
            |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            |        ${dot("q.u", "c.u")} AS cosine

@@ -100,12 +100,15 @@ object MultimodalOps {
   def stubEmbed(media: DataFrame, dims: Int = 8): DataFrame = {
     import graft.expressions.PolyHash
     val h = PolyHash(col("payload").cast("string"))
+    // array(...) with h referenced once per dimension in ONE projection:
+    // codegen subexpression elimination computes the payload hash once
+    // per row. (A transform lambda would inline and re-fold it per
+    // dimension — the HOF recompute trap, see graft.expressions.)
     media.select(
       col("doc_id"),
       col("media_type"),
-      transform(
-        sequence(lit(0), lit(dims - 1)),
-        j => (h * (j + 1) % 1009L + 1L).cast("double") / 1010.0,
+      array(
+        (0 until dims).map(j => (h * (j + 1) % 1009L + 1L).cast("double") / 1010.0): _*,
       ).as("embedding"),
     )
   }

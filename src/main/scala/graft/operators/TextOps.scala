@@ -42,6 +42,16 @@ object TextOps {
   private def countIn(words: Column, set: Seq[String]): Column =
     size(filter(words, w => w.isInCollection(set)))
 
+  /** Shared quality signals + keep-predicate — single source of truth
+    * for qualityScore and curationPipeline (thresholds live here only).
+    */
+  private val qualityTokens = tokens(col("text"))
+  private def qNTok: Column = size(qualityTokens)
+  private def qStopRatio: Column = countIn(qualityTokens, Stopwords).cast("double") / qNTok
+  private def qTtr: Column = size(array_distinct(qualityTokens)).cast("double") / qNTok
+  private def qKeep: Column =
+    qNTok >= 20 && qNTok <= 200 && qStopRatio <= lit(0.3) && qTtr >= lit(0.1)
+
   /** Token statistics: counts, type-token ratio, mean token length. */
   def tokenStats(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
@@ -61,22 +71,16 @@ object TextOps {
   /** Quality scoring: length bounds, stopword ratio, lexical diversity →
     * a keep/drop flag, the standard pre-training filter shape.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val w = tokens(col("text"))
-    val nTok = size(w)
-    val stopRatio = countIn(w, Stopwords).cast("double") / nTok
-    val ttr = size(array_distinct(w)).cast("double") / nTok
+  def qualityScore(docs: DataFrame): DataFrame =
     docs
       .select(
         col("doc_id"),
-        nTok.as("n_tokens"),
-        stopRatio.as("stop_ratio"),
-        ttr.as("ttr"),
-        (nTok >= 20 && nTok <= 200 && stopRatio <= lit(0.3) && ttr >= lit(0.1))
-          .as("keep"),
+        qNTok.as("n_tokens"),
+        qStopRatio.as("stop_ratio"),
+        qTtr.as("ttr"),
+        qKeep.as("keep"),
       )
       .orderBy("doc_id")
-  }
 
   /** Language-id: marker-set scores per language, argmax with
     * lexicographic tie-break (deterministic), plus agreement with the
@@ -135,22 +139,20 @@ object TextOps {
     * shuffle, the stats are a partial+final agg on `lang` — three
     * logical stages, two shuffles, at any scale.
     */
-  def curationPipeline(docs: DataFrame): DataFrame = {
-    val w = tokens(col("text"))
-    val nTok = size(w)
-    val stopRatio = countIn(w, Stopwords).cast("double") / nTok
-    val ttr = size(array_distinct(w)).cast("double") / nTok
+  def curationPipeline(docs: DataFrame): DataFrame =
     docs
-      .filter(nTok >= 20 && nTok <= 200 && stopRatio <= lit(0.3) && ttr >= lit(0.1))
+      .filter(qKeep)
+      .select(col("doc_id"), col("text"), col("lang"), qNTok.cast("long").as("n_tokens"))
       .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"))
-      .groupBy(col("lang"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        // n_tokens is constant per text group; min == the value and
+        // matches the oracle's min_by(n_tokens, doc_id).
+        min(col("n_tokens")).as("n_tokens"),
       )
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy("lang")
-  }
 
   /** Document fingerprints: the portable rolling hash (content-defined
     * identity, mergeable at any scale) plus standard digests.
