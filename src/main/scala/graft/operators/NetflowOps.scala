@@ -108,6 +108,24 @@ object NetflowOps {
       when(col("ip_src") === lit(host), col("packets")).otherwise(0L).as("out_packets"),
     )
 
+  /** IPv4 dotted-quad string → 32-bit value (for prefix matching). */
+  def ipv4ToLong(ip: Column): Column =
+    aggregate(split(ip, "\\."), lit(0L), (acc, part) => acc * 256 + part.cast("long"))
+
+  /** P11 — the reference's commented-out BPF capture pre-filter
+    * (`# pcap_filter: src net 10.0.0.0/16`, README.md:58-59), as a
+    * proper CIDR prefix match: mask both sides to the network bits.
+    * Inactive in the reference; provided for capture-filter parity.
+    */
+  def cidrMatch(ip: Column, cidr: String): Column = {
+    val Array(base, bitsStr) = cidr.split("/")
+    val bits = bitsStr.toInt
+    require(bits >= 0 && bits <= 32, s"bad prefix length in $cidr")
+    val mask = if (bits == 0) 0L else (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
+    val baseLong = base.split("\\.").foldLeft(0L)((acc, p) => acc * 256 + p.toLong)
+    ipv4ToLong(ip).bitwiseAND(mask) === lit(baseLong & mask)
+  }
+
   /** P10 — heartbeat filter: drop messages whose whole value is the
     * literal topic name (websocket-server/index.js:41).
     */

@@ -113,6 +113,18 @@ class NetflowOpsSpec extends SparkSpec {
     ))
   }
 
+  test("P11: CIDR prefix match (the reference's inactive BPF capture filter)") {
+    val ips = Seq("10.0.1.5", "10.0.255.255", "10.1.0.0", "192.168.178.80", "10.0.0.0")
+      .toDF("ip")
+    val in16 = ips.filter(NetflowOps.cidrMatch(col("ip"), "10.0.0.0/16"))
+      .as[String].collect().toSet
+    assert(in16 == Set("10.0.1.5", "10.0.255.255", "10.0.0.0"))
+    val in32 = ips.filter(NetflowOps.cidrMatch(col("ip"), "192.168.178.80/32"))
+      .as[String].collect().toSet
+    assert(in32 == Set("192.168.178.80"))
+    assert(ips.filter(NetflowOps.cidrMatch(col("ip"), "0.0.0.0/0")).count() == 5)
+  }
+
   test("P10+P9: heartbeat filter drops the literal topic name; tick projects {time, bytes}") {
     val msgs = Seq("realTimeChart", """{"x":1}""").toDF("value")
     assert(NetflowOps.heartbeatFilter(msgs, "realTimeChart").count() == 1)
