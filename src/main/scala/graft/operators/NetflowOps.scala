@@ -108,22 +108,36 @@ object NetflowOps {
       when(col("ip_src") === lit(host), col("packets")).otherwise(0L).as("out_packets"),
     )
 
-  /** IPv4 dotted-quad string → 32-bit value (for prefix matching). */
+  /** Valid dotted-quad IPv4 (octets 0-255, exactly four). */
+  private val Ipv4Pattern =
+    "^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[0-9][0-9]?)$"
+
+  /** IPv4 dotted-quad string → 32-bit value. Precondition: the input
+    * matches [[Ipv4Pattern]] (malformed strings fold to garbage —
+    * callers guard, as [[cidrMatch]] does).
+    */
   def ipv4ToLong(ip: Column): Column =
     aggregate(split(ip, "\\."), lit(0L), (acc, part) => acc * 256 + part.cast("long"))
 
   /** P11 — the reference's commented-out BPF capture pre-filter
     * (`# pcap_filter: src net 10.0.0.0/16`, README.md:58-59), as a
     * proper CIDR prefix match: mask both sides to the network bits.
+    * Malformed ip strings never match (well-formedness guard on the data
+    * path); malformed `cidr` arguments fail fast at plan construction.
     * Inactive in the reference; provided for capture-filter parity.
     */
   def cidrMatch(ip: Column, cidr: String): Column = {
-    val Array(base, bitsStr) = cidr.split("/")
-    val bits = bitsStr.toInt
-    require(bits >= 0 && bits <= 32, s"bad prefix length in $cidr")
-    val mask = if (bits == 0) 0L else (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
+    val (base, bits) = cidr.split("/") match {
+      case Array(b, n) if n.forall(_.isDigit) && n.nonEmpty => (b, n.toInt)
+      case _ => throw new IllegalArgumentException(s"bad CIDR '$cidr' (want a.b.c.d/len)")
+    }
+    require(bits >= 0 && bits <= 32, s"bad prefix length in '$cidr'")
+    require(base.matches(Ipv4Pattern), s"bad network address in '$cidr'")
+    // Long shifts use the amount mod 64, so bits == 0 yields mask 0
+    // through the same expression — no special case needed.
+    val mask = (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
     val baseLong = base.split("\\.").foldLeft(0L)((acc, p) => acc * 256 + p.toLong)
-    ipv4ToLong(ip).bitwiseAND(mask) === lit(baseLong & mask)
+    ip.rlike(Ipv4Pattern) && ipv4ToLong(ip).bitwiseAND(mask) === lit(baseLong & mask)
   }
 
   /** P10 — heartbeat filter: drop messages whose whole value is the

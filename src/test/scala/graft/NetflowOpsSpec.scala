@@ -123,6 +123,12 @@ class NetflowOpsSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(in32 == Set("192.168.178.80"))
     assert(ips.filter(NetflowOps.cidrMatch(col("ip"), "0.0.0.0/0")).count() == 5)
+    // Malformed data never matches; malformed CIDR args fail fast.
+    val bad = Seq("10.0.0.5.7", "10.0.300.1", "not-an-ip", "10.0.1").toDF("ip")
+    assert(bad.filter(NetflowOps.cidrMatch(col("ip"), "10.0.0.0/8")).count() == 0)
+    intercept[IllegalArgumentException](NetflowOps.cidrMatch(col("ip"), "10.0.0.0"))
+    intercept[IllegalArgumentException](NetflowOps.cidrMatch(col("ip"), "10.0.0.0/33"))
+    intercept[IllegalArgumentException](NetflowOps.cidrMatch(col("ip"), "9.256.0.0/16"))
   }
 
   test("P10+P9: heartbeat filter drops the literal topic name; tick projects {time, bytes}") {
