@@ -33,6 +33,30 @@ object DedupQueries {
     */
   private val CosineThreshold = 0.4
 
+  /** Oracle for the minhash-LSH pair pipeline — shared by the pairs
+    * query and the clusters query built on top of it.
+    */
+  private val minhashPairsSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shingleHashes("w")} AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |sg AS (SELECT doc_id, sh, ${minhashSig("sh", K)} AS sig FROM sh),
+       |bx AS (SELECT doc_id, sig,
+       |         unnest(generate_series(0, ${Bands - 1})) AS band_idx FROM sg),
+       |bk AS (SELECT doc_id, band_idx,
+       |         array_to_string(sig[band_idx*$RowsPerBand+1 : band_idx*$RowsPerBand+$RowsPerBand], '_') AS band_key
+       |       FROM bx),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bk x JOIN bk y
+       |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |          AND x.doc_id < y.doc_id)
+       |SELECT c.doc_a, c.doc_b, ${jaccard("a.sh", "b.sh")} AS jaccard
+       |FROM cand c
+       |JOIN sh a ON a.doc_id = c.doc_a
+       |JOIN sh b ON b.doc_id = c.doc_b
+       |WHERE ${jaccard("a.sh", "b.sh")} >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "dd_exact",
@@ -55,25 +79,29 @@ object DedupQueries {
     Q(
       "dd_minhash_lsh",
       (s, d) => DedupOps.minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold),
-      Some(s"""WITH sh AS (
-              |  SELECT doc_id, ${shingleHashes("w")} AS sh
-              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-              |sg AS (SELECT doc_id, sh, ${minhashSig("sh", K)} AS sig FROM sh),
-              |bx AS (SELECT doc_id, sig,
-              |         unnest(generate_series(0, ${Bands - 1})) AS band_idx FROM sg),
-              |bk AS (SELECT doc_id, band_idx,
-              |         array_to_string(sig[band_idx*$RowsPerBand+1 : band_idx*$RowsPerBand+$RowsPerBand], '_') AS band_key
-              |       FROM bx),
-              |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-              |         FROM bk x JOIN bk y
-              |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-              |          AND x.doc_id < y.doc_id)
-              |SELECT c.doc_a, c.doc_b, ${jaccard("a.sh", "b.sh")} AS jaccard
-              |FROM cand c
-              |JOIN sh a ON a.doc_id = c.doc_a
-              |JOIN sh b ON b.doc_id = c.doc_b
-              |WHERE ${jaccard("a.sh", "b.sh")} >= $JaccardThreshold
-              |ORDER BY doc_a, doc_b""".stripMargin),
+      Some(minhashPairsSql),
+    ),
+    // Pairs → clusters: connected components over the LSH near-dup
+    // pairs; component id = min doc_id of the cluster (the keeper).
+    // Spark side iterates label propagation to the fixpoint; the oracle
+    // states the same fixpoint as a recursive transitive closure.
+    Q(
+      "dd_dedup_clusters",
+      (s, d) =>
+        DedupOps.connectedComponents(
+          DedupOps.minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold),
+        ),
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges)
+              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |FROM nodes n JOIN reach r ON r.u = n.id
+              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
     Q(
       "dd_simhash",

@@ -203,6 +203,50 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected pair list (doc_a, doc_b):
+    * label propagation to the fixpoint — each node's component becomes
+    * the minimum doc_id reachable from it. This is the stage that turns
+    * near-dup PAIRS into dedup CLUSTERS (keep one doc per component).
+    *
+    * The loop is a driver-coordinated iteration of pure DataFrame
+    * joins; convergence is reached in O(graph diameter) rounds (near-dup
+    * clusters are shallow — a handful of rounds). At billion-edge scale
+    * the same loop structure runs the large-star/small-star contraction
+    * (O(log n) rounds) with per-round checkpointing; the semantics and
+    * the fixpoint are identical, which is why the driver-checkable
+    * version is this direct form. Throws if maxIter is hit before the
+    * fixpoint (a truncated result would be silently wrong).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    var labels = edges
+      .select(col("u").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("comp"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("vcomp")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          col("comp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"),
+        )
+      changed = updated.filter(col("comp2") < col("comp")).count()
+      labels = updated.select(col("id"), col("comp2").as("comp")).localCheckpoint()
+      iter += 1
+    }
+    require(changed == 0, s"connected components did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("comp").as("component")).orderBy("doc_id")
+  }
+
   /** Exact embedding near-dup: all pairs with cosine ≥ threshold, dot
     * products as strict left folds (bit-reproducible doubles). Baseline
     * semantics; the bucketed scale path lives in [[SimilarityOps]].

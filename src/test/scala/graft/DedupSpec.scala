@@ -74,6 +74,17 @@ class DedupSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("connected components labels every node with its cluster's min id") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), // component {1,2,3}
+      (10L, 11L), // component {10,11}
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle {20,21,22}
+    ).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("MinHashUnionAggregator (typed UDAF) equals the explode+min declarative twin") {
     import org.apache.spark.sql.functions.{udaf, posexplode, min => fmin}
     val sigs = documents(spark, Sf).select(
