@@ -46,6 +46,23 @@ object MultimodalQueries {
               |  n_bytes % 16 + 1 AS n_frames
               |FROM ($mediaSql) ORDER BY doc_id""".stripMargin),
     ),
+    // Resize planning: aspect-preserving fit into 224×224, no upscale.
+    Q(
+      "mm_resize_plan",
+      (s, d) => MultimodalOps.planResize(MultimodalOps.asMedia(documents(s, d)), target = 224)
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, width, height, scale,
+              |  CAST(floor(width * scale) AS BIGINT) AS out_width,
+              |  CAST(floor(height * scale) AS BIGINT) AS out_height
+              |FROM (
+              |  SELECT doc_id, width, height,
+              |    least(1.0, 224.0 / width, 224.0 / height) AS scale
+              |  FROM (SELECT doc_id,
+              |          64 + n_bytes % 512 AS width,
+              |          64 + (n_bytes * 31) % 512 AS height
+              |        FROM ($mediaSql) WHERE media_type = 'image'))
+              |ORDER BY doc_id""".stripMargin),
+    ),
     // Media ANN: stub feature-extract → cosine top-3 within media type
     // (the IVF-style cell). Chains the multimodal plumbing into the
     // similarity operators end-to-end; the embedding derivation is

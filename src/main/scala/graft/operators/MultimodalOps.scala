@@ -89,6 +89,30 @@ object MultimodalOps {
     )
   }
 
+  /** Resize planning: aspect-preserving fit of each decoded image into
+    * a `target`×`target` box, never upscaling. The geometry (scale
+    * factor, output dims) is the real pipeline logic; the pixel
+    * resampling it parameterizes lives behind the stubbed codec.
+    * floor(dim · scale) with scale = min(1, target/w, target/h) — all
+    * exact double arithmetic.
+    */
+  def planResize(media: DataFrame, target: Int): DataFrame = {
+    val meta = decodeMeta(media).filter(col("media_type") === "image")
+    val scale = least(
+      lit(1.0),
+      lit(target.toDouble) / col("width"),
+      lit(target.toDouble) / col("height"),
+    )
+    meta.select(
+      col("doc_id"),
+      col("width"),
+      col("height"),
+      scale.as("scale"),
+      floor(col("width") * scale).cast("long").as("out_width"),
+      floor(col("height") * scale).cast("long").as("out_height"),
+    )
+  }
+
   /** STUB feature extractor: a deterministic 8-dim "embedding" derived
     * from the payload's portable hash — stands in for an image/audio
     * encoder model (none available here). The Spark-side shape is the
