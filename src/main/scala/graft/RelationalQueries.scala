@@ -354,6 +354,28 @@ object RelationalQueries {
              |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
              |ORDER BY custkey""".stripMargin),
     ),
+    // UNION ALL — bag semantics, no dedup shuffle (contrast q_union's
+    // distinct). Count per key proves multiplicity is preserved.
+    Q(
+      "q_union_all",
+      (s, d) =>
+        customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+          .unionAll(
+            orders(s, d)
+              .filter(col("o_totalprice") > 200000)
+              .select(col("o_custkey").as("custkey")),
+          )
+          .groupBy("custkey")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("custkey"),
+      Some("""SELECT custkey, count(*) AS n FROM (
+             |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  UNION ALL
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+             |GROUP BY custkey ORDER BY custkey""".stripMargin),
+    ),
     Q(
       "q_intersect",
       (s, d) =>
