@@ -218,9 +218,13 @@ object DedupOps {
     * fixpoint (a truncated result would be silently wrong).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+    // Materialize the edge list once — without this every iteration's
+    // join would re-run the (possibly expensive) pair-producing plan.
+    val p = pairs.localCheckpoint()
+    val edges = p
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
     var labels = edges
       .select(col("u").as("id"))
       .distinct()
