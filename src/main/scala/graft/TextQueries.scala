@@ -63,6 +63,22 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       },
     ),
+    // Deterministic 30% corpus sample (hash-bucket membership), with
+    // per-language counts proving the mix is reproducible.
+    Q(
+      "tx_hash_sample",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        TextOps.hashSample(documents(s, d), buckets = 10, keep = 3)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, count(*) AS n_sampled
+              |FROM documents
+              |WHERE ${OracleSnippets.charHash("text")} % 10 < 3
+              |GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
     Q(
       "tx_curation_pipeline",
       (s, d) => TextOps.curationPipeline(documents(s, d)),

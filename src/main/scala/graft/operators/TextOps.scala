@@ -132,6 +132,16 @@ object TextOps {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** Deterministic hash-based sampling: keep a document iff
+    * polyHash(text) mod `buckets` < `keep` — the reproducible sampling
+    * technique for corpus mixing at scale (no RNG state, no seed
+    * coordination across executors; re-runs and retries select the
+    * identical subset; sampling composes with partitioning because
+    * membership is a pure row function).
+    */
+  def hashSample(docs: DataFrame, buckets: Int, keep: Int): DataFrame =
+    docs.filter(pmod(HashOps.polyHash(col("text")), lit(buckets.toLong)) < keep)
+
   /** The end-to-end curation pipeline a pre-training corpus runs:
     * quality-filter → exact-dedup (min doc_id keeper) → per-language
     * corpus statistics. One composed Catalyst plan: the quality

@@ -76,7 +76,9 @@ object NetflowStreams {
   /** K1/K3 fix — store sink: append each micro-batch to a columnar table
     * via foreachBatch (partition-parallel writes, connector-managed
     * connections). 10-second processing-time trigger per the reference
-    * (README.md:302-305).
+    * (README.md:302-305). Per-batch pipeline metrics (row count, total
+    * bytes) ride along as observed metrics — zero extra passes, surfaced
+    * through each StreamingQueryProgress.
     */
   def storeSink(
       curated: DataFrame,
@@ -84,7 +86,9 @@ object NetflowStreams {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
   ): DataStreamWriter[org.apache.spark.sql.Row] =
-    curated.writeStream
+    curated
+      .observe("store_metrics", count(lit(1)).as("rows"), sum(col("bytes")).as("bytes"))
+      .writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)

@@ -91,6 +91,9 @@ class StreamingSpec extends SparkSpec {
     val stored = spark.read.parquet(s"$out/table")
     assert(stored.count() == 2)
     assert(stored.columns.contains("protocol")) // curated 9-field schema landed
+    // Observed pipeline metrics rode along with the batch.
+    val metrics = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("store_metrics")))
+    assert(metrics.exists(m => m.getAs[Long]("rows") == 2L && m.getAs[Long]("bytes") == 150L))
   }
 
   test("streaming dedup drops within-watermark duplicates with bounded state") {
