@@ -63,6 +63,22 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       },
     ),
+    Q(
+      "tx_top_ngrams",
+      (s, d) => TextOps.topNgrams(documents(s, d), n = 2, k = 5),
+      Some("""SELECT lang, ngram, cnt, rank FROM (
+             |  SELECT lang, ngram, cnt,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |           ORDER BY cnt DESC, ngram) AS INT) AS rank
+             |  FROM (
+             |    SELECT lang, ngram, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |      SELECT lang, unnest(list_transform(
+             |               generate_series(1, greatest(len(w)-1, 1)),
+             |               ni -> array_to_string(w[ni:ni+1], ' '))) AS ngram
+             |      FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+             |    GROUP BY lang, ngram))
+             |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin),
+    ),
     // Deterministic 30% corpus sample (hash-bucket membership), with
     // per-language counts proving the mix is reproducible.
     Q(

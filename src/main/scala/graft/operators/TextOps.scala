@@ -132,6 +132,23 @@ object TextOps {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** Top-k word n-grams per language by document frequency-weighted
+    * count — the corpus-profiling staple. One generator explode, one
+    * count shuffle on (lang, ngram), one rank-limit window (plans with
+    * WindowGroupLimit: k rows per partition survive the rank shuffle).
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("ngram"))
+    docs
+      .select(col("lang"), explode(HashOps.shingles(tokens(col("text")), n)).as("ngram"))
+      .groupBy(col("lang"), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("lang", "rank")
+  }
+
   /** Deterministic hash-based sampling: keep a document iff
     * polyHash(text) mod `buckets` < `keep` — the reproducible sampling
     * technique for corpus mixing at scale (no RNG state, no seed
