@@ -9,13 +9,22 @@ import org.apache.spark.sql.functions._
   * operator for this; the naive theta-join (key equality + time
   * inequality, then argmax) explodes quadratically per key. This is the
   * scalable formulation: tag and union both inputs, sort within each key
-  * partition by (time, side, tiebreak), and carry the last non-null
-  * right payload forward with a running `last(..., ignoreNulls)` window
-  * — one shuffle on the key, linear work, no pair space.
+  * partition by (time, side, tiebreak), and carry the latest right row
+  * forward with a running `last(..., ignoreNulls)` window — one shuffle
+  * on the key, linear work, no pair space.
   *
-  * Ordering at equal timestamps puts right rows first (<= semantics) and
-  * orders right rows by `rightTiebreak` so the carried match is
-  * deterministic when several right rows share a timestamp.
+  * Correctness details:
+  *   - The whole right payload travels as ONE struct under a single
+  *     `last()` — the match is always one actual right row, never a
+  *     per-column mix of different rows (a null field in the latest
+  *     right row stays null, exactly like a SQL join).
+  *   - Right rows with a NULL key or NULL time are dropped up front:
+  *     NULL = NULL never matches in join semantics. Left rows always
+  *     survive (LEFT as-of), with null payload when nothing matched.
+  *   - Ordering at equal timestamps puts right rows first (<=
+  *     semantics); among equal-time right rows the greatest
+  *     `rightTiebreak` (compared in ITS OWN type — no lossy casts) wins
+  *     deterministically.
   */
 object AsOfJoinOp {
 
@@ -41,18 +50,34 @@ object AsOfJoinOp {
       rightTiebreak: Column,
   ): DataFrame = {
     val leftCols = left.columns.toSeq
+
+    // Type the tiebreak from the right frame's schema so the left-side
+    // null slot matches without a lossy cast.
+    val rightTyped = right.select(
+      rightKey.as("__k"),
+      rightTime.as("__t"),
+      rightTiebreak.as("__tb"),
+      struct(rightPayload.map(col): _*).as("__payload"),
+    )
+    val tbType = rightTyped.schema("__tb").dataType
+    val payloadType = rightTyped.schema("__payload").dataType
+
     val lp = left.select(
       (leftCols.map(col) :+
         leftKey.as("__k") :+ leftTime.as("__t") :+
-        lit(1).as("__side") :+ lit(null).cast("long").as("__tb")) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*,
+        lit(1).as("__side") :+ lit(null).cast(tbType).as("__tb") :+
+        lit(null).cast(payloadType).as("__payload")): _*,
     )
-    val rp = right.select(
-      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        rightKey.as("__k") :+ rightTime.as("__t") :+
-        lit(0).as("__side") :+ rightTiebreak.cast("long").as("__tb")) ++
-        rightPayload.map(col): _*,
-    )
+    // NULL keys/times can never match (SQL semantics) — drop such right
+    // rows before the shuffle instead of letting them group with null
+    // left keys.
+    val rp = rightTyped
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
+      .select(
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          col("__k") :+ col("__t") :+
+          lit(0).as("__side") :+ col("__tb") :+ col("__payload")): _*,
+      )
 
     // Right rows sort before left rows at the same instant (__side 0 < 1)
     // so `<=` matches them; among same-time right rows the greatest
@@ -62,9 +87,9 @@ object AsOfJoinOp {
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightPayload.foldLeft(lp.unionByName(rp)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).select((leftCols ++ rightPayload).map(col): _*)
+    lp.unionByName(rp)
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ rightPayload.map(c => col(s"__carried.$c").as(c))): _*)
   }
 }

@@ -73,12 +73,16 @@ object NetflowStreams {
       .extractTsharkLeaves(raw)
       .withColumn("datetime", NetflowOps.epochStringToTimestamp(col("timestamp")))
 
-  /** K1/K3 fix — store sink: append each micro-batch to a columnar table
+  /** K1/K3 fix — store sink: land each micro-batch in a columnar table
     * via foreachBatch (partition-parallel writes, connector-managed
     * connections). 10-second processing-time trigger per the reference
-    * (README.md:302-305). Per-batch pipeline metrics (row count, total
-    * bytes) ride along as observed metrics — zero extra passes, surfaced
-    * through each StreamingQueryProgress.
+    * (README.md:302-305). Writes are IDEMPOTENT under batch replay:
+    * rows land in a `batch_id=` partition overwritten dynamically, so a
+    * batch re-run after a crash-before-checkpoint replaces its own
+    * partition instead of appending duplicates (effectively-once).
+    * Per-batch pipeline metrics (row count, total bytes) ride along as
+    * observed metrics — zero extra passes, surfaced through each
+    * StreamingQueryProgress.
     */
   def storeSink(
       curated: DataFrame,
@@ -92,15 +96,26 @@ object NetflowStreams {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
       }
 
   /** K2 fix — distributed Kafka re-publish: rows serialize to JSON on
-    * executors and the Kafka sink writes them there. Producer batching
-    * (`linger.ms`/`batch.size`, README.md:164-165) moves to writer
-    * options. Checkpointing upgrades the reference's at-most-once to
-    * exactly-once-per-sink semantics (T8).
+    * executors and the Kafka sink writes them there; the reference's
+    * driver-collect bug (README.md:182) cannot exist structurally.
+    * Delivery is AT-LEAST-ONCE (Spark's Kafka sink has no transactional
+    * producer): a batch replayed after a crash re-publishes its records,
+    * so consumers needing effectively-once dedup downstream (e.g.
+    * [[dedupStream]]). Producer batching moves to writer options —
+    * `kafka.batch.size` is in BYTES (the reference's `batch_size=1000`
+    * would cap batches at ~5 records; we keep the 1 s linger and the
+    * default 16 KiB batch for real batching).
     */
   def kafkaRepublishSink(
       curated: DataFrame,
@@ -115,21 +130,34 @@ object NetflowStreams {
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .option("kafka.linger.ms", "1000")
-      .option("kafka.batch.size", "1000")
+      .option("kafka.batch.size", "16384")
       .option("checkpointLocation", checkpoint)
+
+  /** The curated-record timestamp format (README.md:105). Rows whose
+    * timestamp does not parse become NULL event time and are excluded
+    * from event-time operators — by SQL semantics, not silently: the
+    * store sink's observed row/byte metrics vs the windowed totals
+    * surface the discrepancy.
+    */
+  val TimestampFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** String timestamp → event-time column + watermark (shared edge of
+    * every event-time operator here).
+    */
+  private def withEventTime(curated: DataFrame, watermark: String): DataFrame =
+    curated
+      .withColumn("ts", to_timestamp(col("timestamp"), TimestampFormat))
+      .withWatermark("ts", watermark)
 
   /** A3/S5 internalized — the 10-second flow aggregation the reference
     * outsourced to pmacct, as an event-time windowed agg with a
-    * watermark for late data (T6; the reference has none). Pure
-    * transform: batch DataFrames run it too (that batch twin is the
-    * oracle-checked `nf_window_10s`).
+    * watermark for late data (T6; the reference has none). The
+    * aggregation body is `NetflowOps.flowWindowAgg` — the same pure
+    * transform whose batch twin is the oracle-checked `nf_window_10s`.
     */
   def windowedBytes(curated: DataFrame, watermark: String = "30 seconds"): DataFrame =
-    curated
-      .withColumn("ts", to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "10 seconds"))
-      .agg(sum("bytes").as("bytes"), sum("packets").as("packets"))
+    NetflowOps
+      .flowWindowAgg(withEventTime(curated, watermark), col("ts"), Seq.empty)
       .select(col("window.start").as("window_start"), col("bytes"), col("packets"))
 
   /** Stream-stream interval join: pair each flow A→B with the reverse
@@ -141,9 +169,7 @@ object NetflowStreams {
     * prunes state.
     */
   def pairBidirectionalFlows(curated: DataFrame, window: String = "10 seconds"): DataFrame = {
-    val withTs = curated
-      .withColumn("ts", to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-      .withWatermark("ts", window)
+    val withTs = withEventTime(curated, window)
     val fwd = withTs.select(
       col("ip_src").as("f_src"), col("ip_dst").as("f_dst"),
       col("port_src").as("f_psrc"), col("port_dst").as("f_pdst"),
@@ -154,12 +180,23 @@ object NetflowStreams {
       col("port_src").as("r_psrc"), col("port_dst").as("r_pdst"),
       col("bytes").as("r_bytes"), col("ts").as("r_ts"),
     )
+    // Equal-timestamp exchanges would otherwise emit BOTH orientations
+    // (each side qualifying as "fwd"), and a degenerate loopback flow
+    // (src=dst, psrc=pdst) would pair with itself — the strict
+    // lexicographic tie-break at equal times emits exactly one row per
+    // exchange and nothing for self-matches.
+    val strictTieBreak =
+      col("r_ts") > col("f_ts") ||
+        (col("r_ts") === col("f_ts") &&
+          (col("f_src") < col("r_src") ||
+            (col("f_src") === col("r_src") && col("f_psrc") < col("r_psrc"))))
     fwd.join(
       rev,
       col("f_src") === col("r_dst") && col("f_dst") === col("r_src") &&
         col("f_psrc") === col("r_pdst") && col("f_pdst") === col("r_psrc") &&
         col("r_ts") >= col("f_ts") &&
-        col("r_ts") <= col("f_ts") + expr(s"INTERVAL $window"),
+        col("r_ts") <= col("f_ts") + expr(s"INTERVAL $window") &&
+        strictTieBreak,
     )
   }
 

@@ -48,6 +48,60 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("the match is one actual right row — a null field stays null, never backfilled") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5L), Option.empty[Long]), // (bid=5, ask=null)
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Long], Some(7L)), // (bid=null, ask=7)
+    ).toDF("key", "qt", "bid", "ask")
+    val trades = Seq((1L, ts("2024-01-01 11:30:00"), "t1")).toDF("key", "tt", "trade")
+    val out = AsOfJoinOp
+      .asOfJoin(
+        trades, quotes,
+        leftKey = col("key"), rightKey = col("key"),
+        leftTime = col("tt"), rightTime = col("qt"),
+        rightPayload = Seq("bid", "ask"),
+        rightTiebreak = col("qt"),
+      )
+      .select("bid", "ask").as[(Option[Long], Option[Long])].collect().head
+    // Latest row is (null, 7); bid must NOT be backfilled from the older row.
+    assert(out == (None, Some(7L)))
+  }
+
+  test("null join keys never match (SQL semantics)") {
+    val quotes = Seq(
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), 100L),
+    ).toDF("key", "qt", "quote_id")
+    val trades = Seq(
+      (Option.empty[Long], ts("2024-01-01 11:00:00"), "t1"),
+    ).toDF("key", "tt", "trade")
+    val out = AsOfJoinOp
+      .asOfJoin(
+        trades, quotes,
+        leftKey = col("key"), rightKey = col("key"),
+        leftTime = col("tt"), rightTime = col("qt"),
+        rightPayload = Seq("quote_id"), rightTiebreak = col("quote_id"),
+      )
+      .select("trade", "quote_id").as[(String, Option[Long])].collect().toSeq
+    assert(out == Seq(("t1", None))) // left row survives, unmatched
+  }
+
+  test("string tiebreaks order in their own type (no lossy cast)") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "QA"),
+      (1L, ts("2024-01-01 10:00:00"), "QB"), // same instant — greatest string wins
+    ).toDF("key", "qt", "ref")
+    val trades = Seq((1L, ts("2024-01-01 10:30:00"), "t1")).toDF("key", "tt", "trade")
+    val out = AsOfJoinOp
+      .asOfJoin(
+        trades, quotes,
+        leftKey = col("key"), rightKey = col("key"),
+        leftTime = col("tt"), rightTime = col("qt"),
+        rightPayload = Seq("ref"), rightTiebreak = col("ref"),
+      )
+      .select("ref").as[String].collect().head
+    assert(out == "QB")
+  }
+
   test("every left row is preserved (left as-of semantics)") {
     val e = Tables.events(spark, Sf).select(col("event_id"), col("user_id"), col("ts"))
     val o = Tables.orders(spark, Sf).select(

@@ -141,6 +141,9 @@ class StreamingSpec extends SparkSpec {
       rawP("10.0.0.2", "10.0.0.1", 2000, 1000, 52, "2019-11-11 06:18:05.000000"), // matching rev (+4 s)
       rawP("10.0.0.2", "10.0.0.1", 2000, 1000, 9, "2019-11-11 06:18:30.000000"), // rev too late (> 10 s)
       rawP("10.0.0.9", "10.0.0.8", 1000, 2000, 7, "2019-11-11 06:18:02.000000"), // unmatched
+      // simultaneous exchange: must emit exactly ONE orientation
+      rawP("10.0.1.1", "10.0.1.2", 5, 6, 11, "2019-11-11 07:00:00.000000"),
+      rawP("10.0.1.2", "10.0.1.1", 6, 5, 13, "2019-11-11 07:00:00.000000"),
     )
     val parsed = NetflowStreams.parseKafkaNetflow(
       in.toDF().select(col("value").cast("binary").as("value")),
@@ -149,7 +152,7 @@ class StreamingSpec extends SparkSpec {
     NetflowStreams.runToMemory(pairs, "pairs_test")
     val got = spark.table("pairs_test")
       .select("f_bytes", "r_bytes").as[(Long, Long)].collect().toSet
-    assert(got == Set((100L, 52L)))
+    assert(got == Set((100L, 52L), (11L, 13L))) // one row per exchange, even at equal timestamps
   }
 
   test("Kafka re-publish serialization round-trips the curated record (K2 fix shape)") {
