@@ -25,37 +25,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    args => {
+      if (args.length != n)
+        throw new IllegalArgumentException(s"$name expects $n arguments, got ${args.length}")
+      build(args)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("poly_hash"),
         info("poly_hash", "poly_hash(str) - portable polynomial rolling hash mod 2^31-1"),
-        (args: Seq[Expression]) => PolyHash(args.head)),
+        arity("poly_hash", 1)(args => PolyHash(args.head))),
     )
     ext.injectFunction(
       (FunctionIdentifier("shingle_hashes"),
         info("shingle_hashes", "shingle_hashes(str, n) - distinct hashes of word n-gram shingles"),
-        (args: Seq[Expression]) => ShingleHashesExpr(args.head, intArg(args(1), "n"))),
+        arity("shingle_hashes", 2)(args => ShingleHashesExpr(args.head, intArg(args(1), "n")))),
     )
     ext.injectFunction(
       (FunctionIdentifier("minhash_sig"),
         info("minhash_sig", "minhash_sig(array<long>, k) - k-wide minhash signature"),
-        (args: Seq[Expression]) => MinHashSigExpr(args.head, intArg(args(1), "k"))),
+        arity("minhash_sig", 2)(args => MinHashSigExpr(args.head, intArg(args(1), "k")))),
     )
     ext.injectFunction(
       (FunctionIdentifier("simhash"),
         info("simhash", "simhash(str, bits) - simhash fingerprint over distinct tokens"),
-        (args: Seq[Expression]) => SimHashExpr(args.head, intArg(args(1), "bits"))),
+        arity("simhash", 2)(args => SimHashExpr(args.head, intArg(args(1), "bits")))),
     )
     ext.injectFunction(
       (FunctionIdentifier("array_dot"),
         info("array_dot", "array_dot(array<double>, array<double>) - strict left-fold dot product"),
-        (args: Seq[Expression]) => ArrayDot(args.head, args(1))),
+        arity("array_dot", 2)(args => ArrayDot(args.head, args(1)))),
     )
     ext.injectFunction(
       (FunctionIdentifier("sorted_intersect_count"),
         info("sorted_intersect_count",
           "sorted_intersect_count(array<long>, array<long>) - |A∩B| of sorted duplicate-free arrays"),
-        (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))),
+        arity("sorted_intersect_count", 2)(args => SortedIntersectCount(args.head, args(1)))),
     )
   }
 }

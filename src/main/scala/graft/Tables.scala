@@ -24,11 +24,17 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // Session-timezone-INDEPENDENT: epoch micros added onto an NTZ
+        // epoch literal. (timestamp_micros(..).cast("timestamp_ntz")
+        // would round-trip through the session zone and shift every
+        // wall-clock value on non-UTC driver sessions.)
         raw.withColumn(
           "ts",
-          org.apache.spark.sql.functions
-            .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
-            .cast("timestamp_ntz"),
+          org.apache.spark.sql.functions.timestamp_add(
+            "MICROSECOND",
+            org.apache.spark.sql.functions.expr("ts div 1000"),
+            org.apache.spark.sql.functions.lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)),
+          ),
         )
       case _ => raw
     }

@@ -81,9 +81,14 @@ object Sketches {
 
   /** MinHash signature — `transform(sequence(0, k-1), i ->
     * array_min(transform(hashes, h -> (a_i*h + b_i) % P)))`.
+    * An empty input set yields k NULL coordinates (array_min of an empty
+    * array is NULL — matches the declarative spec and its DuckDB
+    * mirror, instead of a Long.MaxValue sentinel that would silently
+    * bucket all empty documents together).
     */
   def minHashSig(hashes: ArrayData, k: Int): ArrayData = {
     val m = hashes.numElements()
+    if (m == 0) return new GenericArrayData(Array.fill[Any](k)(null))
     val out = new Array[Long](k)
     var i = 0
     while (i < k) {
@@ -136,6 +141,7 @@ object Sketches {
   */
 case class ShingleHashesExpr(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   override def nullSafeEval(input: Any): Any =
@@ -146,9 +152,12 @@ case class ShingleHashesExpr(child: Expression, n: Int, distinct: Boolean = true
     copy(child = newChild)
 }
 
-/** k-wide minhash signature of a pre-hashed shingle set. */
+/** k-wide minhash signature of a pre-hashed shingle set. Elements are
+  * NULL for an empty input set, hence containsNull.
+  */
 case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  require(k >= 1, s"signature width must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(input: Any): Any =
     Sketches.minHashSig(input.asInstanceOf[ArrayData], k)
@@ -160,6 +169,7 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
 
 /** SimHash fingerprint of a text column over its distinct-token set. */
 case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 62, s"simhash bits must be in [1, 62] (Long sign bit), got $bits")
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash"
   override def nullSafeEval(input: Any): Any =

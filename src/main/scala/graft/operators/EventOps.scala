@@ -56,10 +56,13 @@ object EventOps {
       .orderBy("event_id")
 
   /** P5 analog — inclusive lexicographic range filter on the string
-    * timestamp; '<= hi' without a time component excludes almost the
-    * whole `hi` day, exactly like the reference (accessTrend.ts:11-17).
-    * Evaluated via the pushdown-equivalent native-timestamp bounds
-    * (NetflowOps.rangeFilterPushdown) so the predicate reaches the scan.
+    * timestamp; a date-only '<= hi' bound excludes the ENTIRE `hi` day
+    * (every real timestamp string strictly extends its date prefix and
+    * so compares greater), exactly like the reference
+    * (accessTrend.ts:11-17). Evaluated via the pushdown-equivalent
+    * native-timestamp bounds (NetflowOps.rangeFilterPushdown, which
+    * derives the `ts >= lo AND ts < hi` form) so the predicate reaches
+    * the scan.
     */
   def rangeFilter(events: DataFrame, lo: String, hi: String): DataFrame =
     events
@@ -123,6 +126,11 @@ object EventOps {
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // Pin a ROWS frame for the running sum: the default RANGE frame
+    // includes order-key peers, which diverges from the oracle's ROWS
+    // UNBOUNDED PRECEDING whenever (ts, event_id) has duplicates
+    // (at-least-once ingest can replay rows).
+    val runningByUser = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapSec = gapMinutes * 60L
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -134,7 +142,7 @@ object EventOps {
           1L,
         ).otherwise(0L),
       )
-      .withColumn("session_seq", sum("new_session").over(byUser))
+      .withColumn("session_seq", sum("new_session").over(runningByUser))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         min("ts").as("session_start"),

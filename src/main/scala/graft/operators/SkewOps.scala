@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
 object SkewOps {
 
   /** Two-stage salted sum/count aggregation: groupBy(key, salt) →
-    * groupBy(key). `salt` derives deterministically from a hash of the
-    * whole row's value column so data need not carry one.
+    * groupBy(key). The salt must be ROW-unique-ish, never derived from
+    * the aggregated value (a hot key with constant/NULL values would
+    * collapse into one salt bucket and the straggler would remain):
+    * monotonically_increasing_id spreads a hot key's rows across all
+    * buckets regardless of its payload.
     */
   def saltedAgg(
       df: DataFrame,
@@ -26,7 +29,7 @@ object SkewOps {
       value: Column,
       buckets: Int,
   ): DataFrame =
-    df.withColumn("__salt", pmod(hash(value), lit(buckets)))
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
       .groupBy(key.as("key"), col("__salt"))
       .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col("key"))
