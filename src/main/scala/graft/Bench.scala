@@ -21,11 +21,22 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // n=2 per query, report the min: a single contended sample on a
+    // shared driver machine otherwise dominates the total (a 2-table
+    // union was once measured 50× its steady-state). min-of-2 is the
+    // standard de-noising for wall-clock microbenchmarks — contention
+    // only ever adds time.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $sec%8.2f s") // progressive, diagnosable
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec = times.min
+      System.err.println(
+        f"[bench] $name%-22s $sec%8.2f s  (min of ${times.map(t => f"$t%.2f").mkString("/")})",
+      )
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -33,6 +33,15 @@ object DedupQueries {
     */
   private val CosineThreshold = 0.4
 
+  /** Sign-LSH bands for the bucketed embedding near-dup: 8 independent
+    * 3-bit bands (8 buckets each) over the 64-dim embeddings — a pair is
+    * a candidate iff it fully agrees on the signs of ≥1 band's dims.
+    * Narrow bands + many bands favors recall at this threshold (sign
+    * agreement per hyperplane ≈ 1 − θ/π).
+    */
+  private val EmbedBands: Seq[Seq[Int]] =
+    (0 until 8).map(b => Seq(b * 8, b * 8 + 3, b * 8 + 6))
+
   /** Oracle for the minhash-LSH pair pipeline — shared by the pairs
     * query and the clusters query built on top of it.
     */
@@ -162,17 +171,37 @@ object DedupQueries {
               |SELECT source, i, min(sig[i+1]) AS sig_min
               |FROM ex GROUP BY source, i ORDER BY source, i""".stripMargin),
     ),
+    // Canonical embedding near-dup = the sign-LSH bucketed formulation
+    // (equi-join on (band_idx, bucket) + exact cosine verify — the 100 TB
+    // plan; no BroadcastNestedLoopJoin, asserted in DedupSpec). The
+    // all-pairs form survives only as the recall baseline in tests. The
+    // oracle mirrors the bucketing itself, band by band.
     Q(
       "dd_embed_neardup",
-      (s, d) => DedupOps.embeddingNearDupPairs(embeddings(s, d), CosineThreshold),
-      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-              |n AS (SELECT vec_id, ${unitNorm("e")} AS u FROM v)
-              |SELECT vec_a, vec_b, cosine FROM (
-              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-              |    ${dot("a.u", "b.u")} AS cosine
-              |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-              |WHERE cosine >= $CosineThreshold
-              |ORDER BY vec_a, vec_b""".stripMargin),
+      (s, d) => DedupOps.embeddingNearDupPairsBucketed(embeddings(s, d), CosineThreshold, EmbedBands),
+      Some {
+        val bandSelects = EmbedBands.zipWithIndex
+          .map { case (dims, i) =>
+            s"  SELECT vec_id, $i AS band_idx, ${signBucket("embedding", dims)} AS bucket FROM embeddings"
+          }
+          .mkString("\nUNION ALL\n")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |n AS (SELECT vec_id, ${unitNorm("e")} AS u FROM v),
+           |bb AS (
+           |$bandSelects
+           |),
+           |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |         FROM bb x JOIN bb y
+           |           ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+           |          AND x.vec_id < y.vec_id)
+           |SELECT vec_a, vec_b, cosine FROM (
+           |  SELECT c.vec_a, c.vec_b, ${dot("a.u", "b.u")} AS cosine
+           |  FROM cand c
+           |  JOIN n a ON a.vec_id = c.vec_a
+           |  JOIN n b ON b.vec_id = c.vec_b)
+           |WHERE cosine >= $CosineThreshold
+           |ORDER BY vec_a, vec_b""".stripMargin
+      },
     ),
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.EventOps
+import org.apache.spark.sql.functions._
+import graft.operators.{EventOps, NetflowOps}
 import Tables.events
 
 /** Reference-parity operators (SURVEY.md §2.2-2.4) as named queries over
@@ -36,7 +37,8 @@ object NetflowQueries {
     Q(
       "nf_range_filter",
       (s, d) => EventOps.rangeFilter(events(s, d), lo, hi),
-      Some(s"""SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS value
+      Some(s"""SELECT event_id, user_id,
+              |       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
               |FROM events
               |WHERE strftime(ts, '%Y-%m-%d %H:%M:%S.%f') >= '$lo'
               |  AND strftime(ts, '%Y-%m-%d %H:%M:%S.%f') <= '$hi'
@@ -47,16 +49,16 @@ object NetflowQueries {
       (s, d) => EventOps.tick(events(s, d)),
       Some("""SELECT event_id,
              |       substr(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), 12, 8) AS time,
-             |       CAST(value AS DECIMAL(18,2)) AS value
+             |       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
              |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin),
     ),
     Q(
       "nf_access_trend",
       (s, d) => EventOps.accessTrend(events(s, d), lo, hi),
       Some(s"""SELECT substr(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), 1, 10) AS day,
-              |       sum(CASE WHEN user_id = ${EventOps.HostId} THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS in_value,
+              |       CAST(sum(CASE WHEN user_id = ${EventOps.HostId} THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS in_value,
               |       CAST(sum(CASE WHEN user_id = ${EventOps.HostId} THEN 1 ELSE 0 END) AS BIGINT) AS in_events,
-              |       sum(CASE WHEN user_id <> ${EventOps.HostId} THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS out_value,
+              |       CAST(sum(CASE WHEN user_id <> ${EventOps.HostId} THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS out_value,
               |       CAST(sum(CASE WHEN user_id <> ${EventOps.HostId} THEN 1 ELSE 0 END) AS BIGINT) AS out_events
               |FROM events
               |WHERE strftime(ts, '%Y-%m-%d %H:%M:%S.%f') >= '$lo'
@@ -68,7 +70,7 @@ object NetflowQueries {
       (s, d) => EventOps.window10s(events(s, d)),
       Some("""SELECT time_bucket(INTERVAL '10 seconds', ts) AS window_start,
              |       count(*) AS n,
-             |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY window_start ORDER BY window_start""".stripMargin),
     ),
     // Heavy hitters ("top talkers" in netflow terms): total traffic per
@@ -81,13 +83,14 @@ object NetflowQueries {
         events(s, d)
           .groupBy(col("user_id"))
           .agg(
-            sum(col("value").cast("decimal(18,2)")).as("total_value"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
             count(lit(1)).as("n_events"),
           )
           .orderBy(col("total_value").desc, col("user_id"))
           .limit(10)
       },
-      Some("""SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+      Some("""SELECT user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
              |  count(*) AS n_events
              |FROM events GROUP BY user_id
              |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin),
@@ -103,9 +106,11 @@ object NetflowQueries {
         import org.apache.spark.sql.functions._
         graft.operators.SkewOps
           .saltedAgg(events(s, d), col("user_id"), col("value").cast("decimal(18,2)"), buckets = 8)
+          .withColumn("total", col("total").cast("double"))
           .orderBy("key")
       },
-      Some("""SELECT user_id AS key, sum(CAST(value AS DECIMAL(18,2))) AS total,
+      Some("""SELECT user_id AS key,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
              |  count(*) AS n
              |FROM events GROUP BY user_id ORDER BY key""".stripMargin),
     ),
@@ -122,7 +127,7 @@ object NetflowQueries {
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(
             count(lit(1)).as("n_events"),
-            sum(col("value").cast("decimal(18,2)")).as("session_value"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"),
           )
           .select(
             col("user_id"),
@@ -149,7 +154,7 @@ object NetflowQueries {
              |SELECT user_id, min(ts) AS session_start,
              |       max(ts) + INTERVAL 30 MINUTE AS session_end,
              |       count(*) AS n_events,
-             |       sum(CAST(value AS DECIMAL(18,2))) AS session_value
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
              |FROM t GROUP BY user_id, session_seq
              |ORDER BY user_id, session_start""".stripMargin),
     ),
@@ -172,8 +177,114 @@ object NetflowQueries {
              |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
              |       min(ts) AS session_start, max(ts) AS session_end,
              |       count(*) AS n_events,
-             |       sum(CAST(value AS DECIMAL(18,2))) AS session_value
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
              |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin),
+    ),
+    // P11 — the reference's (commented-out) BPF capture pre-filter as a
+    // CIDR prefix match (README.md:58-59). The events table has no IP
+    // column, so dotted-quad strings are derived deterministically from
+    // (event_id, user_id) — including a sliver of MALFORMED five-octet
+    // strings to exercise the well-formedness guard (they must never
+    // match, exactly as cidrMatch's rlike guard states). The oracle
+    // mirrors the same derivation and the same mask arithmetic; the
+    // Spark-side predicate is pure column algebra (fold + bitwise AND),
+    // pushable and codegen'd.
+    Q(
+      "nf_cidr_filter",
+      (s, d) => {
+        val base = concat_ws(
+          ".",
+          when(col("event_id") % 3 === 0, lit("10"))
+            .when(col("event_id") % 3 === 1, lit("192"))
+            .otherwise(lit("172")),
+          (col("user_id") % 256).cast("string"),
+          ((col("event_id") / lit(256)).cast("long") % 256).cast("string"),
+          (col("event_id") % 256).cast("string"),
+        )
+        val ip = when(col("event_id") % 97 === 0, concat(base, lit(".7"))).otherwise(base)
+        events(s, d)
+          .select(col("event_id"), ip.as("ip"))
+          .filter(NetflowOps.cidrMatch(col("ip"), "10.16.0.0/12"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ips AS (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 97 = 0 THEN base || '.7' ELSE base END AS ip
+             |  FROM (
+             |    SELECT event_id,
+             |      (CASE WHEN event_id % 3 = 0 THEN '10'
+             |            WHEN event_id % 3 = 1 THEN '192'
+             |            ELSE '172' END)
+             |      || '.' || CAST(user_id % 256 AS VARCHAR)
+             |      || '.' || CAST((event_id // 256) % 256 AS VARCHAR)
+             |      || '.' || CAST(event_id % 256 AS VARCHAR) AS base
+             |    FROM events))
+             |SELECT event_id, ip FROM ips
+             |WHERE regexp_matches(ip,
+             |        '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[0-9][0-9]?)$')
+             |  AND (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(string_split(ip, '.'), ipp -> CAST(ipp AS BIGINT))),
+             |         (ipa, ipb) -> ipa*256 + ipb) & 4293918720) = 168820736
+             |ORDER BY event_id""".stripMargin),
+    ),
+    // P3 + P4 — the tshark path (README.md:259-286): nested dotted-leaf
+    // extraction (field names contain literal dots → backtick
+    // navigation) + epoch-seconds-string → time conversion. The nested
+    // struct is built deterministically from events in the same shape
+    // tshark -T json emits; the oracle derives the flattened leaves
+    // directly. The time lands as epoch micros (unix_micros of the P4
+    // conversion) so the check is timezone-independent; the oracle
+    // replicates the identical double arithmetic (trunc = Spark's
+    // double→long cast).
+    Q(
+      "nf_tshark_flatten",
+      (s, d) => {
+        val epochStr = concat(
+          (lit(1700000000L) + col("event_id")).cast("string"),
+          lit("."),
+          lpad((col("event_id") % 1000000).cast("string"), 6, "0"),
+        )
+        val nested = events(s, d).select(
+          struct(
+            struct(
+              struct(
+                concat(lit("172.16."), (col("user_id") % 256).cast("string"), lit(".1")).as("ip.dst"),
+                concat(lit("10.0."), (col("event_id") % 256).cast("string"), lit(".2")).as("ip.src"),
+                lit("4").as("ip.version"),
+              ).as("ip"),
+              struct(epochStr.as("frame.time_epoch")).as("frame"),
+              struct(
+                (col("event_id") % 65536).cast("string").as("tcp.dstport"),
+                lit("0x0018").as("tcp.flags"),
+                (col("user_id") % 65536).cast("string").as("tcp.srcport"),
+              ).as("tcp"),
+            ).as("layers"),
+          ).as("_source"),
+        )
+        NetflowOps
+          .extractTsharkLeaves(nested)
+          .select(
+            col("ip_dst"),
+            col("ip_src"),
+            col("ip_ver"),
+            col("tcp_srcport"),
+            col("tcp_dstport"),
+            col("tcp_flags"),
+            unix_micros(NetflowOps.epochStringToTimestamp(col("timestamp"))).as("ts_us"),
+          )
+          .orderBy("ts_us")
+      },
+      Some("""SELECT
+             |  '172.16.' || CAST(user_id % 256 AS VARCHAR) || '.1' AS ip_dst,
+             |  '10.0.' || CAST(event_id % 256 AS VARCHAR) || '.2' AS ip_src,
+             |  '4' AS ip_ver,
+             |  CAST(user_id % 65536 AS VARCHAR) AS tcp_srcport,
+             |  CAST(event_id % 65536 AS VARCHAR) AS tcp_dstport,
+             |  '0x0018' AS tcp_flags,
+             |  CAST(trunc(CAST(CAST(1700000000 + event_id AS VARCHAR) || '.' ||
+             |         lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0') AS DOUBLE)
+             |       * 1000000) AS BIGINT) AS ts_us
+             |FROM events ORDER BY ts_us""".stripMargin),
     ),
   )
 }

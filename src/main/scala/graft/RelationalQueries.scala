@@ -34,10 +34,10 @@ object RelationalQueries {
         li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).as("sum_qty"),
-            sum(price).as("sum_base_price"),
-            sum(discPrice).as("sum_disc_price"),
-            sum(charge).as("sum_charge"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(discPrice).cast("double").as("sum_disc_price"),
+            sum(charge).cast("double").as("sum_charge"),
             (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
             (sum(price).cast("double") / count(lit(1))).as("avg_price"),
             (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
@@ -46,10 +46,10 @@ object RelationalQueries {
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-             |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-             |  sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS sum_disc_price,
-             |  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS sum_charge,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
              |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -69,12 +69,12 @@ object RelationalQueries {
           .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(
-            sum(dec(col("l_extendedprice"))).as("revenue"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
             count(lit(1)).as("n"),
           )
           .orderBy("p_brand"),
       Some("""SELECT p_brand,
-             |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
              |  count(*) AS n
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
@@ -91,11 +91,11 @@ object RelationalQueries {
           .groupBy(col("o_orderstatus"))
           .agg(
             count(lit(1)).as("n"),
-            sum(dec(col("l_extendedprice"))).as("revenue"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
           )
           .orderBy("o_orderstatus"),
       Some("""SELECT o_orderstatus, count(*) AS n,
-             |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     ),
@@ -117,12 +117,12 @@ object RelationalQueries {
           .groupBy(col("n_name"))
           .agg(
             sum((dec(col("l_extendedprice")) * (lit(1).cast("decimal(3,0)") -
-              col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")).as("revenue"),
+              col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")).cast("double").as("revenue"),
           )
           .orderBy("n_name")
       },
       Some("""SELECT n_name,
-             |  sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS revenue
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -241,15 +241,15 @@ object RelationalQueries {
         lineitem(s, d)
           .select(
             col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-            sum(dec(col("l_extendedprice"))).over(w).as("running_revenue"),
+            sum(dec(col("l_extendedprice"))).over(w).cast("double").as("running_revenue"),
           )
           .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-             |  sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
              |    OVER (PARTITION BY l_suppkey
              |          ORDER BY l_shipdate, l_orderkey, l_linenumber
-             |          ROWS UNBOUNDED PRECEDING) AS running_revenue
+             |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
              |FROM lineitem
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
     ),
@@ -263,14 +263,14 @@ object RelationalQueries {
           .select(
             col("event_id"), col("user_id"),
             (col("value").cast("decimal(18,2)") -
-              lag(col("value").cast("decimal(18,2)"), 1).over(w)).as("delta"),
+              lag(col("value").cast("decimal(18,2)"), 1).over(w)).cast("double").as("delta"),
             lead(col("event_type"), 1).over(w).as("next_type"),
           )
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id,
-             |  CAST(value AS DECIMAL(18,2))
-             |    - lag(CAST(value AS DECIMAL(18,2))) OVER w AS delta,
+             |  CAST(CAST(value AS DECIMAL(18,2))
+             |    - lag(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS delta,
              |  lead(event_type) OVER w AS next_type
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -306,33 +306,55 @@ object RelationalQueries {
     ),
 
     // HyperLogLog++ sketch — the scale path for distinct counting (no
-    // expand, mergeable partials). Sketch values are engine-specific →
-    // rows-only driver check, exactness asserted in the ScalaTest spec.
+    // expand, mergeable partials). Sketch values are engine-specific, so
+    // the oracle uses a tolerance contract: emit the group key, the
+    // EXACT value, and a Spark-computed within-bound boolean (|approx −
+    // exact| / exact ≤ 5×rsd); the oracle returns the exact value and
+    // literal true. The exact aggregate exists only to adjudicate the
+    // sketch — production callers use the sketch alone.
     Q(
       "q_approx_distinct",
       (s, d) =>
         lineitem(s, d)
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          .agg(
+            countDistinct(col("l_partkey")).as("distinct_parts"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("__approx"),
+          )
+          .select(
+            col("l_returnflag"),
+            col("distinct_parts"),
+            (abs(col("__approx") - col("distinct_parts")).cast("double") /
+              col("distinct_parts") <= lit(0.05)).as("within_bound"),
+          )
           .orderBy("l_returnflag"),
-      None,
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+             |  true AS within_bound
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
 
     // KLL/GK-style quantile sketch — the mergeable scale path for order
-    // statistics (exact percentile_disc sorts per group). Sketch results
-    // are engine-specific → rows-only check; the rank-error bound vs the
-    // exact answer is asserted in the ScalaTest spec.
+    // statistics (exact percentile_disc sorts per group). Same tolerance
+    // contract: the sketch median must land between the exact 0.45 and
+    // 0.55 quantiles (accuracy 1000 ⇒ rank error ≪ 5% of any group).
     Q(
       "q_approx_percentile",
-      (s, d) =>
-        lineitem(s, d)
-          .groupBy("l_returnflag")
-          .agg(
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-            count(lit(1)).as("n"),
-          )
-          .orderBy("l_returnflag"),
-      None,
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_apx")
+        s.sql("""SELECT l_returnflag,
+                |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS median_price,
+                |  count(*) AS n,
+                |  approx_percentile(l_extendedprice, 0.5, 1000)
+                |    BETWEEN percentile_disc(0.45) WITHIN GROUP (ORDER BY l_extendedprice)
+                |        AND percentile_disc(0.55) WITHIN GROUP (ORDER BY l_extendedprice)
+                |    AS within_bound
+                |FROM lineitem_apx GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS median_price,
+             |  count(*) AS n,
+             |  true AS within_bound
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
 
     // Set operations.
@@ -417,11 +439,11 @@ object RelationalQueries {
           .rollup(col("n_name"), col("c_mktsegment"))
           .agg(
             count(lit(1)).as("n"),
-            sum(col("c_acctbal").cast("decimal(12,2)")).as("total_acctbal"),
+            sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("total_acctbal"),
           )
           .orderBy("n_name", "c_mktsegment"),
       Some("""SELECT n_name, c_mktsegment, count(*) AS n,
-             |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS total_acctbal
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY ROLLUP (n_name, c_mktsegment)
              |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin),
@@ -432,12 +454,12 @@ object RelationalQueries {
         lineitem(s, d)
           .cube(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).as("sum_qty"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
             count(lit(1)).as("n"),
           )
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, count(*) AS n
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
              |FROM lineitem
              |GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
@@ -447,13 +469,13 @@ object RelationalQueries {
       (s, d) => {
         lineitem(s, d).createOrReplaceTempView("lineitem_gs")
         s.sql("""SELECT l_returnflag, l_linestatus,
-                |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+                |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
                 |FROM lineitem_gs
                 |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
                 |ORDER BY l_returnflag, l_linestatus""".stripMargin)
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),

@@ -162,6 +162,12 @@ object DedupOps {
     */
   def simhashPairs(docs: DataFrame, bits: Int, blockBands: Int, maxHamming: Int): DataFrame = {
     require(blockBands > maxHamming, "pigeonhole blocking needs bands > maxHamming")
+    // The chunk extraction below is floor-division over doubles — exact
+    // only while the fingerprint fits a double's mantissa — and assumes
+    // the bands tile the fingerprint exactly; enforce both documented
+    // preconditions rather than silently corrupting chunk keys.
+    require(bits <= 52, s"chunk extraction is exact only for bits <= 52 (got $bits)")
+    require(bits % blockBands == 0, s"blockBands ($blockBands) must divide bits ($bits)")
     val chunkBits = bits / blockBands
     // Exchange barrier: simhash computed once per row (in parallel — the
     // explicit count keeps AQE from coalescing the compute-heavy stage),
@@ -263,6 +269,52 @@ object DedupOps {
     val a = v.select(col("vec_id").as("vec_a"), col("u").as("u_a"))
     val b = v.select(col("vec_id").as("vec_b"), col("u").as("u_b"))
     a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), SimilarityOps.dot(col("u_a"), col("u_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Embedding near-dup at scale: sign-LSH band bucketing → bucket
+    * equi-join → exact cosine verify, mirroring the minhash-LSH /
+    * simhash structure (candidate generation is an equi-join on
+    * (band_idx, bucket); nothing quadratic, no BroadcastNestedLoopJoin).
+    * Each band is an independent set of probe dims (axis-aligned sign
+    * hyperplanes, [[SimilarityOps.signBucket]]); a pair is a candidate
+    * if it collides in ≥1 band. Recall < 1 by construction (more/wider
+    * bands trade join volume for recall); the all-pairs form above stays
+    * as the recall baseline in tests, and the oracle mirrors the
+    * bucketing itself so the pipeline is hash-checkable end-to-end.
+    */
+  def embeddingNearDupPairsBucketed(
+      embeddings: DataFrame,
+      threshold: Double,
+      bands: Seq[Seq[Int]],
+  ): DataFrame = {
+    // Exchange barrier (see minhashLshPairs): keep the unit-norm HOF
+    // from being inlined multiplicatively into both verify-join sides.
+    val p = partitions(embeddings)
+    val v = embeddings
+      .repartition(p, col("vec_id"))
+      .select(col("vec_id"), SimilarityOps.unitNorm(col("embedding")).as("u"))
+    val buckets = embeddings.select(
+      col("vec_id"),
+      posexplode(
+        array(bands.map(dims => SimilarityOps.signBucket(col("embedding"), dims)): _*),
+      ).as(Seq("band_idx", "bucket")),
+    )
+    val candidates = buckets
+      .as("x")
+      .join(
+        buckets.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"),
+      )
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("vec_id").as("vec_a"), col("u").as("u_a")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("u").as("u_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"), SimilarityOps.dot(col("u_a"), col("u_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")

@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * decimal arithmetic (float summation order would otherwise make
   * hash-compare flaky); averages are expressed as exact-decimal sum cast
   * to double divided by a count — one FP op from identical inputs.
+  *
+  * Output contract: NO DECIMAL column ever crosses the query boundary.
+  * The driver's hash renders Spark parquet decimals with their scale
+  * ("5.30") but the DuckDB oracle side as floats ("5.3"), so any
+  * trailing-zero value hash-mismatches even when values are equal.
+  * Every final decimal is cast to DOUBLE (a single correctly-rounded
+  * conversion from identical exact decimals — bit-equal on both
+  * engines); the matching oracle SQL applies the same CAST(... AS
+  * DOUBLE).
   */
 object EventOps {
 
@@ -27,6 +36,11 @@ object EventOps {
   def tsString(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
   def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Boundary form of [[dec]]: round through DECIMAL(18,2) but emit
+    * DOUBLE (see the output contract in the class doc).
+    */
+  def decOut(c: Column): Column = dec(c).cast("double")
 
   /** P2 analog — JSON payload parse + projection over `props`. */
   def parseProps(events: DataFrame): DataFrame =
@@ -67,7 +81,7 @@ object EventOps {
   def rangeFilter(events: DataFrame, lo: String, hi: String): DataFrame =
     events
       .filter(NetflowOps.rangeFilterPushdown(col("ts"), lo, hi))
-      .select(col("event_id"), col("user_id"), dec(col("value")).as("value"))
+      .select(col("event_id"), col("user_id"), decOut(col("value")).as("value"))
       .orderBy("event_id")
 
   /** P9 analog — realtime tick projection {time, value}. */
@@ -77,7 +91,7 @@ object EventOps {
       .select(
         col("event_id"),
         NetflowOps.timeOfDay(tsString(col("ts"))).as("time"),
-        dec(col("value")).as("value"),
+        decOut(col("value")).as("value"),
       )
       .orderBy("event_id")
 
@@ -99,9 +113,9 @@ object EventOps {
       )
       .groupBy(col("day"))
       .agg(
-        sum("in_value").as("in_value"),
+        sum("in_value").cast("double").as("in_value"),
         sum("in_events").as("in_events"),
-        sum("out_value").as("out_value"),
+        sum("out_value").cast("double").as("out_value"),
         sum("out_events").as("out_events"),
       )
       .orderBy("day")
@@ -114,7 +128,7 @@ object EventOps {
   def window10s(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "10 seconds"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("n"), col("total_value"))
       .orderBy("window_start")
 
@@ -148,7 +162,7 @@ object EventOps {
         min("ts").as("session_start"),
         max("ts").as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).as("session_value"),
+        sum(dec(col("value"))).cast("double").as("session_value"),
       )
       .orderBy("user_id", "session_seq")
   }

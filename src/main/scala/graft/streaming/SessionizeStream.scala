@@ -77,7 +77,16 @@ object SessionizeStream {
           }
           open.foreach { s =>
             state.update(s)
-            state.setTimeoutTimestamp(s.lastMs + gapMs)
+            // flatMapGroupsWithState does NOT drop late rows, so a late
+            // event can leave lastMs + gapMs at or behind the current
+            // watermark — an unclamped timeout throws ("timeout must be
+            // larger than watermark") and kills the whole query. Clamp
+            // to watermark + 1 ms: the session then times out (and
+            // flushes) on the next trigger, which is the correct
+            // semantics for a session that is already past its horizon.
+            state.setTimeoutTimestamp(
+              math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1),
+            )
           }
           closed.result().iterator
         }

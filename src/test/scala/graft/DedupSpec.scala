@@ -110,4 +110,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b, c) => assert(a < b && c >= 0.4 && c <= 1.0 + 1e-9) }
   }
+
+  test("registered dd_embed_neardup is a bucket equi-join (no BNLJ/cartesian), subset of all-pairs") {
+    // The registered query must carry the 100 TB plan: candidate
+    // generation via (band_idx, bucket) equi-join, never an O(n²) join.
+    val bucketed = Registry.queries("dd_embed_neardup")(spark, Sf)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"cartesian-style plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian-style plan:\n$plan")
+    val got = bucketed.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val allPairs = DedupOps.embeddingNearDupPairs(Tables.embeddings(spark, Sf), 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "bucketing should surface some near-dup candidates on testdata")
+    assert(got.subsetOf(allPairs), "bucketed pairs must be a subset of the exact all-pairs result")
+  }
 }

@@ -61,7 +61,7 @@ object EngineProps extends Properties("graft") {
       val got = EventOps
         .accessTrend(df, "2024-01-05", "2024-01-25")
         .select("day", "in_value", "in_events", "out_value", "out_events")
-        .as[(String, BigDecimal, Long, BigDecimal, Long)]
+        .as[(String, Double, Long, Double, Long)]
         .collect()
 
       val inRange = events.filter { case (_, ts, _) =>
@@ -69,13 +69,18 @@ object EngineProps extends Properties("graft") {
         full >= "2024-01-05" && full <= "2024-01-25"
       }
       val byDay = inRange.groupBy(_._2.take(10))
+      // Outputs are DOUBLE at the query boundary (decimal internally);
+      // each side must equal the exact decimal sum's correctly-rounded
+      // double — compare per direction, never summing the two doubles.
+      def exactSum(rows: Seq[(Long, String, Double)]): Double =
+        rows.map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
       got.forall { case (day, inV, inN, outV, outN) =>
         val rows = byDay.getOrElse(day, Nil)
-        val total = rows
-          .map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
-          .sum
-        inN + outN == rows.size && (inV + outV) == total &&
-        inN == rows.count(_._1 == EventOps.HostId)
+        val inRows = rows.filter(_._1 == EventOps.HostId)
+        val outRows = rows.filter(_._1 != EventOps.HostId)
+        inN + outN == rows.size &&
+        inV == exactSum(inRows) && outV == exactSum(outRows) &&
+        inN == inRows.size
       } && got.map(_._1).toSet == byDay.keySet
     }
   }

@@ -46,14 +46,34 @@ def cells_equal(a, b):
         pass
     return a == b or str(a) == str(b)
 
+def decimal_cols(describe_sql):
+    """Columns whose type is DECIMAL — banned at the query boundary.
+
+    The driver hashes Spark parquet decimals with their scale ("5.30")
+    but oracle-side floats as "5.3", so trailing-zero values mismatch
+    even when equal. fetchdf() coerces both to float64, which is why
+    cell comparison alone can't catch it.
+    """
+    rows = con.execute(describe_sql).fetchall()
+    return [r[0] for r in rows if r[1].upper().startswith("DECIMAL")]
+
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
     try:
+        bad_dec = decimal_cols(
+            f"DESCRIBE SELECT * FROM '{OUT}/{name}/*.parquet'")
+        bad_dec += [c for c in decimal_cols(f"DESCRIBE {sql}")
+                    if c not in bad_dec]
         spark_df = canon(con.execute(
             f"SELECT * FROM '{OUT}/{name}/*.parquet'").fetchdf())
         duck_df = canon(con.execute(sql).fetchdf())
     except Exception as e:
         print(f"FAIL {name}: load error: {e}")
+        n_fail += 1
+        continue
+    if bad_dec:
+        print(f"FAIL {name}: DECIMAL at query boundary (cast to DOUBLE "
+              f"in query + oracle): {bad_dec}")
         n_fail += 1
         continue
     if list(spark_df.columns) != list(duck_df.columns):
