@@ -75,5 +75,25 @@ object SimilarityQueries {
              |      FROM embeddings)
              |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
     ),
+    // The scale path for centroid training: mergeable (sum, count) mean
+    // (O(1) state per group, map-side combinable) adjudicated against
+    // the bit-reproducible ordered fold under a tolerance contract —
+    // the oracle pins the exact fold value plus literal true, so the
+    // row stays hash-checkable while documenting that the mergeable
+    // aggregate is numerically interchangeable at this tolerance.
+    Q(
+      "sim_centroids_merge",
+      (s, d) => SimilarityOps.centroidsWithMergeCheck(embeddings(s, d), col("label"), tol = 1e-9),
+      Some("""SELECT label, dim,
+             |  list_reduce(list_prepend(0.0, list(xd ORDER BY vec_id)),
+             |              (cda, cdb) -> cda + cdb) / count(*) AS centroid,
+             |  true AS within_tol,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT vec_id, label,
+             |        unnest(CAST(embedding AS DOUBLE[])) AS xd,
+             |        generate_subscripts(embedding, 1) AS dim
+             |      FROM embeddings)
+             |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
+    ),
   )
 }

@@ -133,6 +133,42 @@ object SimilarityOps {
       )
       .orderBy("label", "dim")
 
+  /** The 100 TB centroid path: the mean as a mergeable (sum, count)
+    * aggregate (map-side-combinable partials, O(1) state per group) —
+    * what replaces [[centroids]]' O(cell)-state ordered fold at scale —
+    * adjudicated in the same pass against the bit-reproducible fold
+    * under a tolerance contract: output carries the exact fold value
+    * plus a `within_tol` boolean (|mergeable − exact| ≤ tol), so the
+    * oracle (exact value + literal true) stays hash-checkable while the
+    * production aggregate is the mergeable one.
+    */
+  def centroidsWithMergeCheck(embeddings: DataFrame, cell: Column, tol: Double): DataFrame =
+    embeddings
+      .select(
+        col("vec_id"),
+        cell.as("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("pos", "xd")),
+      )
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"), col("xd"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("xd")))), p => p.getField("xd")),
+          lit(0.0),
+          (acc, v) => acc + v,
+        ).as("sum_ord"),
+        sum(col("xd")).as("sum_merge"),
+        count(lit(1)).as("n"),
+      )
+      .select(
+        col("label"),
+        col("dim"),
+        (col("sum_ord") / col("n")).as("centroid"),
+        (abs(col("sum_merge") / col("n") - col("sum_ord") / col("n")) <= lit(tol)).as("within_tol"),
+        col("n"),
+      )
+      .orderBy("label", "dim")
+
   /** IVF-style ANN with a precomputed coarse assignment column (here the
     * `label` column stands in for the nearest-centroid cell id a k-means
     * quantizer would produce): search only the query's cell.

@@ -77,13 +77,17 @@ object SessionizeStream {
           }
           open.foreach { s =>
             state.update(s)
-            // flatMapGroupsWithState does NOT drop late rows, so a late
-            // event can leave lastMs + gapMs at or behind the current
-            // watermark — an unclamped timeout throws ("timeout must be
-            // larger than watermark") and kills the whole query. Clamp
-            // to watermark + 1 ms: the session then times out (and
-            // flushes) on the next trigger, which is the correct
-            // semantics for a session that is already past its horizon.
+            // Spark 4 drops input rows older than the watermark before
+            // they reach this function (FlatMapGroupsWithStateExecBase.
+            // eventTimeWatermarkForLateEvents), so lastMs normally can't
+            // trail the watermark by more than the gap. The clamp is
+            // defense-in-depth for the boundary cases that can still
+            // reach here (rows exactly at the watermark, or an upstream
+            // stateful operator emitting at its eviction watermark):
+            // setTimeoutTimestamp at or below the watermark throws and
+            // kills the whole query, while watermark + 1 times the
+            // session out on the next trigger — the correct semantics
+            // for a session already past its horizon.
             state.setTimeoutTimestamp(
               math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1),
             )

@@ -192,4 +192,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, 1L, 3.0)))
     assert(got.contains((2L, 1L, 5.0)))
   }
+
+  test("an event far behind the watermark is dropped without killing the query") {
+    // Spark 4's flatMapGroupsWithState drops input rows older than the
+    // watermark before they reach the state function (verified against
+    // FlatMapGroupsWithStateExecBase.eventTimeWatermarkForLateEvents in
+    // the spark-sql 4.1.2 jar) — so a very late event must neither
+    // throw (the setTimeoutTimestamp clamp guards the boundary cases
+    // that do reach the function) nor resurrect a session. This pins
+    // the drop semantics; on-time sessions still flush via timeout.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionizeStream.Event]
+    val sessions = SessionizeStream.sessionize(spark, in.toDS(), gapMinutes = 30)
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName("late_sessions").outputMode("append")
+      .option(
+        "checkpointLocation",
+        Files.createTempDirectory("late_sessions_ckpt").toFile.getAbsolutePath,
+      )
+      .start()
+    try {
+      // Batch 1: push the watermark a day ahead.
+      in.addData(
+        SessionizeStream.Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        SessionizeStream.Event(99L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0),
+      )
+      q.processAllAvailable()
+      // Batch 2: a LATE event — its session horizon (05:00 + 30 min) is
+      // far behind the watermark (2024-01-01 23:30). Spark must drop it
+      // pre-function; the query must stay alive either way.
+      in.addData(SessionizeStream.Event(3L, Timestamp.valueOf("2024-01-01 05:00:00"), 7.0))
+      q.processAllAvailable()
+      // Batches 3-4: advance the watermark so on-time open sessions
+      // (user 1) time out and flush — timeouts fire in the first data
+      // batch that runs AFTER the watermark advance commits, and the
+      // no-data flush batch isn't awaited by processAllAvailable.
+      in.addData(SessionizeStream.Event(99L, Timestamp.valueOf("2024-01-03 00:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(SessionizeStream.Event(99L, Timestamp.valueOf("2024-01-04 00:00:00"), 0.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val got = spark.table("late_sessions")
+        .select("user_id", "n_events", "session_value").as[(Long, Long, Double)].collect().toSet
+      assert(got.contains((1L, 1L, 1.0)), s"on-time session not flushed by timeout; got $got")
+      assert(!got.exists(_._1 == 3L), s"late event should have been dropped; got $got")
+    } finally q.stop()
+  }
 }
