@@ -126,6 +126,77 @@ object TextQueries {
               |    wni -> list_min(hs[wni:wni+3])))) AS fingerprint
               |FROM hs ORDER BY doc_id, fingerprint""".stripMargin),
     ),
+    // Gopher-rule repetition signals: linear explode+agg (not the
+    // O(len²) per-row HOF), so book-length documents cost O(len).
+    Q(
+      "tx_repetition",
+      (s, d) => TextOps.repetition(documents(s, d)),
+      Some("""WITH wc AS (
+             |  SELECT doc_id, w, count(*) AS cnt
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY doc_id, w),
+             |ws AS (
+             |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |    CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(cnt) AS BIGINT) AS top_cnt
+             |  FROM wc GROUP BY doc_id),
+             |gc AS (
+             |  SELECT doc_id, g, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |             generate_series(1, greatest(len(sw)-1, 1)),
+             |             gi -> array_to_string(sw[gi:gi+1], ' '))) AS g
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS sw FROM documents))
+             |  GROUP BY doc_id, g),
+             |gs AS (
+             |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             |    CAST(max(cnt) AS BIGINT) AS top_bigram_cnt
+             |  FROM gc GROUP BY doc_id)
+             |SELECT ws.doc_id AS doc_id, n_tokens,
+             |  CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_word_ratio,
+             |  CAST(top_cnt AS DOUBLE) / n_tokens AS top_word_ratio,
+             |  CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top_bigram_ratio,
+             |  (CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens > 0.9
+             |    OR CAST(top_cnt AS DOUBLE) / n_tokens > 0.2
+             |    OR CAST(top_bigram_cnt AS DOUBLE) / n_bigrams > 0.18) AS repetitive
+             |FROM ws JOIN gs ON ws.doc_id = gs.doc_id
+             |ORDER BY ws.doc_id""".stripMargin),
+    ),
+    // PII scrubbing over a deterministic injection (the corpus itself is
+    // PII-free, so the query plants one email, one dotted-quad, and one
+    // 9-digit run per document — both engines build the identical string,
+    // so the oracle exercises the regex semantics, not a no-op).
+    Q(
+      "tx_pii_scrub",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val injected = concat(
+          col("text"),
+          lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com via 10."),
+          pmod(col("doc_id"), lit(200L)).cast("string"),
+          lit(".0.1 ref "),
+          lpad(col("doc_id").cast("string"), 9, "0"),
+        )
+        TextOps.piiScrub(documents(s, d), injected).orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(regexp_extract_all(t, '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(t, '${TextOps.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+              |  CAST(len(regexp_extract_all(
+              |    regexp_replace(t, '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
+              |    '${TextOps.LongNumPattern}')) AS BIGINT) AS n_longnums,
+              |  regexp_replace(regexp_replace(regexp_replace(t,
+              |    '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+              |    '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
+              |    '${TextOps.LongNumPattern}', '<NUM>', 'g') AS scrubbed
+              |FROM (
+              |  SELECT doc_id,
+              |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+              |         || '@example.com via 10.' || CAST(doc_id % 200 AS VARCHAR)
+              |         || '.0.1 ref ' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS t
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+    ),
     Q(
       "tx_fingerprint",
       (s, d) => TextOps.fingerprints(documents(s, d)),

@@ -181,6 +181,85 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy("lang")
 
+  /** Repetition signals (the Gopher-rule family): duplicate-word ratio,
+    * top-word frequency ratio, top-bigram frequency ratio, and a
+    * repetitive keep/drop flag. Implemented as explode → two-level
+    * partial aggregation (count per (doc, term), then per doc) rather
+    * than a per-row HOF: the HOF form is O(len²) per document — fine on
+    * tweet-sized rows, quadratic death on the book-length documents a
+    * 100 TB corpus contains — while the agg form is linear, map-side
+    * combinable, and never materializes a per-doc term dictionary in one
+    * task. Word and bigram passes join on doc_id (sort-merge at scale;
+    * both sides are already doc_id-partitioned by their final agg).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val wordStats = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"),
+      )
+    val bigramStats = docs
+      .select(col("doc_id"), explode(HashOps.shingles(tokens(col("text")), 2)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_bigram_cnt"))
+    val dupRatio = (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens")
+    val topWord = col("top_cnt").cast("double") / col("n_tokens")
+    val topBigram = col("top_bigram_cnt").cast("double") / col("n_bigrams")
+    wordStats
+      .join(bigramStats, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        dupRatio.as("dup_word_ratio"),
+        topWord.as("top_word_ratio"),
+        topBigram.as("top_bigram_ratio"),
+        // Gopher-style drop rule: any one signal over its threshold.
+        (dupRatio > lit(0.9) || topWord > lit(0.2) || topBigram > lit(0.18)).as("repetitive"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing: email → <EMAIL>, dotted-quad → <IP>, then 7+-digit
+    * runs → <NUM> (IPs first, so their short octet runs are gone before
+    * the digit-run pass). Patterns use only the regex subset on which
+    * Java (Spark) and RE2 (DuckDB) agree, so the scrub is
+    * oracle-checkable byte-for-byte. Counts are taken before redaction.
+    * Pure row-local column algebra: no shuffle, codegen'd, scales as a
+    * scan.
+    */
+  val EmailPattern = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val Ipv4Pattern = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+  val LongNumPattern = "\\d{7,}"
+
+  def piiScrub(docs: DataFrame, text: Column): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern,
+          "<IP>",
+        ),
+        LongNumPattern,
+        "<NUM>",
+      )
+    docs.select(
+      col("doc_id"),
+      regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(regexp_replace(text, Ipv4Pattern, "<IP>"), lit(LongNumPattern))
+        .cast("long")
+        .as("n_longnums"),
+      scrubbed.as("scrubbed"),
+    )
+  }
+
   /** Document fingerprints: the portable rolling hash (content-defined
     * identity, mergeable at any scale) plus standard digests.
     */

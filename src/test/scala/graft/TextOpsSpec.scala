@@ -44,4 +44,39 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
   }
+
+  test("repetition signals flag a degenerate document and clear a diverse one") {
+    val looped = Seq.fill(30)("spam ham").mkString(" ") // "spam ham spam ham ..."
+    val diverse = (1 to 60).map(i => s"w$i").mkString(" ")
+    val out = TextOps.repetition(
+      Seq((1L, looped), (2L, diverse)).toDF("doc_id", "text"),
+    ).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_tokens") == 60)
+    // 60 tokens, 2 distinct: dup ratio 58/60, top word 30/60.
+    assert(math.abs(r1.getAs[Double]("dup_word_ratio") - 58.0 / 60.0) < 1e-15)
+    assert(math.abs(r1.getAs[Double]("top_word_ratio") - 0.5) < 1e-15)
+    // 59 bigrams: "spam ham" ×30, "ham spam" ×29 → top 30/59.
+    assert(math.abs(r1.getAs[Double]("top_bigram_ratio") - 30.0 / 59.0) < 1e-15)
+    assert(r1.getAs[Boolean]("repetitive"))
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("dup_word_ratio") == 0.0)
+    assert(!r2.getAs[Boolean]("repetitive"))
+  }
+
+  test("PII scrub redacts emails, IPs, and digit runs, and counts them") {
+    import org.apache.spark.sql.functions.col
+    val out = TextOps.piiScrub(
+      Seq((1L, "mail bob7@host.net or 192.168.0.1 else 12345678 but not 123 x"))
+        .toDF("doc_id", "text"),
+      col("text"),
+    ).collect().head
+    assert(out.getAs[Long]("n_emails") == 1L)
+    assert(out.getAs[Long]("n_ips") == 1L)
+    assert(out.getAs[Long]("n_longnums") == 1L)
+    assert(
+      out.getAs[String]("scrubbed") ==
+        "mail <EMAIL> or <IP> else <NUM> but not 123 x",
+    )
+  }
 }
