@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("shingle_hashes", 2)(args => ShingleHashesExpr(args.head, intArg(args(1), "n")))),
     )
     ext.injectFunction(
+      (FunctionIdentifier("shingles"),
+        info("shingles", "shingles(str, n) - word n-gram shingle strings in position order"),
+        arity("shingles", 2)(args => ShinglesExpr(args.head, intArg(args(1), "n")))),
+    )
+    ext.injectFunction(
       (FunctionIdentifier("minhash_sig"),
         info("minhash_sig", "minhash_sig(array<long>, k) - k-wide minhash signature"),
         arity("minhash_sig", 2)(args => MinHashSigExpr(args.head, intArg(args(1), "k")))),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Codegen'd sketch expressions for the dedup pipelines.
   *
@@ -65,6 +65,35 @@ object Sketches {
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Word n-gram shingle STRINGS in position order — exactly
+    * `transform(sequence(1, greatest(size(w)-(n-1), 1)),
+    * i -> concat_ws(" ", slice(w, i, n)))` over `w = split(text, " ")`;
+    * documents shorter than n words yield their full text as the single
+    * shingle. The HOF form interprets several expression nodes per
+    * produced element (and projection collapsing re-inlines the split
+    * into every lambda); this is one tight loop per row.
+    */
+  def shingleStrings(text: UTF8String, n: Int): ArrayData = {
+    val w = words(text)
+    val count = math.max(w.length - (n - 1), 1)
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, w.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(w(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   private def polyHashString(s: java.lang.CharSequence): Long = {
@@ -152,6 +181,19 @@ case class ShingleHashesExpr(child: Expression, n: Int, distinct: Boolean = true
     copy(child = newChild)
 }
 
+/** Word-n-gram shingle strings of a text column, in position order. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+  override def nullSafeEval(input: Any): Any =
+    Sketches.shingleStrings(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Sketches.shingleStrings($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
 /** k-wide minhash signature of a pre-hashed shingle set. Elements are
   * NULL for an empty input set, hence containsNull.
   */
@@ -181,6 +223,8 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
 }
 
 object SketchColumns {
+  def shingles(text: Column, n: Int): Column =
+    GraftColumnBridge.toColumn(ShinglesExpr(GraftColumnBridge.toExpression(text), n))
   def shingleHashes(text: Column, n: Int): Column =
     GraftColumnBridge.toColumn(ShingleHashesExpr(GraftColumnBridge.toExpression(text), n))
   def shingleHashesOrdered(text: Column, n: Int): Column =

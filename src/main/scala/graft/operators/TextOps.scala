@@ -141,7 +141,14 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("ngram"))
     docs
-      .select(col("lang"), explode(HashOps.shingles(tokens(col("text")), n)).as("ngram"))
+      .select(
+        col("lang"),
+        // Codegen'd shingle expression — semantically identical to
+        // HashOps.shingles(tokens(text), n); the interpreted HOF form
+        // dominated this query's runtime (one lambda interpretation per
+        // produced n-gram).
+        explode(graft.expressions.SketchColumns.shingles(col("text"), n)).as("ngram"),
+      )
       .groupBy(col("lang"), col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(w))
@@ -204,7 +211,10 @@ object TextOps {
         max(col("cnt")).as("top_cnt"),
       )
     val bigramStats = docs
-      .select(col("doc_id"), explode(HashOps.shingles(tokens(col("text")), 2)).as("term"))
+      .select(
+        col("doc_id"),
+        explode(graft.expressions.SketchColumns.shingles(col("text"), 2)).as("term"),
+      )
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))

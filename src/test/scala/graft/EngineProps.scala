@@ -135,4 +135,31 @@ object EngineProps extends Properties("graft") {
       deterministic && monotone
     }
   }
+
+  /** The codegen'd ShinglesExpr equals its declarative HOF spec
+    * (transform/sequence/concat_ws/slice over split) for any text and
+    * width — the same discipline every sketch expression follows.
+    */
+  property("ShinglesExpr matches the declarative HOF composition") = {
+    import spark.implicits._
+    val genText = Gen
+      .listOf(Gen.oneOf(Gen.oneOf("x", "yy", "zzz"), Gen.const("")))
+      .map(_.mkString(" "))
+    Prop.forAll(genText, Gen.chooseNum(1, 4)) { (text, n) =>
+      val w = split(col("text"), " ")
+      val hof = transform(
+        sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(w, i, lit(n))),
+      )
+      val rows = Seq(text)
+        .toDF("text")
+        .select(
+          graft.expressions.SketchColumns.shingles(col("text"), n).as("fast"),
+          hof.as("spec"),
+        )
+        .as[(Seq[String], Seq[String])]
+        .collect()
+      rows.head._1 == rows.head._2
+    }
+  }
 }

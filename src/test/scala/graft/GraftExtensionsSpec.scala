@@ -33,6 +33,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  poly_hash(text) AS ph,
           |  simhash(text, 16) AS sh,
           |  size(shingle_hashes(text, 3)) AS nsh,
+          |  shingles(text, 3) AS sh3,
           |  array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
           |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic
           |FROM ext_docs ORDER BY doc_id""".stripMargin,
@@ -41,6 +42,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(rows(0).getAs[Long]("ph") != rows(2).getAs[Long]("ph"))
       assert(rows(0).getAs[Long]("sh") == rows(1).getAs[Long]("sh"))
       assert(rows(0).getAs[Int]("nsh") == 2) // "a b c", "b c d"
+      assert(rows(0).getAs[scala.collection.Seq[String]]("sh3").toSeq == Seq("a b c", "b c d"))
       assert(rows(0).getAs[Double]("dot") == 11.0)
       assert(rows(0).getAs[Int]("ic") == 2)
     } finally {
