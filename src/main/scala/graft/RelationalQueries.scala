@@ -535,6 +535,45 @@ object RelationalQueries {
              |ORDER BY event_id""".stripMargin),
     ),
 
+    // Range join (operator Spark lacks): premium orders paired with
+    // heavy shipments whose ship date falls inside the order's 14-day
+    // window — a pure interval-containment predicate, NO key equality.
+    // Declared as a theta join this plans BroadcastNestedLoopJoin;
+    // RangeJoinOp's binning reformulation makes it a bin equi-join
+    // (RangeJoinSpec asserts the plan and theta-equivalence).
+    Q(
+      "q_range_join",
+      (s, d) => {
+        val pts = lineitem(s, d)
+          .filter(col("l_quantity") === 50)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        val ivs = orders(s, d)
+          .filter(col("o_totalprice") > 400000)
+          .select(
+            col("o_orderkey"),
+            col("o_orderdate"),
+            timestamp_add("DAY", lit(14), col("o_orderdate")).as("o_window_end"),
+          )
+        graft.operators.RangeJoinOp
+          .rangeJoin(
+            pts, ivs,
+            point = col("l_shipdate"),
+            lo = col("o_orderdate"),
+            hi = col("o_window_end"),
+            binSeconds = 14L * 86400L,
+          )
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_ship"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_ship
+             |FROM orders, lineitem
+             |WHERE o_totalprice > 400000 AND l_quantity = 50
+             |  AND l_shipdate >= o_orderdate
+             |  AND l_shipdate <= o_orderdate + INTERVAL 14 DAY
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
+    ),
+
     // Pivot (dynamic-to-static column transpose) with a pinned value list
     // so schema is deterministic; oracle is conditional aggregation.
     Q(
