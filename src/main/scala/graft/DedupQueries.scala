@@ -112,6 +112,28 @@ object DedupQueries {
               |FROM nodes n JOIN reach r ON r.u = n.id
               |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
+    // The same pairs→clusters fixpoint via alternating large-star /
+    // small-star contraction — the O(log n)-round billion-edge path
+    // (label propagation above is O(diameter) rounds). Same oracle: the
+    // two algorithms provably share the fixpoint (min-id labeling).
+    Q(
+      "dd_dedup_clusters_stars",
+      (s, d) =>
+        DedupOps.connectedComponentsStars(
+          DedupOps.minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold),
+        ),
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges)
+              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |FROM nodes n JOIN reach r ON r.u = n.id
+              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+    ),
     Q(
       "dd_simhash",
       (s, d) => DedupOps.simhashFingerprints(documents(s, d), SimBits),

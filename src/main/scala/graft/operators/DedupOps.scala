@@ -257,6 +257,74 @@ object DedupOps {
     labels.select(col("id").as("doc_id"), col("comp").as("component")).orderBy("doc_id")
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the billion-edge path that [[connectedComponents]]'s
+    * docstring promises: O(log n) rounds instead of O(diameter), each
+    * round two grouped aggregations and an equi-join, nothing quadratic.
+    *
+    *   - large-star (per node u over the symmetrized edges): attach every
+    *     strictly-larger neighbor to m = min(N(u) ∪ {u}).
+    *   - small-star (per node u over (big, small)-oriented edges): attach
+    *     every smaller neighbor, and u itself, to m = min(N(u) ∪ {u}).
+    *
+    * Both steps preserve connectivity exactly; the fixpoint is a forest
+    * of stars centered at each component's minimum id, so the final edge
+    * list IS the (node → component-min) labeling — identical to label
+    * propagation's fixpoint, which the differential spec asserts on
+    * random graphs. Convergence here is checked by symmetric `except`
+    * (exact, cheap at test scale); a 100 TB run would compare
+    * (count, sum-of-edge-hashes) per round — one aggregate, no join.
+    */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val p = pairs.localCheckpoint()
+    var edges = p
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"),
+      )
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      // min(N(u) ∪ {u}) — the grouping key can join the aggregate.
+      val lsMin = sym
+        .groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // Every original edge is seen from its smaller endpoint's group
+      // (where the other endpoint is the strictly-larger neighbor), so
+      // no connectivity is dropped by the v > u filter.
+      val ls = sym
+        .join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // ls emits (v, m) with m <= u < v, so orientation is (big, small)
+      // and small-star's min(N(u) ∪ {u}) is just min over neighbors.
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls
+        .join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      done = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      edges = ss
+      iter += 1
+    }
+    require(done, s"star contraction did not converge in $maxIter rounds")
+    edges
+      .select(col("u").as("doc_id"), col("v").as("component"))
+      .union(edges.select(col("v"), col("v")).distinct())
+      .distinct()
+      .orderBy("doc_id")
+  }
+
   /** Exact embedding near-dup: all pairs with cosine ≥ threshold, dot
     * products as strict left folds (bit-reproducible doubles). Baseline
     * semantics; the bucketed scale path lives in [[SimilarityOps]].

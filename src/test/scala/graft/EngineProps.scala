@@ -136,6 +136,33 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  /** Large-star/small-star contraction and label propagation share the
+    * connected-components fixpoint (min reachable id per node) on random
+    * graphs — including multi-edges, self-loops, chains, and forests.
+    */
+  property("star-contraction CC equals label-propagation CC") = {
+    import spark.implicits._
+    val genEdge = for {
+      a <- Gen.chooseNum(0L, 24L)
+      b <- Gen.chooseNum(0L, 24L)
+    } yield (a, b)
+    Prop.forAll(Gen.nonEmptyListOf(genEdge)) { rawEdges =>
+      // Self-loops carry no connectivity; both operators take pair lists
+      // (doc_a != doc_b) as produced by the near-dup joins.
+      val edges = rawEdges.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val df = edges.toDF("doc_a", "doc_b")
+        val lp = graft.operators.DedupOps
+          .connectedComponents(df)
+          .as[(Long, Long)].collect().toSet
+        val stars = graft.operators.DedupOps
+          .connectedComponentsStars(df)
+          .as[(Long, Long)].collect().toSet
+        lp == stars
+      }
+    }
+  }
+
   /** The codegen'd ShinglesExpr equals its declarative HOF spec
     * (transform/sequence/concat_ws/slice over split) for any text and
     * width — the same discipline every sketch expression follows.
