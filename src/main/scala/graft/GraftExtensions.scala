@@ -60,6 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("simhash", 2)(args => SimHashExpr(args.head, intArg(args(1), "bits")))),
     )
     ext.injectFunction(
+      (FunctionIdentifier("cms_estimate"),
+        info("cms_estimate",
+          "cms_estimate(sketch, item) - probe a count_min_sketch BINARY for a string item's count"),
+        arity("cms_estimate", 2)(args => CmsEstimate(args.head, args(1)))),
+    )
+    ext.injectFunction(
       (FunctionIdentifier("array_dot"),
         info("array_dot", "array_dot(array<double>, array<double>) - strict left-fold dot product"),
         arity("array_dot", 2)(args => ArrayDot(args.head, args(1)))),

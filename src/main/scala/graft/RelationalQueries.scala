@@ -333,6 +333,39 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
 
+    // Count-min sketch frequency estimation — the mergeable heavy-hitter
+    // path (one fixed-size depth×width counter grid, map-side
+    // combinable; exact per-key counts shuffle every key). The built-in
+    // count_min_sketch aggregate emits the serialized sketch; the custom
+    // CmsEstimate expression probes it executor-side (no driver
+    // collect). Same tolerance contract: CMS guarantees estimate ≥ exact
+    // always, and ≤ exact + eps·N at the sketch's confidence — both
+    // checked in Spark; the oracle pins the exact count and literal true.
+    Q(
+      "q_approx_topk",
+      (s, d) => {
+        val ev = events(s, d)
+        val sketch = ev.agg(
+          count_min_sketch(col("event_type"), lit(0.001d), lit(0.999d), lit(42)).as("cms"),
+          count(lit(1)).as("n_total"),
+        )
+        val est = graft.expressions.CmsColumns.estimate(col("cms"), col("event_type"))
+        ev.groupBy("event_type")
+          .agg(count(lit(1)).as("exact_cnt"))
+          .crossJoin(broadcast(sketch))
+          .select(
+            col("event_type"),
+            col("exact_cnt"),
+            (est >= col("exact_cnt") &&
+              est <= col("exact_cnt") + ceil(lit(0.001d) * col("n_total")).cast("long"))
+              .as("within_bound"),
+          )
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS exact_cnt, true AS within_bound
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
     // KLL/GK-style quantile sketch — the mergeable scale path for order
     // statistics (exact percentile_disc sorts per group). Same tolerance
     // contract: the sketch median must land between the exact 0.45 and

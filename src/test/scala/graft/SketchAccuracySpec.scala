@@ -38,4 +38,34 @@ class SketchAccuracySpec extends SparkSpec {
       assert(math.abs(rank - 0.5) < 0.01, s"$flag: approx median at rank $rank")
     }
   }
+
+  test("cms_estimate probes the built-in count_min_sketch within its bound") {
+    val df = Seq.tabulate(3000)(i => s"k${i % 7}").toDF("k")
+    val sketch = df.agg(
+      count_min_sketch(col("k"), lit(0.001d), lit(0.999d), lit(42)).as("cms"),
+      count(lit(1)).as("n"),
+    )
+    val rows = df
+      .groupBy("k")
+      .agg(count(lit(1)).as("exact"))
+      .crossJoin(sketch)
+      .select(
+        col("k"),
+        col("exact"),
+        graft.expressions.CmsColumns.estimate(col("cms"), col("k")).as("est"),
+        col("n"),
+      )
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length == 7)
+    rows.foreach { case (k, exact, est, n) =>
+      // CMS never under-counts; over-count ≤ eps·N at the confidence.
+      assert(est >= exact, s"$k: CMS under-counted ($est < $exact)")
+      assert(est <= exact + math.ceil(0.001 * n).toLong, s"$k: $est vs $exact")
+    }
+    // A never-added key estimates only collision mass (bounded the same).
+    val ghost = sketch
+      .select(graft.expressions.CmsColumns.estimate(col("cms"), lit("ghost")), col("n"))
+      .as[(Long, Long)].collect().head
+    assert(ghost._1 <= math.ceil(0.001 * ghost._2).toLong)
+  }
 }
