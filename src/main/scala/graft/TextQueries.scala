@@ -95,6 +95,32 @@ object TextQueries {
               |WHERE ${OracleSnippets.charHash("text")} % 10 < 3
               |GROUP BY lang ORDER BY lang""".stripMargin),
     ),
+    // Corpus mixing: per-language keep rates over deterministic hash
+    // buckets (upsampled en, downsampled the rest), counts per stratum
+    // proving the mix is reproducible.
+    Q(
+      "tx_stratified_sample",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        TextOps
+          .stratifiedHashSample(
+            documents(s, d),
+            col("lang"),
+            buckets = 10,
+            rates = Seq("en" -> 6, "de" -> 3, "es" -> 2, "fr" -> 2, "zh" -> 1),
+          )
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, count(*) AS n_sampled
+              |FROM documents
+              |WHERE ${OracleSnippets.charHash("text")} % 10 <
+              |  CASE WHEN lang = 'en' THEN 6 WHEN lang = 'de' THEN 3
+              |       WHEN lang = 'es' THEN 2 WHEN lang = 'fr' THEN 2
+              |       WHEN lang = 'zh' THEN 1 ELSE 0 END
+              |GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
     Q(
       "tx_curation_pipeline",
       (s, d) => TextOps.curationPipeline(documents(s, d)),

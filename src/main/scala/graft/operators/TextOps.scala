@@ -166,6 +166,26 @@ object TextOps {
   def hashSample(docs: DataFrame, buckets: Int, keep: Int): DataFrame =
     docs.filter(pmod(HashOps.polyHash(col("text")), lit(buckets.toLong)) < keep)
 
+  /** Stratified deterministic sampling: per-stratum keep rates over the
+    * same hash-bucket membership as [[hashSample]] — the corpus-mixing
+    * primitive (upsample scarce languages, downsample dominant ones)
+    * with every [[hashSample]] property intact: no RNG state, retries
+    * and re-runs select identical subsets, membership is a pure row
+    * predicate that composes with partitioning. Strata absent from
+    * `rates` are dropped (rate 0).
+    */
+  def stratifiedHashSample(
+      docs: DataFrame,
+      stratum: Column,
+      buckets: Int,
+      rates: Seq[(String, Int)],
+  ): DataFrame = {
+    val rate = rates.foldRight(lit(0): Column) { case ((s, r), rest) =>
+      when(stratum === s, lit(r)).otherwise(rest)
+    }
+    docs.filter(pmod(HashOps.polyHash(col("text")), lit(buckets.toLong)) < rate)
+  }
+
   /** The end-to-end curation pipeline a pre-training corpus runs:
     * quality-filter → exact-dedup (min doc_id keeper) → per-language
     * corpus statistics. One composed Catalyst plan: the quality

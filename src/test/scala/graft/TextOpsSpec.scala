@@ -64,6 +64,29 @@ class TextOpsSpec extends SparkSpec {
     assert(!r2.getAs[Boolean]("repetitive"))
   }
 
+  test("stratified sampling is a per-stratum widening of the flat sample") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq.tabulate(200) { i =>
+      (i.toLong, s"document number $i with some words", if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val flat = TextOps.hashSample(docs, buckets = 10, keep = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val strat = TextOps.stratifiedHashSample(
+      docs, col("lang"), buckets = 10,
+      rates = Seq("en" -> 6, "de" -> 3),
+    ).select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = strat.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // de at rate 3 == the flat keep-3 sample restricted to de docs.
+    assert(byLang("de") == flat.filter(_ % 2 == 1))
+    // en at rate 6 is a superset of the flat sample's en docs.
+    assert(flat.filter(_ % 2 == 0).subsetOf(byLang.getOrElse("en", Set.empty)))
+    // An unlisted stratum is dropped entirely.
+    val dropped = TextOps.stratifiedHashSample(
+      docs, col("lang"), buckets = 10, rates = Seq("en" -> 6),
+    ).filter(col("lang") === "de").count()
+    assert(dropped == 0)
+  }
+
   test("PII scrub redacts emails, IPs, and digit runs, and counts them") {
     import org.apache.spark.sql.functions.col
     val out = TextOps.piiScrub(
