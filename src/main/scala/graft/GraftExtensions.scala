@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-plan extension: interval-containment theta joins rewrite to
+    // binned equi-joins (see graft.plans.AutoRangeJoinRule; disable with
+    // spark.graft.autoRangeJoin.enabled=false).
+    ext.injectOptimizerRule(_ => graft.plans.AutoRangeJoinRule)
     ext.injectFunction(
       (FunctionIdentifier("poly_hash"),
         info("poly_hash", "poly_hash(str) - portable polynomial rolling hash mod 2^31-1"),
