@@ -34,4 +34,19 @@ class SourceFormatSpec extends SparkSpec {
     val viaJson = graft.operators.TextOps.tokenStats(fromJson).collect()
     assert(viaParquet.sameElements(viaJson))
   }
+
+  test("ORC round-trips with predicate pushdown reaching the scan") {
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text", "lang")
+    val base = Files.createTempDirectory("fmt_orc").toFile.getAbsolutePath
+    docs.write.orc(s"$base/orc")
+    val fromOrc = spark.read.orc(s"$base/orc").select("doc_id", "text", "lang")
+    assert(fromOrc.exceptAll(docs).isEmpty && docs.exceptAll(fromOrc).isEmpty)
+    // The columnar-source contract the engine relies on (same as
+    // parquet, asserted in PartitionPruningSpec): filters reach the
+    // scan as pushed predicates, projection prunes columns.
+    val filtered = fromOrc.filter(col("lang") === "en").select("doc_id")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), scan)
+    assert(filtered.count() > 0)
+  }
 }

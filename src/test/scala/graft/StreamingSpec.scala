@@ -193,6 +193,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((2L, 1L, 5.0)))
   }
 
+  test("windowed count-min sketch streams: mergeable heavy-hitters per window") {
+    // The CMS aggregate is mergeable state, so it composes with
+    // watermarked windowed aggregation unchanged — the streaming
+    // heavy-hitter shape for 100 TB/day firehoses (per-window sketch is
+    // O(depth×width) state regardless of key cardinality). The custom
+    // CmsEstimate probe then reads the emitted sketch without any
+    // driver-side deserialization.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val sketches = in.toDF()
+      .toDF("ts", "k")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(
+        count_min_sketch(col("k"), lit(0.001d), lit(0.999d), lit(42)).as("cms"),
+        count(lit(1)).as("n"),
+      )
+    val q = sketches.writeStream
+      .format("memory").queryName("cms_windows").outputMode("append")
+      .option(
+        "checkpointLocation",
+        Files.createTempDirectory("cms_ckpt").toFile.getAbsolutePath,
+      )
+      .start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:01"), "a"),
+        (Timestamp.valueOf("2024-01-01 10:00:02"), "a"),
+        (Timestamp.valueOf("2024-01-01 10:00:03"), "b"),
+      )
+      q.processAllAvailable()
+      // Advance the watermark past the first window so it emits.
+      in.addData((Timestamp.valueOf("2024-01-01 10:05:00"), "z"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val got = spark.table("cms_windows")
+        .select(
+          graft.expressions.CmsColumns.estimate(col("cms"), lit("a")).as("est_a"),
+          graft.expressions.CmsColumns.estimate(col("cms"), lit("b")).as("est_b"),
+          col("n"),
+        )
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == 1, s"exactly the closed window should emit; got ${got.toSeq}")
+      assert(got.head == ((2L, 1L, 3L)), s"sketch estimates off: ${got.head}")
+    } finally q.stop()
+  }
+
   test("an event far behind the watermark is dropped without killing the query") {
     // Spark 4's flatMapGroupsWithState drops input rows older than the
     // watermark before they reach the state function (verified against
