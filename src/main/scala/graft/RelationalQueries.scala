@@ -568,6 +568,85 @@ object RelationalQueries {
              |ORDER BY event_id""".stripMargin),
     ),
 
+    // Time-RANGE window frame (not ROWS): rolling 7-day order count and
+    // revenue per customer — the frame is defined by value distance on
+    // the ordering column, so ties and gaps behave identically in both
+    // engines regardless of intra-tie row order. Ordering column is
+    // tz-free wall-clock epoch seconds (timestamp_diff from an NTZ
+    // epoch ⟷ DuckDB epoch()); revenue follows the decimal-internal /
+    // double-boundary discipline.
+    Q(
+      "q_window_range_frame",
+      (s, d) => {
+        val secs = timestamp_diff(
+          "SECOND",
+          lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)),
+          col("o_orderdate"),
+        )
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("__secs"))
+          .rangeBetween(-6L * 86400L, 0L)
+        orders(s, d)
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            col("o_orderdate"),
+            dec(col("o_totalprice")).as("__p"),
+            secs.as("__secs"),
+          )
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            col("o_orderdate"),
+            count(lit(1)).over(w).as("rolling_cnt"),
+            sum(col("__p")).over(w).cast("double").as("rolling_rev"),
+          )
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+             |  CAST(count(*) OVER w AS BIGINT) AS rolling_cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS rolling_rev
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             |             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    // Correlated EXISTS (decorrelates to a left-semi join — verified
+    // plan shape shared with q_semi_join) and a scalar subquery folded
+    // to a literal before the scan filter: the SQL subquery surface over
+    // the same engine.
+    Q(
+      "q_exists_subquery",
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer_sq")
+        orders(s, d).createOrReplaceTempView("orders_sq")
+        s.sql("""SELECT c_custkey, c_name FROM customer_sq c
+                |WHERE EXISTS (SELECT 1 FROM orders_sq o
+                |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+    Q(
+      "q_scalar_subquery",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_ssq")
+        // max() is order-independent, so the scalar is deterministic
+        // across partitionings (avg of doubles would not be).
+        s.sql("""SELECT o_orderstatus, count(*) AS n FROM orders_ssq
+                |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders_ssq) * 0.5
+                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM orders
+             |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
+
     // Range join (operator Spark lacks): premium orders paired with
     // heavy shipments whose ship date falls inside the order's 14-day
     // window — a pure interval-containment predicate, NO key equality.
