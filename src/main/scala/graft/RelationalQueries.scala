@@ -366,6 +366,32 @@ object RelationalQueries {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
 
+    // HLL sketch UNION — the re-aggregatable distinct-count story: the
+    // 100 TB pattern materializes per-partition/per-group sketches once
+    // and answers any rollup by unioning sketches (bytes per group)
+    // instead of re-scanning raw keys. Built-in Datasketches HLL
+    // (hll_sketch_agg → hll_union_agg → hll_sketch_estimate); same
+    // tolerance contract as the other sketch queries.
+    Q(
+      "q_hll_union",
+      (s, d) => {
+        val ev = events(s, d)
+        val unioned = ev
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("hll"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("__est"))
+        ev.agg(count_distinct(col("user_id")).as("exact_users"))
+          .crossJoin(broadcast(unioned))
+          .select(
+            col("exact_users"),
+            (abs(col("__est") - col("exact_users")).cast("double") /
+              col("exact_users") <= lit(0.05)).as("within_bound"),
+          )
+      },
+      Some("""SELECT count(DISTINCT user_id) AS exact_users, true AS within_bound
+             |FROM events""".stripMargin),
+    ),
+
     // KLL/GK-style quantile sketch — the mergeable scale path for order
     // statistics (exact percentile_disc sorts per group). Same tolerance
     // contract: the sketch median must land between the exact 0.45 and

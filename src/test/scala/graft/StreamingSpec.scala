@@ -193,6 +193,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((2L, 1L, 5.0)))
   }
 
+  test("stream-static broadcast enrichment joins each micro-batch against the dim") {
+    // The standard enrichment shape: an unbounded fact stream hash-joins
+    // a small static dimension, broadcast per batch — no stream state,
+    // no watermark needed for an inner equi-join against a static side.
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val enriched = in.toDF()
+      .toDF("user_id", "value")
+      .join(broadcast(dim), Seq("user_id"))
+    val q = enriched.writeStream
+      .format("memory").queryName("enriched").outputMode("append")
+      .option(
+        "checkpointLocation",
+        Files.createTempDirectory("enrich_ckpt").toFile.getAbsolutePath,
+      )
+      .start()
+    try {
+      in.addData((1L, 10.0), (2L, 5.0), (99L, 1.0)) // 99 has no dim row
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val got = spark.table("enriched")
+        .select("user_id", "tier", "value").as[(Long, String, Double)].collect().toSet
+      assert(got == Set((1L, "gold", 10.0), (2L, "basic", 5.0)))
+    } finally q.stop()
+  }
+
   test("windowed count-min sketch streams: mergeable heavy-hitters per window") {
     // The CMS aggregate is mergeable state, so it composes with
     // watermarked windowed aggregation unchanged — the streaming
