@@ -32,4 +32,27 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.sessionize(noEvents, 30).count() == 0)
     assert(EventOps.window10s(noEvents).count() == 0)
   }
+
+  test("round-2 operators on empty input") {
+    assert(TextOps.repetition(noDocs).count() == 0)
+    assert(TextOps.piiScrub(noDocs, col("text")).count() == 0)
+    assert(
+      TextOps
+        .stratifiedHashSample(
+          noDocs.withColumn("lang", lit("en")), col("lang"), 10, Seq("en" -> 5),
+        )
+        .count() == 0,
+    )
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupOps.connectedComponents(noPairs).count() == 0)
+    assert(DedupOps.connectedComponentsStars(noPairs).count() == 0)
+    val noPoints = Seq.empty[(Long, java.sql.Timestamp)].toDF("pid", "p_ts")
+    val noIntervals = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("iid", "lo", "hi")
+    assert(
+      RangeJoinOp
+        .rangeJoin(noPoints, noIntervals, col("p_ts"), col("lo"), col("hi"), 86400L)
+        .count() == 0,
+    )
+  }
 }
