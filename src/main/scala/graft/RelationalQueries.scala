@@ -712,6 +712,38 @@ object RelationalQueries {
              |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
     ),
 
+    // Forward as-of: for each event, the EARLIEST order of that customer
+    // at or after the event time — the same single-shuffle running-last
+    // machinery scanning the reversed time order (AsOfJoinOp direction
+    // flag); oracle is DuckDB ASOF with the inequality flipped.
+    Q(
+      "q_asof_forward",
+      (s, d) => {
+        val e = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        val o = orders(s, d).select(
+          col("o_custkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_orderkey"),
+        )
+        graft.operators.AsOfJoinOp
+          .asOfJoin(
+            e, o,
+            leftKey = col("user_id"), rightKey = col("o_custkey"),
+            leftTime = col("ts"), rightTime = col("o_orderdate"),
+            rightPayload = Seq("o_orderkey", "o_orderdate"),
+            rightTiebreak = col("o_orderkey"),
+            direction = "forward",
+          )
+          .orderBy("event_id")
+      },
+      Some("""WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+             |            FROM orders GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts, od.o_orderkey, od.o_orderdate
+             |FROM events e ASOF LEFT JOIN od
+             |  ON e.user_id = od.o_custkey AND e.ts <= od.o_orderdate
+             |ORDER BY event_id""".stripMargin),
+    ),
+
     // Pivot (dynamic-to-static column transpose) with a pinned value list
     // so schema is deterministic; oracle is conditional aggregation.
     Q(

@@ -38,6 +38,11 @@ object AsOfJoinOp {
     *                     with left column names)
     * @param rightTiebreak deterministic order among equal-time right rows
     *                      (the greatest wins)
+    * @param direction "backward" (default): most recent right row with
+    *                  `rightTime <= leftTime`; "forward": earliest right
+    *                  row with `rightTime >= leftTime`. Forward is the
+    *                  same single-shuffle running-last scan over the
+    *                  reversed time order — no extra pass, no pair space.
     */
   def asOfJoin(
       left: DataFrame,
@@ -48,7 +53,12 @@ object AsOfJoinOp {
       rightTime: Column,
       rightPayload: Seq[String],
       rightTiebreak: Column,
+      direction: String = "backward",
   ): DataFrame = {
+    require(
+      direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction",
+    )
     val leftCols = left.columns.toSeq
 
     // Type the tiebreak from the right frame's schema so the left-side
@@ -80,11 +90,14 @@ object AsOfJoinOp {
       )
 
     // Right rows sort before left rows at the same instant (__side 0 < 1)
-    // so `<=` matches them; among same-time right rows the greatest
-    // tiebreak is the one last() sees.
+    // so the boundary instant matches in BOTH directions; among
+    // same-time right rows the greatest tiebreak is the one last()
+    // sees. Backward scans time ascending (latest <= t wins); forward
+    // scans descending (earliest >= t wins) — same machinery.
+    val timeOrder = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window
       .partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .orderBy(timeOrder, col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lp.unionByName(rp)

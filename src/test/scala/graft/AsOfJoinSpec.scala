@@ -48,6 +48,44 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("forward as-of picks the earliest right row at or after each left time, per key") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (1L, ts("2024-01-01 11:00:00"), 102L), // same instant: max tiebreak wins
+      (2L, ts("2024-01-01 09:00:00"), 200L),
+    ).toDF("key", "qt", "quote_id")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "t1"), // → 101? no: earliest >= is 11:00 → max tb 102
+      (1L, ts("2024-01-01 11:00:00"), "t2"), // equal instant matches (>=) → 102
+      (1L, ts("2024-01-01 12:00:00"), "t3"), // after all quotes → null
+      (2L, ts("2024-01-01 08:00:00"), "t4"), // → 200
+      (3L, ts("2024-01-01 12:00:00"), "t5"), // key with no quotes → null
+    ).toDF("key", "tt", "trade")
+
+    val out = AsOfJoinOp
+      .asOfJoin(
+        trades, quotes,
+        leftKey = col("key"), rightKey = col("key"),
+        leftTime = col("tt"), rightTime = col("qt"),
+        rightPayload = Seq("quote_id"),
+        rightTiebreak = col("quote_id"),
+        direction = "forward",
+      )
+      .select("trade", "quote_id")
+      .as[(String, Option[Long])]
+      .collect()
+      .toMap
+
+    assert(out == Map(
+      "t1" -> Some(102L),
+      "t2" -> Some(102L),
+      "t3" -> None,
+      "t4" -> Some(200L),
+      "t5" -> None,
+    ))
+  }
+
   test("the match is one actual right row — a null field stays null, never backfilled") {
     val quotes = Seq(
       (1L, ts("2024-01-01 10:00:00"), Some(5L), Option.empty[Long]), // (bid=5, ask=null)
