@@ -744,6 +744,52 @@ object RelationalQueries {
              |ORDER BY event_id""".stripMargin),
     ),
 
+    // Nearest as-of: the order closest in time to each event in either
+    // direction (ties → backward). Two directional passes re-joined on
+    // the unique event id; oracle mirrors with two DuckDB ASOF joins and
+    // an interval-distance CASE.
+    Q(
+      "q_asof_nearest",
+      (s, d) => {
+        val e = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        val o = orders(s, d).select(
+          col("o_custkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_orderkey"),
+        )
+        graft.operators.AsOfJoinOp
+          .asOfJoinNearest(
+            e, o,
+            leftKey = col("user_id"), rightKey = col("o_custkey"),
+            leftTime = col("ts"), rightTime = col("o_orderdate"),
+            rightPayload = Seq("o_orderkey", "o_orderdate"),
+            rightTiebreak = col("o_orderkey"),
+            leftIdCol = "event_id",
+            rightTimeCol = "o_orderdate",
+          )
+          .orderBy("event_id")
+      },
+      Some("""WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+             |            FROM orders GROUP BY 1, 2),
+             |b AS (SELECT e.event_id, e.user_id, e.ts, od.o_orderkey, od.o_orderdate
+             |      FROM events e ASOF LEFT JOIN od
+             |        ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate),
+             |f AS (SELECT e.event_id, od.o_orderkey, od.o_orderdate
+             |      FROM events e ASOF LEFT JOIN od
+             |        ON e.user_id = od.o_custkey AND e.ts <= od.o_orderdate)
+             |SELECT b.event_id, b.user_id, b.ts,
+             |  CASE WHEN f.o_orderdate IS NULL THEN b.o_orderkey
+             |       WHEN b.o_orderdate IS NULL THEN f.o_orderkey
+             |       WHEN b.ts - b.o_orderdate <= f.o_orderdate - b.ts THEN b.o_orderkey
+             |       ELSE f.o_orderkey END AS o_orderkey,
+             |  CASE WHEN f.o_orderdate IS NULL THEN b.o_orderdate
+             |       WHEN b.o_orderdate IS NULL THEN f.o_orderdate
+             |       WHEN b.ts - b.o_orderdate <= f.o_orderdate - b.ts THEN b.o_orderdate
+             |       ELSE f.o_orderdate END AS o_orderdate
+             |FROM b JOIN f ON b.event_id = f.event_id
+             |ORDER BY b.event_id""".stripMargin),
+    ),
+
     // Pivot (dynamic-to-static column transpose) with a pinned value list
     // so schema is deterministic; oracle is conditional aggregation.
     Q(

@@ -105,4 +105,54 @@ object AsOfJoinOp {
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++ rightPayload.map(c => col(s"__carried.$c").as(c))): _*)
   }
+
+  /** Nearest as-of: the right row closest in time to each left row in
+    * EITHER direction (ties → the backward match). Composed from the two
+    * directional passes re-joined on a unique left id — two key shuffles
+    * plus one id equi-join, still linear, still no pair space. Timestamp
+    * time columns only (distances compare as microsecond longs).
+    *
+    * @param leftIdCol name of a unique-per-row left column (re-join key)
+    * @param rightTimeCol name of the carried payload column holding the
+    *                     right time (must be in `rightPayload`)
+    */
+  def asOfJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column,
+      rightPayload: Seq[String],
+      rightTiebreak: Column,
+      leftIdCol: String,
+      rightTimeCol: String,
+  ): DataFrame = {
+    require(rightPayload.contains(rightTimeCol), s"$rightTimeCol must be carried in the payload")
+    val leftCols = left.columns.toSeq
+    def pass(direction: String, tag: String) =
+      asOfJoin(left, right, leftKey, rightKey, leftTime, rightTime,
+        rightPayload, rightTiebreak, direction)
+        .select(
+          (col(leftIdCol) +: rightPayload.map(c => col(c).as(s"__${tag}_$c"))): _*,
+        )
+    val b = pass("backward", "b")
+    val f = pass("forward", "f")
+    val bTime = col(s"__b_$rightTimeCol")
+    val fTime = col(s"__f_$rightTimeCol")
+    // Backward wins when the forward match is absent or strictly
+    // farther; distances are non-negative by construction.
+    val backWins = fTime.isNull ||
+      (bTime.isNotNull &&
+        timestamp_diff("MICROSECOND", bTime, leftTime) <=
+        timestamp_diff("MICROSECOND", leftTime, fTime))
+    left
+      .join(b, Seq(leftIdCol))
+      .join(f, Seq(leftIdCol))
+      .select(
+        (leftCols.map(col) ++ rightPayload.map(c =>
+          when(backWins, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c),
+        )): _*,
+      )
+  }
 }

@@ -86,6 +86,44 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("nearest as-of picks the closer side, backward on ties") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 200L),
+    ).toDF("key", "qt", "quote_id")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:30:00"), "closer_back"), // 30m back vs 90m fwd
+      (11L, 1L, ts("2024-01-01 11:30:00"), "closer_fwd"), // 90m back vs 30m fwd
+      (12L, 1L, ts("2024-01-01 11:00:00"), "tie_back"), // 60m both → backward
+      (13L, 1L, ts("2024-01-01 08:00:00"), "only_fwd"), // nothing before
+      (14L, 2L, ts("2024-01-01 12:00:00"), "only_back"), // nothing after
+      (15L, 3L, ts("2024-01-01 12:00:00"), "no_match"),
+    ).toDF("tid", "key", "tt", "label")
+    val out = AsOfJoinOp
+      .asOfJoinNearest(
+        trades, quotes,
+        leftKey = col("key"), rightKey = col("key"),
+        leftTime = col("tt"), rightTime = col("qt"),
+        rightPayload = Seq("quote_id", "qt"),
+        rightTiebreak = col("quote_id"),
+        leftIdCol = "tid",
+        rightTimeCol = "qt",
+      )
+      .select("label", "quote_id")
+      .as[(String, Option[Long])]
+      .collect()
+      .toMap
+    assert(out == Map(
+      "closer_back" -> Some(100L),
+      "closer_fwd" -> Some(101L),
+      "tie_back" -> Some(100L),
+      "only_fwd" -> Some(100L),
+      "only_back" -> Some(200L),
+      "no_match" -> None,
+    ))
+  }
+
   test("the match is one actual right row — a null field stays null, never backfilled") {
     val quotes = Seq(
       (1L, ts("2024-01-01 10:00:00"), Some(5L), Option.empty[Long]), // (bid=5, ask=null)
