@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.FlowGen
+
+/** The custom DataSource V2: deterministic batch reads, column pruning
+  * reaching the reader, micro-batch streaming emitting exactly the batch
+  * content in rowsPerBatch slices.
+  */
+class FlowGenSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fmt = classOf[FlowGen].getName
+
+  test("batch reads are deterministic and schema-complete") {
+    val a = spark.read.format(fmt).option("rows", 1000).option("seed", 7).load()
+    assert(a.schema == FlowGen.Schema)
+    assert(a.count() == 1000)
+    val b = spark.read.format(fmt).option("rows", 1000).option("seed", 7).load()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // A different seed is a different corpus.
+    val c = spark.read.format(fmt).option("rows", 1000).option("seed", 8).load()
+    assert(c.exceptAll(a).count() > 0)
+    // Generated values look like the reference's purge records.
+    val row = a.orderBy("timestamp_start").head()
+    assert(row.getAs[String]("ip_src").startsWith("10."))
+    assert(row.getAs[String]("timestamp_start").startsWith("2019-11-11 06:18:00."))
+    assert(Set("tcp", "udp", "icmp")(a.select("ip_proto").distinct().as[String].collect().min))
+  }
+
+  test("column pruning reaches the scan (unprojected fields are not generated)") {
+    val pruned = spark.read.format(fmt).option("rows", 10).load().select("bytes")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("cols=bytes"), s"pruned schema not pushed:\n$scan")
+    assert(pruned.as[Long].collect().forall(b => b >= 64 && b < 64 + 1400))
+  }
+
+  test("micro-batch streaming emits exactly the batch content in offset slices") {
+    val stream = spark.readStream
+      .format(fmt)
+      .option("rows", 250)
+      .option("rowsPerBatch", 100) // 3 triggers: 100 + 100 + 50
+      .option("seed", 7)
+      .load()
+    val q = stream.writeStream
+      .format("memory").queryName("flowgen_stream").outputMode("append")
+      .option(
+        "checkpointLocation",
+        Files.createTempDirectory("flowgen_ckpt").toFile.getAbsolutePath,
+      )
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val streamed = spark.table("flowgen_stream")
+      val batch = spark.read.format(fmt).option("rows", 250).option("seed", 7).load()
+      assert(streamed.count() == 250)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3, "expected >= 3 data batches")
+    } finally q.stop()
+  }
+
+  test("engine operators compose over the source unchanged") {
+    val flows = spark.read.format(fmt).option("rows", 2000).load()
+    val byProto = flows
+      .groupBy("ip_proto")
+      .agg(count(lit(1)).as("n"), sum("bytes").as("total_bytes"))
+      .as[(String, Long, Long)].collect().map { case (k, n, b) => k -> ((n, b)) }.toMap
+    assert(byProto.keySet == Set("tcp", "udp", "icmp"))
+    assert(byProto.values.map(_._1).sum == 2000)
+  }
+}
