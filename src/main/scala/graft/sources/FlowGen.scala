@@ -39,7 +39,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * with `rowsPerBatch`.
   */
 class FlowGen extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = FlowGen.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (options.getOrDefault("emit", "struct") == "json") FlowGen.JsonSchema else FlowGen.Schema
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -97,8 +98,34 @@ object FlowGen {
         UTF8String.fromString(
           t.format(Fmt) + f".${t.getNano / 1000}%06d",
         )
+      case "value" => jsonValue(seed, i)
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
+  }
+
+  /** `emit=json` schema: the Kafka-value shape (`value: string`) the
+    * reference's pipeline starts from (README.md:110).
+    */
+  val JsonSchema: StructType = StructType(Seq(
+    StructField("value", StringType, nullable = false),
+  ))
+
+  /** Row `i` rendered as the raw pmacct purge JSON (README.md:105) —
+    * the same deterministic fields, serialized, so the full parse
+    * pipeline (P1 value extraction → P2 from_json projection) runs
+    * end-to-end against this source exactly as it would against Kafka.
+    */
+  def jsonValue(seed: Long, i: Long): UTF8String = {
+    def s(name: String) = field(name, seed, i).asInstanceOf[UTF8String].toString
+    def n(name: String) = field(name, seed, i)
+    UTF8String.fromString(
+      s"""{"event_type":"purge","ip_src":"${s("ip_src")}","ip_dst":"${s("ip_dst")}",""" +
+        s""""port_src":${n("port_src")},"port_dst":${n("port_dst")},""" +
+        s""""tcp_flags":"${s("tcp_flags")}","ip_proto":"${s("ip_proto")}",""" +
+        s""""timestamp_start":"${s("timestamp_start")}",""" +
+        s""""timestamp_arrival":"${s("timestamp_start")}",""" +
+        s""""packets":${n("packets")},"bytes":${n("bytes")}}""",
+    )
   }
 }
 
@@ -108,14 +135,15 @@ private[sources] class FlowGenTable(props: Map[String, String])
   private val numPartitions = props.getOrElse("numpartitions", "4").toInt
   private val seed = props.getOrElse("seed", "42").toLong
   private val rowsPerBatch = props.getOrElse("rowsperbatch", "100").toLong
+  private val emitJson = props.getOrElse("emit", "struct") == "json"
 
   override def name(): String = s"flowgen(rows=$rows, seed=$seed)"
-  override def schema(): StructType = FlowGen.Schema
+  override def schema(): StructType = if (emitJson) FlowGen.JsonSchema else FlowGen.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FlowGenScanBuilder(rows, numPartitions, seed, rowsPerBatch)
+    new FlowGenScanBuilder(rows, numPartitions, seed, rowsPerBatch, schema())
 }
 
 private[sources] class FlowGenScanBuilder(
@@ -123,8 +151,9 @@ private[sources] class FlowGenScanBuilder(
     numPartitions: Int,
     seed: Long,
     rowsPerBatch: Long,
+    full: StructType,
 ) extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = FlowGen.Schema
+  private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = new FlowGenScan(rows, numPartitions, seed, rowsPerBatch, required)
 }

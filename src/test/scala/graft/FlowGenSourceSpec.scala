@@ -62,6 +62,25 @@ class FlowGenSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("emit=json feeds the reference parse pipeline end-to-end (the Kafka path, sans broker)") {
+    val raw = spark.read.format(fmt)
+      .option("rows", 500).option("seed", 7).option("emit", "json").load()
+    assert(raw.schema.fieldNames.toSeq == Seq("value"))
+    // P2: the reference's from_json projection over the Kafka value.
+    val parsed = graft.operators.NetflowOps.parseRawNetflow(raw)
+      .select(
+        col("ip_src"), col("bytes"), col("protocol"),
+        col("timestamp").as("timestamp_start"), col("port_dst"),
+      )
+    val structured = spark.read.format(fmt)
+      .option("rows", 500).option("seed", 7).load()
+      .select(
+        col("ip_src"), col("bytes"), col("ip_proto").as("protocol"),
+        col("timestamp_start"), col("port_dst"),
+      )
+    assert(parsed.exceptAll(structured).isEmpty && structured.exceptAll(parsed).isEmpty)
+  }
+
   test("engine operators compose over the source unchanged") {
     val flows = spark.read.format(fmt).option("rows", 2000).load()
     val byProto = flows
