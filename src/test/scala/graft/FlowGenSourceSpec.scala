@@ -81,6 +81,55 @@ class FlowGenSourceSpec extends SparkSpec {
     assert(parsed.exceptAll(structured).isEmpty && structured.exceptAll(parsed).isEmpty)
   }
 
+  test("full reference pipeline e2e: FlowGen json → parse → windowed agg → store sink") {
+    // The entire reference path with the custom source standing in for
+    // Kafka: raw value stream → P2 parse/projection → watermarked 10 s
+    // tumbling bytes aggregation → idempotent partitioned store sink —
+    // then the landed parquet is compared against the identical batch
+    // computation (T5 batch/stream unification).
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("flowgen_e2e").toFile.getAbsolutePath
+    val raw = spark.readStream.format(fmt)
+      .option("rows", 600).option("rowsPerBatch", 200)
+      .option("seed", 7).option("emit", "json")
+      .load()
+    val curated = graft.operators.NetflowOps.parseRawNetflow(raw)
+    val windowed = curated
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withWatermark("ts", "30 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("protocol"))
+      .agg(sum(col("bytes")).as("bytes"))
+      .select(col("window.start").as("win_start"), col("protocol"), col("bytes"))
+    // Not AvailableNow: the wrapper would snapshot this plain
+    // MicroBatchStream's latestOffset once (one 200-row slice, no window
+    // ever closed). Immediate processing-time triggers drain all three
+    // slices; the third runs with the watermark at 10 s and flushes the
+    // first window deterministically.
+    val q = graft.streaming.NetflowStreams
+      .storeSink(windowed, s"$base/out", s"$base/ckpt", Trigger.ProcessingTime("0 seconds"))
+      .start()
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    q.stop()
+
+    val landed = spark.read.parquet(s"$base/out")
+      .select("win_start", "protocol", "bytes")
+    val batchEquiv = graft.operators.NetflowOps
+      .parseRawNetflow(
+        spark.read.format(fmt).option("rows", 600).option("seed", 7)
+          .option("emit", "json").load(),
+      )
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .groupBy(window(col("ts"), "10 seconds"), col("protocol"))
+      .agg(sum(col("bytes")).as("bytes"))
+      .select(col("window.start").as("win_start"), col("protocol"), col("bytes"))
+    // AvailableNow + watermark: only windows the final watermark passed
+    // have been emitted — landed must be a subset that covers all but
+    // the tail window(s), and every landed row must match batch exactly.
+    assert(landed.count() > 0)
+    assert(landed.exceptAll(batchEquiv).isEmpty, "landed rows must match the batch computation")
+  }
+
   test("engine operators compose over the source unchanged") {
     val flows = spark.read.format(fmt).option("rows", 2000).load()
     val byProto = flows
