@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -185,26 +186,49 @@ private[sources] class FlowGenScan(
     new FlowGenReaderFactory(seed, required.fieldNames)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream {
-      private var planned = 0L
-      override def initialOffset(): Offset = FlowGenOffset(0L)
-      override def latestOffset(): Offset = {
-        planned = math.min(planned + rowsPerBatch, rows)
-        FlowGenOffset(planned)
-      }
-      override def deserializeOffset(json: String): Offset = {
-        val o = FlowGenOffset(json.trim.toLong)
-        // Restart resumes forward from the checkpointed position.
-        planned = math.max(planned, o.n)
-        o
-      }
-      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-        split(start.asInstanceOf[FlowGenOffset].n, end.asInstanceOf[FlowGenOffset].n)
-      override def createReaderFactory(): PartitionReaderFactory =
-        new FlowGenReaderFactory(seed, required.fieldNames)
-      override def commit(end: Offset): Unit = ()
-      override def stop(): Unit = ()
+    new FlowGenStream(rows, seed, rowsPerBatch, required.fieldNames, split)
+}
+
+/** Admission-controlled micro-batch stream: `latestOffset(start, limit)`
+  * is a pure function of the start offset (no mutable position), so
+  * restarts resume exactly from the checkpoint, and
+  * `SupportsTriggerAvailableNow` lets `Trigger.AvailableNow` drain the
+  * source in `rowsPerBatch` slices — including the trailing no-data
+  * batch that flushes watermark-closed stateful results — instead of
+  * the wrapper's single snapshot batch.
+  */
+private[sources] class FlowGenStream(
+    rows: Long,
+    seed: Long,
+    rowsPerBatch: Long,
+    cols: Array[String],
+    split: (Long, Long) => Array[InputPartition],
+) extends MicroBatchStream
+    with streaming.SupportsTriggerAvailableNow {
+  override def prepareForTriggerAvailableNow(): Unit = () // target is always `rows`
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.maxRows(rowsPerBatch)
+  override def initialOffset(): Offset = FlowGenOffset(0L)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is called instead",
+    )
+  override def latestOffset(start: Offset, limit: streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[FlowGenOffset].n
+    val step = limit match {
+      case m: streaming.ReadMaxRows => m.maxRows()
+      case _ => rowsPerBatch
     }
+    FlowGenOffset(math.min(s + step, rows))
+  }
+  override def reportLatestOffset(): Offset = FlowGenOffset(rows)
+  override def deserializeOffset(json: String): Offset = FlowGenOffset(json.trim.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    split(start.asInstanceOf[FlowGenOffset].n, end.asInstanceOf[FlowGenOffset].n)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FlowGenReaderFactory(seed, cols)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class FlowGenOffset(n: Long) extends Offset {

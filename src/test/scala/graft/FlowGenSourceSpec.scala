@@ -100,17 +100,16 @@ class FlowGenSourceSpec extends SparkSpec {
       .groupBy(window(col("ts"), "10 seconds"), col("protocol"))
       .agg(sum(col("bytes")).as("bytes"))
       .select(col("window.start").as("win_start"), col("protocol"), col("bytes"))
-    // Not AvailableNow: the wrapper would snapshot this plain
-    // MicroBatchStream's latestOffset once (one 200-row slice, no window
-    // ever closed). Immediate processing-time triggers drain all three
-    // slices; the third runs with the watermark at 10 s and flushes the
-    // first window deterministically.
+    // AvailableNow works because FlowGenStream implements
+    // SupportsTriggerAvailableNow: the source drains in rowsPerBatch
+    // slices (a plain MicroBatchStream would be snapshot once by the
+    // wrapper) and the trailing no-data batch flushes every
+    // watermark-closed window before termination.
     val q = graft.streaming.NetflowStreams
-      .storeSink(windowed, s"$base/out", s"$base/ckpt", Trigger.ProcessingTime("0 seconds"))
+      .storeSink(windowed, s"$base/out", s"$base/ckpt", Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
+    assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
     assert(q.exception.isEmpty, s"query failed: ${q.exception}")
-    q.stop()
 
     val landed = spark.read.parquet(s"$base/out")
       .select("win_start", "protocol", "bytes")
