@@ -43,6 +43,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(rows(0).getAs[Long]("sh") == rows(1).getAs[Long]("sh"))
       assert(rows(0).getAs[Int]("nsh") == 2) // "a b c", "b c d"
       assert(rows(0).getAs[scala.collection.Seq[String]]("sh3").toSeq == Seq("a b c", "b c d"))
+      // The sketch probe composes with the built-in aggregate in SQL.
+      val cms = spark.sql(
+        """SELECT cms_estimate(count_min_sketch(text, 0.001d, 0.999d, 42), 'a b c d') AS est
+          |FROM ext_docs""".stripMargin,
+      ).collect()
+      assert(cms(0).getAs[Long]("est") == 2L) // doc 1 and doc 2 share the text
       assert(rows(0).getAs[Double]("dot") == 11.0)
       assert(rows(0).getAs[Int]("ic") == 2)
     } finally {
