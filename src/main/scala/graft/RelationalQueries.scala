@@ -562,6 +562,31 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
 
+    // CONTINUOUS (interpolated) percentiles — distinct semantics from
+    // percentile_disc. Both engines interpolate as
+    // lower + (upper − lower)·frac over the same order statistics, so
+    // the doubles are bit-equal (verified at the bit level across
+    // fractions that exercise interpolation; an exact hash row, not a
+    // tolerance row).
+    Q(
+      "q_percentile_cont",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_pcc")
+        s.sql("""SELECT l_returnflag,
+                |  percentile(l_extendedprice, 0.25) AS p25_price,
+                |  percentile(l_extendedprice, 0.37) AS p37_price,
+                |  percentile(l_extendedprice, 0.9) AS p90_price,
+                |  count(*) AS n
+                |FROM lineitem_pcc GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+             |  quantile_cont(l_extendedprice, 0.37) AS p37_price,
+             |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
     // As-of join (operator Spark lacks): for each event, the most recent
     // order of that customer at or before the event time. Implemented as
     // union + per-key running last() — one shuffle, linear work, no
