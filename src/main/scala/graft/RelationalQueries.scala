@@ -562,6 +562,26 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
 
+    // Ordered string aggregation: collect → total sort → join, the
+    // deterministic spelling (bare collect_list/string_agg order is
+    // partitioning-dependent in BOTH engines; sorting pins it).
+    Q(
+      "q_string_agg",
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+              .as("priorities"),
+            count(lit(1)).as("n"),
+          )
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
+
     // CONTINUOUS (interpolated) percentiles — distinct semantics from
     // percentile_disc. Both engines interpolate as
     // lower + (upper − lower)·frac over the same order statistics, so

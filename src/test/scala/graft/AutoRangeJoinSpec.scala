@@ -57,6 +57,18 @@ class AutoRangeJoinSpec extends AnyFunSuite {
       assert(!rplan.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$rplan")
       assert(reversed.select("pid", "iid").as[(Long, Long)].collect().toSet == got)
 
+      // Extra cross-side predicates survive as join residuals: the
+      // rewrite keeps the FULL original condition alongside the bin
+      // equality, so extra conjuncts filter exactly as before.
+      val extra = points.join(
+        intervals,
+        col("p_ts") >= col("lo") && col("p_ts") <= col("hi") && col("pid") =!= col("iid"),
+      )
+      val eplan = extra.queryExecution.executedPlan.toString
+      assert(!eplan.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$eplan")
+      assert(extra.select("pid", "iid").as[(Long, Long)].collect().toSet ==
+        got.filter { case (p, i) => p != i })
+
       // Equi-joins are untouched territory: the guard must not rewrite.
       val equi = points.join(intervals, col("pid") === col("iid") && col("p_ts") >= col("lo"))
       assert(equi.count() == 0L) // pid/iid disjoint — just exercising the path
