@@ -254,6 +254,35 @@ object RelationalQueries {
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
     ),
 
+    // ROWS-frame moving average over the event stream (complements the
+    // RANGE frame of q_window_range_frame): last-5-events mean per user,
+    // (ts, event_id) ordering for a total deterministic order; decimal
+    // sum / count division at the double boundary.
+    Q(
+      "q_moving_avg",
+      (s, d) => {
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, 0)
+        events(s, d)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+              count(lit(1)).over(w)).as("moving_avg"),
+          )
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             |    / count(*) OVER w AS moving_avg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+    ),
+
     // lag/lead analytics over the event stream.
     Q(
       "q_lag_delta",
