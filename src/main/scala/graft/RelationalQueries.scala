@@ -254,6 +254,86 @@ object RelationalQueries {
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
     ),
 
+    // Rank-statistics window family: ntile / percent_rank / cume_dist.
+    // All rank-based — no floating accumulation anywhere, the doubles
+    // are the same ratios of exact integers in both engines; the
+    // three-column ORDER BY is a total order so ranks are pinned.
+    Q(
+      "q_rank_stats",
+      (s, d) => {
+        val w = Window
+          .partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        lineitem(s, d).select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_returnflag"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+        ).orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+             |  ntile(4) OVER w AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    ),
+
+    // Pearson correlation the deterministic way: built-in corr()
+    // accumulates doubles in partition order (non-reproducible across
+    // partitionings, incomparable across engines), so the component
+    // sums are computed EXACTLY in decimal and the closed-form formula
+    // is evaluated once in doubles — written identically in both
+    // engines, hence bit-equal. The same trick generalizes to
+    // covariance/stddev/skewness at 100 TB: exact mergeable partials,
+    // one final double expression.
+    Q(
+      "q_corr_manual",
+      (s, d) => {
+        val x = col("l_extendedprice").cast("decimal(18,2)")
+        val y = col("l_quantity").cast("decimal(18,2)")
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("__sx"),
+            sum(y).cast("double").as("__sy"),
+            sum((x * y).cast("decimal(30,4)")).cast("double").as("__sxy"),
+            sum((x * x).cast("decimal(30,4)")).cast("double").as("__sxx"),
+            sum((y * y).cast("decimal(30,4)")).cast("double").as("__syy"),
+          )
+          .select(
+            col("l_returnflag"),
+            col("n"),
+            ((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+              sqrt(
+                (col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+                  (col("n") * col("__syy") - col("__sy") * col("__sy")),
+              )).as("corr_price_qty"),
+          )
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, n,
+             |  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             |    AS corr_price_qty
+             |FROM (
+             |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |           * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |           * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             |           * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin),
+    ),
+
     // ROWS-frame moving average over the event stream (complements the
     // RANGE frame of q_window_range_frame): last-5-events mean per user,
     // (ts, event_id) ordering for a total deterministic order; decimal
