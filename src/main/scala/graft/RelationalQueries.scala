@@ -254,6 +254,28 @@ object RelationalQueries {
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
     ),
 
+    // Histogram by exact integer bucketing: price → cents (lossless
+    // decimal scale-up, BIGINT) → floor-divided into $5,000-wide
+    // buckets. All-integer arithmetic end to end, so bucket boundaries
+    // cannot drift between engines (double-based width_bucket could
+    // disagree at the edge); one partial+final count shuffle at scale.
+    Q(
+      "q_histogram",
+      (s, d) =>
+        lineitem(s, d)
+          .select(
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 500000")
+              .as("bucket"),
+          )
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 500000
+             |    AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+
     // Rank-statistics window family: ntile / percent_rank / cume_dist.
     // All rank-based — no floating accumulation anywhere, the doubles
     // are the same ratios of exact integers in both engines; the
