@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, Times
   * exactly one bin — no duplicates, no loss.
   *
   * Guards, deliberately narrow:
+  *   - batch only: a stream-stream interval join must keep its native
+  *     shape — Spark derives state-eviction bounds from the raw time
+  *     conditions, and the interval side's bin explode would change
+  *     per-row cardinality under watermark accounting;
   *   - inner joins only, and only when NO cross-side equality conjunct
   *     exists (hash/sort-merge already handle those — and since the
   *     rewritten join contains a bin equality, this guard also makes the
@@ -82,7 +86,9 @@ object AutoRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled || binSeconds <= 0) return plan
-    plan.transformUp { case j @ Join(left, right, Inner, Some(cond), hint) =>
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !left.isStreaming && !right.isStreaming =>
       val crossSide = splitConjunctivePredicates(cond)
         .filter(c => !canEvaluate(c, left) && !canEvaluate(c, right))
       def split(a: Expression, b: Expression): Boolean =
