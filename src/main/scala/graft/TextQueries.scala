@@ -152,6 +152,39 @@ object TextQueries {
               |    wni -> list_min(hs[wni:wni+3])))) AS fingerprint
               |FROM hs ORDER BY doc_id, fingerprint""".stripMargin),
     ),
+    // Corpus-QA confusion matrix: recorded label × predicted language,
+    // with counts — the aggregate view of tx_lang_id (same deterministic
+    // scoring; one partial+final count shuffle over a 25-cell key space
+    // at any corpus size).
+    Q(
+      "tx_lang_confusion",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        TextOps.langId(documents(s, d))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted")
+      },
+      Some {
+        val scores = TextOps.LangMarkers
+          .map { case (lang, set) =>
+            val inList = set.map(m => s"'$m'").mkString(", ")
+            s"len(list_filter(w, lcf -> lcf IN ($inList))) AS score_$lang"
+          }
+          .mkString(",\n    ")
+        val best = TextOps.LangMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+        val caseChain = TextOps.LangMarkers.init
+          .map { case (l, _) => s"WHEN score_$l = $best THEN '$l'" }
+          .mkString(" ")
+        s"""SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n FROM (
+           |  SELECT lang,
+           |    CASE $caseChain ELSE '${TextOps.LangMarkers.last._1}' END AS predicted
+           |  FROM (
+           |    SELECT lang, $scores
+           |    FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)))
+           |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+      },
+    ),
     // Gopher-rule repetition signals: linear explode+agg (not the
     // O(len²) per-row HOF), so book-length documents cost O(len).
     Q(
