@@ -134,6 +134,43 @@ object DedupQueries {
               |FROM nodes n JOIN reach r ON r.u = n.id
               |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
+    // The dedup ACTION step: clusters → per-document keep/drop verdict
+    // (keeper = the component minimum; unclustered docs keep
+    // themselves). This is the list a curation pipeline actually
+    // applies — corpus LEFT JOIN clusters, one broadcast-or-SMJ on
+    // doc_id at any scale.
+    Q(
+      "dd_keep_list",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val clusters = DedupOps.connectedComponents(
+          DedupOps.minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold),
+        )
+        documents(s, d)
+          .select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            (col("component").isNull || col("component") === col("doc_id")).as("keep"),
+          )
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges),
+              |comp AS (
+              |  SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |  FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id)
+              |SELECT d.doc_id,
+              |  (comp.component IS NULL OR comp.component = d.doc_id) AS keep
+              |FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+    ),
     Q(
       "dd_simhash",
       (s, d) => DedupOps.simhashFingerprints(documents(s, d), SimBits),
