@@ -254,6 +254,30 @@ object RelationalQueries {
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
     ),
 
+    // Latest-row-per-key via the window-dedup idiom (row_number = 1
+    // over a pinned total order) — the standard SQL spelling of
+    // "current snapshot from an event log". Plans as one shuffle on the
+    // key with WindowGroupLimit pruning below the sort at scale.
+    Q(
+      "q_latest_per_key",
+      (s, d) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        orders(s, d)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
+             |  SELECT o_custkey, o_orderkey, o_orderdate,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders)
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+    ),
+
     // Histogram by exact integer bucketing: price → cents (lossless
     // decimal scale-up, BIGINT) → floor-divided into $5,000-wide
     // buckets. All-integer arithmetic end to end, so bucket boundaries
