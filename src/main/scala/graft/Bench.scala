@@ -28,21 +28,35 @@ object Bench {
     // only ever adds time.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // A rep that throws reports the sentinel -1, never its elapsed
+      // time — a failing query must not produce a plausible-looking
+      // benchmark number.
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val sec = times.min
+      val sec = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
       System.err.println(
         f"[bench] $name%-22s $sec%8.2f s  (min of ${times.map(t => f"$t%.2f").mkString("/")})",
       )
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // One machine-readable line. Key order matters: the driver keeps only
+    // the LAST ~2.5 kB of output, so the headline total ("value") goes
+    // last and per-query times are rounded to ms to keep the whole line
+    // inside that window.
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"failed":$failed,"value":${r3(total)}}""",
+    )
     spark.stop()
   }
 }

@@ -240,20 +240,20 @@ object TextQueries {
       },
       Some(s"""SELECT doc_id,
               |  CAST(len(regexp_extract_all(t, '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
-              |  CAST(len(regexp_extract_all(t, '${TextOps.Ipv4Pattern}')) AS BIGINT) AS n_ips,
-              |  CAST(len(regexp_extract_all(
-              |    regexp_replace(t, '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
-              |    '${TextOps.LongNumPattern}')) AS BIGINT) AS n_longnums,
-              |  regexp_replace(regexp_replace(regexp_replace(t,
-              |    '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
-              |    '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
-              |    '${TextOps.LongNumPattern}', '<NUM>', 'g') AS scrubbed
+              |  CAST(len(regexp_extract_all(t1, '${TextOps.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+              |  CAST(len(regexp_extract_all(t2, '${TextOps.LongNumPattern}')) AS BIGINT) AS n_longnums,
+              |  regexp_replace(t2, '${TextOps.LongNumPattern}', '<NUM>', 'g') AS scrubbed
               |FROM (
+              |  SELECT doc_id, t,
+              |    regexp_replace(t, '${TextOps.EmailPattern}', '<EMAIL>', 'g') AS t1,
+              |    regexp_replace(regexp_replace(t, '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+              |                   '${TextOps.Ipv4Pattern}', '<IP>', 'g') AS t2
+              |  FROM (
               |  SELECT doc_id,
               |    text || ' contact user' || CAST(doc_id AS VARCHAR)
               |         || '@example.com via 10.' || CAST(doc_id % 200 AS VARCHAR)
               |         || '.0.1 ref ' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS t
-              |  FROM documents)
+              |  FROM documents))
               |ORDER BY doc_id""".stripMargin),
     ),
     Q(

@@ -43,14 +43,31 @@ object RangeJoinOp {
       binSeconds: Long,
   ): DataFrame = {
     require(binSeconds > 0, s"bin width must be positive, got $binSeconds")
-    // Tz-free wall-clock seconds since epoch: NTZ columns never touch
-    // the session zone (TIMESTAMP→BIGINT casts aren't defined for NTZ
-    // anyway); LTZ columns normalize through one NTZ cast — any
-    // monotone quantization applied to BOTH sides preserves exact
-    // containment, and this one is monotone on every fixed-offset zone.
-    val epoch = lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
-    def bin(c: Column): Column =
-      floor(timestamp_diff("SECOND", epoch, c.cast("timestamp_ntz")) / binSeconds)
+    // The quantization must be MONOTONE or a point can bin outside
+    // [bin(lo), bin(hi)] and the pair is silently dropped. Zoned
+    // (instant) timestamps therefore bin on epoch micros — an
+    // instant-to-wall-clock cast would be non-monotone across a DST
+    // fall-back in DST-observing session zones. NTZ columns have no
+    // instant semantics at all, so they bin on zone-free wall-clock
+    // arithmetic from an NTZ epoch literal (NTZ cannot cast to BIGINT).
+    // All three columns must agree on which family they are in, or the
+    // two quantizations would disagree about the same wall-clock value.
+    val epochNtz = lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
+    def isNtz(df: DataFrame, c: Column): Boolean =
+      df.select(c).schema.head.dataType == org.apache.spark.sql.types.TimestampNTZType
+    val ntz = isNtz(points, point)
+    require(
+      isNtz(intervals, lo) == ntz && isNtz(intervals, hi) == ntz,
+      "point and interval bounds must all be TIMESTAMP or all TIMESTAMP_NTZ",
+    )
+    def bin(c: Column): Column = {
+      val micros =
+        if (ntz) timestamp_diff("MICROSECOND", epochNtz, c)
+        else unix_micros(c.cast("timestamp"))
+      // Exact for |epoch micros| < 2^53 (≈ year 287396): long / long is
+      // double division in Spark, and floor of it matches integer floor.
+      floor(micros / (binSeconds * 1000000L))
+    }
     val p = points.withColumn("__p_bin", bin(point))
     val i = intervals.withColumn("__i_bin", explode(sequence(bin(lo), bin(hi))))
     p.join(i, col("__p_bin") === col("__i_bin") && point >= lo && point <= hi)

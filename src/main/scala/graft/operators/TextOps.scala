@@ -256,36 +256,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** PII scrubbing: email → <EMAIL>, dotted-quad → <IP>, then 7+-digit
-    * runs → <NUM> (IPs first, so their short octet runs are gone before
-    * the digit-run pass). Patterns use only the regex subset on which
-    * Java (Spark) and RE2 (DuckDB) agree, so the scrub is
-    * oracle-checkable byte-for-byte. Counts are taken before redaction.
-    * Pure row-local column algebra: no shuffle, codegen'd, scales as a
-    * scan.
+  /** PII scrubbing: email → <EMAIL>, then dotted-quad → <IP>, then
+    * 7+-digit runs → <NUM>. Each count is taken on the text as it stands
+    * just before that pass (n_emails on raw, n_ips on email-scrubbed,
+    * n_longnums on email+IP-scrubbed), so every counted match is exactly
+    * one redaction token in `scrubbed` — counts and output can never
+    * disagree (a digit run inside an email local part is redacted by the
+    * email pass, so it is not counted as a long number). Patterns use
+    * only the regex subset on which Java (Spark) and RE2 (DuckDB) agree,
+    * so the scrub is oracle-checkable byte-for-byte. Pure row-local
+    * column algebra: no shuffle, codegen'd, scales as a scan.
     */
   val EmailPattern = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
   val Ipv4Pattern = "\\d+\\.\\d+\\.\\d+\\.\\d+"
   val LongNumPattern = "\\d{7,}"
 
   def piiScrub(docs: DataFrame, text: Column): DataFrame = {
-    val scrubbed =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, EmailPattern, "<EMAIL>"),
-          Ipv4Pattern,
-          "<IP>",
-        ),
-        LongNumPattern,
-        "<NUM>",
-      )
+    val emailScrubbed = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val ipScrubbed = regexp_replace(emailScrubbed, Ipv4Pattern, "<IP>")
+    val scrubbed = regexp_replace(ipScrubbed, LongNumPattern, "<NUM>")
     docs.select(
       col("doc_id"),
       regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
-      regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ips"),
-      regexp_count(regexp_replace(text, Ipv4Pattern, "<IP>"), lit(LongNumPattern))
-        .cast("long")
-        .as("n_longnums"),
+      regexp_count(emailScrubbed, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(ipScrubbed, lit(LongNumPattern)).cast("long").as("n_longnums"),
       scrubbed.as("scrubbed"),
     )
   }

@@ -43,6 +43,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, Times
   * affects only interval fan-out (span/width + 1 copies), never
   * correctness. Disable with `spark.graft.autoRangeJoin.enabled=false`.
   *
+  * Fan-out bound: a single interval spanning years would explode into
+  * thousands of bin copies — a long-span outlier could make the rewrite
+  * far WORSE than the nested loop it replaces. So interval rows are
+  * split by bin span at `spark.graft.autoRangeJoin.maxBinsPerRow`
+  * (default 256): short spans take the binned equi-join; the long-span
+  * outliers keep the original theta join (nested loop over just those
+  * rows, which is exactly the right plan for a handful of giant
+  * intervals); a Union glues the two. Each interval row lands in
+  * exactly one branch, so output equality with the theta join is
+  * preserved. The long branch is detected on refire by its span-guard
+  * filter, keeping the rule idempotent. Set `maxBinsPerRow <= 0` to
+  * disable the split (pure binned rewrite).
+  *
   * Injected by [[graft.GraftExtensions]] via `injectOptimizerRule` — a
   * whole-plan Catalyst extension composed purely of built-in operators
   * (Project / Filter / Generate / Join), so AQE, pushdown, and codegen
@@ -54,6 +67,8 @@ object AutoRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     SQLConf.get.getConfString("spark.graft.autoRangeJoin.enabled", "true").toBoolean
   private def binSeconds: Long =
     SQLConf.get.getConfString("spark.graft.autoRangeJoin.binSeconds", "86400").toLong
+  private def maxBinsPerRow: Long =
+    SQLConf.get.getConfString("spark.graft.autoRangeJoin.maxBinsPerRow", "256").toLong
 
   private def isTimestamp(e: Expression): Boolean =
     e.dataType == TimestampType || e.dataType == TimestampNTZType
@@ -116,24 +131,62 @@ object AutoRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           case Some((p, lo, hi, pOnLeft)) =>
             val pointChild = if (pOnLeft) left else right
             val intervalChild = if (pOnLeft) right else left
-            val pBin = Alias(bin(p, width), "__graft_p_bin")()
-            val newPoint = Project(pointChild.output :+ pBin, pointChild)
-            // Sequence element type is non-null long; the attr must match.
-            val iBin = AttributeReference("__graft_i_bin", LongType, nullable = false)()
-            val newInterval = Generate(
-              Explode(new Sequence(bin(lo, width), bin(hi, width), None,
-                Some(SQLConf.get.sessionLocalTimeZone))),
-              unrequiredChildIndex = Nil,
-              outer = false,
-              qualifier = None,
-              generatorOutput = Seq(iBin),
-              Filter(LessThanOrEqual(lo, hi), intervalChild),
-            )
-            val binEq = EqualTo(pBin.toAttribute, iBin)
-            val newJoin =
-              if (pOnLeft) Join(newPoint, newInterval, Inner, Some(And(binEq, cond)), hint)
-              else Join(newInterval, newPoint, Inner, Some(And(binEq, cond)), hint)
-            Project(j.output, newJoin)
+            val cap = maxBinsPerRow
+            val span = Subtract(bin(hi, width), bin(lo, width))
+            // Idempotence with the capped split: the long-span branch we
+            // emit below is itself an equality-free theta join, so on the
+            // next fixed-point iteration the rule would match it again
+            // (span <= cap AND span > cap → empty short side, forever).
+            // Its signature is the span-vs-cap guard in a Filter on the
+            // interval side — if one is already there, this join IS the
+            // long branch: leave it alone.
+            val isLongBranch = cap > 0 && intervalChild.exists {
+              case f: Filter =>
+                splitConjunctivePredicates(f.condition).exists {
+                  case GreaterThan(a, _) => a.semanticEquals(span)
+                  case LessThanOrEqual(a, _) => a.semanticEquals(span)
+                  case _ => false
+                }
+              case _ => false
+            }
+            if (isLongBranch) j
+            else {
+              val pBin = Alias(bin(p, width), "__graft_p_bin")()
+              val newPoint = Project(pointChild.output :+ pBin, pointChild)
+              val validInterval = LessThanOrEqual(lo, hi)
+              val shortPred =
+                if (cap > 0) And(validInterval, LessThanOrEqual(span, Literal(cap)))
+                else validInterval
+              // Sequence element type is non-null long; the attr must match.
+              val iBin = AttributeReference("__graft_i_bin", LongType, nullable = false)()
+              val newInterval = Generate(
+                Explode(new Sequence(bin(lo, width), bin(hi, width), None,
+                  Some(SQLConf.get.sessionLocalTimeZone))),
+                unrequiredChildIndex = Nil,
+                outer = false,
+                qualifier = None,
+                generatorOutput = Seq(iBin),
+                Filter(shortPred, intervalChild),
+              )
+              val binEq = EqualTo(pBin.toAttribute, iBin)
+              val binnedJoin =
+                if (pOnLeft) Join(newPoint, newInterval, Inner, Some(And(binEq, cond)), hint)
+                else Join(newInterval, newPoint, Inner, Some(And(binEq, cond)), hint)
+              val binned = Project(j.output, binnedJoin)
+              if (cap <= 0) binned
+              else {
+                // Long-span outliers: the original theta join over just
+                // those interval rows. Sharing subtrees (and exprIds)
+                // across Union branches is fine — it is the self-union
+                // shape `df.union(df)` produces.
+                val longFilter =
+                  Filter(And(validInterval, GreaterThan(span, Literal(cap))), intervalChild)
+                val longJoin =
+                  if (pOnLeft) Join(pointChild, longFilter, Inner, Some(cond), hint)
+                  else Join(longFilter, pointChild, Inner, Some(cond), hint)
+                Union(Seq(binned, Project(j.output, longJoin)))
+              }
+            }
         }
       }
     }

@@ -86,6 +86,30 @@ class AutoRangeJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.autoRangeJoin.binSeconds", "3600")
       val narrow = points.join(intervals, col("p_ts") >= col("lo") && col("p_ts") <= col("hi"))
       assert(narrow.select("pid", "iid").as[(Long, Long)].collect().toSet == got)
+
+      // Fan-out bound: a multi-year interval at hourly bins would be
+      // ~18k bin copies; with the cap it takes the nested-loop branch of
+      // the capped split instead (a Union glues the two), and the result
+      // still equals the theta join. The interval set is otherwise the
+      // same, so expected = got + every point paired with the wide row.
+      spark.conf.set("spark.graft.autoRangeJoin.maxBinsPerRow", "8")
+      val wide = intervals.union(
+        Seq((14L, ts("2023-01-01 00:00:00"), ts("2025-01-01 00:00:00"))).toDF("iid", "lo", "hi"),
+      )
+      val capped = points.join(wide, col("p_ts") >= col("lo") && col("p_ts") <= col("hi"))
+      val cplan = capped.queryExecution.optimizedPlan.toString
+      assert(cplan.contains("Union"), s"capped split did not fire:\n$cplan")
+      val wantWide = got ++ Set(1L, 2L, 3L, 4L).map(p => (p, 14L))
+      assert(capped.select("pid", "iid").as[(Long, Long)].collect().toSet == wantWide)
+      // The rewrite is a fixpoint: exactly the two branch joins — if the
+      // rule re-fired on its own long branch, the fixed-point batch
+      // would nest unions until maxIterations.
+      val numJoins = capped.queryExecution.optimizedPlan.collect {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+      }.size
+      assert(numJoins == 2, s"expected 2 joins (binned + long), got $numJoins:\n$cplan")
+      spark.conf.set("spark.graft.autoRangeJoin.binSeconds", "86400")
+      spark.conf.unset("spark.graft.autoRangeJoin.maxBinsPerRow")
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

@@ -50,6 +50,58 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian-style plan:\n$plan")
   }
 
+  test("zoned timestamps bin on instants: sub-hour bins survive a DST fall-back") {
+    // America/Los_Angeles 2024-11-03: wall clock replays 01:00-01:59.
+    // Instant-based rows: interval [08:30Z, 09:30Z] contains the point
+    // 09:10Z. Binning on session-zone WALL CLOCK (the old formulation)
+    // with 30-min bins puts the point (wall 01:10, second pass) in a bin
+    // BELOW bin(lo) (wall 01:30, first pass) — the pair silently drops.
+    // Instant (epoch) binning is monotone regardless of zone.
+    val fallback = 1730624400L // 2024-11-03 09:00:00 UTC = 01:00 PST
+    val dstPoints = Seq((1L, fallback + 600)).toDF("pid", "p_sec")
+      .select(col("pid"), timestamp_seconds(col("p_sec")).as("p_ts"))
+    val dstIntervals = Seq((10L, fallback - 1800, fallback + 1800)).toDF("iid", "lo_s", "hi_s")
+      .select(
+        col("iid"),
+        timestamp_seconds(col("lo_s")).as("lo"),
+        timestamp_seconds(col("hi_s")).as("hi"),
+      )
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val got = RangeJoinOp
+        .rangeJoin(dstPoints, dstIntervals, col("p_ts"), col("lo"), col("hi"), 1800L)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("mixed TIMESTAMP / TIMESTAMP_NTZ columns are rejected") {
+    val ntzIntervals = intervals.select(
+      col("iid"),
+      col("lo").cast("timestamp_ntz").as("lo"),
+      col("hi").cast("timestamp_ntz").as("hi"),
+    )
+    intercept[IllegalArgumentException] {
+      RangeJoinOp.rangeJoin(points, ntzIntervals, col("p_ts"), col("lo"), col("hi"), 3600L)
+    }
+  }
+
+  test("NTZ-everywhere inputs still join correctly (zone-free wall-clock bins)") {
+    val p = points.select(col("pid"), col("p_ts").cast("timestamp_ntz").as("p_ts"))
+    val i = intervals.select(
+      col("iid"),
+      col("lo").cast("timestamp_ntz").as("lo"),
+      col("hi").cast("timestamp_ntz").as("hi"),
+    )
+    val theta = p.join(i, col("p_ts") >= col("lo") && col("p_ts") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val binned = RangeJoinOp
+      .rangeJoin(p, i, col("p_ts"), col("lo"), col("hi"), 86400L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned == theta && theta.nonEmpty)
+  }
+
   test("the registered q_range_join query plans without a nested loop") {
     val df = Registry.queries("q_range_join")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
