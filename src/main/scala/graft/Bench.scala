@@ -44,19 +44,28 @@ object Bench {
       )
       name -> sec
     }
-    // One machine-readable line. Key order matters: the driver keeps only
-    // the LAST ~2.5 kB of output, so the headline total ("value") goes
-    // last and per-query times are rounded to ms to keep the whole line
-    // inside that window.
+    // One machine-readable line. The driver keeps only the LAST ~2.5 kB
+    // of process output (round 2's full-precision line overflowed it and
+    // the headline total was truncated away), so: per-query times round
+    // to ms, the headline total ("value") goes LAST, and if the line
+    // would still overflow the window the per-query map keeps only the
+    // slowest entries (the headline ones) with an "omitted" count — the
+    // total always covers every query regardless.
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"failed":$failed,"value":${r3(total)}}""",
-    )
+    def line(shown: Seq[(String, Double)], omitted: Int): String = {
+      val qs = shown.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"failed":$failed,"omitted":$omitted,"value":${r3(total)}}"""
+    }
+    val budget = 2200 // bytes; leaves room for sbt's trailing [success] line
+    val bySlowest = results.sortBy { case (_, v) => -v }
+    var keep = results.size
+    while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1), results.size - keep).length > budget)
+      keep -= 1
+    println(line(bySlowest.take(keep).sortBy(_._1), results.size - keep))
     spark.stop()
   }
 }

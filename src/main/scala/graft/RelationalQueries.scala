@@ -1009,5 +1009,92 @@ object RelationalQueries {
              |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+
+    // TPC-H Q3 shape (shipping priority): selective dim filter broadcast
+    // onto orders, fact-fact sort-merge lineitem⋈orders on the join key,
+    // then a top-10 that plans TakeOrderedAndProject — per-partition
+    // heaps, no global sort, no full result materialization. At 100 TB
+    // the only full shuffle is lineitem⋈orders on l_orderkey, which
+    // bucketing both facts on orderkey would eliminate entirely.
+    Q(
+      "q3_shipping_priority",
+      (s, d) => {
+        val cutoff = lit("1998-03-15").cast("timestamp")
+        val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = orders(s, d).filter(col("o_orderdate") < cutoff)
+        val l = lineitem(s, d).filter(col("l_shipdate") > cutoff)
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val discPrice = (price * (lit(1).cast("decimal(3,0)") - disc)).cast("decimal(18,4)")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(discPrice).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-03-15'
+             |  AND l_shipdate > TIMESTAMP '1998-03-15'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+    ),
+
+    // TPC-H Q5 shape (local-supplier revenue): the region⋈nation⋈supplier
+    // dim chain collapses to one broadcast onto lineitem; customers join
+    // orders on the fact key AND suppliers on nationkey (the "local"
+    // constraint). One sort-merge shuffle pair (lineitem⋈orders), one
+    // customer join that AQE turns into broadcast at this SF but stays a
+    // key-partitioned join at 100 TB; the final agg state is one row per
+    // nation.
+    Q(
+      "q5_local_supplier",
+      (s, d) => {
+        val n = nation(s, d)
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = supplier(s, d)
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        val o = orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
+        )
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val discPrice = (price * (lit(1).cast("decimal(3,0)") - disc)).cast("decimal(18,4)")
+        lineitem(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(
+            customer(s, d),
+            col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"),
+          )
+          .groupBy(col("n_name"))
+          .agg(sum(discPrice).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin),
+    ),
   )
 }

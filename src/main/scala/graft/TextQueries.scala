@@ -256,6 +256,47 @@ object TextQueries {
               |  FROM documents))
               |ORDER BY doc_id""".stripMargin),
     ),
+    // Context-window chunking: 120-char windows every 90 chars (30-char
+    // overlap) — the embedding/training prep step. Row-local explode;
+    // chunk ids replay identically under any partitioning.
+    Q(
+      "tx_chunk",
+      (s, d) => TextOps.chunk(documents(s, d), width = 120, stride = 90),
+      Some("""SELECT doc_id, CAST(s AS BIGINT) AS chunk_id,
+             |  CAST(s*90 AS BIGINT) AS chunk_start,
+             |  substr(text, CAST(s*90+1 AS INT), 120) AS chunk_text,
+             |  CAST(len(substr(text, CAST(s*90+1 AS INT), 120)) AS BIGINT) AS n_chunk_chars
+             |FROM (SELECT doc_id, text,
+             |        unnest(generate_series(0, greatest((len(text)-1)//90, 0))) AS s
+             |      FROM documents)
+             |ORDER BY doc_id, chunk_id""".stripMargin),
+    ),
+    // Token-budget corpus mixing: cap each source at a token budget via
+    // hash sampling with an integer-quantized keep rate — the whole mix
+    // is exact integer arithmetic, so it replays identically anywhere.
+    Q(
+      "tx_mix_budget",
+      (s, d) => TextOps.mixByTokenBudget(documents(s, d), perSourceBudget = 500L, buckets = 10),
+      Some(s"""WITH tok AS (
+              |  SELECT source, text,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              |  FROM documents),
+              |rate AS (
+              |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              |    CAST(least(10, (500*10)//sum(n_tok)) AS BIGINT) AS keep_buckets
+              |  FROM tok GROUP BY source),
+              |kept AS (
+              |  SELECT t.source, count(*) AS n_docs_kept,
+              |    CAST(sum(t.n_tok) AS BIGINT) AS tokens_kept
+              |  FROM tok t JOIN rate r ON t.source = r.source
+              |  WHERE ${OracleSnippets.charHash("t.text")} % 10 < r.keep_buckets
+              |  GROUP BY t.source)
+              |SELECT r.source AS source, total_tokens, keep_buckets,
+              |  coalesce(n_docs_kept, 0) AS n_docs_kept,
+              |  coalesce(tokens_kept, 0) AS tokens_kept
+              |FROM rate r LEFT JOIN kept k ON r.source = k.source
+              |ORDER BY source""".stripMargin),
+    ),
     Q(
       "tx_fingerprint",
       (s, d) => TextOps.fingerprints(documents(s, d)),

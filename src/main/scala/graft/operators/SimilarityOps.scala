@@ -30,12 +30,13 @@ object SimilarityOps {
 
   /** Cast to double and scale to unit L2 norm — cosine then reduces to a
     * plain dot product (one division per element up front, not per pair).
+    * Codegen'd custom Expression ([[graft.expressions.UnitNorm]]): the
+    * equivalent `transform(d, x => x / sqrt(aggregate(...)))` HOF form
+    * interprets nested lambdas and re-evaluates the norm subtree per
+    * element — O(dim²) interpreted work per row, the dominant cost of
+    * the whole sim_* family before the switch.
     */
-  def unitNorm(vec: Column): Column = {
-    val d = transform(vec, x => x.cast("double"))
-    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, v) => acc + v))
-    transform(d, x => x / n)
-  }
+  def unitNorm(vec: Column): Column = graft.expressions.UnitNorm(vec)
 
   /** Brute-force cosine top-k: query rows (selected by `isQuery`) joined
     * against the whole corpus. The query side is small by construction —

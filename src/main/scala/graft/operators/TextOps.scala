@@ -284,6 +284,79 @@ object TextOps {
     )
   }
 
+  /** Context-window chunking: split each document into fixed-width
+    * character windows that start every `stride` characters (overlap =
+    * `width - stride`), the standard prep step for embedding / training
+    * pipelines with a bounded context window. Chunk starts are 0,
+    * stride, 2·stride, …, up to the last multiple of stride inside the
+    * text; the final chunk may be short (kept — its tail tokens exist
+    * nowhere else once earlier windows end). Empty/short docs yield one
+    * chunk. Pure row-local explode + substring: no shuffle, scales as a
+    * scan, and chunk ids are stable under any partitioning.
+    */
+  def chunk(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width, s"need 0 < stride <= width")
+    docs
+      .select(
+        col("doc_id"),
+        posexplode(
+          sequence(lit(0L), greatest(floor((length(col("text")) - 1) / stride), lit(0L))),
+        ).as(Seq("chunk_id", "start")),
+        col("text"),
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("start") * stride).cast("long").as("chunk_start"),
+        substring(col("text"), (col("start") * stride + 1).cast("int"), lit(width)).as("chunk_text"),
+      )
+      .withColumn("n_chunk_chars", length(col("chunk_text")).cast("long"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Token-budget corpus mixing: cap each source at `perSourceBudget`
+    * whitespace tokens by deterministic hash sampling. The keep rate is
+    * quantized to `buckets` integer buckets (keepB = min(buckets,
+    * budget·buckets div total)), so the whole computation is exact
+    * integer arithmetic and replays identically on any engine — the
+    * reproducibility property a training-data mix needs. Two shuffles:
+    * one tiny per-source totals agg (broadcast back onto the corpus),
+    * one per-source kept agg; the corpus itself is never shuffled.
+    * Sources whose quantized rate rounds to zero buckets report zero
+    * kept rows rather than vanishing.
+    */
+  def mixByTokenBudget(docs: DataFrame, perSourceBudget: Long, buckets: Int): DataFrame = {
+    val withTok = docs.select(
+      col("source"),
+      col("text"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+    )
+    val totals = withTok
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("total_tokens"))
+      .withColumn(
+        "keep_buckets",
+        // Integer floor-div (DuckDB `//`): double division then floor is
+        // exact here — budget·buckets is far below 2^53.
+        least(lit(buckets.toLong), floor(lit(perSourceBudget * buckets) / col("total_tokens"))),
+      )
+    val kept = withTok
+      .join(broadcast(totals.select(col("source"), col("keep_buckets"))), Seq("source"))
+      .filter(pmod(HashOps.polyHash(col("text")), lit(buckets.toLong)) < col("keep_buckets"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tok")).as("tokens_kept"))
+    totals
+      .join(kept, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("total_tokens"),
+        col("keep_buckets"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+      )
+      .orderBy("source")
+  }
+
   /** Document fingerprints: the portable rolling hash (content-defined
     * identity, mergeable at any scale) plus standard digests.
     */

@@ -15,6 +15,46 @@ class SimilaritySpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
+  test("codegen'd UnitNorm is bit-identical to the declarative HOF form") {
+    // The expression replaced this exact HOF composition (strict
+    // left-fold sum of squares, then per-element divide) for speed; the
+    // doubles must stay bit-equal or oracle parity across the whole
+    // sim_*/dd_embed/mm_embed family breaks.
+    def hofNorm(vec: org.apache.spark.sql.Column) = {
+      val d = transform(vec, x => x.cast("double"))
+      val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, v) => acc + v))
+      transform(d, x => x / n)
+    }
+    val both = embeddings(spark, Sf)
+      .select(
+        SimilarityOps.unitNorm(col("embedding")).as("fast"),
+        hofNorm(col("embedding")).as("ref"),
+      )
+      .as[(Seq[Double], Seq[Double])].collect()
+    both.foreach { case (fast, ref) =>
+      assert(fast.length == ref.length)
+      fast.zip(ref).foreach { case (f, r) =>
+        assert(java.lang.Double.doubleToRawLongBits(f) == java.lang.Double.doubleToRawLongBits(r))
+      }
+    }
+    // Degenerate inputs behave like the HOF form: zero vector → NaN
+    // elements, null array → null, double input accepted unchanged.
+    val edge = Seq(
+      (1L, Some(Seq(0f, 0f))),
+      (2L, None),
+      (3L, Some(Seq(3f, 4f))),
+    ).toDF("id", "v")
+    val out = edge
+      .select(col("id"), SimilarityOps.unitNorm(col("v")).as("u"))
+      .orderBy("id").as[(Long, Option[Seq[Double]])].collect()
+    assert(out(0)._2.get.forall(_.isNaN))
+    assert(out(1)._2.isEmpty)
+    assert(out(2)._2.get == Seq(0.6, 0.8))
+    val dbl = Seq(Seq(3.0, 4.0)).toDF("v")
+      .select(SimilarityOps.unitNorm(col("v")).as("u")).as[Seq[Double]].head()
+    assert(dbl == Seq(0.6, 0.8))
+  }
+
   test("brute-force top-k matches a driver-side reference computation") {
     val vecs = embeddings(spark, Sf)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()

@@ -87,6 +87,48 @@ class TextOpsSpec extends SparkSpec {
     assert(dropped == 0)
   }
 
+  test("chunking covers the text exactly: stride-spaced starts, overlap, short tail kept") {
+    val docs = Seq(
+      (1L, "abcdefghij"), // 10 chars
+      (2L, "abc"), //        shorter than one window
+      (3L, ""), //           empty → one empty chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunk(docs, width = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: starts 0,3,6,9 → windows abcd, defg, ghij, j
+    assert(byDoc(1L).map(c => (c._3, c._4)).toSeq ==
+      Seq((0L, "abcd"), (3L, "defg"), (6L, "ghij"), (9L, "j")))
+    // Reconstruction: dropping the (width - stride) overlap from every
+    // chunk after the first restores the original text.
+    val rebuilt = byDoc(1L).sortBy(_._2).map(_._4).zipWithIndex
+      .map { case (t, i) => if (i == 0) t else t.drop(4 - 3) }.mkString
+    assert(rebuilt == "abcdefghij")
+    assert(byDoc(2L).map(_._4).toSeq == Seq("abc"))
+    assert(byDoc(3L).map(_._4).toSeq == Seq(""))
+  }
+
+  test("token-budget mixing: saturated sources keep all, capped ones quantize") {
+    val docs = Seq.tabulate(40) { i =>
+      val src = if (i < 20) "big" else "small"
+      (i.toLong, ("w " * 9).trim + s" t$i", src) // 10 tokens per doc
+    }.toDF("doc_id", "text", "source")
+    // big: 200 tokens vs budget 60 → keepB = 60*10/200 = 3 of 10 buckets;
+    // small: 200 tokens too — same; raise small's budget via fewer docs?
+    val out = TextOps.mixByTokenBudget(docs, perSourceBudget = 60L, buckets = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.foreach { case (_, total, keepB, nKept, tokKept) =>
+      assert(total == 200L && keepB == 3L)
+      assert(nKept * 10 == tokKept) // every doc has exactly 10 tokens
+      assert(nKept <= 20L)
+    }
+    // A source under budget keeps everything.
+    val small = TextOps.mixByTokenBudget(docs, perSourceBudget = 500L, buckets = 10).collect()
+    small.foreach(r => assert(r.getAs[Long]("keep_buckets") == 10L
+      && r.getAs[Long]("n_docs_kept") == 20L))
+  }
+
   test("PII scrub redacts emails, IPs, and digit runs, and counts them") {
     import org.apache.spark.sql.functions.col
     val out = TextOps.piiScrub(
