@@ -171,6 +171,54 @@ object DedupQueries {
               |FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
               |ORDER BY d.doc_id""".stripMargin),
     ),
+    // Recall adjudication: the LSH pipeline's found pairs vs the exact
+    // PPJoin ground truth, as one scoreboard row — the quality metric a
+    // pipeline owner tracks when tuning bands/rows. LSH output is
+    // provably a subset of exact (same verify threshold), so n_hits =
+    // n_lsh and recall isolates band-collision coverage. The full-outer
+    // join also *asserts* the subset property: any LSH-only pair would
+    // make n_hits < n_lsh.
+    Q(
+      "dd_lsh_recall",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val exact = DedupOps
+          .jaccardPairs(documents(s, d), N, JaccardThreshold)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("in_exact"))
+        val lsh = DedupOps
+          .minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("in_lsh"))
+        exact
+          .join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(
+            count(col("in_exact")).as("n_true"),
+            count(col("in_lsh")).as("n_lsh"),
+            count(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1)).as("n_hits"),
+          )
+          .select(
+            col("n_true"),
+            col("n_lsh"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / col("n_true")).as("recall"),
+          )
+      },
+      Some(s"""WITH shr AS (
+              |  SELECT doc_id, ${shingleHashes("w")} AS sh
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+              |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |       FROM shr a JOIN shr b ON a.doc_id < b.doc_id
+              |       WHERE ${jaccard("a.sh", "b.sh")} >= $JaccardThreshold),
+              |ls AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+              |j AS (SELECT e.doc_a AS ea, l.doc_a AS la
+              |      FROM ex e FULL OUTER JOIN ls l
+              |        ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+              |SELECT CAST(count(ea) AS BIGINT) AS n_true,
+              |  CAST(count(la) AS BIGINT) AS n_lsh,
+              |  CAST(count(CASE WHEN ea IS NOT NULL AND la IS NOT NULL THEN 1 END) AS BIGINT) AS n_hits,
+              |  CAST(count(CASE WHEN ea IS NOT NULL AND la IS NOT NULL THEN 1 END) AS DOUBLE)
+              |    / count(ea) AS recall
+              |FROM j""".stripMargin),
+    ),
     Q(
       "dd_simhash",
       (s, d) => DedupOps.simhashFingerprints(documents(s, d), SimBits),

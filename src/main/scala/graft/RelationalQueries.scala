@@ -1096,5 +1096,67 @@ object RelationalQueries {
              |GROUP BY n_name
              |ORDER BY revenue DESC, n_name""".stripMargin),
     ),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join with a right-side-only predicate (pushed below the join — a
+    // left join's ON-clause filter on the right side is exactly a
+    // pre-filter), then two cascaded aggregations. Both aggs combine
+    // map-side; the second one's input is one row per customer, so the
+    // histogram shuffle is tiny at any scale.
+    Q(
+      "q13_order_dist",
+      (s, d) => {
+        val o = orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+        customer(s, d)
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+             |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |      FROM customer LEFT JOIN orders
+             |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |      GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+    ),
+
+    // TPC-H Q18 shape (large-volume orders): HAVING over a fact agg
+    // feeding a semi-join back onto the same fact — the "find the rare
+    // heavy groups, then fetch their rows" pattern. The qualifying-key
+    // set is tiny (heavy orders are rare by construction), so it
+    // broadcasts; lineitem is scanned twice but shuffled once each time
+    // on l_orderkey, and the final result is bounded by the HAVING
+    // threshold, not the fact size.
+    Q(
+      "q18_large_orders",
+      (s, d) => {
+        val qty = col("l_quantity").cast("decimal(12,2)")
+        val big = lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(qty).as("sum_qty_dec"))
+          .filter(col("sum_qty_dec") > 280)
+          .select(col("l_orderkey").as("big_orderkey"))
+        lineitem(s, d)
+          .join(broadcast(big), col("l_orderkey") === col("big_orderkey"))
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+          .agg(sum(qty).cast("double").as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE l_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 280)
+             |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin),
+    ),
   )
 }

@@ -58,6 +58,46 @@ object SimilarityQueries {
       (s, d) => SimilarityOps.ivfTopK(embeddings(s, d), col("vec_id") < 10, col("label"), BucketK),
       Some(topkSql("AND q.label = c.label", BucketK)),
     ),
+    // Multi-probe LSH: the query probes its own bucket plus every
+    // Hamming-1 neighbor bucket (one flipped hyperplane). The oracle
+    // states the probe set's semantics directly — candidate iff the two
+    // bucket ids differ in at most one bit — which the exploded-probe
+    // equi-join realizes exactly.
+    Q(
+      "sim_multiprobe",
+      (s, d) => SimilarityOps.multiProbeTopK(embeddings(s, d), col("vec_id") < 10, ProbeDims, BucketK),
+      Some(
+        topkSql(
+          s"AND bit_count(xor(${signBucket("q.embedding", ProbeDims)}, ${signBucket("c.embedding", ProbeDims)})) <= 1",
+          BucketK,
+        ),
+      ),
+    ),
+    // Embedding compression: per-vector symmetric int8 quantization.
+    // Codes are pinned exactly through the integer checksum; scale and
+    // max reconstruction error are deterministic doubles (max is
+    // order-independent; the checksum fold is row-local).
+    Q(
+      "sim_quantize_int8",
+      (s, d) => SimilarityOps.quantizeInt8(embeddings(s, d)),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |m AS (SELECT vec_id, e,
+             |        list_max(list_transform(e, qx -> abs(qx))) AS maxabs FROM v),
+             |q AS (SELECT vec_id, e, maxabs, maxabs/127.0 AS scale,
+             |        CASE WHEN maxabs = 0
+             |          THEN list_transform(e, qx -> CAST(0 AS BIGINT))
+             |          ELSE list_transform(e, qx -> CAST(floor(qx/(maxabs/127.0) + 0.5) AS BIGINT))
+             |        END AS qv
+             |      FROM m)
+             |SELECT vec_id, scale,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(generate_series(1, len(qv)), qi -> qv[qi]*qi)),
+             |       (qa, qb) -> qa + qb) AS BIGINT) AS q_checksum,
+             |  CAST(len(list_filter(qv, qx -> abs(qx) = 127)) AS BIGINT) AS n_saturated,
+             |  list_max(list_transform(generate_series(1, len(qv)),
+             |    qi -> abs(e[qi] - qv[qi]*scale))) AS max_abs_err
+             |FROM q ORDER BY vec_id""".stripMargin),
+    ),
     // IVF training step: per-cell centroids. Means are computed as a
     // vec_id-ordered left fold divided by the count, so the doubles are
     // deterministic and bit-identical in the oracle (a plain avg() would

@@ -297,6 +297,25 @@ object TextQueries {
               |FROM rate r LEFT JOIN kept k ON r.source = k.source
               |ORDER BY source""".stripMargin),
     ),
+    // Decontamination: corpus docs sharing any word 3-gram with the
+    // benchmark subset (doc_id % 50 = 0 stands in for an eval suite).
+    // The benchmark shingle set is broadcast; the corpus never shuffles.
+    Q(
+      "tx_contamination",
+      (s, d) => TextOps.contamination(documents(s, d), col("doc_id") % 50 === 0, n = 3),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest(${OracleSnippets.shingleHashes("w")}) AS h
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+              |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+              |hits AS (
+              |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              |  FROM sh s JOIN bench b ON s.h = b.h
+              |  WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id)
+              |SELECT d.doc_id, coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+              |  coalesce(n_hits, 0) > 0 AS contaminated
+              |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+              |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin),
+    ),
     Q(
       "tx_fingerprint",
       (s, d) => TextOps.fingerprints(documents(s, d)),

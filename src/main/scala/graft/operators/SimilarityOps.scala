@@ -170,6 +170,93 @@ object SimilarityOps {
       )
       .orderBy("label", "dim")
 
+  /** Multi-probe sign-LSH ANN: search the query's own bucket PLUS every
+    * bucket at Hamming distance 1 (one flipped hyperplane sign) — the
+    * standard recall repair for bucketed LSH without adding tables. The
+    * probe set is built query-side (B+1 static bucket ids, exploded), so
+    * the corpus is still shuffled ONCE on its bucket id and each probe is
+    * an equi-join lookup; at 100 TB the cost is (B+1)× the single-probe
+    * query-side fan-out, corpus-side nothing changes. Probes are distinct
+    * buckets and a corpus row has exactly one bucket, so no candidate
+    * pair is produced twice (no dedup shuffle needed).
+    */
+  def multiProbeTopK(
+      embeddings: DataFrame,
+      isQuery: Column,
+      probeDims: Seq[Int],
+      k: Int,
+  ): DataFrame = {
+    val v = embeddings.select(
+      col("vec_id"),
+      unitNorm(col("embedding")).as("u"),
+      signBucket(col("embedding"), probeDims).as("bucket"),
+    )
+    val probeArr = array(
+      col("bucket") +: probeDims.indices.map(j =>
+        col("bucket").bitwiseXOR(lit(1L << (probeDims.size - 1 - j))),
+      ): _*,
+    )
+    val queries = broadcast(
+      v.filter(isQuery)
+        .select(
+          col("vec_id").as("query_id"),
+          col("u").as("qu"),
+          explode(probeArr).as("bucket"),
+        ),
+    )
+    val scored = queries
+      .join(v, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        dot(col("qu"), col("u")).as("cosine"),
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-vector symmetric int8 quantization — the embedding-compression
+    * step of a vector-store build (4× smaller than float32, 8× smaller
+    * than the double working form). scale = max|x|/127; code_i =
+    * floor(x_i/scale + 0.5) ∈ [-127, 127] (an IEEE quotient of x ≤ max|x|
+    * by max|x|/127 cannot reach 127.5, so no clamp is needed); zero
+    * vectors quantize to all-zero codes with scale 0. Row-local column
+    * algebra over single-level lambdas (scale is a materialized column,
+    * never re-evaluated inside a lambda), so it scales as a scan.
+    *
+    * Output is scalar per vector — the code checksum Σ code_i·i (exact
+    * integer), saturation count, and max reconstruction error — so the
+    * driver hash stays array-free while pinning every code byte.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val withScale = embeddings
+      .select(col("vec_id"), e.as("e"))
+      .withColumn("maxabs", array_max(transform(col("e"), x => abs(x))))
+      .withColumn("scale", col("maxabs") / lit(127.0))
+    val codes = when(col("maxabs") === 0.0, transform(col("e"), _ => lit(0L)))
+      .otherwise(transform(col("e"), x => floor(x / col("scale") + lit(0.5))))
+    withScale
+      .withColumn("q", codes)
+      .select(
+        col("vec_id"),
+        col("scale"),
+        aggregate(
+          zip_with(col("q"), sequence(lit(1L), size(col("q")).cast("long")), (q, i) => q * i),
+          lit(0L),
+          (acc, x) => acc + x,
+        ).as("q_checksum"),
+        size(filter(col("q"), q => abs(q) === 127L)).cast("long").as("n_saturated"),
+        array_max(zip_with(col("e"), col("q"), (x, q) => abs(x - q * col("scale"))))
+          .as("max_abs_err"),
+      )
+      .orderBy("vec_id")
+  }
+
   /** IVF-style ANN with a precomputed coarse assignment column (here the
     * `label` column stands in for the nearest-centroid cell id a k-means
     * quantizer would produce): search only the query's cell.

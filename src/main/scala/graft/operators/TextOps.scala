@@ -357,6 +357,41 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Benchmark contamination check: flag corpus documents sharing any
+    * word n-gram with a benchmark/eval set — the decontamination step a
+    * training pipeline runs before the data ships. `isBenchmark` selects
+    * the held-out set; every other document is corpus. The benchmark's
+    * distinct shingle hashes are broadcast (eval suites are tiny next to
+    * a 100 TB corpus — thousands of docs vs billions), so the corpus is
+    * scanned once with a map-side hash probe: no corpus shuffle at all
+    * except the final per-doc count, which combines map-side. Shingle
+    * hashes are distinct per document ([[HashOps.shingleHashes]]), so
+    * `n_hits` counts distinct contaminated n-grams directly.
+    */
+  def contamination(docs: DataFrame, isBenchmark: Column, n: Int): DataFrame = {
+    val sh = docs.select(
+      col("doc_id"),
+      isBenchmark.as("is_bench"),
+      explode(HashOps.shingleHashes(col("text"), n)).as("h"),
+    )
+    val bench = sh.filter(col("is_bench")).select(col("h")).distinct()
+    val hits = sh
+      .filter(!col("is_bench"))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    docs
+      .filter(!isBenchmark)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"),
+      )
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: the portable rolling hash (content-defined
     * identity, mergeable at any scale) plus standard digests.
     */

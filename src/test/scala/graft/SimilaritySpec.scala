@@ -99,4 +99,51 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
     got.foreach { case (q, n) => assert(labels(q) == labels(n)) }
   }
+
+  test("multi-probe stays within Hamming-1 buckets and dominates single-probe recall") {
+    val dims = 0 until 64 by 8
+    val buckets = embeddings(spark, Sf)
+      .select(col("vec_id"), SimilarityOps.signBucket(col("embedding"), dims).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val multi = SimilarityOps.multiProbeTopK(embeddings(spark, Sf), col("vec_id") < 10, dims, 3)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    multi.foreach { case (q, n, _) =>
+      assert(java.lang.Long.bitCount(buckets(q) ^ buckets(n)) <= 1, s"$q/$n differ in >1 bit")
+    }
+    // Widening the probe set can only improve (or tie) each query's
+    // k-th best score — multi-probe's candidates are a superset.
+    val single = SimilarityOps.lshBucketTopK(embeddings(spark, Sf), col("vec_id") < 10, dims, 3)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    val bestM = multi.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    single.groupBy(_._1).foreach { case (q, rows) =>
+      assert(bestM(q) >= rows.map(_._3).max - 1e-15)
+    }
+  }
+
+  test("int8 quantization matches a driver-side reference, including the zero vector") {
+    val ref = embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        val e = v.map(_.toDouble)
+        val maxabs = e.map(math.abs).max
+        val scale = maxabs / 127.0
+        val q = if (maxabs == 0) e.map(_ => 0L)
+                else e.map(x => math.floor(x / scale + 0.5).toLong)
+        assert(q.forall(c => math.abs(c) <= 127))
+        val checksum = q.zipWithIndex.map { case (c, i) => c * (i + 1) }.sum
+        val maxErr = e.zip(q).map { case (x, c) => math.abs(x - c * scale) }.max
+        id -> ((scale, checksum, q.count(c => math.abs(c) == 127).toLong, maxErr))
+      }.toMap
+    val got = SimilarityOps.quantizeInt8(embeddings(spark, Sf))
+      .as[(Long, Double, Long, Long, Double)].collect()
+    assert(got.length == ref.size)
+    got.foreach { case (id, scale, checksum, nSat, maxErr) =>
+      val (rs, rc, rn, re) = ref(id)
+      assert(scale == rs && checksum == rc && nSat == rn && maxErr == re, s"vec $id")
+    }
+    // Zero vector → scale 0, all-zero codes, zero error.
+    val z = Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zr = SimilarityOps.quantizeInt8(z).as[(Long, Double, Long, Long, Double)].head()
+    assert(zr == ((1L, 0.0, 0L, 0L, 0.0)))
+  }
 }

@@ -129,6 +129,23 @@ class TextOpsSpec extends SparkSpec {
       && r.getAs[Long]("n_docs_kept") == 20L))
   }
 
+  test("contamination flags corpus docs sharing an n-gram with the benchmark set") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"), //   benchmark (id % 2 == 0 here)
+      (1L, "a quick brown fox appears"), //   shares 3-gram "quick brown fox"
+      (3L, "entirely different words here"), // clean
+      (5L, "the quick brown fox jumps"), //   exact copy of the benchmark doc
+    ).toDF("doc_id", "text")
+    val flags = TextOps.contamination(docs, col("doc_id") % 2 === 0, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(flags.map(_._1).toSeq == Seq(1L, 3L, 5L)) // benchmark rows excluded
+    val byId = flags.map(f => f._1 -> ((f._2, f._3))).toMap
+    assert(byId(1L)._1 == 1L && byId(1L)._2) //  one shared 3-gram
+    assert(byId(3L) == ((0L, false)))
+    assert(byId(5L)._1 == 3L && byId(5L)._2) //  all three 3-grams shared
+  }
+
   test("PII scrub redacts emails, IPs, and digit runs, and counts them") {
     import org.apache.spark.sql.functions.col
     val out = TextOps.piiScrub(
