@@ -1158,5 +1158,363 @@ object RelationalQueries {
              |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
              |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin),
     ),
+
+    // TPC-H Q4 shape (order priority checking): EXISTS with a correlated
+    // non-equi conjunct (l_shipdate > o_orderdate) plans as a shuffled
+    // LEFT SEMI hash join on the equi key with the theta term as the
+    // join residual — one shuffle each side, no subquery re-execution
+    // per row. The agg output is bounded by priority cardinality.
+    Q(
+      "q4_priority_check",
+      (s, d) => {
+        val o = orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"),
+        )
+        o.join(
+          lineitem(s, d).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi",
+        ).groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+
+    // TPC-H Q7 shape (volume shipping between two nations): both nation
+    // dims are pre-filtered to the two-nation set BEFORE joining, so the
+    // supplier/customer semi-reductions happen at the dim scan, not
+    // after the fact join; the direction pair filter runs on the joined
+    // rows. supplier⋈nation broadcasts onto lineitem; the only big
+    // shuffle is lineitem⋈orders, and customer⋈orders is key-partitioned
+    // at scale (AQE broadcasts it at this SF).
+    Q(
+      "q7_volume_shipping",
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val n1 = nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val sup = supplier(s, d)
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = customer(s, d)
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val volume = (price * (lit(1).cast("decimal(3,0)") - disc)).cast("decimal(18,4)")
+        lineitem(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
+          )
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .filter(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"),
+          )
+          .groupBy(
+            col("supp_nation"),
+            col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+          )
+          .agg(sum(volume).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM supplier
+             |JOIN lineitem ON s_suppkey = l_suppkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+    ),
+
+    // TPC-H Q8 shape (national market share): conditional-sum ratio per
+    // year. Both sums aggregate exact decimals; the single double
+    // division happens once per output row AFTER aggregation, so the
+    // ratio is bit-reproducible (same two correctly-rounded conversions
+    // and one division on both engines). The part filter is the most
+    // selective input — it broadcasts onto lineitem first, shrinking the
+    // fact before the orders shuffle.
+    Q(
+      "q8_market_share",
+      (s, d) => {
+        val target = "NATION_3"
+        val p = part(s, d).filter(col("p_type") === "STANDARD").select("p_partkey")
+        val custRegion = customer(s, d)
+          .join(
+            broadcast(
+              nation(s, d)
+                .join(broadcast(region(s, d).filter(col("r_name") === "AMERICA")),
+                  col("n_regionkey") === col("r_regionkey"))
+                .select(col("n_nationkey").as("c_nk")),
+            ),
+            col("c_nationkey") === col("c_nk"),
+          )
+          .select("c_custkey")
+        val supNation = supplier(s, d)
+          .join(broadcast(nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("s_nk"))
+          .select("s_suppkey", "supp_nation")
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val volume = (price * (lit(1).cast("decimal(3,0)") - disc)).cast("decimal(18,4)")
+        val zero = lit(0).cast("decimal(18,4)")
+        lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(
+            orders(s, d).filter(
+              col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+            ),
+            col("l_orderkey") === col("o_orderkey"),
+          )
+          .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            (sum(when(col("supp_nation") === target, volume).otherwise(zero)).cast("double") /
+              sum(volume).cast("double")).as("mkt_share"),
+          )
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+             |        THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |          * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))
+             |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             |  / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE)
+             |  AS mkt_share
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |WHERE p_type = 'STANDARD'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND o_custkey IN (
+             |    SELECT c_custkey FROM customer
+             |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |    JOIN region ON n2.n_regionkey = r_regionkey
+             |    WHERE r_name = 'AMERICA')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+
+    // TPC-H Q10 shape (returned-item reporting): quarter of orders ⋈
+    // returned lineitems, revenue per customer, top 20. The grouping key
+    // carries the customer attributes (no second join back), the nation
+    // name arrives by broadcast, and the top-20 plans
+    // TakeOrderedAndProject — per-partition heaps, no global sort.
+    Q(
+      "q10_returned_items",
+      (s, d) => {
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val volume = (price * (lit(1).cast("decimal(3,0)") - disc)).cast("decimal(18,4)")
+        lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .join(
+            orders(s, d).filter(
+              col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-04-01").cast("timestamp"),
+            ),
+            col("l_orderkey") === col("o_orderkey"),
+          )
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(sum(volume).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+    ),
+
+    // TPC-H Q14 shape (promo revenue percent): whole-table conditional
+    // ratio, one output row. Exact decimal sums; then (100 · a) / b in
+    // doubles, same operation order on both engines. The month filter
+    // prunes at the lineitem scan; part broadcasts.
+    Q(
+      "q14_promo_revenue",
+      (s, d) => {
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val volume = (price * (lit(1).cast("decimal(3,0)") - disc)).cast("decimal(18,4)")
+        val zero = lit(0).cast("decimal(18,4)")
+        lineitem(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-10-01").cast("timestamp"),
+          )
+          .join(broadcast(part(s, d).select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            ((lit(100.0) * sum(when(col("p_type") === "PROMO", volume).otherwise(zero))
+              .cast("double")) / sum(volume).cast("double")).as("promo_revenue"),
+          )
+      },
+      Some("""SELECT (CAST(100.0 AS DOUBLE) * CAST(sum(CASE WHEN p_type = 'PROMO'
+             |    THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))
+             |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE))
+             |  / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE)
+             |  AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+             |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin),
+    ),
+
+    // TPC-H Q17 shape (small-quantity revenue): correlated scalar avg
+    // decorrelated into one per-part aggregate joined back — the fact is
+    // scanned twice but shuffled on l_partkey once each; the brand
+    // filter broadcasts into BOTH scans so the per-part avg is computed
+    // only for brand parts. The avg is the reproducible
+    // CAST(sum(decimal) AS DOUBLE)/count form, so the 0.2·avg threshold
+    // is bit-identical across engines.
+    Q(
+      "q17_small_quantity",
+      (s, d) => {
+        val brandParts = part(s, d).filter(col("p_brand") === "Brand#4").select("p_partkey")
+        val thresholds = lineitem(s, d)
+          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey").as("t_partkey"))
+          .agg(
+            (lit(0.2) * (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+              count(lit(1)))).as("qty_thresh"),
+          )
+        lineitem(s, d)
+          .join(broadcast(thresholds), col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("qty_thresh"))
+          .agg(
+            (sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") /
+              lit(7.0)).as("avg_yearly"),
+          )
+      },
+      Some("""WITH thresholds AS (
+             |  SELECT l_partkey AS t_partkey,
+             |    CAST(0.2 AS DOUBLE) * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             |      / count(*)) AS qty_thresh
+             |  FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
+             |  GROUP BY l_partkey)
+             |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             |    / CAST(7.0 AS DOUBLE) AS avg_yearly
+             |FROM lineitem JOIN thresholds ON l_partkey = t_partkey
+             |WHERE l_quantity < qty_thresh""".stripMargin),
+    ),
+
+    // TPC-H Q19 shape (disjunctive predicate pushdown): OR-of-ANDs
+    // spanning both join sides. Catalyst factors the per-side
+    // implications out of the disjunction (l_quantity ∈ [1,60] onto the
+    // lineitem scan, p_brand ∈ {…} onto the part scan) so each scan
+    // prunes before the broadcast join evaluates the full residual.
+    Q(
+      "q19_disjunctive",
+      (s, d) => {
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val volume = (price * (lit(1).cast("decimal(3,0)") - disc)).cast("decimal(18,4)")
+        val qty = col("l_quantity")
+        val arm1 = col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          qty >= 1 && qty <= 20
+        val arm2 = col("p_brand") === "Brand#19" && col("p_size").between(10, 30) &&
+          qty >= 10 && qty <= 40
+        val arm3 = col("p_brand") === "Brand#2" && col("p_size").between(20, 50) &&
+          qty >= 20 && qty <= 60
+        lineitem(s, d)
+          .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+          .filter(arm1 || arm2 || arm3)
+          .agg(sum(volume).cast("double").as("revenue"))
+      },
+      Some("""SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity >= 1 AND l_quantity <= 20)
+             |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+             |       AND l_quantity >= 10 AND l_quantity <= 40)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 20 AND 50
+             |       AND l_quantity >= 20 AND l_quantity <= 60)""".stripMargin),
+    ),
+
+    // TPC-H Q22 shape (idle wealthy customers): a one-row scalar
+    // aggregate (the positive-balance mean, in the reproducible
+    // sum-decimal/count form) broadcast-crossed onto every customer row,
+    // then an anti join against recent orders — the "no orders since the
+    // cutoff" set (every customer has SOME order in this data, so the
+    // literal NOT-EXISTS-ever set is empty; the dated variant keeps the
+    // plan shape and a non-degenerate result) — and a per-nation rollup.
+    // At scale the anti join shuffles on custkey; the scalar stays one
+    // broadcast row.
+    Q(
+      "q22_idle_customers",
+      (s, d) => {
+        val avgBal = customer(s, d)
+          .filter(col("c_acctbal") > 0.0)
+          .agg(
+            (sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") /
+              count(lit(1))).as("avg_bal"),
+          )
+        customer(s, d)
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(
+            orders(s, d)
+              .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+              .select("o_custkey"),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti",
+          )
+          .groupBy(col("c_nationkey"))
+          .agg(
+            count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("totacctbal"),
+          )
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS numcust,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (
+             |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+             |    FROM customer WHERE c_acctbal > 0.0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+    ),
   )
 }

@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan assertions for the TPC-H-shape queries: each one exists
+  * to exercise a specific optimizer path, so the spec pins that the path
+  * actually fires (a value-correct plan that, say, re-executes a
+  * correlated subquery per row would still hash-match — these tests are
+  * what keeps the SCALE story honest).
+  */
+class TpchShapesSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("q4: EXISTS plans as one LEFT SEMI hash join, no subquery re-execution") {
+    val p = plan("q4_priority_check")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q19: disjunction pushes per-side implications into both scans") {
+    val p = plan("q19_disjunctive")
+    // Catalyst pushes each side's full OR-of-ANDs projection to its own
+    // parquet scan: the quantity arms onto lineitem, the brand/size arms
+    // onto part (visible as Or(Or(And(...))) in PushedFilters).
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(p.contains("Or(Or(And(EqualTo(p_brand,Brand#4)"), p)
+  }
+
+  test("q10: top-20 plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q17: correlated avg decorrelates to one per-part aggregate join") {
+    val p = plan("q17_small_quantity")
+    // Two lineitem scans (agg + probe), no nested-loop machinery.
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q22: scalar mean is a 1-row broadcast, idle set is a LEFT ANTI join") {
+    val p = plan("q22_idle_customers")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q7/q8: dims broadcast; the only repeated shuffle keys are fact keys") {
+    val p7 = plan("q7_volume_shipping")
+    assert(p7.contains("BroadcastHashJoin"), p7)
+    assert(!p7.contains("CartesianProduct"), p7)
+    val p8 = plan("q8_market_share")
+    assert(p8.contains("BroadcastHashJoin"), p8)
+    assert(!p8.contains("BroadcastNestedLoopJoin"), p8)
+  }
+}
