@@ -310,5 +310,67 @@ object DedupQueries {
            |ORDER BY vec_a, vec_b""".stripMargin
       },
     ),
+
+    // Exact substring-duplication fraction (span-level dedup signal):
+    // positional 5-gram shingle hashes, a shingle is "duplicated" iff it
+    // appears in ≥2 distinct documents. Counts are exact integers; the
+    // final ratio is one double division of two exactly-representable
+    // longs — bit-equal on both engines.
+    Q(
+      "dd_dup_ngrams",
+      (s, d) => DedupOps.dupNgramStats(documents(s, d), 5),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id,
+              |    unnest(${shingleHashesOrdered("string_split(text, ' ')", 5)}) AS h
+              |  FROM documents),
+              |per AS (SELECT doc_id, h, count(*) AS cnt FROM sh GROUP BY doc_id, h),
+              |tagged AS (SELECT doc_id, h, cnt,
+              |                  count(*) OVER (PARTITION BY h) AS n_docs FROM per)
+              |SELECT doc_id,
+              |  CAST(sum(cnt) AS BIGINT) AS n_shingles,
+              |  CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup,
+              |  CAST(CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS DOUBLE)
+              |    / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS dup_fraction
+              |FROM tagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Quality-aware keeper: same clusters as dd_keep_list, but each
+    // cluster keeps its highest-token-count member (tie → min doc_id)
+    // instead of the min id — the policy that retains the longest copy
+    // of boilerplate families. Token count is the quality stand-in; any
+    // deterministic score column slots in.
+    Q(
+      "dd_keep_best",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val docs = documents(s, d)
+        val clusters = DedupOps.connectedComponents(
+          DedupOps.minhashLshPairs(docs, N, K, Bands, JaccardThreshold),
+        )
+        DedupOps.keepBest(docs, clusters, size(split(col("text"), " ")).cast("long"))
+      },
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges),
+              |comp AS (
+              |  SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |  FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+              |qual AS (SELECT doc_id,
+              |           CAST(len(string_split(text, ' ')) AS BIGINT) AS q
+              |         FROM documents),
+              |ranked AS (
+              |  SELECT c.doc_id,
+              |    row_number() OVER (PARTITION BY c.component
+              |                       ORDER BY q.q DESC, c.doc_id) AS rn
+              |  FROM comp c JOIN qual q ON c.doc_id = q.doc_id)
+              |SELECT d.doc_id, coalesce(r.rn = 1, TRUE) AS keep
+              |FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 }

@@ -1516,5 +1516,75 @@ object RelationalQueries {
              |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
     ),
+
+    // Wide→long reshape (the inverse of q_pivot): Dataset.unpivot plans
+    // an Expand — each input row fans out to one row per value column
+    // with zero shuffle; the only exchange is the tiny upstream agg.
+    // Melting a metrics-wide table into (key, metric, value) long form
+    // is the standard hand-off shape for ML feature stores.
+    Q(
+      "q_unpivot",
+      (s, d) => {
+        val base = lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+            sum(dec(col("l_discount"))).cast("double").as("sum_disc"),
+          )
+        base.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric",
+          "value",
+        ).orderBy("l_returnflag", "metric")
+      },
+      Some("""WITH base AS (
+             |  SELECT l_returnflag,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+             |    CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, metric, value FROM (
+             |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM base
+             |  UNION ALL
+             |  SELECT l_returnflag, 'sum_price', sum_price FROM base
+             |  UNION ALL
+             |  SELECT l_returnflag, 'sum_disc', sum_disc FROM base)
+             |ORDER BY l_returnflag, metric""".stripMargin),
+    ),
+
+    // Full-frame positional window functions: first/last/nth event per
+    // user in one pass. The explicit ROWS UNBOUNDED..UNBOUNDED frame is
+    // load-bearing — last_value under the default frame is just the
+    // current row — and the unique event_id tiebreak makes every
+    // position deterministic. One shuffle on user_id; DISTINCT collapses
+    // to one row per user without a second agg shuffle (same key).
+    Q(
+      "q_window_firstlast",
+      (s, d) => {
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        events(s, d)
+          .select(
+            col("user_id"),
+            first(col("event_type")).over(w).as("first_type"),
+            last(col("event_type")).over(w).as("last_type"),
+            nth_value(col("event_type"), 2).over(w).as("second_type"),
+          )
+          .distinct()
+          .orderBy("user_id")
+      },
+      Some("""SELECT DISTINCT user_id,
+             |  first_value(event_type) OVER w AS first_type,
+             |  last_value(event_type) OVER w AS last_type,
+             |  nth_value(event_type, 2) OVER w AS second_type
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY user_id""".stripMargin),
+    ),
   )
 }

@@ -316,6 +316,31 @@ object TextQueries {
               |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
               |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin),
     ),
+    // Cross-document sequence packing: per-language concat-then-split
+    // at a 256-token budget — the context-window-filling step between
+    // curation and training. Pack boundaries are pure integer running
+    // sums (Spark `div` ↔ DuckDB `//`), so the layout replays exactly.
+    Q(
+      "tx_pack",
+      (s, d) => TextOps.packSequences(documents(s, d), budget = 256L),
+      Some("""WITH tok AS (
+             |  SELECT lang, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |laid AS (
+             |  SELECT lang, doc_id, n_tok,
+             |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT)
+             |      AS cum_before
+             |  FROM tok)
+             |SELECT lang, cum_before // 256 AS pack_id,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+             |  min(doc_id) AS first_doc,
+             |  max(doc_id) AS last_doc
+             |FROM laid GROUP BY lang, cum_before // 256
+             |ORDER BY lang, pack_id""".stripMargin),
+    ),
     Q(
       "tx_fingerprint",
       (s, d) => TextOps.fingerprints(documents(s, d)),

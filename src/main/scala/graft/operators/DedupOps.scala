@@ -387,4 +387,68 @@ object DedupOps {
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Quality-aware canonical selection: given near-dup clusters and a
+    * per-document quality score, keep the best-scoring member of each
+    * cluster (ties → smallest doc_id) and every unclustered document.
+    * This is the keeper policy real pipelines use — "min id" is only a
+    * determinism fallback; you want the longest/cleanest copy.
+    *
+    * One row_number window per cluster (shuffle on component — cluster
+    * sizes are small by construction, so no skew), then a left join
+    * back onto the corpus; unclustered docs never enter the window.
+    */
+  def keepBest(docs: DataFrame, clusters: DataFrame, quality: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), quality.as("q"))
+    val ranked = clusters
+      .join(scored, Seq("doc_id"))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("component").orderBy(col("q").desc, col("doc_id"))),
+      )
+      .select(col("doc_id"), (col("rn") === 1).as("keep_c"))
+    docs
+      .select(col("doc_id"))
+      .join(ranked, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keep_c"), lit(true)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact substring-duplication metric: per document, the fraction of
+    * its positional word n-gram shingles whose hash also occurs in some
+    * OTHER document — the corpus-level "duplicated text" signal used to
+    * decide span-level dedup (high fraction ⇒ boilerplate/mirror).
+    *
+    * Plan: explode ordered shingle hashes (positional — multiplicity
+    * within a document counts), aggregate to (shingle, doc) with a count,
+    * then a count-over-shingle window to tag shingles seen in ≥2 docs,
+    * and a final per-doc rollup. Every stage is a key-partitioned
+    * hash agg/window — shuffle keys are (h, doc_id), (h), (doc_id);
+    * nothing pairwise, nothing quadratic, mergeable all the way, so the
+    * plan survives a corpus 1000× this size unchanged.
+    */
+  def dupNgramStats(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = graft.expressions.SketchColumns.shingleHashesOrdered(col("text"), n)
+    val perDocShingle = docs
+      .select(col("doc_id"), explode(hs).as("h"))
+      .groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val tagged = perDocShingle
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("h")))
+    tagged
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_shingles"),
+        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L)).as("n_dup"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        col("n_dup"),
+        (col("n_dup").cast("double") / col("n_shingles").cast("double")).as("dup_fraction"),
+      )
+      .orderBy("doc_id")
+  }
 }

@@ -404,4 +404,38 @@ object TextOps {
         md5(col("text").cast("binary")).as("md5"),
       )
       .orderBy("doc_id")
+
+  /** Cross-document sequence packing ("concatenate then split"): within
+    * each language stream, documents in doc_id order are laid end to
+    * end and cut into training examples of `budget` tokens; a document
+    * belongs to the pack where its first token lands. This is the
+    * deterministic concat-and-chunk packing LLM training uses to fill
+    * context windows without padding — NOT bin packing (no reordering),
+    * so it needs only a running sum, not a sequential solver.
+    *
+    * One shuffle (the per-lang window); the pack rollup re-shuffles the
+    * already-tiny (lang, pack) rows. Pure integer arithmetic throughout
+    * — `div` here, `//` in the oracle — so pack boundaries replay
+    * identically at any scale/partitioning.
+    */
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val w = Window
+      .partitionBy("lang")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("lang"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("pack_id", expr(s"cum_before div ${budget}L"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+      )
+      .orderBy("lang", "pack_id")
+  }
 }

@@ -124,4 +124,40 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "bucketing should surface some near-dup candidates on testdata")
     assert(got.subsetOf(allPairs), "bucketed pairs must be a subset of the exact all-pairs result")
   }
+
+  test("dup-ngram fraction: copies score 1.0, unique text scores 0.0, overlap in between") {
+    // Docs 1 and 2 are identical (every shingle duplicated); doc 3 is
+    // disjoint; doc 4 shares exactly its first 3-gram window with doc 1
+    // when n=3 over 6 tokens (4 positional shingles, 1 shared).
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "q r s t u v"),
+      (4L, "a b c x y z"),
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupNgramStats(docs, 3)
+      .as[(Long, Long, Long, Double)].collect().toMap2
+    assert(out(1L) == ((4L, 4L, 1.0)))
+    assert(out(2L) == ((4L, 4L, 1.0)))
+    assert(out(3L) == ((4L, 0L, 0.0)))
+    assert(out(4L) == ((4L, 1L, 0.25)))
+  }
+
+  test("keepBest keeps the highest-quality cluster member, unclustered docs always kept") {
+    val docs = Seq(
+      (1L, "short"), (2L, "much longer text here"), (3L, "much longer text too"),
+      (4L, "standalone"),
+    ).toDF("doc_id", "text")
+    // One cluster {1,2,3}; quality = token count (2 and 3 tie at 4
+    // tokens → min doc_id 2 wins).
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "component")
+    val out = DedupOps.keepBest(docs, clusters, size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  implicit private class Tup4Map(rows: Array[(Long, Long, Long, Double)]) {
+    def toMap2: Map[Long, (Long, Long, Double)] =
+      rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+  }
 }

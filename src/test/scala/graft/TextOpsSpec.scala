@@ -161,4 +161,25 @@ class TextOpsSpec extends SparkSpec {
         "mail <EMAIL> or <IP> else <NUM> but not 123 x",
     )
   }
+
+  test("sequence packing cuts the per-lang concat stream at the token budget") {
+    // lang "en": docs of 3,3,3,3 tokens, budget 5 → cum_before 0,3,6,9
+    // → packs 0,0,1,1. A doc STARTING inside a pack belongs to it even
+    // if it overflows the budget (concat-then-split semantics).
+    val docs = Seq(
+      (1L, "en", "a b c"),
+      (2L, "en", "d e f"),
+      (3L, "en", "g h i"),
+      (4L, "en", "j k l"),
+      (5L, "fr", "x y"),
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.packSequences(docs, budget = 5L)
+      .select("lang", "pack_id", "n_docs", "tokens", "first_doc", "last_doc")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("en", 0L, 2L, 6L, 1L, 2L),
+      ("en", 1L, 2L, 6L, 3L, 4L),
+      ("fr", 0L, 1L, 2L, 5L, 5L),
+    ))
+  }
 }
