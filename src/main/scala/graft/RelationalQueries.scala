@@ -642,6 +642,51 @@ object RelationalQueries {
              |ORDER BY custkey""".stripMargin),
     ),
 
+    // Multiset (bag) set-ops: EXCEPT ALL / INTERSECT ALL preserve
+    // multiplicity — Spark plans them as a single hash aggregation over
+    // tagged counts (no distinct step), one shuffle on the row value.
+    // Order-type pairs per customer minus one per big order ⇒ per-key
+    // multiplicities that differ from the DISTINCT variants above.
+    Q(
+      "q_except_all",
+      (s, d) =>
+        orders(s, d)
+          .select(col("o_custkey").as("custkey"))
+          .exceptAll(
+            orders(s, d)
+              .filter(col("o_totalprice") > 300000)
+              .select(col("o_custkey").as("custkey")),
+          )
+          .groupBy("custkey")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("custkey"),
+      Some("""SELECT custkey, count(*) AS n FROM (
+             |  SELECT o_custkey AS custkey FROM orders
+             |  EXCEPT ALL
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |GROUP BY custkey ORDER BY custkey""".stripMargin),
+    ),
+    Q(
+      "q_intersect_all",
+      (s, d) =>
+        orders(s, d)
+          .filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey"))
+          .intersectAll(
+            orders(s, d)
+              .filter(col("o_orderpriority") =!= "1-URGENT")
+              .select(col("o_custkey").as("custkey")),
+          )
+          .groupBy("custkey")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("custkey"),
+      Some("""SELECT custkey, count(*) AS n FROM (
+             |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+             |  INTERSECT ALL
+             |  SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT')
+             |GROUP BY custkey ORDER BY custkey""".stripMargin),
+    ),
+
     // ROLLUP / CUBE / GROUPING SETS (Expand-based multi-grouping).
     // NULLS FIRST pinned in the oracle: Spark sorts nulls first by
     // default, DuckDB last.

@@ -135,5 +135,60 @@ object SimilarityQueries {
              |      FROM embeddings)
              |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
     ),
+
+    // ANN quality scoreboard: per-query recall@k of the sign-LSH bucket
+    // search against the exact brute-force top-k — the metric an ANN
+    // index owner tracks when tuning probe dims. Both pipelines are
+    // deterministic end-to-end, so even the recall ratios are
+    // hash-checkable. The full-outer join shape mirrors dd_lsh_recall.
+    Q(
+      "sim_ann_recall",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val exact = SimilarityOps
+          .bruteForceTopK(embeddings(s, d), col("vec_id") < 10, BucketK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_exact"))
+        val approx = SimilarityOps
+          .lshBucketTopK(embeddings(s, d), col("vec_id") < 10, ProbeDims, BucketK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_approx"))
+        exact
+          .join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy(col("query_id"))
+          .agg(
+            count(col("in_exact")).as("n_true"),
+            count(col("in_approx")).as("n_approx"),
+            count(when(col("in_exact").isNotNull && col("in_approx").isNotNull, 1)).as("n_hits"),
+          )
+          .select(
+            col("query_id"),
+            col("n_true"),
+            col("n_approx"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / col("n_true").cast("double")).as("recall_at_k"),
+          )
+          .orderBy("query_id")
+      },
+      Some {
+        val exactSql = topkSql("", BucketK)
+        val approxSql = topkSql(
+          s"AND ${signBucket("q.embedding", ProbeDims)} = ${signBucket("c.embedding", ProbeDims)}",
+          BucketK,
+        )
+        s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)),
+           |ap AS (SELECT query_id, neighbor_id FROM ($approxSql)),
+           |j AS (SELECT coalesce(e.query_id, a.query_id) AS query_id,
+           |             e.neighbor_id AS en, a.neighbor_id AS an
+           |      FROM ex e FULL OUTER JOIN ap a
+           |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+           |SELECT query_id,
+           |  CAST(count(en) AS BIGINT) AS n_true,
+           |  CAST(count(an) AS BIGINT) AS n_approx,
+           |  CAST(count(CASE WHEN en IS NOT NULL AND an IS NOT NULL THEN 1 END) AS BIGINT)
+           |    AS n_hits,
+           |  CAST(count(CASE WHEN en IS NOT NULL AND an IS NOT NULL THEN 1 END) AS DOUBLE)
+           |    / CAST(count(en) AS DOUBLE) AS recall_at_k
+           |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+      },
+    ),
   )
 }

@@ -189,4 +189,61 @@ object EngineProps extends Properties("graft") {
       rows.head._1 == rows.head._2
     }
   }
+
+  /** Sequence packing conserves tokens and documents within each lang;
+    * pack ids start at 0 and strictly increase (they may SKIP — a doc
+    * longer than the budget spans several windows, so the next doc
+    * starts packs later), and each pack's id equals its first doc's
+    * cum_before div budget by construction.
+    */
+  property("packSequences conserves tokens and yields increasing packs from 0") = {
+    import spark.implicits._
+    val genDoc = for {
+      id <- Gen.chooseNum(1L, 4096L)
+      lang <- Gen.oneOf("en", "fr")
+      n <- Gen.chooseNum(1, 12)
+    } yield (id, lang, Seq.fill(n)("w").mkString(" "))
+    Prop.forAll(Gen.nonEmptyListOf(genDoc), Gen.chooseNum(4L, 32L)) { (docsRaw, budget) =>
+      val docs = docsRaw.distinctBy(_._1)
+      val df = docs.toDF("doc_id", "lang", "text")
+      val packs = graft.operators.TextOps
+        .packSequences(df, budget)
+        .as[(String, Long, Long, Long, Long, Long)]
+        .collect()
+        .toSeq
+      val byLang = docs.groupBy(_._2)
+      byLang.forall { case (lang, ds) =>
+        val mine = packs.filter(_._1 == lang)
+        val tokensTotal = ds.map(_._3.split(" ").length.toLong).sum
+        val ids = mine.map(_._2)
+        ids.headOption.contains(0L) &&
+        ids.zip(ids.drop(1)).forall { case (a, b) => a < b } &&
+        mine.map(_._4).sum == tokensTotal &&
+        mine.map(_._3).sum == ds.length.toLong
+      }
+    }
+  }
+
+  /** dupNgramStats: fractions stay in [0,1]; duplicating the whole
+    * corpus (every doc twice under fresh ids) drives every fraction
+    * to exactly 1.0.
+    */
+  property("dupNgramStats bounds and saturation under full duplication") = {
+    import spark.implicits._
+    val genDoc = for {
+      id <- Gen.chooseNum(1L, 1024L)
+      n <- Gen.chooseNum(1, 8)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield (id, ws.mkString(" "))
+    Prop.forAll(Gen.nonEmptyListOf(genDoc)) { docsRaw =>
+      val docs = docsRaw.distinctBy(_._1)
+      val doubled = docs ++ docs.map { case (id, t) => (id + 2048L, t) }
+      val out = graft.operators.DedupOps
+        .dupNgramStats(doubled.toDF("doc_id", "text"), 3)
+        .as[(Long, Long, Long, Double)]
+        .collect()
+      out.forall { case (_, n, d, f) => d <= n && f >= 0.0 && f <= 1.0 } &&
+      out.forall(_._4 == 1.0)
+    }
+  }
 }
