@@ -20,6 +20,26 @@ object NetflowQueries {
              |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              |FROM events ORDER BY event_id""".stripMargin),
     ),
+    // P2 robustness: deterministic payload corruption (every 97th
+    // record loses its opening brace) → PERMISSIVE from_json NULL-struct
+    // accounting. Spark's "NULL struct = unparseable" exactly mirrors
+    // DuckDB's json_valid = false here.
+    Q(
+      "nf_parse_badrecords",
+      (s, d) => EventOps.parseBadRecords(events(s, d)),
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 97 = 0
+             |         THEN regexp_replace(props, '^\{', '')
+             |         ELSE props END AS payload
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_total,
+             |  CAST(count(CASE WHEN NOT json_valid(payload) THEN 1 END) AS BIGINT) AS n_bad,
+             |  CAST(sum(CASE WHEN json_valid(payload)
+             |        THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END) AS BIGINT)
+             |    AS sum_k
+             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
     Q(
       "nf_heartbeat_filter",
       (s, d) => EventOps.heartbeatFilter(events(s, d)),

@@ -1562,6 +1562,82 @@ object RelationalQueries {
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
     ),
 
+    // Null-safe join (`<=>` ⟷ IS NOT DISTINCT FROM): NULL keys match
+    // each other — the semantics SQL equality silently drops. Spark
+    // plans a null-safe equi HASH join (the NULL bucket is just another
+    // key), not a nested loop; the NULL output row is the proof the
+    // semantics fired (a plain join would lose it).
+    Q(
+      "q_join_nullsafe",
+      (s, d) => {
+        val et = nullif(col("event_type"), lit("click")).as("et")
+        val a = events(s, d).filter(col("value") < 10)
+          .groupBy(et).agg(count(lit(1)).as("cnt_a"))
+        val b = events(s, d).filter(col("value") >= 10)
+          .groupBy(et).agg(count(lit(1)).as("cnt_b"))
+        a.join(b, a("et") <=> b("et"))
+          .select(a("et").as("et"), col("cnt_a"), col("cnt_b"))
+          .orderBy(col("et"))
+      },
+      Some("""WITH a AS (SELECT nullif(event_type, 'click') AS et, count(*) AS cnt_a
+             |          FROM events WHERE value < 10 GROUP BY 1),
+             |b AS (SELECT nullif(event_type, 'click') AS et, count(*) AS cnt_b
+             |      FROM events WHERE value >= 10 GROUP BY 1)
+             |SELECT a.et AS et, cnt_a, cnt_b
+             |FROM a JOIN b ON a.et IS NOT DISTINCT FROM b.et
+             |ORDER BY et NULLS FIRST""".stripMargin),
+    ),
+
+    // Shuffle-hash join by hint: for two facts where one side is small
+    // enough to hash per-partition but too big to broadcast, SHUFFLE_HASH
+    // skips the sort phase sort-merge would pay on both sides. Same
+    // result as the sort-merge variant by construction; TpchShapesSpec
+    // pins that the hint actually flips the physical operator.
+    Q(
+      "q_join_shufflehash",
+      (s, d) =>
+        lineitem(s, d)
+          .hint("SHUFFLE_HASH")
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          )
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+
+    // Explicitly salted hot-key join (SkewOps.saltedJoin): probe rows
+    // split across `buckets` sub-keys, build side replicated per salt —
+    // row-identical to the plain join, but a hot l_suppkey now fans out
+    // over 8 partitions instead of one straggler task. The oracle is the
+    // PLAIN join: salting must be invisible in the result.
+    Q(
+      "q_skew_join_salted",
+      (s, d) =>
+        graft.operators.SkewOps
+          .saltedJoin(
+            lineitem(s, d),
+            supplier(s, d).withColumnRenamed("s_suppkey", "l_suppkey"),
+            "l_suppkey",
+            buckets = 8,
+          )
+          .groupBy(col("s_name"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+          )
+          .orderBy("s_name"),
+      Some("""SELECT s_name, count(*) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name ORDER BY s_name""".stripMargin),
+    ),
+
     // Wide→long reshape (the inverse of q_pivot): Dataset.unpivot plans
     // an Expand — each input row fans out to one row per value column
     // with zero shuffle; the only exchange is the tiny upstream agg.

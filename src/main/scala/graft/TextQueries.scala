@@ -316,6 +316,29 @@ object TextQueries {
               |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
               |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin),
     ),
+    // Top-3 TF-IDF terms per document: IDF as the exact N/df ratio (no
+    // log — bit-reproducible), rank ties broken by term. Spark
+    // row_number is INT; the oracle casts to match.
+    Q(
+      "tx_tfidf",
+      (s, d) => TextOps.tfidfTopK(documents(s, d), k = 3),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             |    CAST(tf.tf AS DOUBLE)
+             |      * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+             |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+             |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             |       score, rank
+             |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY score DESC, term) AS INT) AS rank
+             |      FROM scored)
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    ),
     // Cross-document sequence packing: per-language concat-then-split
     // at a 256-token budget — the context-window-filling step between
     // curation and training. Pack boundaries are pure integer running

@@ -166,4 +166,35 @@ object EventOps {
       )
       .orderBy("user_id", "session_seq")
   }
+
+  /** P2 robustness — malformed-payload accounting. A deterministic
+    * corruption (strip the opening brace from every 97th record) stands
+    * in for wire damage; `from_json` under PERMISSIVE mode routes each
+    * unparseable input into the declared corrupt-record column — the
+    * idiomatic Spark bad-record channel (the reference's parse step
+    * would silently crash the batch or drop the row — here damage is
+    * counted, good rows still parse, and the pipeline keeps running).
+    * Pure scan + one tiny agg.
+    */
+  def parseBadRecords(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val payload = when(
+      col("event_id") % 97 === 0,
+      regexp_replace(col("props"), "^\\{", ""),
+    ).otherwise(col("props"))
+    val schema = StructType(
+      Seq(StructField("k", LongType), StructField("_corrupt_record", StringType)),
+    )
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")
+    events
+      .select(col("event_type"), payload.as("payload"))
+      .withColumn("parsed", from_json(col("payload"), schema, opts))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("parsed._corrupt_record").isNotNull, 1)).as("n_bad"),
+        sum(when(col("parsed._corrupt_record").isNull, col("parsed.k"))).as("sum_k"),
+      )
+      .orderBy("event_type")
+  }
 }

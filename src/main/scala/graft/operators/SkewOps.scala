@@ -34,4 +34,30 @@ object SkewOps {
       .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col("key"))
       .agg(sum(col("__psum")).as("total"), sum(col("__pcnt")).as("n"))
+
+  /** Salted equi-join for a hot probe-side key: every probe row gets a
+    * row-unique salt in [0, buckets); the build side is replicated once
+    * per salt value, and the join key becomes (key, salt) — a hot key's
+    * rows now land in `buckets` partitions instead of one straggler.
+    * Build-side cost is deliberate and bounded: |build| × buckets rows,
+    * the standard trade when the build side is a dimension. Result is
+    * row-identical to the plain join (each probe row matches exactly the
+    * replica carrying its own salt).
+    *
+    * This is the explicit form of what AQE skew-join does adaptively;
+    * it exists for the cases AQE cannot see (skew materializing after
+    * an upstream transform, or a deliberately disabled AQE).
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      buckets: Int,
+  ): DataFrame = {
+    val salted = probe
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val replicated = build
+      .withColumn("__salt", explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

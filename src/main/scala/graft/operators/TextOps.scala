@@ -405,6 +405,36 @@ object TextOps {
       )
       .orderBy("doc_id")
 
+  /** Top-k TF-IDF terms per document — the classic salient-term
+    * extractor. IDF is kept as the exact ratio N/df (one double
+    * division; no transcendental log whose last bit could differ
+    * between engines), score = tf · (N/df) in a fixed operation order,
+    * so scores and therefore rankings are bit-reproducible. Shuffles:
+    * (doc, term) partial agg → term-keyed df agg joined back on term →
+    * per-doc rank window; N arrives as a broadcast one-row aggregate,
+    * never a driver action.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "score",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")),
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Cross-document sequence packing ("concatenate then split"): within
     * each language stream, documents in doc_id order are laid end to
     * end and cut into training examples of `budget` tokens; a document

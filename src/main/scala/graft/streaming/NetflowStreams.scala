@@ -168,7 +168,18 @@ object NetflowStreams {
     * condition (the symmetric 4-tuple) keys the shuffle; the time bound
     * prunes state.
     */
-  def pairBidirectionalFlows(curated: DataFrame, window: String = "10 seconds"): DataFrame = {
+  /** `joinType` extends the pairing to outer semantics: "left_outer"
+    * emits unanswered forward flows with NULL reverse columns once the
+    * watermark passes their match window — the "requests that never got
+    * a response" stream. Outer stream-stream joins require exactly the
+    * watermark + interval bound this operator already carries; state
+    * eviction is unchanged.
+    */
+  def pairBidirectionalFlows(
+      curated: DataFrame,
+      window: String = "10 seconds",
+      joinType: String = "inner",
+  ): DataFrame = {
     val withTs = withEventTime(curated, window)
     val fwd = withTs.select(
       col("ip_src").as("f_src"), col("ip_dst").as("f_dst"),
@@ -197,6 +208,7 @@ object NetflowStreams {
         col("r_ts") >= col("f_ts") &&
         col("r_ts") <= col("f_ts") + expr(s"INTERVAL $window") &&
         strictTieBreak,
+      joinType,
     )
   }
 

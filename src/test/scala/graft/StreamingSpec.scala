@@ -155,6 +155,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((100L, 52L), (11L, 13L))) // one row per exchange, even at equal timestamps
   }
 
+  test("stream-stream LEFT OUTER interval join emits unanswered flows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def rawP(src: String, dst: String, psrc: Int, pdst: Int, bytes: Long, ts: String): String =
+      s"""{"event_type":"purge","ip_src":"$src","ip_dst":"$dst","port_src":$psrc,"port_dst":$pdst,
+         |"ip_proto":"tcp","timestamp_start":"$ts","timestamp_arrival":"$ts","packets":1,"bytes":$bytes}"""
+        .stripMargin.replace("\n", "")
+    val in = MemoryStream[String]
+    val parsed = NetflowStreams.parseKafkaNetflow(
+      in.toDF().select(col("value").cast("binary").as("value")),
+    )
+    val pairs = NetflowStreams
+      .pairBidirectionalFlows(parsed, "10 seconds", joinType = "left_outer")
+      .select("f_src", "f_bytes", "r_bytes")
+    val q = pairs.writeStream
+      .format("memory").queryName("outer_pairs").outputMode("append")
+      .option(
+        "checkpointLocation",
+        Files.createTempDirectory("outer_ckpt").toFile.getAbsolutePath,
+      )
+      .start()
+    try {
+      in.addData(
+        rawP("10.0.0.1", "10.0.0.2", 1000, 2000, 100, "2019-11-11 06:18:01.000000"), // answered
+        rawP("10.0.0.2", "10.0.0.1", 2000, 1000, 52, "2019-11-11 06:18:05.000000"),
+        rawP("10.0.0.9", "10.0.0.8", 1000, 2000, 7, "2019-11-11 06:18:02.000000"), // never answered
+      )
+      q.processAllAvailable()
+      // The unanswered flow's NULL row may only emit once the watermark
+      // passes its whole match window — advance it far past.
+      in.addData(rawP("10.9.9.9", "10.9.9.8", 1, 2, 1, "2019-11-11 08:00:00.000000"))
+      q.processAllAvailable()
+      in.addData(rawP("10.9.9.7", "10.9.9.6", 3, 4, 1, "2019-11-11 08:30:00.000000"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val got = spark.table("outer_pairs")
+        .select("f_src", "f_bytes", "r_bytes")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSet
+      assert(got.contains(("10.0.0.1", 100L, 52L)), s"matched pair missing: $got")
+      assert(got.contains(("10.0.0.9", 7L, -1L)), s"unanswered flow's NULL row missing: $got")
+    } finally q.stop()
+  }
+
   test("Kafka re-publish serialization round-trips the curated record (K2 fix shape)") {
     import spark.implicits._
     val curated = Seq(

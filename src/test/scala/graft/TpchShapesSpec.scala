@@ -43,6 +43,22 @@ class TpchShapesSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q_join_shufflehash: the hint flips the fact join to ShuffledHashJoin") {
+    val p = plan("q_join_shufflehash")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_join_nullsafe: null-safe equality still plans a hash join, not a nested loop") {
+    val p = plan("q_join_nullsafe")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_skew_join_salted: the join key carries the salt") {
+    val p = plan("q_skew_join_salted")
+    assert(p.contains("__salt"), p)
+  }
+
   test("q7/q8: dims broadcast; the only repeated shuffle keys are fact keys") {
     val p7 = plan("q7_volume_shipping")
     assert(p7.contains("BroadcastHashJoin"), p7)
