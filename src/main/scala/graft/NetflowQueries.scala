@@ -40,6 +40,37 @@ object NetflowQueries {
              |    AS sum_k
              |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+    // Sliding (overlapping) batch windows — the tumbling nf_window_10s
+    // shape generalized: 2-day windows every 1 day, each event lands in
+    // exactly 2 windows (Spark's window() plans one Expand ×2 + a hash
+    // agg — replication factor dur/slide, not a self-join). NTZ
+    // timestamps keep the day boundaries timezone-free; the oracle
+    // enumerates each event's two epoch-aligned window starts directly.
+    Q(
+      "nf_window_sliding",
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "2 days", "1 day"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+          )
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
+            date_format(col("window.end"), "yyyy-MM-dd").as("win_end"),
+            col("n_events"),
+            col("total_value"),
+          )
+          .orderBy("win_start"),
+      Some("""SELECT strftime(win_start, '%Y-%m-%d') AS win_start,
+             |  strftime(win_start + INTERVAL 2 DAY, '%Y-%m-%d') AS win_end,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM (SELECT value,
+             |        date_trunc('day', ts) - to_days(CAST(k AS INT)) AS win_start
+             |      FROM events, unnest([0, 1]) AS t(k))
+             |GROUP BY win_start ORDER BY win_start""".stripMargin),
+    ),
     Q(
       "nf_heartbeat_filter",
       (s, d) => EventOps.heartbeatFilter(events(s, d)),

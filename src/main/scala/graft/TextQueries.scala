@@ -316,6 +316,29 @@ object TextQueries {
               |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
               |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin),
     ),
+    // Heaps-law vocabulary growth: per-doc new-term contribution and
+    // running token/vocab totals in doc_id order. Exact integers
+    // throughout.
+    Q(
+      "tx_vocab_growth",
+      (s, d) => TextOps.vocabGrowth(documents(s, d)),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |fs AS (SELECT min(doc_id) AS doc_id FROM tok GROUP BY term),
+             |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS new_terms
+             |       FROM fs GROUP BY doc_id),
+             |pd AS (SELECT doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |       FROM documents)
+             |SELECT pd.doc_id, n_tok,
+             |  coalesce(new_terms, 0) AS new_terms,
+             |  CAST(sum(n_tok) OVER w AS BIGINT) AS tokens_cum,
+             |  CAST(sum(coalesce(new_terms, 0)) OVER w AS BIGINT) AS vocab_cum
+             |FROM pd LEFT JOIN nw ON pd.doc_id = nw.doc_id
+             |WINDOW w AS (ORDER BY pd.doc_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY pd.doc_id""".stripMargin),
+    ),
     // Top-3 TF-IDF terms per document: IDF as the exact N/df ratio (no
     // log — bit-reproducible), rank ties broken by term. Spark
     // row_number is INT; the oracle casts to match.

@@ -405,6 +405,34 @@ object TextOps {
       )
       .orderBy("doc_id")
 
+  /** Vocabulary-growth (Heaps-law) curve: per document in doc_id order,
+    * how many never-before-seen terms it contributes, plus running
+    * token/vocabulary totals. "First seen" is a min(doc_id) aggregate
+    * per term — one term-keyed shuffle, no quadratic history scan. The
+    * two running sums use a global ordered window, which is fine HERE
+    * because its input is one row per document (already aggregated) —
+    * the curve itself is inherently sequential; at 100 TB the per-doc
+    * rollup still parallelizes and only the final tiny cumulative pass
+    * is single-stream.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val firstSeen = tok
+      .groupBy(col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("new_terms"))
+    val perDoc = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .join(firstSeen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("tokens_cum", sum(col("n_tok")).over(w))
+      .withColumn("vocab_cum", sum(col("new_terms")).over(w))
+      .orderBy("doc_id")
+  }
+
   /** Top-k TF-IDF terms per document — the classic salient-term
     * extractor. IDF is kept as the exact ratio N/df (one double
     * division; no transcendental log whose last bit could differ

@@ -96,15 +96,27 @@ object EngineProps extends Properties("graft") {
       hour <- Gen.chooseNum(0, 23)
       min <- Gen.chooseNum(0, 59)
     } yield f"2024-01-$day%02d $hour%02d:$min%02d:00.000000"
-    Prop.forAll(Gen.nonEmptyListOf(genTs)) { tss =>
+    // forAllNoShrink: ScalaCheck's list/string shrinker truncates
+    // elements (e.g. "2024-01-28 …" → "2024-01-2"), silently violating
+    // the generator's well-formedness invariant the property is
+    // conditioned on — shrunk counterexamples here are artifacts, not
+    // bugs (the cause of a rare flake: shrinking only runs after a
+    // legitimately-failing random edge triggers re-checking).
+    Prop.forAllNoShrink(Gen.nonEmptyListOf(genTs)) { tss =>
       val df = tss.toDF("timestamp")
       val lex = df
         .filter(graft.operators.NetflowOps.rangeFilter(col("timestamp"), "2024-01-10", "2024-01-20"))
         .count()
+      // The native-equivalent of the lexicographic form is STRICT at the
+      // upper date: every real timestamp string extends "2024-01-20", so
+      // `ts <= '2024-01-20'` excludes all of day 20 — midnight included
+      // (rangeFilterPushdown's documented equivalence). The previous
+      // `<=` here disagreed exactly on "2024-01-20 00:00:00.000000", a
+      // rare-but-legitimate generator output (the flake).
       val tsCmp = df
         .filter(
           to_timestamp(col("timestamp")) >= to_timestamp(lit("2024-01-10 00:00:00")) &&
-            to_timestamp(col("timestamp")) <= to_timestamp(lit("2024-01-20 00:00:00")),
+            to_timestamp(col("timestamp")) < to_timestamp(lit("2024-01-20 00:00:00")),
         )
         .count()
       lex == tsCmp
