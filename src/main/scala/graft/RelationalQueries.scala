@@ -1562,6 +1562,125 @@ object RelationalQueries {
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
     ),
 
+    // Gap-filled time series (resample-to-daily): the observed span is
+    // densified with generate-series days and missing days surface as
+    // explicit zeros — the shape every downstream charting/forecast
+    // consumer needs. The day spine comes from a one-row min/max agg
+    // exploded into dates (broadcast; never a driver collect), then a
+    // left join back onto the sparse daily aggregate.
+    Q(
+      "q_gapfill",
+      (s, d) => {
+        val purch = events(s, d)
+          .filter(col("user_id") === 3 && col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+          )
+        val spine = purch
+          .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+        spine
+          .join(purch, Seq("day"), "left")
+          .select(
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+            coalesce(col("total_value"), lit(0.0)).as("total_value"),
+          )
+          .orderBy("day")
+      },
+      Some("""WITH p AS (
+             |  SELECT date_trunc('day', ts) AS day, count(*) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+             |  FROM events WHERE user_id = 3 AND event_type = 'purchase'
+             |  GROUP BY 1),
+             |spine AS (
+             |  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+             |  FROM p)
+             |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+             |  coalesce(n, 0) AS n_purchases,
+             |  coalesce(v, 0.0) AS total_value
+             |FROM spine LEFT JOIN p ON spine.day = p.day
+             |ORDER BY day""".stripMargin),
+    ),
+
+    // Cohort retention: users bucketed by first-active day, activity
+    // counted at (cohort, day-offset) — the canonical growth-analytics
+    // rollup. Two shuffles (user-keyed cohort agg, then the
+    // (cohort, offset) count-distinct); at scale the distinct is the
+    // dial (exact here; HLL per cell when cells get huge —
+    // q_hll_union is that path).
+    Q(
+      "q_cohort_retention",
+      (s, d) => {
+        val act = events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        act
+          .join(cohort, Seq("user_id"))
+          .groupBy(
+            col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"),
+          )
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .select(
+            date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+            col("offset_days"),
+            col("n_users"),
+          )
+          .orderBy("cohort_day", "offset_days")
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+             |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+             |  CAST(date_diff('day', c.cohort_day, act.day) AS BIGINT) AS offset_days,
+             |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+             |FROM act JOIN c ON act.user_id = c.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+
+    // Ordered funnel (signup → first click AFTER signup → first purchase
+    // AFTER that click): each stage is a per-user conditional min joined
+    // forward — the strict event-order funnel, not the loose
+    // "has-all-three" version (min(click) > min(signup) would miss a
+    // user who clicked both before and after signing up). Per-stage
+    // one-row counts cross-join into the single funnel row.
+    Q(
+      "q_funnel",
+      (s, d) => {
+        val e = events(s, d)
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("ts") > col("s_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("ts") > col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        s1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS s_ts FROM events
+             |            WHERE event_type = 'signup' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > s1.s_ts
+             |       GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > s2.c_ts
+             |       GROUP BY e.user_id)
+             |SELECT (SELECT count(*) FROM s1) AS n_signup,
+             |       (SELECT count(*) FROM s2) AS n_click_after,
+             |       (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin),
+    ),
+
     // Null-safe join (`<=>` ⟷ IS NOT DISTINCT FROM): NULL keys match
     // each other — the semantics SQL equality silently drops. Spark
     // plans a null-safe equi HASH join (the NULL bucket is just another

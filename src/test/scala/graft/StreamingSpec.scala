@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{NetflowStreams, SessionizeStream}
+import graft.streaming.{NetflowStreams, RunningTotals, SessionizeStream}
 
 /** Streaming behavior over finite inputs (Trigger.AvailableNow →
   * deterministic results, SURVEY.md §7.3): parse pipeline on a memory
@@ -309,6 +309,44 @@ class StreamingSpec extends SparkSpec {
       assert(got.length == 1, s"exactly the closed window should emit; got ${got.toSeq}")
       assert(got.head == ((2L, 1L, 3L)), s"sketch estimates off: ${got.head}")
     } finally q.stop()
+  }
+
+  test("transformWithState keeps running per-host totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    val in = MemoryStream[(String, Long)]
+    // Not runToMemory: its AvailableNow trigger drains once at start —
+    // this test feeds TWO batches to prove state carries across them.
+    val q = RunningTotals.runningBytes(in.toDS()).toDF("host", "total_bytes")
+      .writeStream
+      .format("memory").queryName("running_totals").outputMode("update")
+      .option(
+        "checkpointLocation",
+        Files.createTempDirectory("tws_ckpt").toFile.getAbsolutePath,
+      )
+      .start()
+    try {
+      in.addData(("a", 100L), ("a", 50L), ("b", 7L))
+      q.processAllAvailable()
+      in.addData(("a", 1L), ("c", 9L))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val got = spark.table("running_totals")
+        .as[(String, Long)].collect().toSeq
+      // Batch 1 emits a→150, b→7; batch 2 emits a→151 (state carried), c→9.
+      assert(got.toSet == Set(("a", 150L), ("b", 7L), ("a", 151L), ("c", 9L)), got.toString)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("an event far behind the watermark is dropped without killing the query") {
