@@ -25,7 +25,9 @@ object Bench {
     // shared driver machine otherwise dominates the total (a 2-table
     // union was once measured 50× its steady-state). min-of-2 is the
     // standard de-noising for wall-clock microbenchmarks — contention
-    // only ever adds time.
+    // only ever adds time. The max rides along into the JSON ("spread")
+    // for the slowest queries, so rep-to-rep contention is visible to
+    // the round-over-round comparison instead of guessed at.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // A rep that throws reports the sentinel -1, never its elapsed
@@ -38,34 +40,114 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val sec = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
+      val good = times.filter(_ >= 0)
+      val sec = if (good.nonEmpty) good.min else -1.0
+      val secMax = if (good.nonEmpty) good.max else -1.0
       System.err.println(
         f"[bench] $name%-22s $sec%8.2f s  (min of ${times.map(t => f"$t%.2f").mkString("/")})",
       )
-      name -> sec
+      (name, sec, secMax)
     }
+    // Stateful-streaming throughput smoke (stderr only, never in the
+    // JSON): FlowGen AvailableNow → transformWithState running totals /
+    // session-window aggregation, reported as rows/s so the cost of the
+    // stateful operators is tracked round over round.
+    streamingSmoke(spark)
     // One machine-readable line. The driver keeps only the LAST ~2.5 kB
-    // of process output (round 2's full-precision line overflowed it and
-    // the headline total was truncated away), so: per-query times round
-    // to ms, the headline total ("value") goes LAST, and if the line
-    // would still overflow the window the per-query map keeps only the
-    // slowest entries (the headline ones) with an "omitted" count — the
-    // total always covers every query regardless.
+    // of process output — shared with sbt's banner/[success] lines — so:
+    // per-query times round to ms, at most 40 (the slowest) queries are
+    // shown, and the shown map is serialized FASTEST-FIRST so that when
+    // the head of the line falls out of the capture window the surviving
+    // tail still carries the slowest (headline) queries, the spread of
+    // the top offenders, and the total. The total always covers every
+    // query regardless of what is shown.
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    def line(shown: Seq[(String, Double)], omitted: Int): String = {
-      val qs = shown.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val bySlowest = results.sortBy { case (_, v, _) => -v }
+    val spread = bySlowest.take(8).map { case (k, lo, hi) =>
+      "\"" + k + "\":[" + r3(lo) + "," + r3(hi) + "]"
+    }.mkString("{", ",", "}")
+    def line(shown: Seq[(String, Double, Double)], omitted: Int): String = {
+      val qs = shown.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"failed":$failed,"omitted":$omitted,"value":${r3(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"omitted":$omitted,"failed":$failed,"spread":$spread,"value":${r3(total)}}"""
     }
-    val budget = 2200 // bytes; leaves room for sbt's trailing [success] line
-    val bySlowest = results.sortBy { case (_, v) => -v }
-    var keep = results.size
-    while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1), results.size - keep).length > budget)
+    val budget = 1800 // bytes; leaves room for sbt's banner + [success] lines
+    var keep = math.min(40, results.size)
+    def shown(k: Int) = bySlowest.take(k).sortBy(_._2) // fastest-first serialization
+    while (keep > 1 && line(shown(keep), results.size - keep).length > budget)
       keep -= 1
-    println(line(bySlowest.take(keep).sortBy(_._1), results.size - keep))
+    println(line(shown(keep), results.size - keep))
     spark.stop()
+  }
+
+  /** Runs the stateful streaming edges over a finite FlowGen input and
+    * prints one `[bench-stream]` line per operator to stderr: rows in,
+    * wall seconds, input rows/s. Failures are reported, never fatal —
+    * the batch bench line must still be produced.
+    */
+  private def streamingSmoke(spark: SparkSession): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
+    val fmt = classOf[graft.sources.FlowGen].getName
+    def timed(name: String)(run: => Long): Unit =
+      try {
+        val t0 = System.nanoTime()
+        val outRows = run
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench-stream] $name%-18s in=$rows out=$outRows $sec%7.2f s  ${rows / sec}%10.0f rows/s",
+        )
+      } catch {
+        case e: Throwable => System.err.println(s"[bench-stream] $name FAILED: $e")
+      }
+    def flowGen(emit: String) = spark.readStream.format(fmt)
+      .option("rows", rows).option("rowsPerBatch", rows / 4)
+      .option("seed", 11).option("emit", emit).load()
+
+    timed("running_totals") {
+      import spark.implicits._
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      )
+      try {
+        val ckpt = java.nio.file.Files.createTempDirectory("bench_tws").toFile.getAbsolutePath
+        val in = graft.operators.NetflowOps.parseRawNetflow(flowGen("json"))
+          .select($"ip_src", $"bytes").as[(String, Long)]
+        val q = graft.streaming.RunningTotals.runningBytes(in)
+          .toDF("host", "total_bytes")
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+
+    timed("session_window") {
+      import org.apache.spark.sql.functions._
+      val ckpt = java.nio.file.Files.createTempDirectory("bench_sess").toFile.getAbsolutePath
+      val curated = graft.operators.NetflowOps.parseRawNetflow(flowGen("json"))
+        .withColumn("ts", to_timestamp(col("timestamp")))
+        .withWatermark("ts", "30 seconds")
+      val agg = curated
+        .groupBy(session_window(col("ts"), "30 seconds"), col("ip_src"))
+        .agg(sum(col("bytes")).as("bytes"), count(lit(1)).as("n_flows"))
+      val q = agg.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+    }
   }
 }

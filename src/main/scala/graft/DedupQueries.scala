@@ -311,6 +311,27 @@ object DedupQueries {
       },
     ),
 
+    // Semantic dedup (SemDeDup): within each coarse cluster cell (label
+    // stands in for the k-means assignment sim_kmeans_step trains), drop
+    // vectors with a lower-id cell-mate at cosine ≥ threshold. The pair
+    // space is per-cell only — the clustering bounds the quadratic
+    // verify, which is the whole SemDeDup recipe.
+    Q(
+      "dd_semantic",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        DedupOps.semanticDedup(embeddings(s, d), col("label"), CosineThreshold)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |n AS (SELECT vec_id, label, ${unitNorm("e")} AS u FROM v),
+              |p AS (SELECT b.vec_id AS vec_id, a.vec_id AS kept,
+              |        ${dot("a.u", "b.u")} AS cosine
+              |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+              |SELECT vec_id, min(kept) AS kept_by, CAST(count(*) AS BIGINT) AS n_dups
+              |FROM p WHERE cosine >= $CosineThreshold
+              |GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    ),
+
     // Exact substring-duplication fraction (span-level dedup signal):
     // positional 5-gram shingle hashes, a shingle is "duplicated" iff it
     // appears in ≥2 distinct documents. Counts are exact integers; the

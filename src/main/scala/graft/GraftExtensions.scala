@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("cms_estimate", 2)(args => CmsEstimate(args.head, args(1)))),
     )
     ext.injectFunction(
+      (FunctionIdentifier("unit_norm"),
+        info("unit_norm", "unit_norm(array<float|double>) - L2 unit-normalized array<double>"),
+        arity("unit_norm", 1)(args => UnitNorm(args.head))),
+    )
+    ext.injectFunction(
       (FunctionIdentifier("array_dot"),
         info("array_dot", "array_dot(array<double>, array<double>) - strict left-fold dot product"),
         arity("array_dot", 2)(args => ArrayDot(args.head, args(1)))),

@@ -4,10 +4,14 @@ import graft.operators.MultimodalOps
 import Tables.documents
 
 /** Multimodal-column queries (SURVEY.md §7.2 M4): binary payloads with
-  * typed metadata, a (stubbed, deterministic) decode stage, and frame
-  * sampling. The typed mapPartitions pipeline behind these is
-  * `MultimodalOps.decodeAll`, asserted equal to the declarative twin in
-  * the ScalaTest spec; the oracle pins the declarative semantics.
+  * typed metadata, a REAL image-header decode stage (PNG IHDR / JPEG
+  * SOF0 fields parsed out of actual container bytes written by
+  * `MultimodalOps.encodeMedia`), and frame sampling. The typed
+  * mapPartitions pipeline behind these is `MultimodalOps.decodeAll`
+  * (general chunk-walk/marker-scan parsers), asserted equal to the
+  * declarative twin in the ScalaTest spec; the oracle independently
+  * predicts the dimensions the headers carry, so a parse that misreads
+  * any byte hash-mismatches.
   */
 object MultimodalQueries {
 
@@ -16,6 +20,18 @@ object MultimodalQueries {
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       |  octet_length(encode(text)) AS n_bytes, text
       |FROM documents""".stripMargin
+
+  /** The `encodeMedia` container layout, mirrored: image payloads gain
+    * a 33-byte PNG or 39-byte JPEG/JFIF header (alternating by
+    * doc_id//3 parity); audio/video stay raw.
+    */
+  private val encodedMediaSql =
+    s"""SELECT doc_id, media_type,
+       |  CASE WHEN media_type = 'image'
+       |       THEN (CASE WHEN (doc_id // 3) % 2 = 0 THEN 33 ELSE 39 END) + n_bytes
+       |       ELSE n_bytes END AS n_bytes,
+       |  n_bytes AS content_bytes
+       |FROM ($mediaSql)""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q(
@@ -36,20 +52,30 @@ object MultimodalQueries {
       Some(s"""SELECT doc_id, media_type, n_bytes, sha256(text) AS sha256, md5(text) AS md5
               |FROM ($mediaSql) ORDER BY doc_id""".stripMargin),
     ),
+    // Width/height for image rows are PARSED from the PNG/JPEG header
+    // bytes encodeMedia wrote; the oracle predicts what those headers
+    // carry (the same deterministic dimensions, plus the container's
+    // byte overhead), so the whole encode→parse round-trip is
+    // hash-checked. Non-container rows take the stub formulas over the
+    // raw payload.
     Q(
       "mm_decode_meta",
-      (s, d) => MultimodalOps.decodeMeta(MultimodalOps.asMedia(documents(s, d))).orderBy("doc_id"),
+      (s, d) => MultimodalOps.decodeHeaderMeta(MultimodalOps.encodeMedia(documents(s, d)))
+        .orderBy("doc_id"),
       Some(s"""SELECT doc_id, media_type, n_bytes,
-              |  64 + n_bytes % 512 AS width,
-              |  64 + (n_bytes * 31) % 512 AS height,
+              |  64 + content_bytes % 512 AS width,
+              |  64 + (content_bytes * 31) % 512 AS height,
               |  CAST(3 AS BIGINT) AS channels,
-              |  n_bytes % 16 + 1 AS n_frames
-              |FROM ($mediaSql) ORDER BY doc_id""".stripMargin),
+              |  CASE WHEN media_type = 'image' THEN 1 ELSE content_bytes % 16 + 1 END AS n_frames
+              |FROM ($encodedMediaSql) ORDER BY doc_id""".stripMargin),
     ),
     // Resize planning: aspect-preserving fit into 224×224, no upscale.
+    // Runs over encoded media: the input dims are parsed from the real
+    // image headers (identical values to the formulas the oracle
+    // states, since encodeMedia wrote exactly those into the bytes).
     Q(
       "mm_resize_plan",
-      (s, d) => MultimodalOps.planResize(MultimodalOps.asMedia(documents(s, d)), target = 224)
+      (s, d) => MultimodalOps.planResize(MultimodalOps.encodeMedia(documents(s, d)), target = 224)
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, width, height, scale,
               |  CAST(floor(width * scale) AS BIGINT) AS out_width,
@@ -99,7 +125,7 @@ object MultimodalQueries {
     ),
     Q(
       "mm_frame_sample",
-      (s, d) => MultimodalOps.sampleFrames(MultimodalOps.asMedia(documents(s, d)), step = 4),
+      (s, d) => MultimodalOps.sampleFrames(MultimodalOps.encodeMedia(documents(s, d)), step = 4),
       Some(s"""SELECT doc_id, n_frames,
               |  unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
               |FROM (SELECT doc_id, n_bytes % 16 + 1 AS n_frames

@@ -67,6 +67,15 @@ object OracleSnippets {
        |  list_transform(generate_series(1, len($a)), dti -> ($a)[dti] * ($b)[dti])),
        |  (dta, dtb) -> dta + dtb)""".stripMargin
 
+  /** SimilarityOps.kmeansStep's squared-L2 distance of two DOUBLE[]
+    * columns (strict left fold over dims, matching zip_with+aggregate).
+    */
+  def l2sq(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       |  list_transform(generate_series(1, len($a)),
+       |    l2i -> (($a)[l2i] - ($b)[l2i]) * (($a)[l2i] - ($b)[l2i]))),
+       |  (l2a, l2b) -> l2a + l2b)""".stripMargin
+
   /** Jaccard of two pre-distinct list columns as a double. */
   def jaccard(a: String, b: String): String =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct(list_concat($a, $b)))"

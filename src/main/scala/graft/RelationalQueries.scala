@@ -1826,5 +1826,200 @@ object RelationalQueries {
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY user_id""".stripMargin),
     ),
+
+    // TPC-H Q6 (forecasting revenue change): the pure-scan query — every
+    // predicate pushes into the parquet scan (shipdate range + quantity
+    // reach PushedFilters), one map-side-combined global agg, zero
+    // joins. At 100 TB this is bounded by scan bandwidth alone, which is
+    // exactly what Q6 exists to measure.
+    Q(
+      "q6_forecast_revenue",
+      (s, d) => {
+        val disc = col("l_discount").cast("decimal(4,2)")
+        lineitem(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+              disc.between(lit("0.05").cast("decimal(4,2)"), lit("0.07").cast("decimal(4,2)")) &&
+              col("l_quantity") < 24,
+          )
+          .agg(
+            sum((dec(col("l_extendedprice")) * disc).cast("decimal(18,4)"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"),
+          )
+      },
+      Some("""SELECT
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             |  AND l_shipdate < TIMESTAMP '1996-01-01'
+             |  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin),
+    ),
+
+    // TPC-H Q9 shape (product-type profit by nation and year; adapted —
+    // the testdata has no partsupp, so profit omits the supplycost term;
+    // reference Q9's join/agg topology is otherwise intact). Dims (part
+    // filter, supplier, nation) broadcast; the one big shuffle is
+    // lineitem⋈orders on the order key; group keys are (nation, year) so
+    // the agg output is tiny at any scale.
+    Q(
+      "q9_product_profit",
+      (s, d) => {
+        val redParts = part(s, d).filter(col("p_name").like("%red%")).select(col("p_partkey"))
+        val price = dec(col("l_extendedprice"))
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val amount = (price * (lit(1).cast("decimal(3,0)") - disc)).cast("decimal(18,4)")
+        lineitem(s, d)
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+          .join(orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(amount).cast("double").as("sum_profit"))
+          .orderBy(col("n_name"), col("o_year").desc)
+      },
+      Some("""SELECT n_name, year(o_orderdate) AS o_year,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_profit
+             |FROM lineitem
+             |JOIN part     ON l_partkey = p_partkey
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |WHERE p_name LIKE '%red%'
+             |GROUP BY n_name, year(o_orderdate)
+             |ORDER BY n_name, o_year DESC""".stripMargin),
+    ),
+
+    // TPC-H Q15 (top supplier): quarter revenue per supplier, then the
+    // argmax via a broadcast single-row max joined back on EXACT decimal
+    // equality (the spec's correlated `= (SELECT max(...))`). The rev agg
+    // shuffles once on l_suppkey; supplier broadcasts; ties (multiple
+    // suppliers at the max) surface deterministically, ordered by key.
+    Q(
+      "q15_top_supplier",
+      (s, d) => {
+        val price = dec(col("l_extendedprice"))
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val discPrice = (price * (lit(1).cast("decimal(3,0)") - disc)).cast("decimal(18,4)")
+        val rev = lineitem(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"),
+          )
+          .groupBy(col("l_suppkey"))
+          .agg(sum(discPrice).as("rev_dec"))
+        val maxRev = rev.agg(max(col("rev_dec")).as("max_rev"))
+        rev
+          .join(broadcast(maxRev), col("rev_dec") === col("max_rev"))
+          .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .select(
+            col("s_suppkey"),
+            col("s_name"),
+            col("rev_dec").cast("double").as("total_revenue"),
+          )
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS rev_dec
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin),
+    ),
+
+    // TPC-H Q16 shape (parts/supplier relationship; adapted — no
+    // partsupp table, so lineitem is the part↔supplier bridge and the
+    // "customer complaints" exclusion becomes attribute filters). The
+    // part filter broadcasts onto lineitem; COUNT(DISTINCT) expands to
+    // the standard two-phase plan (distinct shuffle then count) with the
+    // (brand, type, size) grouping keys bounding the output.
+    Q(
+      "q16_supplier_cnt",
+      (s, d) => {
+        val p = part(s, d).filter(
+          col("p_brand") =!= "Brand#1" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29),
+        )
+        lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+             |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    ),
+
+    // TPC-H Q20 shape (potential part promotion; adapted — without
+    // partsupp's availqty, a supplier qualifies by DOMINATING a part's
+    // 1996 shipments: its shipped quantity of some '%blue%' part exceeds
+    // half that part's total). Nested aggregation at two grains (the
+    // Q20 signature), then a semi-join onto supplier. The half-total
+    // comparison is double division by 2 — exact in binary — so the
+    // qualifying set is deterministic. Both aggs shuffle on bounded
+    // keys; the qualifying-supplier set is tiny and broadcasts.
+    Q(
+      "q20_promo_suppliers",
+      (s, d) => {
+        val blue = part(s, d).filter(col("p_name").like("%blue%")).select(col("p_partkey"))
+        val li96 = lineitem(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+          )
+          .join(broadcast(blue), col("l_partkey") === col("p_partkey"))
+        val perSupp = li96
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+        val perPart = perSupp
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("qty_dec")).as("part_qty_dec"))
+        val hot = perSupp
+          .join(perPart, Seq("l_partkey"))
+          .filter(col("qty_dec").cast("double") > col("part_qty_dec").cast("double") / 2)
+          .select(col("l_suppkey"))
+          .distinct()
+        supplier(s, d)
+          .join(broadcast(hot), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH li96 AS (
+             |  SELECT l_suppkey, l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_name LIKE '%blue%'
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+             |per_supp AS (
+             |  SELECT l_suppkey, l_partkey, sum(qty) AS qty_dec
+             |  FROM li96 GROUP BY l_suppkey, l_partkey),
+             |per_part AS (
+             |  SELECT l_partkey, sum(qty_dec) AS part_qty_dec
+             |  FROM per_supp GROUP BY l_partkey)
+             |SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT DISTINCT ps.l_suppkey
+             |  FROM per_supp ps JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+             |  WHERE CAST(ps.qty_dec AS DOUBLE) > CAST(pp.part_qty_dec AS DOUBLE) / 2)
+             |ORDER BY s_suppkey""".stripMargin),
+    ),
   )
 }

@@ -136,6 +136,32 @@ object SimilarityQueries {
              |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
     ),
 
+    // One Lloyd's k-means iteration (the IVF-quantizer training step):
+    // vectors assigned to the nearest of 8 seed centroids by squared-L2
+    // strict fold (ties → lowest seed id), new centroids as the same
+    // ordered-fold mean sim_centroids pins. Assignment is a broadcast
+    // nested-loop against the 8 seed rows (corpus never shuffles for
+    // it); the only shuffle is the (cluster, dim) aggregation.
+    Q(
+      "sim_kmeans_step",
+      (s, d) => SimilarityOps.kmeansStep(embeddings(s, d), col("vec_id") < 8),
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |sd AS (SELECT vec_id AS seed_id, e AS se FROM v WHERE vec_id < 8),
+              |dst AS (SELECT v.vec_id, sd.seed_id, v.e,
+              |          ${l2sq("v.e", "sd.se")} AS dist
+              |        FROM v CROSS JOIN sd),
+              |asg AS (SELECT vec_id, seed_id, e FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY vec_id
+              |                      ORDER BY dist, seed_id) AS rn FROM dst)
+              |        WHERE rn = 1),
+              |x AS (SELECT vec_id, seed_id AS cluster, unnest(e) AS xd,
+              |        generate_subscripts(e, 1) AS dim FROM asg)
+              |SELECT cluster, dim,
+              |  list_reduce(list_prepend(0.0, list(xd ORDER BY vec_id)),
+              |              (kma, kmb) -> kma + kmb) / count(*) AS centroid,
+              |  CAST(count(*) AS BIGINT) AS n
+              |FROM x GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin),
+    ),
     // ANN quality scoreboard: per-query recall@k of the sign-LSH bucket
     // search against the exact brute-force top-k — the metric an ANN
     // index owner tracks when tuning probe dims. Both pipelines are

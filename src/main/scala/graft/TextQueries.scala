@@ -396,5 +396,28 @@ object TextQueries {
               |  md5(text) AS md5
               |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+    // Unigram-LM perplexity proxy: corpus-trained token probabilities,
+    // per-doc mean and max INVERSE probability (log-free — ln() is not
+    // bit-portable across engines; see TextOps.unigramRarity). The
+    // per-doc sum is an ordered fold over token position, so the doubles
+    // hash-match exactly.
+    Q(
+      "tx_unigram_rarity",
+      (s, d) => TextOps.unigramRarity(documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |         generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+             |l AS (SELECT doc_id, pos,
+             |        CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE) AS inv_p
+             |      FROM t JOIN c USING (tok) CROSS JOIN tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  list_reduce(list_prepend(0.0, list(inv_p ORDER BY pos)),
+             |              (ra, rb) -> ra + rb) / count(*) AS mean_inv_prob,
+             |  max(inv_p) AS max_inv_prob
+             |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

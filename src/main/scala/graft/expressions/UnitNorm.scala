@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -23,19 +24,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * n-gram path in round 2.
   *
   * Zero-vectors normalize to NaN elements (0/0), identical to the HOF
-  * form and the oracle. Null array → null; null elements are not
-  * expected (internal operator over the embeddings table).
+  * form and the oracle. Null array → null. A null ELEMENT makes the
+  * whole result null (norm is undefined) — an explicit, checked policy
+  * rather than reading garbage; parquet-sourced embeddings commonly
+  * declare containsNull even when no element is ever null. Wrong input
+  * types are rejected at ANALYSIS time via checkInputDataTypes, not at
+  * first eval.
   */
 case class UnitNorm(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "unit_norm"
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> input, got ${other.catalogString}")
+  }
+
   private lazy val fromFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(s"unit_norm needs array<float|double>, got $other")
+    case _ => false
   }
+
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -44,6 +57,7 @@ case class UnitNorm(child: Expression) extends UnaryExpression {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val d = if (fromFloat) a.getFloat(i).toDouble else a.getDouble(i)
       out(i) = d
       acc += d * d
@@ -62,18 +76,26 @@ case class UnitNorm(child: Expression) extends UnaryExpression {
       val acc = ctx.freshName("acc")
       val norm = ctx.freshName("norm")
       val out = ctx.freshName("out")
+      val anyNull = ctx.freshName("anyNull")
       val get = if (fromFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
          |int $n = $a.numElements();
          |double[] $out = new double[$n];
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = $get;
-         |  $acc += $out[$i] * $out[$i];
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n && !$anyNull; $i++) {
+         |  if ($a.isNullAt($i)) { $anyNull = true; } else {
+         |    $out[$i] = $get;
+         |    $acc += $out[$i] * $out[$i];
+         |  }
          |}
-         |double $norm = java.lang.Math.sqrt($acc);
-         |for (int $i = 0; $i < $n; $i++) { $out[$i] /= $norm; }
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $norm = java.lang.Math.sqrt($acc);
+         |  for (int $i = 0; $i < $n; $i++) { $out[$i] /= $norm; }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
        """.stripMargin
     })
 

@@ -58,11 +58,17 @@ object DedupOps {
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "prefix filtering requires a positive threshold")
-    val sets = docs.select(
-      col("doc_id"),
-      array_sort(HashOps.shingleHashes(col("text"), n)).as("sh"),
-    )
-    val sized = sets.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+    // Materialize the sorted shingle sets once (localCheckpoint = the
+    // per-query form of the persisted index artifact; blocks are freed by
+    // the ContextCleaner when the plan is GC'd): the prefix postings and
+    // BOTH verify-join sides read one computed table instead of
+    // re-running the shingle pipeline 3×. The repartition keeps the eager
+    // compute spread across all cores.
+    val sized = docs
+      .repartition(partitions(docs), col("doc_id"))
+      .select(col("doc_id"), array_sort(HashOps.shingleHashes(col("text"), n)).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+      .localCheckpoint()
     val prefixLen = (col("sz") - ceil(col("sz") * threshold).cast("int") + 1)
     val posts = sized.select(
       col("doc_id"),
@@ -100,16 +106,20 @@ object DedupOps {
       threshold: Double,
   ): DataFrame = {
     val rowsPerBand = k / bands
-    // The repartition calls are *exchange barriers*: projection
-    // collapsing would otherwise inline the shingle-hash array into each
-    // consuming lambda (multiplicative recompute per row). The explicit
-    // partition count keeps AQE from coalescing the (byte-wise tiny,
-    // compute-wise expensive) signature stage onto one core. The band
-    // self-join and verify joins still recompute the signature subtree
-    // per use (column pruning makes the sides non-identical, so no
-    // exchange reuse) — cheap with the codegen'd expressions at test
-    // scale; a cluster pipeline persists the signature/band table once
-    // as the LSH *index* artifact and joins against that.
+    // The signature/band table is the LSH *index* artifact: compute it
+    // ONCE and materialize (localCheckpoint — the per-query stand-in for
+    // the persisted index table a cluster pipeline would publish; block
+    // storage is MEMORY_AND_DISK and the ContextCleaner frees it when
+    // the plan is GC'd). Without this, column pruning makes the band
+    // self-join's two sides and the two verify-join sides non-identical
+    // subtrees, so Spark re-runs the whole shingle→minhash→band pipeline
+    // up to 4× per query — the round-3 bench's single biggest cost.
+    // The intermediate repartition calls are *exchange barriers* for the
+    // eager compute: projection collapsing would otherwise inline the
+    // shingle-hash array into each consuming lambda (multiplicative
+    // recompute per row), and the explicit partition count keeps AQE
+    // from coalescing the (byte-wise tiny, compute-wise expensive)
+    // signature stage onto one core.
     val p = partitions(docs)
     val sets = docs
       .repartition(p, col("doc_id"))
@@ -122,6 +132,7 @@ object DedupOps {
         col("sh"),
         HashOps.bandKeys(col("sig"), bands, rowsPerBand).as("bk"),
       )
+      .localCheckpoint()
     val bandsDf = sets.select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
     val candidates = bandsDf
       .as("x")
@@ -169,14 +180,15 @@ object DedupOps {
     require(bits <= 52, s"chunk extraction is exact only for bits <= 52 (got $bits)")
     require(bits % blockBands == 0, s"blockBands ($blockBands) must divide bits ($bits)")
     val chunkBits = bits / blockBands
-    // Exchange barrier: simhash computed once per row (in parallel — the
-    // explicit count keeps AQE from coalescing the compute-heavy stage),
-    // and the self-join below reuses one exchange instead of recomputing.
+    // Fingerprints are the index artifact here: computed once in
+    // parallel (the explicit partition count keeps AQE from coalescing
+    // the compute-heavy stage) and materialized, so the chunk self-join's
+    // two sides read stored fingerprints instead of re-hashing the text.
     val p = partitions(docs)
     val fp = docs
       .repartition(p, col("doc_id"))
       .select(col("doc_id"), HashOps.simhash(col("text"), bits).as("simhash"))
-      .repartition(p, col("doc_id"))
+      .localCheckpoint()
     // chunk c = floor(simhash / 2^(c*chunkBits)) mod 2^chunkBits —
     // floor-division form (not shifts) so the oracle mirrors it verbatim;
     // exact in doubles because simhash < 2^bits ≤ 2^52.
@@ -272,10 +284,30 @@ object DedupOps {
     * of stars centered at each component's minimum id, so the final edge
     * list IS the (node → component-min) labeling — identical to label
     * propagation's fixpoint, which the differential spec asserts on
-    * random graphs. Convergence here is checked by symmetric `except`
-    * (exact, cheap at test scale); a 100 TB run would compare
-    * (count, sum-of-edge-hashes) per round — one aggregate, no join.
+    * random graphs. Convergence is the (count, sum-of-edge-hashes)
+    * aggregate compare ([[edgeChecksum]]) — one aggregate per round, no
+    * join; both sides are canonical distinct (u, v) sets, so equal
+    * checksums means equal sets up to a 64-bit hash-sum collision
+    * (DedupSpec asserts the checksum test agrees with the exact
+    * symmetric-except test on random edge sets).
     */
+  /** Set-identity checksum of a canonical (u, v) edge list: row count
+    * plus the exact sum of per-edge 64-bit hashes, in ONE aggregate pass
+    * (no join). Equal checksums ⇔ equal edge sets, up to an ≈2⁻⁶⁴
+    * hash-sum collision — the scale-safe convergence test for iterative
+    * graph contraction (the exact symmetric-except test costs two
+    * anti-joins per round). The decimal(38,0) accumulator holds ~10¹⁹
+    * signed-64-bit terms exactly; a long SUM would overflow (and throw
+    * under ANSI) almost immediately on random 64-bit hashes.
+    */
+  private[graft] def edgeChecksum(edges: DataFrame): org.apache.spark.sql.Row =
+    edges
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("hsum"),
+      )
+      .head()
+
   def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val p = pairs.localCheckpoint()
     var edges = p
@@ -286,6 +318,7 @@ object DedupOps {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    var sig = edgeChecksum(edges)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -313,7 +346,12 @@ object DedupOps {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      done = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      // One aggregate over the (already materialized) new edge set; the
+      // previous round's checksum is carried, so convergence costs a
+      // single scan per round instead of two anti-joins.
+      val ssSig = edgeChecksum(ss)
+      done = ssSig == sig
+      sig = ssSig
       edges = ss
       iter += 1
     }
@@ -358,17 +396,24 @@ object DedupOps {
       threshold: Double,
       bands: Seq[Seq[Int]],
   ): DataFrame = {
-    // Exchange barrier (see minhashLshPairs): keep the unit-norm HOF
-    // from being inlined multiplicatively into both verify-join sides.
+    // One materialized index frame (see minhashLshPairs): unit-norm
+    // vectors AND per-band buckets computed in a single parallel pass,
+    // localCheckpoint'd so the band self-join's two sides and the two
+    // verify-join sides all read stored data instead of re-normalizing
+    // per consumer.
     val p = partitions(embeddings)
-    val v = embeddings
+    val indexed = embeddings
       .repartition(p, col("vec_id"))
-      .select(col("vec_id"), SimilarityOps.unitNorm(col("embedding")).as("u"))
-    val buckets = embeddings.select(
+      .select(
+        col("vec_id"),
+        SimilarityOps.unitNorm(col("embedding")).as("u"),
+        array(bands.map(dims => SimilarityOps.signBucket(col("embedding"), dims)): _*).as("bks"),
+      )
+      .localCheckpoint()
+    val v = indexed.select(col("vec_id"), col("u"))
+    val buckets = indexed.select(
       col("vec_id"),
-      posexplode(
-        array(bands.map(dims => SimilarityOps.signBucket(col("embedding"), dims)): _*),
-      ).as(Seq("band_idx", "bucket")),
+      posexplode(col("bks")).as(Seq("band_idx", "bucket")),
     )
     val candidates = buckets
       .as("x")
@@ -386,6 +431,38 @@ object DedupOps {
       .select(col("vec_a"), col("vec_b"), SimilarityOps.dot(col("u_a"), col("u_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Semantic dedup (SemDeDup-style): within each coarse cluster cell
+    * (a k-means/IVF assignment column — here any cell column), drop
+    * every vector that has a LOWER-id cell-mate with cosine ≥ threshold;
+    * the survivor set is cosine-diverse per cell. Output is the removal
+    * list: (vec_id, kept_by = lowest-id qualifying cell-mate, n_dups =
+    * how many earlier cell-mates crossed the threshold).
+    *
+    * Scale shape: the pair space is per-cell only — one equi-join on the
+    * cell id (never corpus²), exactly the SemDeDup recipe: cluster first
+    * so the quadratic verify is bounded by max cell size; at 100 TB cells
+    * are capped by the quantizer's K. Unit-norm vectors are materialized
+    * once (localCheckpoint) so both join sides read stored data.
+    */
+  def semanticDedup(embeddings: DataFrame, cell: Column, threshold: Double): DataFrame = {
+    val p = partitions(embeddings)
+    val v = embeddings
+      .repartition(p, col("vec_id"))
+      .select(col("vec_id"), cell.as("cell"), SimilarityOps.unitNorm(col("embedding")).as("u"))
+      .localCheckpoint()
+    v.select(col("cell"), col("vec_id").as("kept"), col("u").as("u_a"))
+      .join(
+        v.select(col("cell"), col("vec_id").as("vec_id"), col("u").as("u_b")),
+        Seq("cell"),
+      )
+      .filter(col("kept") < col("vec_id"))
+      .select(col("vec_id"), col("kept"), SimilarityOps.dot(col("u_a"), col("u_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("kept")).as("kept_by"), count(lit(1)).as("n_dups"))
+      .orderBy("vec_id")
   }
 
   /** Quality-aware canonical selection: given near-dup clusters and a

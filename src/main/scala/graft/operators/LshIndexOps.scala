@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED MinHash-LSH index artifact — the storage-side design
+  * that replaces [[DedupOps.minhashLshPairs]]' per-query
+  * `localCheckpoint` at cluster scale (SCALE.md "LSH index" note): a
+  * corpus pipeline computes the shingle→signature→band tables ONCE,
+  * publishes them as bucketed tables, and every downstream consumer
+  * (pair generation, clustering, keeper selection, recall scoreboards,
+  * incremental re-dedup of new batches) joins against the stored
+  * artifact instead of re-running the hash pipeline.
+  *
+  * Bucketing is the whole point:
+  *   - the band table is bucketed on `(band_idx, band_key)` — exactly
+  *     the candidate self-join's keys — so the join needs NO shuffle
+  *     (LshIndexSpec pins the exchange-free plan);
+  *   - the doc table is bucketed + sorted on `doc_id`, so both verify
+  *     joins are shuffle-free on the index side too.
+  * At 100 TB this converts the dominant dedup cost (re-hashing the
+  * corpus per query, then shuffling it per join) into a one-time build
+  * plus exchange-free reads.
+  */
+object LshIndexOps {
+
+  /** The signature/band frame (doc_id, sh, bk) — the data both persisted
+    * tables derive from. Same hash family and band layout as
+    * [[DedupOps.minhashLshPairs]], so pairs computed from the index are
+    * identical to the single-pass operator's.
+    */
+  private def indexFrame(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    docs
+      .select(col("doc_id"), array_sort(HashOps.shingleHashes(col("text"), n)).as("sh"))
+      .select(col("doc_id"), col("sh"), HashOps.minhashSignature(col("sh"), k).as("sig"))
+      .select(
+        col("doc_id"),
+        col("sh"),
+        HashOps.bandKeys(col("sig"), bands, rowsPerBand).as("bk"),
+      )
+  }
+
+  /** Builds and publishes the two index tables:
+    * `<prefix>_docs(doc_id, sh)` bucketed+sorted on doc_id, and
+    * `<prefix>_bands(doc_id, band_idx, band_key)` bucketed on band_key.
+    */
+  def writeIndex(
+      docs: DataFrame,
+      n: Int,
+      k: Int,
+      bands: Int,
+      buckets: Int,
+      prefix: String,
+  ): Unit = {
+    val idx = indexFrame(docs, n, k, bands)
+    idx
+      .select(col("doc_id"), col("sh"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_docs")
+    idx
+      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band_idx", "band_key")
+      .saveAsTable(s"${prefix}_bands")
+  }
+
+  /** Candidate pairs from the stored band table: a self-equi-join on
+    * (band_idx, band_key) that reads the bucketed artifact on both
+    * sides — no exchange, no recompute.
+    */
+  def candidatePairs(spark: SparkSession, prefix: String): DataFrame = {
+    val bandsDf = spark.table(s"${prefix}_bands")
+    bandsDf
+      .as("x")
+      .join(
+        bandsDf.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Verified near-dup pairs from the stored index: candidates from the
+    * band table, exact-Jaccard verify against the stored shingle sets.
+    * Output is identical to `DedupOps.minhashLshPairs(docs, …)` on the
+    * corpus the index was built from (LshIndexSpec asserts equality).
+    */
+  def nearDupPairs(spark: SparkSession, prefix: String, threshold: Double): DataFrame = {
+    val sets = spark.table(s"${prefix}_docs")
+    val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    candidatePairs(spark, prefix)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (c.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - c)).as("jaccard"),
+      )
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental dedup — the reason a pipeline PERSISTS the index: new
+    * documents are checked against the existing corpus by joining the
+    * batch's band keys against the stored band table (bucketed side
+    * never shuffles), without touching stored documents' text at all.
+    * Returns (new_doc_id, dup_of, jaccard) for batch docs that are
+    * near-dups of an indexed doc.
+    */
+  def dedupAgainstIndex(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      n: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val idx = indexFrame(batch, n, k, bands).localCheckpoint()
+    val batchBands = idx
+      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
+    val stored = spark.table(s"${prefix}_bands")
+    val candidates = batchBands
+      .as("x")
+      .join(
+        stored.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key"),
+      )
+      .select(col("x.doc_id").as("new_doc_id"), col("y.doc_id").as("dup_of"))
+      .distinct()
+    val storedSets = spark.table(s"${prefix}_docs")
+    val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    candidates
+      .join(idx.select(col("doc_id").as("new_doc_id"), col("sh").as("sh_a")), "new_doc_id")
+      .join(storedSets.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")), "dup_of")
+      .select(
+        col("new_doc_id"),
+        col("dup_of"),
+        (c.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - c)).as("jaccard"),
+      )
+      .filter(col("jaccard") >= threshold)
+      .orderBy("new_doc_id", "dup_of")
+  }
+}

@@ -8,13 +8,18 @@ import org.apache.spark.sql.functions._
   * uses (payload bytes stay columnar parquet; metadata is pushdown-able
   * scalar columns next to them).
   *
-  * The test corpus has no real media, so the *decode* step is a
-  * clearly-marked STUB: [[stubDecode]] derives deterministic fake
-  * dimensions from the payload bytes. Everything around it — schema,
-  * binary handling, per-partition batch iteration, frame-sample
-  * explode — is the real Spark-side plumbing and is tested. A production
-  * build swaps [[stubDecode]]'s body for a codec call; nothing else
-  * changes.
+  * The image *header* decode is REAL: [[encodeMedia]] wraps each image
+  * row's payload in an actual PNG or JPEG/JFIF container (signature,
+  * IHDR chunk / APP0+SOF0 segments, big-endian dimension fields), and
+  * the decoders parse width/height/channels back out of those bytes —
+  * [[decodeRecord]] with a spec-compliant PNG chunk walk and JPEG marker
+  * scan in the typed pipeline, [[decodeHeaderMeta]] as the declarative
+  * codegen'd twin (fixed JFIF layout; the typed scan is the general
+  * one, and the spec asserts the two agree byte-for-byte). Only formats
+  * with no container here (the audio/video stand-in payloads) fall back
+  * to the clearly-marked [[stubDecode]] — full pixel/sample decode needs
+  * codecs this environment doesn't ship. A production build swaps
+  * [[stubDecode]] for a codec call; nothing else changes.
   */
 object MultimodalOps {
 
@@ -63,18 +68,179 @@ object MultimodalOps {
       col("text").cast("binary").as("payload"),
     )
 
+  /** Documents → media frame with REAL image containers: image rows
+    * alternate between a PNG wrapper (8-byte signature + IHDR chunk)
+    * and a JPEG/JFIF wrapper (SOI + APP0 + SOF0), whose header fields
+    * encode the deterministic stand-in dimensions width = 64 + n mod 512
+    * and height = 64 + 31·n mod 512 (n = pre-wrap text byte length) as
+    * genuine big-endian bytes; the text bytes follow as the stand-in
+    * compressed stream. Audio/video rows stay raw (no container), so
+    * the unknown-format fallback path is exercised too. Entirely Column
+    * algebra — the headers are built with concat/unhex/lpad/hex, all
+    * codegen'd, so encoding runs at scan speed.
+    */
+  def encodeMedia(docs: DataFrame): DataFrame = {
+    val media = asMedia(docs)
+    val n = octet_length(col("payload")).cast("long")
+    // value → fixed-width big-endian byte string.
+    def be(value: org.apache.spark.sql.Column, bytes: Int) =
+      unhex(lpad(hex(value), bytes * 2, "0"))
+    // PNG: signature, IHDR length (13) + type, w/h BE32, bit depth 8,
+    // color type 2 (truecolor → 3 channels), compression/filter/
+    // interlace 0, zeroed CRC (the header parse reads fields, not CRCs).
+    val pngHeader = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      be(lit(64L) + pmod(n, lit(512L)), 4),
+      be(lit(64L) + pmod(n * 31L, lit(512L)), 4),
+      unhex(lit("080200000000000000")),
+    )
+    // JPEG: SOI, 16-byte JFIF APP0, SOF0 (len 17, precision 8,
+    // h/w BE16, 3 components with standard sampling/quant ids).
+    val jpegHeader = concat(
+      unhex(lit("FFD8FFE000104A46494600010100000100010000")),
+      unhex(lit("FFC0001108")),
+      be(lit(64L) + pmod(n * 31L, lit(512L)), 2),
+      be(lit(64L) + pmod(n, lit(512L)), 2),
+      unhex(lit("03011100021101031101")),
+    )
+    media.select(
+      col("doc_id"),
+      col("media_type"),
+      when(
+        col("media_type") === "image",
+        when(pmod(floor(col("doc_id") / 3).cast("long"), lit(2L)) === 0L, concat(pngHeader, col("payload")))
+          .otherwise(concat(jpegHeader, col("payload"))),
+      ).otherwise(col("payload")).as("payload"),
+    )
+  }
+
+  /** PNG signature per the spec §5.2. */
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** PNG color type → sample channels (spec §11.2.2). */
+  private def pngChannels(colorType: Int): Long = colorType match {
+    case 0 => 1L // greyscale
+    case 2 => 3L // truecolor
+    case 3 => 1L // palette index
+    case 4 => 2L // grey + alpha
+    case 6 => 4L // truecolor + alpha
+    case _ => 0L
+  }
+
+  /** REAL header decode of one media record: spec-compliant PNG chunk
+    * walk (any chunk order before IHDR-bearing position; IHDR is
+    * mandated first but the walk doesn't assume it) and JPEG marker scan
+    * (skips arbitrary APPn/COM segments, handles fill bytes, accepts
+    * every SOF0-SOF15 frame marker except DHT/JPG/DAC). Unknown formats
+    * fall back to [[stubDecode]].
+    */
+  def decodeRecord(r: MediaRecord): DecodedMeta = {
+    val b = r.payload
+    def png: Option[DecodedMeta] = {
+      if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
+      var pos = 8
+      while (pos + 8 <= b.length) {
+        val len = be32(b, pos)
+        val ctype = new String(b, pos + 4, 4, "US-ASCII")
+        if (ctype == "IHDR" && pos + 8 + 13 <= b.length) {
+          return Some(DecodedMeta(
+            r.doc_id, r.media_type, b.length.toLong,
+            width = be32(b, pos + 8),
+            height = be32(b, pos + 12),
+            channels = pngChannels(b(pos + 17) & 0xff),
+            n_frames = 1L,
+          ))
+        }
+        pos += 8 + len.toInt + 4 // length + type + data + CRC
+      }
+      None
+    }
+    def jpeg: Option[DecodedMeta] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      var pos = 2
+      while (pos + 1 < b.length) {
+        if ((b(pos) & 0xff) != 0xff) return None // desynchronized
+        var m = b(pos + 1) & 0xff
+        while (m == 0xff && pos + 2 < b.length) { pos += 1; m = b(pos + 1) & 0xff } // fill bytes
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof && pos + 9 < b.length) {
+          return Some(DecodedMeta(
+            r.doc_id, r.media_type, b.length.toLong,
+            width = be16(b, pos + 7).toLong,
+            height = be16(b, pos + 5).toLong,
+            channels = (b(pos + 9) & 0xff).toLong,
+            n_frames = 1L,
+          ))
+        } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          pos += 2 // standalone marker, no length field
+        } else if (m == 0xd9 || pos + 3 >= b.length) {
+          return None // EOI / truncated before any SOF
+        } else {
+          pos += 2 + be16(b, pos + 2) // segment with length field
+        }
+      }
+      None
+    }
+    png.orElse(jpeg).getOrElse(stubDecode(r))
+  }
+
   /** The typed per-partition decode pipeline (the Scala analogue of a
     * pandas-batch UDF): one iterator pass per partition, no driver
     * collect, codec state could be opened once per partition here.
     */
   def decodeAll(spark: SparkSession, media: DataFrame): Dataset[DecodedMeta] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it => it.map(stubDecode) }
+    media.as[MediaRecord].mapPartitions { it => it.map(decodeRecord) }
   }
 
-  /** Declarative twin of the decode (identical arithmetic as Column
-    * algebra) — used by the oracle-checked query so the semantics of
-    * [[stubDecode]] are pinned by the differential test.
+  /** Declarative codegen'd twin of [[decodeRecord]] for [[encodeMedia]]
+    * payloads: parses the PNG IHDR / JPEG SOF0 dimension fields straight
+    * out of the payload BYTES with substring+hex+conv Column algebra.
+    * The JPEG branch assumes the fixed 18-byte JFIF APP0 emitted by
+    * [[encodeMedia]] (a declarative marker *scan* isn't expressible as
+    * a fixed projection); the typed scan is the general parser and
+    * MultimodalSpec asserts the two agree on the whole corpus. Rows
+    * that are neither PNG nor JPEG get the stub formulas (documented
+    * deterministic fake — no codecs in this environment).
+    */
+  def decodeHeaderMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val n = octet_length(p).cast("long")
+    def beN(start: Int, len: Int) = conv(hex(substring(p, start, len)), 16, 10).cast("long")
+    val isPng = octet_length(p) >= 33 && substring(p, 1, 8) === unhex(lit("89504E470D0A1A0A"))
+    val isJfif = octet_length(p) >= 39 && substring(p, 1, 4) === unhex(lit("FFD8FFE0")) &&
+      substring(p, 21, 2) === unhex(lit("FFC0"))
+    val pngColor = beN(26, 1)
+    media.select(
+      col("doc_id"),
+      col("media_type"),
+      n.as("n_bytes"),
+      when(isPng, beN(17, 4)).when(isJfif, beN(28, 2))
+        .otherwise(lit(64L) + pmod(n, lit(512L))).as("width"),
+      when(isPng, beN(21, 4)).when(isJfif, beN(26, 2))
+        .otherwise(lit(64L) + pmod(n * 31L, lit(512L))).as("height"),
+      when(
+        isPng,
+        when(pngColor === 0L, 1L).when(pngColor === 2L, 3L).when(pngColor === 3L, 1L)
+          .when(pngColor === 4L, 2L).when(pngColor === 6L, 4L).otherwise(0L),
+      ).when(isJfif, beN(30, 1))
+        .otherwise(lit(3L)).as("channels"),
+      when(isPng || isJfif, lit(1L)).otherwise(pmod(n, lit(16L)) + 1L).as("n_frames"),
+    )
+  }
+
+  /** Declarative twin of [[stubDecode]] (identical arithmetic as Column
+    * algebra) — pins the stub's semantics in the differential spec; the
+    * registry queries use [[decodeHeaderMeta]], which parses real
+    * container bytes and only falls back to these formulas for
+    * container-less payloads.
     */
   def decodeMeta(media: DataFrame): DataFrame = {
     val n = octet_length(col("payload")).cast("long")
@@ -97,7 +263,7 @@ object MultimodalOps {
     * exact double arithmetic.
     */
   def planResize(media: DataFrame, target: Int): DataFrame = {
-    val meta = decodeMeta(media).filter(col("media_type") === "image")
+    val meta = decodeHeaderMeta(media).filter(col("media_type") === "image")
     val scale = least(
       lit(1.0),
       lit(target.toDouble) / col("width"),
@@ -142,7 +308,7 @@ object MultimodalOps {
     * stage consumes; partition count scales with input, not frames).
     */
   def sampleFrames(media: DataFrame, step: Int): DataFrame =
-    decodeMeta(media)
+    decodeHeaderMeta(media)
       .filter(col("media_type") === "video")
       .select(
         col("doc_id"),

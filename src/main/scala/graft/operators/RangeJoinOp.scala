@@ -69,7 +69,15 @@ object RangeJoinOp {
       floor(micros / (binSeconds * 1000000L))
     }
     val p = points.withColumn("__p_bin", bin(point))
-    val i = intervals.withColumn("__i_bin", explode(sequence(bin(lo), bin(hi))))
+    // Inverted intervals (lo > hi) cannot contain any point, but
+    // sequence(start, stop) DESCENDS when start > stop — a badly inverted
+    // row would fabricate bin(lo)−bin(hi)+1 exploded copies that the
+    // residual predicate then discards. Pre-filter them (matching
+    // AutoRangeJoinRule's validInterval guard): identical output, bounded
+    // fan-out.
+    val i = intervals
+      .filter(lo <= hi)
+      .withColumn("__i_bin", explode(sequence(bin(lo), bin(hi))))
     p.join(i, col("__p_bin") === col("__i_bin") && point >= lo && point <= hi)
       .drop("__p_bin", "__i_bin")
   }

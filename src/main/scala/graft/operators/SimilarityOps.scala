@@ -257,6 +257,61 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** One Lloyd's k-means iteration — the training step behind the IVF
+    * coarse quantizer ([[ivfTopK]]'s cell assignment): seed centroids
+    * (rows selected by `isSeed`) are broadcast, every vector is assigned
+    * to its nearest seed by squared L2 (strict left fold, ties broken by
+    * seed id — deterministic), and new per-cluster centroids come out as
+    * the same ordered-fold mean [[centroids]] uses, long-form
+    * (cluster, dim, centroid, n).
+    *
+    * Scale shape: assignment is a broadcast nested-loop against K seed
+    * rows (the corpus is never shuffled for it) followed by one
+    * (cluster, dim) aggregation shuffle whose output is K×dim rows —
+    * exactly how a cluster-scale k-means iterates. Repeated application
+    * (reseeding from the previous output) is full Lloyd's; one step is
+    * registered so the oracle can state it closed-form.
+    */
+  def kmeansStep(embeddings: DataFrame, isSeed: Column): DataFrame = {
+    val v = embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"),
+    )
+    val seeds = broadcast(
+      v.filter(isSeed).select(col("vec_id").as("seed_id"), col("e").as("se")),
+    )
+    val dist = aggregate(
+      zip_with(col("e"), col("se"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, d) => acc + d,
+    )
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("seed_id"))
+    val assigned = v
+      .crossJoin(seeds)
+      .select(col("vec_id"), col("seed_id"), col("e"), dist.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cluster"), col("e"))
+    assigned
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        posexplode(col("e")).as(Seq("pos", "xd")),
+      )
+      .select(col("vec_id"), col("cluster"), (col("pos") + 1).as("dim"), col("xd"))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("xd")))), s => s.getField("xd")),
+          lit(0.0),
+          (acc, x) => acc + x,
+        ).as("sum_xd"),
+        count(lit(1)).as("n"),
+      )
+      .select(col("cluster"), col("dim"), (col("sum_xd") / col("n")).as("centroid"), col("n"))
+      .orderBy("cluster", "dim")
+  }
+
   /** IVF-style ANN with a precomputed coarse assignment column (here the
     * `label` column stands in for the nearest-centroid cell id a k-means
     * quantizer would produce): search only the query's cell.

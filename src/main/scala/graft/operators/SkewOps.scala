@@ -23,17 +23,29 @@ object SkewOps {
     * monotonically_increasing_id spreads a hot key's rows across all
     * buckets regardless of its payload.
     */
+  /** First working-column name of the form `base`, `base1`, `base2`, …
+    * absent from `taken` — inputs that already carry a column named like
+    * a salt/partial column must not collide with the operator's own
+    * (ambiguous reference or a silently wrong join key otherwise).
+    */
+  private def freshCol(base: String, taken: Iterable[String]): String = {
+    val t = taken.toSet
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i").find(!t(_)).get
+  }
+
   def saltedAgg(
       df: DataFrame,
       key: Column,
       value: Column,
       buckets: Int,
-  ): DataFrame =
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
-      .groupBy(key.as("key"), col("__salt"))
+  ): DataFrame = {
+    val salt = freshCol("__salt", df.columns)
+    df.withColumn(salt, pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      .groupBy(key.as("key"), col(salt))
       .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col("key"))
       .agg(sum(col("__psum")).as("total"), sum(col("__pcnt")).as("n"))
+  }
 
   /** Salted equi-join for a hot probe-side key: every probe row gets a
     * row-unique salt in [0, buckets); the build side is replicated once
@@ -54,10 +66,11 @@ object SkewOps {
       key: String,
       buckets: Int,
   ): DataFrame = {
+    val salt = freshCol("__salt", probe.columns ++ build.columns)
     val salted = probe
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      .withColumn(salt, pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val replicated = build
-      .withColumn("__salt", explode(sequence(lit(0L), lit(buckets.toLong - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+      .withColumn(salt, explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted.join(replicated, Seq(key, salt)).drop(salt)
   }
 }

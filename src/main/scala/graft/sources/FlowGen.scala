@@ -42,11 +42,17 @@ import org.apache.spark.unsafe.types.UTF8String
 class FlowGen extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.getOrDefault("emit", "struct") == "json") FlowGen.JsonSchema else FlowGen.Schema
+  // Spark hands getTable the ORIGINAL-case option keys
+  // (CaseInsensitiveStringMap.asCaseSensitiveMap), so normalize here —
+  // otherwise a camelCase `.option("rowsPerBatch", …)` silently misses
+  // the lowercase lookup and the stream falls back to 100-row batches
+  // (2,000 microbatches for a 200k-row drain: pure per-batch planning
+  // overhead).
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String],
-  ): Table = new FlowGenTable(properties.asScala.toMap)
+  ): Table = new FlowGenTable(properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
 }
 
 object FlowGen {

@@ -143,6 +143,47 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((4L, 1L, 0.25)))
   }
 
+  test("edgeChecksum convergence test agrees with exact symmetric-except on random edge sets") {
+    // connectedComponentsStars declares convergence when round N's edge
+    // set checksums equal round N−1's; this pins the cheap (count,
+    // hash-sum) aggregate to the exact two-way exceptAll test across
+    // equal-reordered, mutated, subset, and disjoint random edge sets.
+    val shuffler = new scala.util.Random(7)
+    def randomEdges(seed: Int): Seq[(Long, Long)] = {
+      val r = new scala.util.Random(seed)
+      (0 until 3 + r.nextInt(20))
+        .map(_ => (r.nextInt(10).toLong + 12, r.nextInt(10).toLong + 1))
+        .distinct
+    }
+    for (seed <- 1 to 24) {
+      val a = randomEdges(seed)
+      val b = seed % 4 match {
+        case 0 => shuffler.shuffle(a) // equal set, different order
+        case 1 => randomEdges(seed + 1000) // independent set
+        case 2 => a.tail // strict subset
+        case _ => a.map { case (u, v) => (u + 100, v) } // same size, shifted
+      }
+      val dfA = a.toDF("u", "v")
+      val dfB = b.toDF("u", "v")
+      val cheap = DedupOps.edgeChecksum(dfA) == DedupOps.edgeChecksum(dfB)
+      val exact = dfA.exceptAll(dfB).isEmpty && dfB.exceptAll(dfA).isEmpty
+      assert(cheap == exact, s"seed=$seed\na=$a\nb=$b")
+    }
+  }
+
+  test("semanticDedup drops cosine-near vectors only within their own cell, keeping the lowest id") {
+    val vecs = Seq(
+      (1L, "A", Seq(1f, 0f)), // kept (lowest id of the A-cell near-dup set)
+      (2L, "A", Seq(1f, 0.01f)), // cos≈1 with 1 → removed, kept_by 1
+      (3L, "A", Seq(0f, 1f)), // orthogonal → kept
+      (4L, "B", Seq(1f, 0f)), // identical DIRECTION to 1 but other cell → kept
+      (5L, "A", Seq(0.99f, 0.02f)), // near both 1 and 2 → removed, kept_by 1, n_dups 2
+    ).toDF("vec_id", "cell", "embedding")
+    val out = DedupOps.semanticDedup(vecs, col("cell"), threshold = 0.9)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L, 1L), (5L, 1L, 2L)))
+  }
+
   test("keepBest keeps the highest-quality cluster member, unclustered docs always kept") {
     val docs = Seq(
       (1L, "short"), (2L, "much longer text here"), (3L, "much longer text too"),

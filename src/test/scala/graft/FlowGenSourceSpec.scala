@@ -38,10 +38,14 @@ class FlowGenSourceSpec extends SparkSpec {
   }
 
   test("micro-batch streaming emits exactly the batch content in offset slices") {
+    // rowsPerBatch deliberately differs from the source's default (100):
+    // DSv2 hands getTable the original-case option keys, and a missed
+    // case-normalization silently falls back to the default — the exact
+    // batch-count assertion below catches that (2 batches, not 3).
     val stream = spark.readStream
       .format(fmt)
       .option("rows", 250)
-      .option("rowsPerBatch", 100) // 3 triggers: 100 + 100 + 50
+      .option("rowsPerBatch", 125) // exactly 2 triggers: 125 + 125
       .option("seed", 7)
       .load()
     val q = stream.writeStream
@@ -58,7 +62,11 @@ class FlowGenSourceSpec extends SparkSpec {
       val batch = spark.read.format(fmt).option("rows", 250).option("seed", 7).load()
       assert(streamed.count() == 250)
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
-      assert(q.recentProgress.count(_.numInputRows > 0) >= 3, "expected >= 3 data batches")
+      assert(
+        q.recentProgress.count(_.numInputRows > 0) == 2,
+        s"expected exactly 2 data batches (rowsPerBatch not honored?): " +
+          q.recentProgress.map(_.numInputRows).mkString(","),
+      )
     } finally q.stop()
   }
 

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, LshIndexOps}
+
+/** The persisted LSH index artifact (LshIndexOps): pairs computed from
+  * the stored bucketed tables must be IDENTICAL to the single-pass
+  * operator's, the candidate self-join must read the bucketed band table
+  * without any exchange, and incremental dedup against the index must
+  * flag a planted near-duplicate without touching stored text.
+  */
+class LshIndexSpec extends SparkSpec {
+
+  private val N = 3
+  private val K = 32
+  private val Bands = 8
+  private val Threshold = 0.8
+  private val Prefix = "lshix"
+
+  private def buildOnce(): Unit =
+    if (!spark.catalog.tableExists(s"${Prefix}_bands")) {
+      LshIndexOps.writeIndex(
+        Tables.documents(spark, Sf), N, K, Bands, buckets = 4, prefix = Prefix,
+      )
+    }
+
+  test("near-dup pairs from the stored index equal the single-pass operator's") {
+    buildOnce()
+    val fromIndex = LshIndexOps.nearDupPairs(spark, Prefix, Threshold)
+    val singlePass = DedupOps.minhashLshPairs(Tables.documents(spark, Sf), N, K, Bands, Threshold)
+    assert(fromIndex.count() > 0, "test corpus should contain near-dups")
+    assert(
+      fromIndex.exceptAll(singlePass).isEmpty && singlePass.exceptAll(fromIndex).isEmpty,
+      "index-derived pairs must match the single-pass pipeline",
+    )
+  }
+
+  test("the candidate self-join over the bucketed band table is exchange-free") {
+    buildOnce()
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Exchange elision is a static EnsureRequirements property; AQE off
+    // so executedPlan is the final physical tree, not an adaptive shell.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // The raw self-join (before the distinct, whose shuffle is its own
+      // stage and legitimately present).
+      val bandsDf = spark.table(s"${Prefix}_bands")
+      val joined = bandsDf
+        .as("x")
+        .join(
+          bandsDf.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"),
+        )
+      assert(joined.count() > 0)
+      // The scan's HashPartitioning(band_idx, band_key) is exactly the
+      // join's required clustering on both sides, so EnsureRequirements
+      // must not insert any exchange below the join.
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(
+        plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled join over the band table:\n$plan",
+      )
+      assert(!plan.contains("Exchange"), s"bucketed band self-join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
+  }
+
+  test("incremental dedup against the index flags a planted near-duplicate") {
+    buildOnce()
+    import spark.implicits._
+    // A batch doc whose text IS an indexed doc's text (jaccard 1.0) plus
+    // one unrelated doc; ids far above the corpus range.
+    val stored = Tables.documents(spark, Sf)
+      .orderBy("doc_id").select("doc_id", "text").as[(Long, String)].head()
+    val batch = Seq(
+      (1000000L, stored._2),
+      (1000001L, "zzz qqq xxx completely unrelated nonsense tokens " * 3),
+    ).toDF("doc_id", "text")
+    val hits = LshIndexOps
+      .dedupAgainstIndex(spark, Prefix, batch, N, K, Bands, Threshold)
+      .collect()
+    assert(hits.exists(r => r.getLong(0) == 1000000L && r.getLong(1) == stored._1),
+      s"planted duplicate not flagged: ${hits.mkString(", ")}")
+    assert(!hits.exists(r => r.getLong(0) == 1000001L),
+      "unrelated batch doc must not be flagged")
+  }
+}

@@ -5,22 +5,80 @@ import Tables.documents
 
 class MultimodalSpec extends SparkSpec {
 
-  test("typed mapPartitions decode equals the declarative twin on testdata") {
+  test("typed mapPartitions decode equals the declarative twin on raw (container-less) media") {
+    // Raw payloads exercise the unknown-format fallback: both pipelines
+    // must agree on the stub formulas.
     val media = MultimodalOps.asMedia(documents(spark, Sf))
     val typed = MultimodalOps.decodeAll(spark, media).toDF()
-    val declarative = MultimodalOps.decodeMeta(media).select(typed.columns.map(org.apache.spark.sql.functions.col): _*)
+    val declarative = MultimodalOps.decodeHeaderMeta(media).select(typed.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(typed.count() == 500)
+    assert(typed.exceptAll(declarative).isEmpty && declarative.exceptAll(typed).isEmpty)
+    // And the fallback IS the documented stub.
+    val stub = MultimodalOps.decodeMeta(media).select(typed.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(typed.exceptAll(stub).isEmpty && stub.exceptAll(typed).isEmpty)
+  }
+
+  test("general PNG chunk-walk / JPEG marker-scan equals the declarative header parse on encoded media") {
+    val media = MultimodalOps.encodeMedia(documents(spark, Sf))
+    val typed = MultimodalOps.decodeAll(spark, media).toDF()
+    val declarative = MultimodalOps.decodeHeaderMeta(media).select(typed.columns.map(org.apache.spark.sql.functions.col): _*)
     assert(typed.count() == 500)
     assert(typed.exceptAll(declarative).isEmpty && declarative.exceptAll(typed).isEmpty)
   }
 
+  test("header decode reads dimensions from actual container bytes (hand-built PNG and JPEG)") {
+    // A 640×480 truecolor PNG IHDR and a 640×480 3-component JFIF JPEG
+    // built here byte-by-byte, independently of encodeMedia — the parse
+    // must read THESE bytes, not derive anything from lengths.
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val png = hexBytes(
+      "89504E470D0A1A0A" + "0000000D" + "49484452" +
+        "00000280" + "000001E0" + "08" + "02" + "00" + "00" + "00" + "00000000",
+    ) ++ "pixels".getBytes("UTF-8")
+    // JPEG with an extra COM segment before SOF0, so the scan must skip
+    // a segment the fixed JFIF layout does not have… exercised via the
+    // typed parser only (the declarative twin is layout-pinned).
+    val jfif = hexBytes(
+      "FFD8" + "FFE000104A46494600010100000100010000" +
+        "FFC0001108" + "01E0" + "0280" + "03011100021101031101",
+    ) ++ "scan".getBytes("UTF-8")
+    val jpegWithCom = hexBytes(
+      "FFD8" + "FFE000104A46494600010100000100010000" + "FFFE0004ABCD" +
+        "FFC0001108" + "01E0" + "0280" + "03011100021101031101",
+    ) ++ "scan".getBytes("UTF-8")
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, "image", png),
+      MultimodalOps.MediaRecord(2L, "image", jfif),
+      MultimodalOps.MediaRecord(3L, "image", jpegWithCom),
+    )
+    recs.map(MultimodalOps.decodeRecord).foreach { m =>
+      assert(m.width == 640L && m.height == 480L && m.channels == 3L && m.n_frames == 1L, m.toString)
+    }
+    // Declarative parse agrees on the two fixed-layout payloads.
+    import spark.implicits._
+    val df = recs.take(2).map(r => (r.doc_id, r.media_type, r.payload))
+      .toDF("doc_id", "media_type", "payload")
+    val out = MultimodalOps.decodeHeaderMeta(df)
+      .select("doc_id", "width", "height", "channels")
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    assert(out(1L) == ((640L, 480L, 3L)))
+    assert(out(2L) == ((640L, 480L, 3L)))
+  }
+
   test("frame sampling emits ceil(n_frames/step) rows per video") {
     import spark.implicits._
-    val media = MultimodalOps.asMedia(documents(spark, Sf))
+    val media = MultimodalOps.encodeMedia(documents(spark, Sf))
     val frames = MultimodalOps.sampleFrames(media, step = 4)
       .groupBy("doc_id").count()
-      .join(MultimodalOps.decodeMeta(media).filter($"media_type" === "video"), "doc_id")
+      .join(MultimodalOps.decodeHeaderMeta(media).filter($"media_type" === "video"), "doc_id")
       .select("count", "n_frames").as[(Long, Long)].collect()
     assert(frames.nonEmpty)
     frames.foreach { case (n, f) => assert(n == (f + 3) / 4) }
+  }
+
+  implicit private class Tup3Map(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
   }
 }

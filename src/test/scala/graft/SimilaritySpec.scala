@@ -146,4 +146,31 @@ class SimilaritySpec extends SparkSpec {
     val zr = SimilarityOps.quantizeInt8(z).as[(Long, Double, Long, Long, Double)].head()
     assert(zr == ((1L, 0.0, 0L, 0L, 0.0)))
   }
+
+  test("kmeansStep assigns each vector to its nearest seed (ties to lower seed id) and emits fold-mean centroids") {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), // seed 0
+      (1L, Seq(10f, 0f)), // seed 1
+      (2L, Seq(1f, 1f)), // nearest seed 0
+      (3L, Seq(9f, 1f)), // nearest seed 1
+      (4L, Seq(5f, 0f)), // equidistant → tie broken to seed 0
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.kmeansStep(vecs, col("vec_id") < 2)
+      .as[(Long, Int, Double, Long)].collect()
+      .map { case (c, dim, v, n) => (c, dim) -> ((v, n)) }.toMap
+    assert(out((0L, 1)) == (((0.0 + 1.0 + 5.0) / 3, 3L)))
+    assert(out((0L, 2)) == (((0.0 + 1.0 + 0.0) / 3, 3L)))
+    assert(out((1L, 1)) == (((10.0 + 9.0) / 2, 2L)))
+    assert(out((1L, 2)) == (((0.0 + 1.0) / 2, 2L)))
+    assert(out.size == 4)
+  }
+
+  test("kmeansStep over testdata: clusters partition the corpus and every vector joins its closest seed") {
+    val emb = embeddings(spark, Sf)
+    val out = SimilarityOps.kmeansStep(emb, col("vec_id") < 8)
+      .select("cluster", "n").distinct()
+      .as[(Long, Long)].collect()
+    assert(out.map(_._2).sum == emb.count(), "cluster sizes must partition the corpus")
+    assert(out.forall { case (c, _) => c >= 0 && c < 8 })
+  }
 }

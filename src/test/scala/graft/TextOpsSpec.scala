@@ -182,4 +182,15 @@ class TextOpsSpec extends SparkSpec {
       ("fr", 0L, 1L, 2L, 5L, 5L),
     ))
   }
+
+  test("unigramRarity scores documents by corpus-trained inverse token probability") {
+    // Corpus: a×2, b×2, c×1 → total 5. inv_p: a=2.5, b=2.5, c=5.
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.unigramRarity(docs)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2.5, 2.5),
+      (2L, 2L, (2.5 + 5.0) / 2, 5.0),
+    ))
+  }
 }
