@@ -332,6 +332,42 @@ object DedupQueries {
               |GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     ),
 
+    // Near-dup-aware train/val split: split assignment hashes the LSH
+    // near-dup CLUSTER id (own id when unclustered), so near-copies
+    // never straddle the boundary — the data-leakage guard an eval
+    // pipeline needs. Portable multiplicative hash, 8/10 buckets train.
+    Q(
+      "dd_split",
+      (s, d) => {
+        val docs = documents(s, d)
+        DedupOps.nearDupAwareSplit(
+          docs,
+          DedupOps.connectedComponents(
+            DedupOps.minhashLshPairs(docs, N, K, Bands, JaccardThreshold),
+          ),
+          trainBuckets = 8,
+          buckets = 10,
+        )
+      },
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges),
+              |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+              |sk AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+              |       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+              |SELECT doc_id, split_key,
+              |  ((split_key * 2654435761) % 2147483647) % 10 AS bucket,
+              |  CASE WHEN ((split_key * 2654435761) % 2147483647) % 10 < 8
+              |       THEN 'train' ELSE 'val' END AS split
+              |FROM sk ORDER BY doc_id""".stripMargin),
+    ),
+
     // Exact substring-duplication fraction (span-level dedup signal):
     // positional 5-gram shingle hashes, a shingle is "duplicated" iff it
     // appears in ≥2 distinct documents. Counts are exact integers; the

@@ -1896,6 +1896,33 @@ object RelationalQueries {
              |ORDER BY n_name, o_year DESC""".stripMargin),
     ),
 
+    // TPC-H Q12 shape (shipping delay audit; adapted — no shipmode or
+    // commit/receipt dates in the testdata, so "late" = shipped more
+    // than 90 days after ordering, grouped by priority). The CASE-sum
+    // conditional aggregation over a fact-fact join is the Q12
+    // signature; one sort-merge shuffle, map-side combinable agg.
+    Q(
+      "q12_late_lines",
+      (s, d) =>
+        lineitem(s, d)
+          .join(orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(
+              when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+                .otherwise(0L),
+            ).as("late_count"),
+            count(lit(1)).as("n_lines"),
+          )
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |               THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+             |  count(*) AS n_lines
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+
     // TPC-H Q15 (top supplier): quarter revenue per supplier, then the
     // argmax via a broadcast single-row max joined back on EXACT decimal
     // equality (the spec's correlated `= (SELECT max(...))`). The rev agg

@@ -396,6 +396,22 @@ object TextQueries {
               |  md5(text) AS md5
               |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+    // One BPE-training merge step: the 20 most frequent adjacent token
+    // pairs (the next vocabulary merges). Position-sensitive pair counts
+    // from zipping the token stream with its own tail; ties broken by
+    // the pair itself, so the top-k boundary is deterministic.
+    Q(
+      "tx_bpe_merge",
+      (s, d) => TextOps.bpeMergeStep(documents(s, d), k = 20),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |            regexp_extract_all(text, '${TextOps.BpePattern}') AS tk
+              |          FROM documents),
+              |i AS (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS bi FROM t),
+              |p AS (SELECT tk[bi] AS tok_a, tk[bi+1] AS tok_b FROM i)
+              |SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS pair_count
+              |FROM p GROUP BY tok_a, tok_b
+              |ORDER BY pair_count DESC, tok_a, tok_b LIMIT 20""".stripMargin),
+    ),
     // Unigram-LM perplexity proxy: corpus-trained token probabilities,
     // per-doc mean and max INVERSE probability (log-free — ln() is not
     // bit-portable across engines; see TextOps.unigramRarity). The

@@ -433,6 +433,29 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Near-dup-aware train/validation split: every document is assigned
+    * a split by hashing its near-dup CLUSTER id (its own id when
+    * unclustered), so near-duplicate documents can never straddle the
+    * train/val boundary — the leakage bug this operator exists to
+    * prevent (a val doc whose near-copy sits in train inflates eval).
+    *
+    * The hash is the portable multiplicative family the LSH oracles
+    * mirror (key·2654435761 mod 2³¹−1, then mod `buckets`), so the
+    * assignment is deterministic and engine-independent. One left join
+    * onto the cluster labeling; the hash is row-local column algebra.
+    */
+  def nearDupAwareSplit(docs: DataFrame, clusters: DataFrame, trainBuckets: Int, buckets: Int): DataFrame = {
+    require(trainBuckets > 0 && trainBuckets < buckets, "need 0 < trainBuckets < buckets")
+    val p = 2147483647L
+    docs
+      .select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("split_key"))
+      .withColumn("bucket", pmod(col("split_key") * 2654435761L, lit(p)) % buckets)
+      .withColumn("split", when(col("bucket") < trainBuckets, "train").otherwise("val"))
+      .orderBy("doc_id")
+  }
+
   /** Semantic dedup (SemDeDup-style): within each coarse cluster cell
     * (a k-means/IVF assignment column — here any cell column), drop
     * every vector that has a LOWER-id cell-mate with cosine ≥ threshold;

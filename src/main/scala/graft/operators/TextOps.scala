@@ -502,6 +502,37 @@ object TextOps {
       .orderBy("lang", "pack_id")
   }
 
+  /** One BPE-training merge step: count ADJACENT token pairs across the
+    * corpus (position matters — multiplicity counts) and return the k
+    * most frequent, i.e. the next merge candidates a byte-pair-encoding
+    * vocabulary build would fuse. Repeated application with a growing
+    * merge table is full BPE training; one step is registered so the
+    * oracle can state it closed-form.
+    *
+    * Pairs come from zipping the token array with its own tail (pure
+    * column algebra, codegen'd), so the corpus is never exploded more
+    * than once; one (tok_a, tok_b) count shuffle, then TakeOrdered for
+    * the top-k — no global sort at any scale.
+    */
+  def bpeMergeStep(docs: DataFrame, k: Int): DataFrame = {
+    val t = bpeTokens(col("text"))
+    docs
+      .select(
+        explode(
+          zip_with(
+            slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+            slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+            (a, b) => struct(a.as("tok_a"), b.as("tok_b")),
+          ),
+        ).as("p"),
+      )
+      .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
   /** Unigram language-model scoring — the perplexity-proxy quality
     * filter: train a unigram model on the corpus itself (token → corpus
     * count / total) and score each document by its mean INVERSE token

@@ -184,6 +184,23 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((2L, 1L, 1L), (5L, 1L, 2L)))
   }
 
+  test("nearDupAwareSplit never separates a near-dup cluster across train/val") {
+    val docs = (1L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // Clusters {1,2,3}→1 and {7,8}→7; the rest unclustered.
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "component")
+    val out = DedupOps.nearDupAwareSplit(docs, clusters, trainBuckets = 8, buckets = 10)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == 20)
+    val byDoc = out.map(r => r._1 -> r._4).toMap
+    assert(Set(byDoc(1L), byDoc(2L), byDoc(3L)).size == 1, "cluster {1,2,3} split apart")
+    assert(byDoc(7L) == byDoc(8L), "cluster {7,8} split apart")
+    assert(out.forall(r => r._4 == "train" || r._4 == "val"))
+    assert(out.forall(r => r._3 >= 0 && r._3 < 10))
+    // Unclustered docs hash their own id.
+    assert(out.filter(r => r._1 > 8).forall(r => r._2 == r._1))
+  }
+
   test("keepBest keeps the highest-quality cluster member, unclustered docs always kept") {
     val docs = Seq(
       (1L, "short"), (2L, "much longer text here"), (3L, "much longer text too"),

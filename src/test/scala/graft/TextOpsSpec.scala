@@ -183,6 +183,20 @@ class TextOpsSpec extends SparkSpec {
     ))
   }
 
+  test("bpeMergeStep counts adjacent BPE-token pairs with multiplicity, top-k with deterministic ties") {
+    // doc 1 tokens: [ab, ab, ab] → (ab,ab)×2; doc 2: [x, 1, x] →
+    // (x,1), (1,x). Tie at count 1 breaks lexicographically: (1,x)
+    // before (x,1).
+    val docs = Seq((1L, "ab ab ab"), (2L, "x1x")).toDF("doc_id", "text")
+    val out = TextOps.bpeMergeStep(docs, k = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("ab", "ab", 2L), ("1", "x", 1L)))
+    // Single-token and empty docs contribute no pairs (no negative-length
+    // slice blowup).
+    val degenerate = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextOps.bpeMergeStep(degenerate, k = 5).count() == 0)
+  }
+
   test("unigramRarity scores documents by corpus-trained inverse token probability") {
     // Corpus: a×2, b×2, c×1 → total 5. inv_p: a=2.5, b=2.5, c=5.
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
