@@ -258,4 +258,79 @@ object EngineProps extends Properties("graft") {
       out.forall(_._4 == 1.0)
     }
   }
+
+  /** kmeansStep's assignment is the brute-force argmin over the seed set
+    * (squared L2, ties to the lower seed id), and per-cluster counts are
+    * the assignment histogram.
+    */
+  property("kmeansStep cluster sizes equal brute-force nearest-seed counts") = {
+    import spark.implicits._
+    val genVec = Gen.listOfN(4, Gen.chooseNum(-8, 8).map(_.toFloat))
+    val genRows = Gen.chooseNum(3, 24).flatMap(n => Gen.listOfN(n, genVec))
+    Prop.forAll(genRows) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val seeds = rows.take(2)
+      def d2(a: Seq[Float], b: Seq[Float]): Double =
+        a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      val expected = rows
+        .map { case (_, v) => seeds.minBy { case (sid, sv) => (d2(v, sv), sid) }._1 }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = graft.operators.SimilarityOps
+        .kmeansStep(rows.toDF("vec_id", "embedding"), col("vec_id") < 2)
+        .select("cluster", "n").distinct()
+        .as[(Long, Long)].collect().toMap
+      got == expected
+    }
+  }
+
+  /** nearDupAwareSplit is cluster-atomic: all members of a component land
+    * in the same split, every doc appears exactly once, and buckets are
+    * the documented hash.
+    */
+  property("nearDupAwareSplit is cluster-atomic and total") = {
+    import spark.implicits._
+    val genEdge = for {
+      u <- Gen.chooseNum(1L, 12L)
+      v <- Gen.chooseNum(1L, 12L)
+    } yield (math.min(u, v), math.max(u, v))
+    Prop.forAll(Gen.listOf(genEdge).map(_.filter(e => e._1 != e._2).distinct)) { pairs =>
+      val docs = (1L to 12L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val clusters = graft.operators.DedupOps
+        .connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      val out = graft.operators.DedupOps
+        .nearDupAwareSplit(docs, clusters, trainBuckets = 8, buckets = 10)
+        .as[(Long, Long, Long, String)].collect()
+      val byDoc = out.map(r => r._1 -> r._4).toMap
+      val clusterMap = clusters.as[(Long, Long)].collect().toMap
+      out.length == 12 &&
+      pairs.forall { case (a, b) => byDoc(a) == byDoc(b) } &&
+      out.forall { case (id, key, bucket, split) =>
+        key == clusterMap.getOrElse(id, id) &&
+        bucket == key * 2654435761L % P % 10 &&
+        split == (if (bucket < 8) "train" else "val")
+      }
+    }
+  }
+
+  /** bpeMergeStep's pair counts equal the straight-line sliding-window
+    * count over the same regex token stream.
+    */
+  property("bpeMergeStep counts equal brute-force adjacent-pair counting") = {
+    import spark.implicits._
+    val genDoc = Gen.listOfN(6, Gen.oneOf("ab", "cd", "1", "!", "x")).map(_.mkString(" "))
+    Prop.forAll(Gen.nonEmptyListOf(genDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val re = graft.operators.TextOps.BpePattern.r
+      val expected = docs
+        .flatMap { case (_, t) => re.findAllIn(t).toSeq.sliding(2).filter(_.size == 2) }
+        .map(p => (p(0), p(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val k = expected.size + 1
+      val got = graft.operators.TextOps
+        .bpeMergeStep(docs.toDF("doc_id", "text"), k)
+        .as[(String, String, Long)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      got == expected
+    }
+  }
 }

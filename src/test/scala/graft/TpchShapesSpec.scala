@@ -67,4 +67,49 @@ class TpchShapesSpec extends SparkSpec {
     assert(p8.contains("BroadcastHashJoin"), p8)
     assert(!p8.contains("BroadcastNestedLoopJoin"), p8)
   }
+
+  test("q6: every predicate reaches the parquet scan — zero joins, one agg") {
+    val p = plan("q6_forecast_revenue")
+    // The PushedFilters list is toString-truncated, so assert its head
+    // plus the full predicate set on the post-scan Filter node.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains(">= 1995-01-01") && p.contains("< 1996-01-01"), p)
+    assert(p.contains("l_quantity") && p.contains("< 24.0"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q9: part filter and dims broadcast; no nested loop anywhere") {
+    val p = plan("q9_product_profit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // The %red% part filter is applied at its scan, not after the join.
+    assert(p.contains("Contains(p_name,red)"), p)
+  }
+
+  test("q15: the max-revenue argmax is a 1-row broadcast equality join, not a sort") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q16: COUNT(DISTINCT suppkey) plans the two-phase distinct-then-count expansion") {
+    val p = plan("q16_supplier_cnt")
+    // Phase 1 groups on (brand, type, size, suppkey); phase 2 counts —
+    // both keyed hash aggregates, no global distinct materialization.
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("l_suppkey"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q20: two-grain nested aggregation feeds a semi-join, never a nested loop") {
+    val p = plan("q20_promo_suppliers")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q12: the delay audit is one sort-merge join with map-side-combined CASE sums") {
+    val p = plan("q12_late_lines")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
