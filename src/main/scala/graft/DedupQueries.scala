@@ -182,11 +182,15 @@ object DedupQueries {
       "dd_lsh_recall",
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // One shingle-set artifact feeds BOTH arms — the exact PPJoin
+        // ground truth and the LSH pipeline — instead of re-shingling
+        // the corpus per arm.
+        val sets = DedupOps.shingleSets(documents(s, d), N)
         val exact = DedupOps
-          .jaccardPairs(documents(s, d), N, JaccardThreshold)
+          .jaccardPairsFrom(sets, JaccardThreshold)
           .select(col("doc_a"), col("doc_b"), lit(1).as("in_exact"))
         val lsh = DedupOps
-          .minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold)
+          .minhashLshPairsFrom(sets, K, Bands, JaccardThreshold)
           .select(col("doc_a"), col("doc_b"), lit(1).as("in_lsh"))
         exact
           .join(lsh, Seq("doc_a", "doc_b"), "full_outer")

@@ -56,19 +56,31 @@ object DedupOps {
     * shrink ≈ (1−t)×, and no per-pair work happens outside the
     * candidate set. Every stage is an equi-shuffle; nothing quadratic.
     */
-  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    require(threshold > 0, "prefix filtering requires a positive threshold")
-    // Materialize the sorted shingle sets once (localCheckpoint = the
-    // per-query form of the persisted index artifact; blocks are freed by
-    // the ContextCleaner when the plan is GC'd): the prefix postings and
-    // BOTH verify-join sides read one computed table instead of
-    // re-running the shingle pipeline 3×. The repartition keeps the eager
-    // compute spread across all cores.
-    val sized = docs
+  /** The materialized sorted-shingle-set artifact (doc_id, sh, sz):
+    * computed once, `localCheckpoint`ed (the per-query form of the
+    * persisted index table — blocks are freed by the ContextCleaner when
+    * the plan is GC'd), shared by every consumer join side. Queries that
+    * need BOTH the exact-Jaccard arm and the LSH arm (the recall
+    * scoreboard) pass one of these to the `*From` variants so the
+    * shingle pipeline runs once, not once per arm. The repartition
+    * spreads the eager compute across all cores.
+    */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs
       .repartition(partitions(docs), col("doc_id"))
       .select(col("doc_id"), array_sort(HashOps.shingleHashes(col("text"), n)).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
       .localCheckpoint()
+
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    jaccardPairsFrom(shingleSets(docs, n), threshold)
+
+  /** Prefix-filtered exact-Jaccard join over a precomputed
+    * [[shingleSets]] frame — the prefix postings and BOTH verify-join
+    * sides read the one materialized table.
+    */
+  def jaccardPairsFrom(sized: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0, "prefix filtering requires a positive threshold")
     val prefixLen = (col("sz") - ceil(col("sz") * threshold).cast("int") + 1)
     val posts = sized.select(
       col("doc_id"),
@@ -104,27 +116,32 @@ object DedupOps {
       k: Int,
       bands: Int,
       threshold: Double,
+  ): DataFrame =
+    minhashLshPairsFrom(shingleSets(docs, n), k, bands, threshold)
+
+  /** The LSH pipeline over a precomputed [[shingleSets]] frame. The
+    * signature/band table is the LSH *index* artifact: computed ONCE and
+    * materialized (localCheckpoint — the per-query stand-in for the
+    * persisted index table a cluster pipeline would publish, see
+    * [[LshIndexOps]]). Without this, column pruning makes the band
+    * self-join's two sides and the two verify-join sides non-identical
+    * subtrees, so Spark re-runs the whole shingle→minhash→band pipeline
+    * up to 4× per query — the round-3 bench's single biggest cost.
+    * The intermediate repartition is an *exchange barrier*: projection
+    * collapsing would otherwise inline the signature array into every
+    * per-band slice of `bandKeys` (multiplicative recompute per row),
+    * and the explicit partition count keeps AQE from coalescing the
+    * (byte-wise tiny, compute-wise expensive) stage onto one core.
+    */
+  def minhashLshPairsFrom(
+      sized: DataFrame,
+      k: Int,
+      bands: Int,
+      threshold: Double,
   ): DataFrame = {
     val rowsPerBand = k / bands
-    // The signature/band table is the LSH *index* artifact: compute it
-    // ONCE and materialize (localCheckpoint — the per-query stand-in for
-    // the persisted index table a cluster pipeline would publish; block
-    // storage is MEMORY_AND_DISK and the ContextCleaner frees it when
-    // the plan is GC'd). Without this, column pruning makes the band
-    // self-join's two sides and the two verify-join sides non-identical
-    // subtrees, so Spark re-runs the whole shingle→minhash→band pipeline
-    // up to 4× per query — the round-3 bench's single biggest cost.
-    // The intermediate repartition calls are *exchange barriers* for the
-    // eager compute: projection collapsing would otherwise inline the
-    // shingle-hash array into each consuming lambda (multiplicative
-    // recompute per row), and the explicit partition count keeps AQE
-    // from coalescing the (byte-wise tiny, compute-wise expensive)
-    // signature stage onto one core.
-    val p = partitions(docs)
-    val sets = docs
-      .repartition(p, col("doc_id"))
-      .select(col("doc_id"), array_sort(HashOps.shingleHashes(col("text"), n)).as("sh"))
-      .repartition(p, col("doc_id"))
+    val p = partitions(sized)
+    val sets = sized
       .select(col("doc_id"), col("sh"), HashOps.minhashSignature(col("sh"), k).as("sig"))
       .repartition(p, col("doc_id"))
       .select(

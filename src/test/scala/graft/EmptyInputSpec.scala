@@ -55,4 +55,20 @@ class EmptyInputSpec extends SparkSpec {
         .count() == 0,
     )
   }
+
+  test("round-4 operators on empty input") {
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val noCellVecs = Seq.empty[(Long, String, Seq[Float])].toDF("vec_id", "cell", "embedding")
+    // kmeansStep with an empty corpus has no seeds either — empty out.
+    assert(SimilarityOps.kmeansStep(noVecs, col("vec_id") < 8).count() == 0)
+    assert(DedupOps.semanticDedup(noCellVecs, col("cell"), 0.9).count() == 0)
+    assert(TextOps.unigramRarity(noDocs).count() == 0)
+    assert(TextOps.bpeMergeStep(noDocs, 5).count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(
+      DedupOps
+        .nearDupAwareSplit(noDocs, DedupOps.connectedComponents(noPairs), 8, 10)
+        .count() == 0,
+    )
+  }
 }
