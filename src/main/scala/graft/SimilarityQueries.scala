@@ -136,6 +136,30 @@ object SimilarityQueries {
              |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
     ),
 
+    // Product quantization: 4 blocks × 16 dims, 8-entry codebook per
+    // block (the seed vectors' sub-vectors), codes packed base-8 into
+    // one long + ordered-fold reconstruction error — the PQ compression
+    // step of a vector-store build, 64 floats → one code word.
+    Q(
+      "sim_pq_codes",
+      (s, d) => SimilarityOps.pqEncode(embeddings(s, d), blocks = 4, subDim = 16,
+        isSeed = col("vec_id") < 8, nSeeds = 8),
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |bx AS (SELECT vec_id, e, unnest(generate_series(0, 3)) AS blk FROM v),
+              |sv AS (SELECT vec_id, blk, e[blk*16+1 : blk*16+16] AS sv FROM bx),
+              |cb AS (SELECT vec_id AS cid, blk, sv AS cv FROM sv WHERE vec_id < 8),
+              |dst AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+              |        FROM sv s JOIN cb c ON s.blk = c.blk),
+              |am AS (SELECT vec_id, blk, cid, dist FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vec_id, blk
+              |                     ORDER BY dist, cid) AS rn FROM dst)
+              |       WHERE rn = 1)
+              |SELECT vec_id,
+              |  CAST(sum(cid * power(8, blk)) AS BIGINT) AS pq_code,
+              |  list_reduce(list_prepend(0.0, list(dist ORDER BY blk)),
+              |              (pqa, pqb) -> pqa + pqb) AS recon_err
+              |FROM am GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    ),
     // One Lloyd's k-means iteration (the IVF-quantizer training step):
     // vectors assigned to the nearest of 8 seed centroids by squared-L2
     // strict fold (ties → lowest seed id), new centroids as the same

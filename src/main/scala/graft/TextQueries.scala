@@ -396,6 +396,33 @@ object TextQueries {
               |  md5(text) AS md5
               |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+    // Dataset-card rollup: corpus composition at every reporting grain —
+    // (source, lang), per source, per lang, and the grand total — in one
+    // GROUPING SETS pass (one Expand, one aggregation; no N separate
+    // scans). The shape every training-data pipeline publishes next to
+    // a corpus release.
+    Q(
+      "tx_corpus_report",
+      (s, d) => {
+        documents(s, d).createOrReplaceTempView("documents_cr")
+        s.sql("""SELECT source, lang,
+                |  count(*) AS n_docs,
+                |  CAST(sum(size(split(text, ' '))) AS BIGINT) AS total_tokens,
+                |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                |  CAST(sum(size(split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
+                |FROM documents_cr
+                |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+                |ORDER BY source, lang""".stripMargin)
+      },
+      Some("""SELECT source, lang,
+             |  count(*) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
+             |FROM documents
+             |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+             |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin),
+    ),
     // One BPE-training merge step: the 20 most frequent adjacent token
     // pairs (the next vocabulary merges). Position-sensitive pair counts
     // from zipping the token stream with its own tail; ties broken by

@@ -312,6 +312,57 @@ object SimilarityOps {
       .orderBy("cluster", "dim")
   }
 
+  /** Product-quantization encoding — the vector-store compression step
+    * beyond scalar int8 ([[quantizeInt8]]): the embedding splits into
+    * `blocks` contiguous sub-vectors of `subDim` dims; each sub-vector
+    * is replaced by the id of its nearest codebook entry (squared-L2
+    * strict fold, ties → lower id). The codebook per block is the seed
+    * rows' sub-vectors (a production build trains it with per-block
+    * [[kmeansStep]] iterations; the assignment machinery is identical).
+    *
+    * Output is scalar per vector — codes packed base-`nSeeds` into one
+    * long (exact integer arithmetic) plus the total squared
+    * reconstruction error as an ordered fold over block index — so the
+    * driver hash pins every code without array columns.
+    *
+    * Scale shape: the corpus explodes ×blocks (row-local), the codebook
+    * (seeds × blocks rows) broadcasts, argmin is one window keyed by
+    * (vec_id, block) — the corpus shuffles once on that key and the
+    * output is one row per vector. Nothing pairwise.
+    */
+  def pqEncode(embeddings: DataFrame, blocks: Int, subDim: Int, isSeed: Column, nSeeds: Int): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val blocksArr = array((0 until blocks).map(b => slice(e, b * subDim + 1, subDim)): _*)
+    val v = embeddings.select(col("vec_id"), posexplode(blocksArr).as(Seq("blk", "sv")))
+    val codebook = broadcast(
+      embeddings
+        .filter(isSeed)
+        .select(col("vec_id").as("cid"), posexplode(blocksArr).as(Seq("blk", "cv"))),
+    )
+    val dist = aggregate(
+      zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, d) => acc + d,
+    )
+    val w = Window.partitionBy("vec_id", "blk").orderBy(col("dist"), col("cid"))
+    v.join(codebook, Seq("blk"))
+      .select(col("vec_id"), col("blk"), col("cid"), dist.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        // cid·nSeeds^blk are exact small integers in doubles — the sum is
+        // order-independent; recon_err is NOT, so it folds in block order.
+        sum(col("cid") * pow(lit(nSeeds.toDouble), col("blk"))).cast("long").as("pq_code"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("blk"), col("dist")))), s => s.getField("dist")),
+          lit(0.0),
+          (acc, x) => acc + x,
+        ).as("recon_err"),
+      )
+      .orderBy("vec_id")
+  }
+
   /** IVF-style ANN with a precomputed coarse assignment column (here the
     * `label` column stands in for the nearest-centroid cell id a k-means
     * quantizer would produce): search only the query's cell.

@@ -147,6 +147,25 @@ class SimilaritySpec extends SparkSpec {
     assert(zr == ((1L, 0.0, 0L, 0L, 0.0)))
   }
 
+  test("pqEncode packs per-block nearest-codebook ids and exact reconstruction error") {
+    // 4-dim vectors, 2 blocks × 2 dims, 2 seeds (ids 0, 1).
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 10f, 10f)), // seed 0: codebook blocks (0,0) and (10,10)
+      (1L, Seq(10f, 10f, 0f, 0f)), // seed 1: codebook blocks (10,10) and (0,0)
+      (2L, Seq(1f, 0f, 1f, 0f)), // blk0→seed0 (d²=1), blk1→seed1 (d²=1) → code 0+1·2=2
+      (3L, Seq(9f, 9f, 9f, 9f)), // blk0→seed1 (d²=2), blk1→seed0 (d²=2) → code 1+0·2=1
+      (4L, Seq(5f, 5f, 5f, 5f)), // equidistant both blocks → ties to seed 0 → code 0
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps
+      .pqEncode(vecs, blocks = 2, subDim = 2, isSeed = col("vec_id") < 2, nSeeds = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2L) == ((2L, 2.0)))
+    assert(out(3L) == ((1L, 4.0)))
+    assert(out(4L) == ((0L, 100.0))) // d² = 25+25 per block, both blocks
+    assert(out(0L) == ((0L, 0.0))) // both blocks its own codebook entry
+    assert(out(1L) == ((3L, 0.0))) // seed 1 in both blocks: 1 + 1·2
+  }
+
   test("kmeansStep assigns each vector to its nearest seed (ties to lower seed id) and emits fold-mean centroids") {
     val vecs = Seq(
       (0L, Seq(0f, 0f)), // seed 0
