@@ -124,6 +124,51 @@ object NetflowQueries {
              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY window_start ORDER BY window_start""".stripMargin),
     ),
+    // Windowed anomaly detection: per-10s-window traffic z-scored
+    // against the whole series (exact decimal component sums → one
+    // closed-form double expression, the q_corr_manual reproducible-
+    // statistics pattern; the stats row is a broadcast scalar). The
+    // "which windows spiked" question every netflow operator asks; at
+    // scale the global-stats agg is one tiny reduce, windows never
+    // re-shuffle.
+    Q(
+      "nf_anomaly",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val w = EventOps.window10s(events(s, d))
+        val t = col("total_value").cast("decimal(18,2)")
+        val stats = w.agg(
+          count(lit(1)).as("nw"),
+          sum(t).cast("double").as("sw"),
+          sum((t * t).cast("decimal(38,4)")).cast("double").as("ssw"),
+        )
+        val z = (col("total_value") - col("sw") / col("nw")) /
+          sqrt((col("ssw") - col("sw") * col("sw") / col("nw")) / (col("nw") - 1))
+        w.crossJoin(broadcast(stats))
+          .select(
+            col("window_start"),
+            col("total_value"),
+            z.as("z"),
+            (abs(z) > 3.0).as("is_anomaly"),
+          )
+          .orderBy("window_start")
+      },
+      Some("""WITH w AS (
+             |  SELECT time_bucket(INTERVAL '10 seconds', ts) AS window_start,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |  FROM events GROUP BY window_start),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS nw,
+             |  CAST(sum(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE) AS sw,
+             |  CAST(sum(CAST(CAST(total_value AS DECIMAL(18,2))
+             |    * CAST(total_value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ssw
+             |  FROM w)
+             |SELECT window_start, total_value,
+             |  (total_value - sw / nw) / sqrt((ssw - sw * sw / nw) / (nw - 1)) AS z,
+             |  abs((total_value - sw / nw) / sqrt((ssw - sw * sw / nw) / (nw - 1))) > 3.0
+             |    AS is_anomaly
+             |FROM w, st ORDER BY window_start""".stripMargin),
+    ),
+
     // Heavy hitters ("top talkers" in netflow terms): total traffic per
     // host, top 10. TakeOrderedAndProject keeps k rows per partition —
     // no global sort at any scale.

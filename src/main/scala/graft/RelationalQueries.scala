@@ -1827,6 +1827,61 @@ object RelationalQueries {
              |ORDER BY user_id""".stripMargin),
     ),
 
+    // Data-quality expectations audit (the Deequ/dbt-test shape): every
+    // rule is a CASE-sum over ONE fact scan (no per-rule scans), the
+    // wide result unpivots to long (rule, n_violations, pass) form.
+    // The audit a pipeline runs before publishing a table; at 100 TB
+    // it costs exactly one pass regardless of rule count.
+    Q(
+      "q_expectations",
+      (s, d) => {
+        val wide = lineitem(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+            .as("quantity_in_1_50"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L))
+            .as("discount_in_0_01"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("shipdate_not_null"),
+          sum(when(dec(col("l_extendedprice")) <= 0, 1L).otherwise(0L))
+            .as("price_positive"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+            .as("returnflag_domain"),
+        )
+        wide
+          .unpivot(
+            Array(col("n_rows")),
+            Array(
+              col("quantity_in_1_50"), col("discount_in_0_01"), col("shipdate_not_null"),
+              col("price_positive"), col("returnflag_domain"),
+            ),
+            "rule",
+            "n_violations",
+          )
+          .select(
+            col("rule"),
+            col("n_rows"),
+            col("n_violations"),
+            (col("n_violations") === 0L).as("pass"),
+          )
+          .orderBy("rule")
+      },
+      Some("""WITH wide AS (
+             |  SELECT count(*) AS n_rows,
+             |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS quantity_in_1_50,
+             |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_in_0_01,
+             |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_not_null,
+             |    CAST(sum(CASE WHEN CAST(l_extendedprice AS DECIMAL(12,2)) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+             |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain
+             |  FROM lineitem)
+             |SELECT rule, n_rows, n_violations, n_violations = 0 AS pass FROM (
+             |  SELECT 'quantity_in_1_50' AS rule, n_rows, quantity_in_1_50 AS n_violations FROM wide
+             |  UNION ALL SELECT 'discount_in_0_01', n_rows, discount_in_0_01 FROM wide
+             |  UNION ALL SELECT 'shipdate_not_null', n_rows, shipdate_not_null FROM wide
+             |  UNION ALL SELECT 'price_positive', n_rows, price_positive FROM wide
+             |  UNION ALL SELECT 'returnflag_domain', n_rows, returnflag_domain FROM wide)
+             |ORDER BY rule""".stripMargin),
+    ),
+
     // TPC-H Q6 (forecasting revenue change): the pure-scan query — every
     // predicate pushes into the parquet scan (shipdate range + quantity
     // reach PushedFilters), one map-side-combined global agg, zero
