@@ -135,7 +135,10 @@ object NetflowQueries {
       "nf_anomaly",
       (s, d) => {
         import org.apache.spark.sql.functions._
-        val w = EventOps.window10s(events(s, d))
+        // Materialize the (tiny — one row per 10 s window) aggregate so
+        // the stats arm and the output arm read it once instead of
+        // scanning events twice.
+        val w = EventOps.window10s(events(s, d)).localCheckpoint()
         val t = col("total_value").cast("decimal(18,2)")
         val stats = w.agg(
           count(lit(1)).as("nw"),
