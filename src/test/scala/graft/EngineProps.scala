@@ -312,6 +312,39 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  /** pqEncode equals the brute-force per-block argmin + base-packing
+    * reference on random vectors (including tie cases from the small
+    * integer-valued coordinate domain).
+    */
+  property("pqEncode equals brute-force per-block codebook assignment") = {
+    import spark.implicits._
+    val genVec = Gen.listOfN(4, Gen.chooseNum(-4, 4).map(_.toFloat))
+    val genRows = Gen.chooseNum(3, 16).flatMap(n => Gen.listOfN(n, genVec))
+    Prop.forAll(genRows) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val seeds = rows.take(2)
+      def d2(a: Seq[Float], b: Seq[Float]): Double =
+        a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      val expected = rows.map { case (id, v) =>
+        val perBlock = (0 until 2).map { b =>
+          val sub = v.slice(b * 2, b * 2 + 2)
+          seeds.minBy { case (sid, sv) => (d2(sub, sv.slice(b * 2, b * 2 + 2)), sid) }
+        }
+        val code = perBlock.zipWithIndex.map { case ((sid, _), b) => sid * (1L << b) }.sum
+        val err = perBlock.zipWithIndex
+          .map { case ((_, sv), b) => d2(v.slice(b * 2, b * 2 + 2), sv.slice(b * 2, b * 2 + 2)) }
+          .foldLeft(0.0)(_ + _)
+        id -> ((code, err))
+      }.toMap
+      val got = graft.operators.SimilarityOps
+        .pqEncode(rows.toDF("vec_id", "embedding"), blocks = 2, subDim = 2,
+          isSeed = col("vec_id") < 2, nSeeds = 2)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      got == expected
+    }
+  }
+
   /** bpeMergeStep's pair counts equal the straight-line sliding-window
     * count over the same regex token stream.
     */

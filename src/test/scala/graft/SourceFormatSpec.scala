@@ -49,4 +49,23 @@ class SourceFormatSpec extends SparkSpec {
     assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), scan)
     assert(filtered.count() > 0)
   }
+
+  test("schema evolution: mergeSchema unions parquet batches with added columns, old rows read NULL") {
+    // The 100 TB reality: a long-lived table gains columns over time.
+    // Batch 1 has (doc_id, text); batch 2 adds quality. mergeSchema must
+    // read both generations with the union schema and NULL-fill history.
+    import spark.implicits._
+    val base = Files.createTempDirectory("fmt_evo").toFile.getAbsolutePath
+    Seq((1L, "old doc")).toDF("doc_id", "text").write.parquet(s"$base/t/g1")
+    Seq((2L, "new doc", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$base/t/g2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/t/g1", s"$base/t/g2")
+    assert(merged.schema.fieldNames.toSet == Set("doc_id", "text", "quality"))
+    val rows = merged.orderBy("doc_id")
+      .select("doc_id", "quality").as[(Long, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, Some(0.9))))
+    // Operators tolerate the evolved frame: a filter on the new column
+    // keeps NULL-safe semantics (old rows drop out, not crash).
+    assert(merged.filter(col("quality") > 0.5).count() == 1)
+  }
 }
