@@ -235,8 +235,14 @@ object RelationalQueries {
     Q(
       "q_window_running",
       (s, d) => {
+        // The synthetic lineitem does NOT have unique (orderkey,
+        // linenumber) — ~2% of keys repeat — so a ROWS-frame ordering
+        // must also include the SUMMED column: rows that tie on every
+        // order key then contribute identical values, making the output
+        // multiset engine-independent (caught by the sf0.1 self-check;
+        // sf0.01 had no same-partition collision).
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         lineitem(s, d)
           .select(
@@ -248,7 +254,7 @@ object RelationalQueries {
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
              |    OVER (PARTITION BY l_suppkey
-             |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
              |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
              |FROM lineitem
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
