@@ -1833,6 +1833,61 @@ object RelationalQueries {
              |ORDER BY user_id""".stripMargin),
     ),
 
+    // Running z-score (online anomaly scoring): every event scored
+    // against the exact mean/std of its STRICT predecessors in the
+    // per-user stream — the q_corr_manual reproducible-statistics
+    // pattern over a running frame. Component sums are exact decimals
+    // cast to double, the z expression is one closed double form, and
+    // zero-variance prefixes are excluded (var > 0 guard) so no
+    // NaN/Inf crosses an engine boundary. The streaming twin
+    // (graft.streaming.RunningZScore, transformWithState with exact
+    // integer cents state) emits bit-identical scores — asserted in
+    // StreamingSpec.
+    Q(
+      "q_running_zscore",
+      (s, d) => {
+        val v = col("value").cast("decimal(18,2)")
+        val wp = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val base = events(s, d).select(
+          col("user_id"),
+          col("event_id"),
+          v.cast("double").as("value"),
+          count(lit(1)).over(wp).as("n_prev"),
+          sum(v).over(wp).cast("double").as("s_prev"),
+          sum((v * v).cast("decimal(38,4)")).over(wp).cast("double").as("ss_prev"),
+        )
+        val variance = (col("ss_prev") - col("s_prev") * col("s_prev") / col("n_prev")) /
+          (col("n_prev") - 1)
+        base
+          .filter(col("n_prev") >= 2 && variance > 0)
+          .select(
+            col("user_id"),
+            col("event_id"),
+            col("value"),
+            ((col("value") - col("s_prev") / col("n_prev")) / sqrt(variance)).as("z"),
+          )
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, event_id,
+             |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+             |    CAST(count(*) OVER wp AS BIGINT) AS n_prev,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER wp AS DOUBLE) AS s_prev,
+             |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+             |      * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER wp AS DOUBLE) AS ss_prev
+             |  FROM events
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, event_id, value,
+             |  (value - s_prev / n_prev)
+             |    / sqrt((ss_prev - s_prev * s_prev / n_prev) / (n_prev - 1)) AS z
+             |FROM base
+             |WHERE n_prev >= 2
+             |  AND (ss_prev - s_prev * s_prev / n_prev) / (n_prev - 1) > 0
+             |ORDER BY user_id, event_id""".stripMargin),
+    ),
+
     // Data-quality expectations audit (the Deequ/dbt-test shape): every
     // rule is a CASE-sum over ONE fact scan (no per-rule scans), the
     // wide result unpivots to long (rule, n_violations, pass) form.

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{NetflowStreams, RunningTotals, SessionizeStream}
+import graft.streaming.{NetflowStreams, RunningTotals, RunningZScore, SessionizeStream}
 
 /** Streaming behavior over finite inputs (Trigger.AvailableNow →
   * deterministic results, SURVEY.md §7.3): parse pipeline on a memory
@@ -340,6 +340,67 @@ class StreamingSpec extends SparkSpec {
         .as[(String, Long)].collect().toSeq
       // Batch 1 emits a→150, b→7; batch 2 emits a→151 (state carried), c→9.
       assert(got.toSet == Set(("a", 150L), ("b", 7L), ("a", 151L), ("c", 9L)), got.toString)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming running z-score is bit-identical to the batch window query") {
+    // The exact-integer-state contract: RunningZScoreProcessor carries
+    // (n, Σcents, Σcents²) as longs, so feeding the events table through
+    // a two-batch stream must reproduce q_running_zscore's doubles
+    // EXACTLY — not approximately — for every (user, event).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    // Cents conversion in Spark SQL so rounding matches the batch
+    // decimal(18,2) cast exactly; global (ts, event_id) order, split
+    // into two sequential batches (within-batch per-key sort in the
+    // processor + cross-batch order = the batch query's frame order).
+    val rows = Tables.events(spark, Sf)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      )
+      .orderBy("ts_us", "event_id")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    val (batch1, batch2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = RunningZScore.score(in.toDS()).toDF("user_id", "event_id", "value", "z")
+      .writeStream
+      .format("memory").queryName("running_z").outputMode("update")
+      .option(
+        "checkpointLocation",
+        Files.createTempDirectory("zs_ckpt").toFile.getAbsolutePath,
+      )
+      .start()
+    try {
+      in.addData(batch1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(batch2.toIndexedSeq)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val streamed = spark.table("running_z")
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val batch = Registry.queries("q_running_zscore")(spark, Sf)
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(streamed.size == batch.size, s"${streamed.size} streamed vs ${batch.size} batch")
+      batch.foreach { case (k, (v, z)) =>
+        assert(streamed(k) == ((v, z)), s"key $k: stream=${streamed(k)} batch=${(v, z)}")
+      }
     } finally {
       q.stop()
       prevProvider match {
