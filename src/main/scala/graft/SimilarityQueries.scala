@@ -23,6 +23,26 @@ object SimilarityQueries {
     */
   private val ProbeDims: Seq[Int] = 0 until 64 by 8
 
+  /** Oracle for the PQ code table — shared by sim_pq_codes and (as the
+    * code source) sim_pq_adc.
+    */
+  private val pqCodesSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bx AS (SELECT vec_id, e, unnest(generate_series(0, 3)) AS blk FROM v),
+       |sv AS (SELECT vec_id, blk, e[blk*16+1 : blk*16+16] AS sv FROM bx),
+       |cb AS (SELECT vec_id AS cid, blk, sv AS cv FROM sv WHERE vec_id < 8),
+       |dst AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+       |        FROM sv s JOIN cb c ON s.blk = c.blk),
+       |am AS (SELECT vec_id, blk, cid, dist FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id, blk
+       |                     ORDER BY dist, cid) AS rn FROM dst)
+       |       WHERE rn = 1)
+       |SELECT vec_id,
+       |  CAST(sum(cid * power(8, blk)) AS BIGINT) AS pq_code,
+       |  list_reduce(list_prepend(0.0, list(dist ORDER BY blk)),
+       |              (pqa, pqb) -> pqa + pqb) AS recon_err
+       |FROM am GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   private def topkSql(cellJoin: String, k: Int): String =
     s"""WITH v AS (SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, label, embedding, ${unitNorm("e")} AS u FROM v),
@@ -144,21 +164,39 @@ object SimilarityQueries {
       "sim_pq_codes",
       (s, d) => SimilarityOps.pqEncode(embeddings(s, d), blocks = 4, subDim = 16,
         isSeed = col("vec_id") < 8, nSeeds = 8),
-      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-              |bx AS (SELECT vec_id, e, unnest(generate_series(0, 3)) AS blk FROM v),
-              |sv AS (SELECT vec_id, blk, e[blk*16+1 : blk*16+16] AS sv FROM bx),
-              |cb AS (SELECT vec_id AS cid, blk, sv AS cv FROM sv WHERE vec_id < 8),
-              |dst AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
-              |        FROM sv s JOIN cb c ON s.blk = c.blk),
-              |am AS (SELECT vec_id, blk, cid, dist FROM (
-              |         SELECT *, row_number() OVER (PARTITION BY vec_id, blk
-              |                     ORDER BY dist, cid) AS rn FROM dst)
-              |       WHERE rn = 1)
-              |SELECT vec_id,
-              |  CAST(sum(cid * power(8, blk)) AS BIGINT) AS pq_code,
-              |  list_reduce(list_prepend(0.0, list(dist ORDER BY blk)),
-              |              (pqa, pqb) -> pqa + pqb) AS recon_err
-              |FROM am GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+      Some(pqCodesSql),
+    ),
+    // PQ asymmetric-distance search (ADC): corpus represented ONLY by
+    // its packed codes; per-query (block, centroid) LUT of squared-L2
+    // partial distances; approximate distance = ordered fold of the 4
+    // LUT entries the vector's codes select. The read path that makes
+    // pq_codes useful — billions of codes scanned without raw vectors.
+    Q(
+      "sim_pq_adc",
+      (s, d) => SimilarityOps.pqAdcTopK(embeddings(s, d), blocks = 4, subDim = 16,
+        isSeed = col("vec_id") < 8, nSeeds = 8, isQuery = col("vec_id") < 10, k = 5),
+      Some(s"""WITH pc AS (SELECT vec_id, pq_code FROM ($pqCodesSql)),
+              |dv AS (SELECT * FROM (VALUES (0, 1), (1, 8), (2, 64), (3, 512)) AS t(blk, divisor)),
+              |cc AS (SELECT vec_id, blk, (pq_code // divisor) % 8 AS code FROM pc, dv),
+              |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |bs AS (SELECT unnest(generate_series(0, 3)) AS blk),
+              |qb AS (SELECT vec_id AS query_id, blk, e[blk*16+1 : blk*16+16] AS qv
+              |       FROM v CROSS JOIN bs WHERE vec_id < 10),
+              |cb AS (SELECT vec_id AS code, blk, e[blk*16+1 : blk*16+16] AS cv
+              |       FROM v CROSS JOIN bs WHERE vec_id < 8),
+              |lut AS (SELECT q.query_id, q.blk, c.code, ${l2sq("q.qv", "c.cv")} AS d
+              |        FROM qb q JOIN cb c ON q.blk = c.blk),
+              |sc AS (SELECT l.query_id, c.vec_id,
+              |         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.blk)),
+              |                     (ada, adb) -> ada + adb) AS approx_dist
+              |       FROM cc c JOIN lut l ON c.blk = l.blk AND c.code = l.code
+              |       GROUP BY l.query_id, c.vec_id)
+              |SELECT query_id, neighbor_id, approx_dist, rank FROM (
+              |  SELECT query_id, vec_id AS neighbor_id, approx_dist,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |           ORDER BY approx_dist, vec_id) AS INT) AS rank
+              |  FROM sc WHERE query_id <> vec_id)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     ),
     // One Lloyd's k-means iteration (the IVF-quantizer training step):
     // vectors assigned to the nearest of 8 seed centroids by squared-L2

@@ -363,6 +363,73 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** PQ asymmetric-distance (ADC) top-k — the search half of the
+    * [[pqEncode]] story: the corpus is represented ONLY by its packed PQ
+    * codes; each query precomputes a (block, centroid) → squared-L2
+    * lookup table against the codebook, and a vector's approximate
+    * distance is the sum of its blocks' LUT entries (strict fold in
+    * block order — deterministic doubles). This is how a vector store
+    * scans billions of codes without touching raw vectors.
+    *
+    * Scale shape: the LUT (queries × blocks × centroids rows) is tiny
+    * and broadcasts; corpus codes explode ×blocks row-locally and join
+    * the LUT on (block, code) — per-corpus-row work is O(blocks ×
+    * queries), never O(dim); the per-(query, vector) fold and the rank
+    * window shuffle on bounded keys.
+    */
+  def pqAdcTopK(
+      embeddings: DataFrame,
+      blocks: Int,
+      subDim: Int,
+      isSeed: Column,
+      nSeeds: Int,
+      isQuery: Column,
+      k: Int,
+  ): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val blocksArr = array((0 until blocks).map(b => slice(e, b * subDim + 1, subDim)): _*)
+    val divisors = array((0 until blocks).map(b => lit(math.pow(nSeeds.toDouble, b).toLong)): _*)
+    val corpusCodes = pqEncode(embeddings, blocks, subDim, isSeed, nSeeds)
+      .select(col("vec_id"), col("pq_code"), posexplode(divisors).as(Seq("blk", "divisor")))
+      .select(col("vec_id"), col("blk"), expr(s"pq_code div divisor % $nSeeds").as("code"))
+    val qBlocks = embeddings
+      .filter(isQuery)
+      .select(col("vec_id").as("query_id"), posexplode(blocksArr).as(Seq("blk", "qv")))
+    val cbBlocks = embeddings
+      .filter(isSeed)
+      .select(col("vec_id").as("code"), posexplode(blocksArr).as(Seq("blk", "cv")))
+    val lut = broadcast(
+      qBlocks
+        .join(cbBlocks, Seq("blk"))
+        .select(
+          col("query_id"),
+          col("blk"),
+          col("code"),
+          aggregate(
+            zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0),
+            (acc, d) => acc + d,
+          ).as("d"),
+        ),
+    )
+    val w = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("neighbor_id"))
+    corpusCodes
+      .join(lut, Seq("blk", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("blk"), col("d")))), s => s.getField("d")),
+          lit(0.0),
+          (acc, x) => acc + x,
+        ).as("approx_dist"),
+      )
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-style ANN with a precomputed coarse assignment column (here the
     * `label` column stands in for the nearest-centroid cell id a k-means
     * quantizer would produce): search only the query's cell.

@@ -166,6 +166,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == ((3L, 0.0))) // seed 1 in both blocks: 1 + 1·2
   }
 
+  test("pqAdcTopK scores via the code LUT: ADC distance equals codebook distance of the decoded codes") {
+    // Same corpus as the pqEncode test. ADC(q, x) must equal the sum of
+    // squared-L2 between q's block and the CODEBOOK block x's code
+    // selects (not x itself) — computed here by hand from the known
+    // codes.
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 10f, 10f)),
+      (1L, Seq(10f, 10f, 0f, 0f)),
+      (2L, Seq(1f, 0f, 1f, 0f)), // codes: blk0→0, blk1→1
+      (3L, Seq(9f, 9f, 9f, 9f)), // codes: blk0→1, blk1→0
+      (4L, Seq(5f, 5f, 5f, 5f)), // codes: 0, 0
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps
+      .pqAdcTopK(vecs, blocks = 2, subDim = 2, isSeed = col("vec_id") < 2, nSeeds = 2,
+        isQuery = col("vec_id") === 2L, k = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // Query 2's blocks: (1,0) and (1,0). Codebook blocks: seed0 = (0,0),(10,10);
+    // seed1 = (10,10),(0,0).
+    // LUT: blk0: code0 → 1, code1 → 181; blk1: code0 → 181, code1 → 1.
+    // ADC to 0 (codes 0,0): 1 + 181 = 182;  to 1 (codes 1,1): 181 + 1 = 182;
+    // to 3 (codes 1,0): 181 + 181 = 362;    to 4 (codes 0,0): 182.
+    assert(out.map(r => (r._2, r._3)) == Seq((0L, 182.0), (1L, 182.0), (4L, 182.0), (3L, 362.0)))
+    assert(out.map(_._4) == Seq(1, 2, 3, 4))
+    assert(out.forall(_._1 == 2L))
+  }
+
   test("kmeansStep assigns each vector to its nearest seed (ties to lower seed id) and emits fold-mean centroids") {
     val vecs = Seq(
       (0L, Seq(0f, 0f)), // seed 0
