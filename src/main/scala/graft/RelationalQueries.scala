@@ -1833,6 +1833,68 @@ object RelationalQueries {
              |ORDER BY user_id""".stripMargin),
     ),
 
+    // MERGE/upsert semantics in batch form (the mutable-store refresh an
+    // engine needs even on immutable storage): a deterministic change
+    // set (derived here from the base itself — every 7th customer gets
+    // an updated balance, plus synthetic new keys) full-outer-joins the
+    // base on the key; each output column coalesces update-over-base and
+    // a provenance marker records inserted/updated/unchanged. One
+    // key-partitioned shuffle per side — the copy-on-write MERGE plan.
+    Q(
+      "q_merge_upsert",
+      (s, d) => {
+        val base = customer(s, d).select(
+          col("c_custkey"), col("c_name"), dec(col("c_acctbal")).cast("double").as("c_acctbal"),
+        )
+        val updates = customer(s, d)
+          .filter(col("c_custkey") % 7 === 0)
+          .select(
+            col("c_custkey").as("u_custkey"),
+            col("c_name").as("u_name"),
+            (dec(col("c_acctbal")) + lit(10).cast("decimal(12,2)")).cast("double").as("u_acctbal"),
+          )
+          .unionAll(
+            customer(s, d)
+              .filter(col("c_custkey") % 11 === 0)
+              .select(
+                (col("c_custkey") + 1000000L).as("u_custkey"),
+                concat(lit("NEW "), col("c_name")).as("u_name"),
+                lit(0.0).as("u_acctbal"),
+              ),
+          )
+        base
+          .join(updates, col("c_custkey") === col("u_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("u_custkey")).as("custkey"),
+            coalesce(col("u_name"), col("c_name")).as("name"),
+            coalesce(col("u_acctbal"), col("c_acctbal")).as("acctbal"),
+            when(col("c_custkey").isNull, "inserted")
+              .when(col("u_custkey").isNull, "unchanged")
+              .otherwise("updated").as("action"),
+          )
+          .orderBy("custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name,
+             |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal
+             |  FROM customer),
+             |updates AS (
+             |  SELECT c_custkey AS u_custkey, c_name AS u_name,
+             |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 10 AS DOUBLE) AS u_acctbal
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, 'NEW ' || c_name, 0.0
+             |  FROM customer WHERE c_custkey % 11 = 0)
+             |SELECT coalesce(c_custkey, u_custkey) AS custkey,
+             |  coalesce(u_name, c_name) AS name,
+             |  coalesce(u_acctbal, c_acctbal) AS acctbal,
+             |  CASE WHEN c_custkey IS NULL THEN 'inserted'
+             |       WHEN u_custkey IS NULL THEN 'unchanged'
+             |       ELSE 'updated' END AS action
+             |FROM base FULL OUTER JOIN updates ON c_custkey = u_custkey
+             |ORDER BY custkey""".stripMargin),
+    ),
+
     // Running z-score (online anomaly scoring): every event scored
     // against the exact mean/std of its STRICT predecessors in the
     // per-user stream — the q_corr_manual reproducible-statistics

@@ -345,6 +345,44 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  /** semanticDedup equals the straight-line per-cell reference: removed
+    * = vectors with a lower-id cell-mate at cosine ≥ τ; kept_by = the
+    * lowest such id; n_dups = how many qualify. The reference mirrors
+    * the engine's exact fold order (norm, then element division, then
+    * left-fold dot), so threshold comparisons cannot split on rounding.
+    */
+  property("semanticDedup equals brute-force within-cell cosine reference") = {
+    import spark.implicits._
+    val genVec = Gen.listOfN(3, Gen.chooseNum(-3, 3).map(_.toFloat))
+      .suchThat(v => v.exists(_ != 0f))
+    val genRow = for {
+      cell <- Gen.oneOf("a", "b")
+      v <- genVec
+    } yield (cell, v)
+    Prop.forAll(Gen.chooseNum(2, 16).flatMap(n => Gen.listOfN(n, genRow))) { rowsRaw =>
+      val rows = rowsRaw.zipWithIndex.map { case ((c, v), i) => (i.toLong, c, v) }
+      def unit(v: Seq[Float]): Seq[Double] = {
+        val d = v.map(_.toDouble)
+        val norm = math.sqrt(d.map(x => x * x).foldLeft(0.0)(_ + _))
+        d.map(_ / norm)
+      }
+      def dot(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      val tau = 0.5
+      val expected = rows.flatMap { case (id, cell, v) =>
+        val mates = rows.filter(r => r._2 == cell && r._1 < id)
+          .filter(r => dot(unit(r._3), unit(v)) >= tau)
+        if (mates.isEmpty) None
+        else Some(id -> ((mates.map(_._1).min, mates.size.toLong)))
+      }.toMap
+      val got = graft.operators.DedupOps
+        .semanticDedup(rows.toDF("vec_id", "cell", "embedding"), col("cell"), tau)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      got == expected
+    }
+  }
+
   /** bpeMergeStep's pair counts equal the straight-line sliding-window
     * count over the same regex token stream.
     */
