@@ -330,7 +330,15 @@ object SimilarityOps {
     * (vec_id, block) — the corpus shuffles once on that key and the
     * output is one row per vector. Nothing pairwise.
     */
-  def pqEncode(embeddings: DataFrame, blocks: Int, subDim: Int, isSeed: Column, nSeeds: Int): DataFrame = {
+  def pqEncode(embeddings: DataFrame, blocks: Int, subDim: Int, isSeed: Column, nSeeds: Int): DataFrame =
+    pqEncodeUnordered(embeddings, blocks, subDim, isSeed, nSeeds).orderBy("vec_id")
+
+  /** [[pqEncode]] without the final presentation sort — the form other
+    * operators (the ADC scan) consume, so no range exchange is buried
+    * inside their pipelines.
+    */
+  private[operators] def pqEncodeUnordered(
+      embeddings: DataFrame, blocks: Int, subDim: Int, isSeed: Column, nSeeds: Int): DataFrame = {
     val e = transform(col("embedding"), x => x.cast("double"))
     val blocksArr = array((0 until blocks).map(b => slice(e, b * subDim + 1, subDim)): _*)
     val v = embeddings.select(col("vec_id"), posexplode(blocksArr).as(Seq("blk", "sv")))
@@ -360,7 +368,6 @@ object SimilarityOps {
           (acc, x) => acc + x,
         ).as("recon_err"),
       )
-      .orderBy("vec_id")
   }
 
   /** PQ asymmetric-distance (ADC) top-k — the search half of the
@@ -389,7 +396,7 @@ object SimilarityOps {
     val e = transform(col("embedding"), x => x.cast("double"))
     val blocksArr = array((0 until blocks).map(b => slice(e, b * subDim + 1, subDim)): _*)
     val divisors = array((0 until blocks).map(b => lit(math.pow(nSeeds.toDouble, b).toLong)): _*)
-    val corpusCodes = pqEncode(embeddings, blocks, subDim, isSeed, nSeeds)
+    val corpusCodes = pqEncodeUnordered(embeddings, blocks, subDim, isSeed, nSeeds)
       .select(col("vec_id"), col("pq_code"), posexplode(divisors).as(Seq("blk", "divisor")))
       .select(col("vec_id"), col("blk"), expr(s"pq_code div divisor % $nSeeds").as("code"))
     val qBlocks = embeddings
