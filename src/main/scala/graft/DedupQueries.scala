@@ -366,8 +366,8 @@ object DedupQueries {
               |sk AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
               |       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
               |SELECT doc_id, split_key,
-              |  ((split_key * 2654435761) % 2147483647) % 10 AS bucket,
-              |  CASE WHEN ((split_key * 2654435761) % 2147483647) % 10 < 8
+              |  (((split_key % 2147483647) * 2654435761) % 2147483647) % 10 AS bucket,
+              |  CASE WHEN (((split_key % 2147483647) * 2654435761) % 2147483647) % 10 < 8
               |       THEN 'train' ELSE 'val' END AS split
               |FROM sk ORDER BY doc_id""".stripMargin),
     ),

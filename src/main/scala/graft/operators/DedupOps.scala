@@ -468,7 +468,11 @@ object DedupOps {
       .select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("split_key"))
-      .withColumn("bucket", pmod(col("split_key") * 2654435761L, lit(p)) % buckets)
+      // Reduce mod p BEFORE multiplying: (key·m) mod p ≡ ((key mod p)·m)
+      // mod p, and (p−1)·2654435761 ≈ 5.7e18 stays in Long range — the
+      // unreduced product overflows (or throws under ANSI mode) for
+      // doc_id ≳ 3.4e9, plausible at the corpus sizes this targets.
+      .withColumn("bucket", pmod(pmod(col("split_key"), lit(p)) * 2654435761L, lit(p)) % buckets)
       .withColumn("split", when(col("bucket") < trainBuckets, "train").otherwise("val"))
       .orderBy("doc_id")
   }

@@ -53,7 +53,10 @@ object LshIndexOps {
       buckets: Int,
       prefix: String,
   ): Unit = {
-    val idx = indexFrame(docs, n, k, bands)
+    // Materialize before the two table writes — each saveAsTable is its
+    // own action, and without this the full shingle→minhash→band
+    // pipeline would execute twice per build.
+    val idx = indexFrame(docs, n, k, bands).localCheckpoint()
     idx
       .select(col("doc_id"), col("sh"))
       .write.mode("overwrite")

@@ -158,6 +158,12 @@ object MultimodalOps {
             n_frames = 1L,
           ))
         }
+        // len is an untrusted unsigned be32: a corrupt length that can't
+        // fit in the remaining bytes would make the Int-narrowed advance
+        // wrap (pos moving backwards → infinite loop on a malformed
+        // payload). The Long comparison rejects it, so pos is strictly
+        // increasing and in-bounds.
+        if (len > b.length - pos - 12L) return None
         pos += 8 + len.toInt + 4 // length + type + data + CRC
       }
       None

@@ -285,13 +285,22 @@ object SimilarityOps {
       lit(0.0),
       (acc, d) => acc + d,
     )
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("seed_id"))
+    // Argmin as a partial-aggregatable min(struct(dist, seed_id)) — the
+    // map side combines K candidate rows per vector down to ONE before
+    // the shuffle, where a row_number window would shuffle+sort all K
+    // (at a production K=256 that is 256× the exchanged data). Struct
+    // ordering is lexicographic, so ties break to the lowest seed_id —
+    // identical semantics to the window form. `first(e)` is
+    // deterministic: e is functionally determined by the group key.
     val assigned = v
       .crossJoin(seeds)
       .select(col("vec_id"), col("seed_id"), col("e"), dist.as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("seed_id").as("cluster"), col("e"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct(col("dist"), col("seed_id"))).as("m"),
+        first(col("e")).as("e"),
+      )
+      .select(col("vec_id"), col("m.seed_id").as("cluster"), col("e"))
     assigned
       .select(
         col("vec_id"),
@@ -326,9 +335,10 @@ object SimilarityOps {
     * driver hash pins every code without array columns.
     *
     * Scale shape: the corpus explodes ×blocks (row-local), the codebook
-    * (seeds × blocks rows) broadcasts, argmin is one window keyed by
-    * (vec_id, block) — the corpus shuffles once on that key and the
-    * output is one row per vector. Nothing pairwise.
+    * (seeds × blocks rows) broadcasts, argmin is a partial-aggregatable
+    * min(struct(dist, cid)) keyed by (vec_id, block) — map-side combine
+    * exchanges one row per key, not nSeeds candidates, and the output is
+    * one row per vector. Nothing pairwise.
     */
   def pqEncode(embeddings: DataFrame, blocks: Int, subDim: Int, isSeed: Column, nSeeds: Int): DataFrame =
     pqEncodeUnordered(embeddings, blocks, subDim, isSeed, nSeeds).orderBy("vec_id")
@@ -352,11 +362,16 @@ object SimilarityOps {
       lit(0.0),
       (acc, d) => acc + d,
     )
-    val w = Window.partitionBy("vec_id", "blk").orderBy(col("dist"), col("cid"))
+    // Per-(vector, block) argmin as min(struct(dist, cid)): map-side
+    // partial aggregation exchanges one row per (vec_id, blk) instead of
+    // the nSeeds candidate rows a window would shuffle AND sort. Ties
+    // break to the lowest cid via struct lexicographic order — same
+    // semantics as the former row_number() form, oracle unchanged.
     v.join(codebook, Seq("blk"))
       .select(col("vec_id"), col("blk"), col("cid"), dist.as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("blk"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("blk"), col("m.cid").as("cid"), col("m.dist").as("dist"))
       .groupBy(col("vec_id"))
       .agg(
         // cid·nSeeds^blk are exact small integers in doubles — the sum is

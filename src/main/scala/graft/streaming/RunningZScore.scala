@@ -59,8 +59,15 @@ class RunningZScoreProcessor
         }
       }
       n += 1
-      s += cents
-      ss += cents * cents
+      // Exact arithmetic that FAILS LOUDLY on overflow instead of
+      // silently wrapping and corrupting every later z-score: cents² is
+      // ~10¹² for high-value events, so a long-lived key could overflow
+      // a plain Long sum. (The bit-identity contract with the batch twin
+      // additionally requires Σcents² < 2⁵³ so the toDouble/10⁴ division
+      // stays correctly rounded — addExact keeps the state exact up to
+      // 2⁶³ and the spec's corpora stay far below 2⁵³.)
+      s = Math.addExact(s, cents)
+      ss = Math.addExact(ss, Math.multiplyExact(cents, cents))
     }
     moments.update((n, s, ss))
     out.result().iterator

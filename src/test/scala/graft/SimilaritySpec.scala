@@ -210,6 +210,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("PQ/kmeans argmin plans carry no Window node — partial aggregation only") {
+    // The nearest-centroid argmin must be a min(struct(dist, id))
+    // aggregate (map-side combinable: one exchanged row per key) rather
+    // than a row_number window (which shuffles AND sorts every candidate
+    // row — nSeeds× the data at a production codebook size). Pinned at
+    // the optimized-plan level like LshIndexSpec pins exchange-freeness.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def nWindows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.size
+    val emb = embeddings(spark, Sf)
+    assert(nWindows(SimilarityOps.kmeansStep(emb, col("vec_id") < 8)) == 0)
+    assert(nWindows(SimilarityOps.pqEncode(emb, 4, 16, col("vec_id") < 8, 8)) == 0)
+    // ADC keeps exactly ONE window: the final per-query top-k rank (rank
+    // is part of the output contract); the inherited encode argmin is gone.
+    assert(nWindows(SimilarityOps.pqAdcTopK(emb, 4, 16, col("vec_id") < 8, 8,
+      col("vec_id") < 10, 5)) == 1)
+  }
+
   test("kmeansStep over testdata: clusters partition the corpus and every vector joins its closest seed") {
     val emb = embeddings(spark, Sf)
     val out = SimilarityOps.kmeansStep(emb, col("vec_id") < 8)
