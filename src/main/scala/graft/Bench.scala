@@ -26,20 +26,64 @@ object Bench {
     // union was once measured 50× its steady-state). min-of-2 is the
     // standard de-noising for wall-clock microbenchmarks — contention
     // only ever adds time. The max rides along into the JSON ("spread")
-    // for the slowest queries, so rep-to-rep contention is visible to
+    // for every shown query, so rep-to-rep contention is visible to
     // the round-over-round comparison instead of guessed at.
+    //
+    // min-of-2 alone is NOT contention-proof: back-to-back reps share
+    // the same host-noise window (round 4: four queries' both reps fell
+    // in two neighbor-contention windows and 198 s of noise entered the
+    // official total). Two fixes below: (a) outliers — min > 10× the
+    // suite median — get up to 2 extra reps AFTER the whole first pass,
+    // time-shifted out of any first-pass contention window; (b)
+    // /proc/loadavg is sampled around every rep and published as
+    // "load":[start,max,end] so a contended run carries its own
+    // adjudication evidence (this host idles ~0; neighbor noise shows
+    // as load ≳ 2 with no local process).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // A rep that throws reports the sentinel -1, never its elapsed
-      // time — a failing query must not produce a plausible-looking
-      // benchmark number.
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble
+        finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    val load0 = loadavg()
+    var loadMax = load0
+    // One rep: sentinel -1 on failure — a failing query must never
+    // produce a plausible-looking benchmark number.
+    def rep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      loadMax = math.max(loadMax, loadavg())
+      if (ok) sec else -1.0
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val firstPass = ordered.map { case (name, fn) => (name, fn, (1 to reps).map(_ => rep(name, fn))) }
+    val goodMins = firstPass.flatMap { case (_, _, ts) =>
+      val g = ts.filter(_ >= 0); if (g.nonEmpty) Some(g.min) else None
+    }.sorted
+    val median = if (goodMins.nonEmpty) goodMins(goodMins.size / 2) else 0.0
+    val outlierCut = math.max(10 * median, 2.0)
+    // Re-measurement is bounded: the adaptive pass may not turn a noisy
+    // host into an unbounded bench.
+    var extraBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_SEC", "180").toDouble
+    var remeasured = 0
+    val results = firstPass.map { case (name, fn, times0) =>
+      var times = times0
+      var extra = 0
+      def goodMin = { val g = times.filter(_ >= 0); if (g.nonEmpty) g.min else -1.0 }
+      while (extra < 2 && goodMin > outlierCut && extraBudget > 0) {
+        System.err.println(
+          f"[bench] $name%-22s min $goodMin%.2f s > ${outlierCut}%.2f s cut — re-measuring (load ${loadavg()}%.2f)",
+        )
+        val t = rep(name, fn)
+        extraBudget -= math.abs(t)
+        times = times :+ t
+        extra += 1
       }
+      if (extra > 0) remeasured += 1
       val good = times.filter(_ >= 0)
       val sec = if (good.nonEmpty) good.min else -1.0
       val secMax = if (good.nonEmpty) good.max else -1.0
@@ -48,6 +92,7 @@ object Bench {
       )
       (name, sec, secMax)
     }
+    val loadEnd = loadavg()
     // Stateful-streaming throughput smoke (stderr only, never in the
     // JSON): FlowGen AvailableNow → transformWithState running totals /
     // session-window aggregation, reported as rows/s so the cost of the
@@ -66,13 +111,17 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val bySlowest = results.sortBy { case (_, v, _) => -v }
-    val spread = bySlowest.take(8).map { case (k, lo, hi) =>
-      "\"" + k + "\":[" + r3(lo) + "," + r3(hi) + "]"
-    }.mkString("{", ",", "}")
+    // Spread covers EVERY shown query (not just the slowest 8) so the
+    // round-over-round comparison can separate noise from regression
+    // per query; "load" is the [start, max, end] 1-min loadavg evidence.
     def line(shown: Seq[(String, Double, Double)], omitted: Int): String = {
       val qs = shown.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"omitted":$omitted,"failed":$failed,"spread":$spread,"value":${r3(total)}}"""
+      val spread = shown.sortBy { case (_, v, _) => -v }.map { case (k, lo, hi) =>
+        "\"" + k + "\":[" + r3(lo) + "," + r3(hi) + "]"
+      }.mkString("{", ",", "}")
+      val load = s"[${r3(load0)},${r3(loadMax)},${r3(loadEnd)}]"
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"omitted":$omitted,"failed":$failed,"spread":$spread,"load":$load,"remeasured":$remeasured,"value":${r3(total)}}"""
     }
     val budget = 1800 // bytes; leaves room for sbt's banner + [success] lines
     var keep = math.min(40, results.size)
