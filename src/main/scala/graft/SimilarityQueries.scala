@@ -198,6 +198,57 @@ object SimilarityQueries {
               |  FROM sc WHERE query_id <> vec_id)
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     ),
+    // PQ codebook TRAINING: 2 per-block Lloyd iterations from the seed
+    // sub-vectors, then encode the corpus against the TRAINED codebook —
+    // the full composition a vector-store build runs (train → encode).
+    // Every trained centroid double is a vec_id-ordered fold mean, so the
+    // oracle unrolls the same two steps and reproduces codes and
+    // reconstruction errors bit-for-bit.
+    Q(
+      "sim_pq_train",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = SimilarityOps.trainCodebook(emb, blocks = 4, subDim = 16,
+          isSeed = col("vec_id") < 8, iters = 2)
+        SimilarityOps.pqEncode(emb, blocks = 4, subDim = 16, codebook = cb, nSeeds = 8)
+      },
+      Some {
+        // One Lloyd step: codebook CTE `from` → assignment → per-dim
+        // ordered-fold means → codebook CTE `to`.
+        def lloyd(i: Int, from: String, to: String): String =
+          s"""d$i AS (SELECT s.vec_id, s.blk, s.sv, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+             |        FROM sv s JOIN $from c ON s.blk = c.blk),
+             |a$i AS (SELECT vec_id, blk, sv, cid FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY vec_id, blk
+             |                      ORDER BY dist, cid) AS rn FROM d$i)
+             |        WHERE rn = 1),
+             |x$i AS (SELECT vec_id, blk, cid, unnest(sv) AS xd,
+             |          generate_subscripts(sv, 1) AS pos FROM a$i),
+             |m$i AS (SELECT blk, cid, pos,
+             |          list_reduce(list_prepend(0.0, list(xd ORDER BY vec_id)),
+             |                      (pta, ptb) -> pta + ptb) / count(*) AS c
+             |        FROM x$i GROUP BY blk, cid, pos),
+             |$to AS (SELECT blk, cid, list(c ORDER BY pos) AS cv
+             |        FROM m$i GROUP BY blk, cid)""".stripMargin
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |bx AS (SELECT vec_id, e, unnest(generate_series(0, 3)) AS blk FROM v),
+           |sv AS (SELECT vec_id, blk, e[blk*16+1 : blk*16+16] AS sv FROM bx),
+           |cb0 AS (SELECT blk, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
+           |${lloyd(1, "cb0", "cb1")},
+           |${lloyd(2, "cb1", "cb2")},
+           |de AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+           |       FROM sv s JOIN cb2 c ON s.blk = c.blk),
+           |ae AS (SELECT vec_id, blk, cid, dist FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY vec_id, blk
+           |                     ORDER BY dist, cid) AS rn FROM de)
+           |       WHERE rn = 1)
+           |SELECT vec_id,
+           |  CAST(sum(cid * power(8, blk)) AS BIGINT) AS pq_code,
+           |  list_reduce(list_prepend(0.0, list(dist ORDER BY blk)),
+           |              (pqa, pqb) -> pqa + pqb) AS recon_err
+           |FROM ae GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      },
+    ),
     // One Lloyd's k-means iteration (the IVF-quantizer training step):
     // vectors assigned to the nearest of 8 seed centroids by squared-L2
     // strict fold (ties → lowest seed id), new centroids as the same

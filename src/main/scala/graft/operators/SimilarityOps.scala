@@ -343,20 +343,108 @@ object SimilarityOps {
   def pqEncode(embeddings: DataFrame, blocks: Int, subDim: Int, isSeed: Column, nSeeds: Int): DataFrame =
     pqEncodeUnordered(embeddings, blocks, subDim, isSeed, nSeeds).orderBy("vec_id")
 
+  /** [[pqEncode]] with an explicit TRAINED codebook frame
+    * `(blk, cid, cv: array<double>)` — what [[trainCodebook]] emits —
+    * instead of the seed-row codebook. Presentation-sorted.
+    */
+  def pqEncode(embeddings: DataFrame, blocks: Int, subDim: Int, codebook: DataFrame, nSeeds: Int): DataFrame =
+    pqEncodeWith(embeddings, blocks, subDim, codebook, nSeeds).orderBy("vec_id")
+
+  /** The per-block sub-vector frame (vec_id, blk, sv) — the working form
+    * every PQ stage consumes.
+    */
+  private def subVectors(embeddings: DataFrame, blocks: Int, subDim: Int): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val blocksArr = array((0 until blocks).map(b => slice(e, b * subDim + 1, subDim)): _*)
+    embeddings.select(col("vec_id"), posexplode(blocksArr).as(Seq("blk", "sv")))
+  }
+
+  /** The seed-row codebook: each seed vector's sub-vector per block,
+    * as the codebook frame shape (blk, cid, cv) shared by the trained
+    * path.
+    */
+  private[operators] def seedCodebook(
+      embeddings: DataFrame, blocks: Int, subDim: Int, isSeed: Column): DataFrame =
+    subVectors(embeddings.filter(isSeed), blocks, subDim)
+      .select(col("blk"), col("vec_id").as("cid"), col("sv").as("cv"))
+
+  /** PQ codebook TRAINING — per-block Lloyd iterations over the
+    * sub-vector space, the composition [[pqEncode]]'s docstring promises:
+    * start from the seed rows' sub-vectors, then `iters` times (assign
+    * every sub-vector to its nearest entry, recompute each entry as the
+    * mean of its assignees). All per-block k-means, exactly
+    * [[kmeansStep]]'s machinery applied blockwise.
+    *
+    * Determinism contract: assignment argmin is min(struct(dist, cid))
+    * (ties → lowest cid) and the mean is the vec_id-ordered fold per
+    * dimension [[centroids]] uses, so every trained centroid double is
+    * bit-reproducible in the SQL oracle (which unrolls the same fixed
+    * number of steps). Entries that attract no assignees in a round drop
+    * out (standard dead-centroid behavior) — both engines agree.
+    *
+    * Scale shape per iteration: one broadcast join of the (tiny)
+    * codebook against the sub-vector frame, one (vec_id, blk) argmin
+    * aggregate with map-side combine, one (blk, cid, dim) mean shuffle
+    * whose output is ≤ nSeeds×blocks×subDim rows. The corpus is never
+    * shuffled on anything wider than its own keys; iteration count is
+    * the only multiplier.
+    */
+  def trainCodebook(
+      embeddings: DataFrame, blocks: Int, subDim: Int, isSeed: Column, iters: Int): DataFrame = {
+    val sv = subVectors(embeddings, blocks, subDim).localCheckpoint()
+    var cb = seedCodebook(embeddings, blocks, subDim, isSeed)
+    val dist = aggregate(
+      zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, d) => acc + d,
+    )
+    for (_ <- 1 to iters) {
+      val assigned = sv
+        .join(broadcast(cb), Seq("blk"))
+        .select(col("vec_id"), col("blk"), col("cid"), col("sv"), dist.as("dist"))
+        .groupBy(col("vec_id"), col("blk"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col("sv")).as("sv"))
+        .select(col("vec_id"), col("blk"), col("m.cid").as("cid"), col("sv"))
+      cb = assigned
+        .select(col("vec_id"), col("blk"), col("cid"), posexplode(col("sv")).as(Seq("pos", "xd")))
+        .groupBy(col("blk"), col("cid"), col("pos"))
+        .agg(
+          aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("xd")))), s => s.getField("xd")),
+            lit(0.0),
+            (acc, x) => acc + x,
+          ).as("s"),
+          count(lit(1)).as("n"),
+        )
+        .groupBy(col("blk"), col("cid"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("c")))),
+            s => s.getField("c"),
+          ).as("cv"),
+        )
+    }
+    // The trained codebook is tiny (≤ nSeeds × blocks rows); materialize
+    // it so consumers that reference it more than once (encode + LUT in
+    // the ADC path) never re-run the iterative pipeline.
+    cb.localCheckpoint()
+  }
+
   /** [[pqEncode]] without the final presentation sort — the form other
     * operators (the ADC scan) consume, so no range exchange is buried
     * inside their pipelines.
     */
   private[operators] def pqEncodeUnordered(
-      embeddings: DataFrame, blocks: Int, subDim: Int, isSeed: Column, nSeeds: Int): DataFrame = {
-    val e = transform(col("embedding"), x => x.cast("double"))
-    val blocksArr = array((0 until blocks).map(b => slice(e, b * subDim + 1, subDim)): _*)
-    val v = embeddings.select(col("vec_id"), posexplode(blocksArr).as(Seq("blk", "sv")))
-    val codebook = broadcast(
-      embeddings
-        .filter(isSeed)
-        .select(col("vec_id").as("cid"), posexplode(blocksArr).as(Seq("blk", "cv"))),
-    )
+      embeddings: DataFrame, blocks: Int, subDim: Int, isSeed: Column, nSeeds: Int): DataFrame =
+    pqEncodeWith(embeddings, blocks, subDim,
+      seedCodebook(embeddings, blocks, subDim, isSeed), nSeeds)
+
+  /** Encode against an arbitrary codebook frame (blk, cid, cv) —
+    * unordered; the shared core of the seed and trained paths.
+    */
+  private[operators] def pqEncodeWith(
+      embeddings: DataFrame, blocks: Int, subDim: Int, codebook: DataFrame, nSeeds: Int): DataFrame = {
+    val v = subVectors(embeddings, blocks, subDim)
     val dist = aggregate(
       zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0),
@@ -367,7 +455,7 @@ object SimilarityOps {
     // the nSeeds candidate rows a window would shuffle AND sort. Ties
     // break to the lowest cid via struct lexicographic order — same
     // semantics as the former row_number() form, oracle unchanged.
-    v.join(codebook, Seq("blk"))
+    v.join(broadcast(codebook), Seq("blk"))
       .select(col("vec_id"), col("blk"), col("cid"), dist.as("dist"))
       .groupBy(col("vec_id"), col("blk"))
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
@@ -407,19 +495,30 @@ object SimilarityOps {
       nSeeds: Int,
       isQuery: Column,
       k: Int,
+  ): DataFrame =
+    pqAdcTopK(embeddings, blocks, subDim,
+      seedCodebook(embeddings, blocks, subDim, isSeed), nSeeds, isQuery, k)
+
+  /** [[pqAdcTopK]] against an explicit codebook frame (blk, cid, cv) —
+    * the form a TRAINED codebook ([[trainCodebook]]) plugs into: both
+    * the corpus encode and the query LUT derive from the same frame.
+    */
+  def pqAdcTopK(
+      embeddings: DataFrame,
+      blocks: Int,
+      subDim: Int,
+      codebook: DataFrame,
+      nSeeds: Int,
+      isQuery: Column,
+      k: Int,
   ): DataFrame = {
-    val e = transform(col("embedding"), x => x.cast("double"))
-    val blocksArr = array((0 until blocks).map(b => slice(e, b * subDim + 1, subDim)): _*)
     val divisors = array((0 until blocks).map(b => lit(math.pow(nSeeds.toDouble, b).toLong)): _*)
-    val corpusCodes = pqEncodeUnordered(embeddings, blocks, subDim, isSeed, nSeeds)
+    val corpusCodes = pqEncodeWith(embeddings, blocks, subDim, codebook, nSeeds)
       .select(col("vec_id"), col("pq_code"), posexplode(divisors).as(Seq("blk", "divisor")))
       .select(col("vec_id"), col("blk"), expr(s"pq_code div divisor % $nSeeds").as("code"))
-    val qBlocks = embeddings
-      .filter(isQuery)
-      .select(col("vec_id").as("query_id"), posexplode(blocksArr).as(Seq("blk", "qv")))
-    val cbBlocks = embeddings
-      .filter(isSeed)
-      .select(col("vec_id").as("code"), posexplode(blocksArr).as(Seq("blk", "cv")))
+    val qBlocks = subVectors(embeddings.filter(isQuery), blocks, subDim)
+      .select(col("vec_id").as("query_id"), col("blk"), col("sv").as("qv"))
+    val cbBlocks = codebook.select(col("cid").as("code"), col("blk"), col("cv"))
     val lut = broadcast(
       qBlocks
         .join(cbBlocks, Seq("blk"))

@@ -228,6 +228,27 @@ class SimilaritySpec extends SparkSpec {
       col("vec_id") < 10, 5)) == 1)
   }
 
+  test("trainCodebook reduces total PQ reconstruction error (Lloyd monotonicity) and plugs into ADC") {
+    val emb = embeddings(spark, Sf)
+    val seedErr = SimilarityOps
+      .pqEncode(emb, 4, 16, isSeed = col("vec_id") < 8, nSeeds = 8)
+      .agg(sum("recon_err")).as[Double].head()
+    val cb = SimilarityOps.trainCodebook(emb, 4, 16, isSeed = col("vec_id") < 8, iters = 2)
+    val trainedErr = SimilarityOps
+      .pqEncode(emb, 4, 16, codebook = cb, nSeeds = 8)
+      .agg(sum("recon_err")).as[Double].head()
+    // Each Lloyd step (assignment, then mean update) is non-increasing
+    // in total inertia, and the final encode IS an assignment step — so
+    // the trained codebook can never reconstruct worse than the seeds.
+    assert(trainedErr <= seedErr + 1e-9, s"trained $trainedErr vs seed $seedErr")
+    assert(trainedErr < seedErr * 0.9, "training should materially improve reconstruction here")
+    // The trained frame drops straight into the ADC read path.
+    val adc = SimilarityOps.pqAdcTopK(emb, 4, 16, cb, 8, isQuery = col("vec_id") < 3, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(adc.length == 15)
+    assert(adc.groupBy(_._1).forall(_._2.map(_._3).toList.sorted == List(1, 2, 3, 4, 5)))
+  }
+
   test("kmeansStep over testdata: clusters partition the corpus and every vector joins its closest seed") {
     val emb = embeddings(spark, Sf)
     val out = SimilarityOps.kmeansStep(emb, col("vec_id") < 8)
