@@ -1,6 +1,8 @@
 package graft
 
-import graft.operators.DedupOps
+import graft.operators.{DedupOps, LshIndexOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import Tables.{documents, embeddings}
 import OracleSnippets._
 
@@ -66,6 +68,17 @@ object DedupQueries {
        |WHERE ${jaccard("a.sh", "b.sh")} >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** One-time temp-warehouse database for the persisted-index queries —
+    * keeps their bucketed tables out of the session's default warehouse
+    * (whose cwd the driver controls). Returns the `db.table` prefix the
+    * LshIndexOps build/read calls share.
+    */
+  private def indexDb(s: SparkSession, name: String): String = {
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_wh"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_lsh_idx LOCATION '$loc'")
+    s"graft_lsh_idx.$name"
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "dd_exact",
@@ -89,6 +102,57 @@ object DedupQueries {
       "dd_minhash_lsh",
       (s, d) => DedupOps.minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold),
       Some(minhashPairsSql),
+    ),
+    // The PERSISTED-index read path (LshIndexOps): build the bucketed
+    // shingle/band tables into a temp-warehouse database, then answer
+    // entirely from the stored artifact — the exchange-free candidate
+    // self-join LshIndexSpec pins. Pairs are identical to
+    // dd_minhash_lsh's, so they share its oracle.
+    Q(
+      "dd_index_pairs",
+      (s, d) => {
+        LshIndexOps.writeIndex(
+          documents(s, d), N, K, Bands, buckets = 8, prefix = indexDb(s, "pairs"))
+        LshIndexOps.nearDupPairs(s, indexDb(s, "pairs"), JaccardThreshold)
+      },
+      Some(minhashPairsSql),
+    ),
+    // Incremental dedup against the persisted index: docs with
+    // doc_id % 5 == 0 arrive as the "new batch", the rest are the
+    // indexed corpus; batch band keys join the STORED band table
+    // (bucketed side never shuffles) and verify against STORED shingle
+    // sets — stored text is never re-read. The oracle replays the same
+    // split over the full hash pipeline.
+    Q(
+      "dd_index_incremental",
+      (s, d) => {
+        val docs = documents(s, d)
+        LshIndexOps.writeIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), N, K, Bands,
+          buckets = 8, prefix = indexDb(s, "incr"))
+        LshIndexOps.dedupAgainstIndex(
+          s, indexDb(s, "incr"), docs.filter(col("doc_id") % 5 === 0),
+          N, K, Bands, JaccardThreshold)
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, ${shingleHashes("w")} AS sh
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+              |sg AS (SELECT doc_id, sh, ${minhashSig("sh", K)} AS sig FROM sh),
+              |bx AS (SELECT doc_id, sig,
+              |         unnest(generate_series(0, ${Bands - 1})) AS band_idx FROM sg),
+              |bk AS (SELECT doc_id, band_idx,
+              |         array_to_string(sig[band_idx*$RowsPerBand+1 : band_idx*$RowsPerBand+$RowsPerBand], '_') AS band_key
+              |       FROM bx),
+              |cand AS (SELECT DISTINCT x.doc_id AS new_doc_id, y.doc_id AS dup_of
+              |         FROM bk x JOIN bk y
+              |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |          AND x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0)
+              |SELECT c.new_doc_id, c.dup_of, ${jaccard("a.sh", "b.sh")} AS jaccard
+              |FROM cand c
+              |JOIN sh a ON a.doc_id = c.new_doc_id
+              |JOIN sh b ON b.doc_id = c.dup_of
+              |WHERE ${jaccard("a.sh", "b.sh")} >= $JaccardThreshold
+              |ORDER BY new_doc_id, dup_of""".stripMargin),
     ),
     // Pairs → clusters: connected components over the LSH near-dup
     // pairs; component id = min doc_id of the cluster (the keeper).
