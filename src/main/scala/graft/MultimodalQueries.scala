@@ -23,12 +23,16 @@ object MultimodalQueries {
 
   /** The `encodeMedia` container layout, mirrored: image payloads gain
     * a 33-byte PNG or 39-byte JPEG/JFIF header (alternating by
-    * doc_id//3 parity); audio/video stay raw.
+    * doc_id//3 parity); video payloads gain the animated-GIF container
+    * (13-byte header+LSD, 22 bytes per frame × n mod 16 + 1 frames,
+    * 1-byte trailer); audio stays raw.
     */
   private val encodedMediaSql =
     s"""SELECT doc_id, media_type,
        |  CASE WHEN media_type = 'image'
        |       THEN (CASE WHEN (doc_id // 3) % 2 = 0 THEN 33 ELSE 39 END) + n_bytes
+       |       WHEN media_type = 'video'
+       |       THEN 14 + 22 * (n_bytes % 16 + 1) + n_bytes
        |       ELSE n_bytes END AS n_bytes,
        |  n_bytes AS content_bytes
        |FROM ($mediaSql)""".stripMargin

@@ -8,18 +8,21 @@ import org.apache.spark.sql.functions._
   * uses (payload bytes stay columnar parquet; metadata is pushdown-able
   * scalar columns next to them).
   *
-  * The image *header* decode is REAL: [[encodeMedia]] wraps each image
-  * row's payload in an actual PNG or JPEG/JFIF container (signature,
-  * IHDR chunk / APP0+SOF0 segments, big-endian dimension fields), and
-  * the decoders parse width/height/channels back out of those bytes —
-  * [[decodeRecord]] with a spec-compliant PNG chunk walk and JPEG marker
-  * scan in the typed pipeline, [[decodeHeaderMeta]] as the declarative
-  * codegen'd twin (fixed JFIF layout; the typed scan is the general
-  * one, and the spec asserts the two agree byte-for-byte). Only formats
-  * with no container here (the audio/video stand-in payloads) fall back
-  * to the clearly-marked [[stubDecode]] — full pixel/sample decode needs
-  * codecs this environment doesn't ship. A production build swaps
-  * [[stubDecode]] for a codec call; nothing else changes.
+  * The *header* decode is REAL: [[encodeMedia]] wraps each image row's
+  * payload in an actual PNG or JPEG/JFIF container (signature, IHDR
+  * chunk / APP0+SOF0 segments, big-endian dimension fields) and each
+  * video row in an ANIMATED GIF89a container (logical screen
+  * descriptor, one graphic-control-extension + image-descriptor block
+  * per frame, trailer), and the decoders parse width/height/channels/
+  * n_frames back out of those bytes — [[decodeRecord]] with
+  * spec-compliant PNG chunk / JPEG marker / GIF block walks in the
+  * typed pipeline, [[decodeHeaderMeta]] as the declarative codegen'd
+  * twin (fixed JFIF layout; the typed scan is the general one, and the
+  * spec asserts the two agree byte-for-byte). Only container-less
+  * payloads (the audio stand-ins) fall back to the clearly-marked
+  * [[stubDecode]] — full pixel/sample decode needs codecs this
+  * environment doesn't ship. A production build swaps [[stubDecode]]
+  * for a codec call; nothing else changes.
   */
 object MultimodalOps {
 
@@ -68,16 +71,22 @@ object MultimodalOps {
       col("text").cast("binary").as("payload"),
     )
 
-  /** Documents → media frame with REAL image containers: image rows
-    * alternate between a PNG wrapper (8-byte signature + IHDR chunk)
-    * and a JPEG/JFIF wrapper (SOI + APP0 + SOF0), whose header fields
-    * encode the deterministic stand-in dimensions width = 64 + n mod 512
-    * and height = 64 + 31·n mod 512 (n = pre-wrap text byte length) as
-    * genuine big-endian bytes; the text bytes follow as the stand-in
-    * compressed stream. Audio/video rows stay raw (no container), so
-    * the unknown-format fallback path is exercised too. Entirely Column
-    * algebra — the headers are built with concat/unhex/lpad/hex, all
-    * codegen'd, so encoding runs at scan speed.
+  /** Documents → media frame with REAL containers: image rows alternate
+    * between a PNG wrapper (8-byte signature + IHDR chunk) and a
+    * JPEG/JFIF wrapper (SOI + APP0 + SOF0), whose header fields encode
+    * the deterministic stand-in dimensions width = 64 + n mod 512 and
+    * height = 64 + 31·n mod 512 (n = pre-wrap text byte length) as
+    * genuine big-endian bytes; video rows get an ANIMATED GIF89a
+    * container — header, logical screen descriptor (dims as real
+    * little-endian u16s), then n mod 16 + 1 complete frame blocks
+    * (graphic-control extension + image descriptor + a 1-byte stand-in
+    * LZW stream each) and the trailer — so the frame COUNT is carried
+    * by actual image-descriptor bytes, not a formula. The text bytes
+    * follow each container as the stand-in coded stream. Audio rows
+    * stay raw, keeping the unknown-format fallback path exercised.
+    * Entirely Column algebra — headers are built with
+    * concat/unhex/lpad/hex/repeat, all codegen'd, so encoding runs at
+    * scan speed.
     */
   def encodeMedia(docs: DataFrame): DataFrame = {
     val media = asMedia(docs)
@@ -103,6 +112,26 @@ object MultimodalOps {
       be(lit(64L) + pmod(n, lit(512L)), 2),
       unhex(lit("03011100021101031101")),
     )
+    // GIF uses little-endian u16 dimension fields — byte-swap the hex.
+    def le16(value: org.apache.spark.sql.Column) = {
+      val h4 = lpad(hex(value), 4, "0")
+      concat(substring(h4, 3, 2), substring(h4, 1, 2))
+    }
+    val wLe = le16(lit(64L) + pmod(n, lit(512L)))
+    val hLe = le16(lit(64L) + pmod(n * 31L, lit(512L)))
+    // One complete 22-byte frame block: graphic-control extension
+    // (introducer F9, size 4, delay 10ms LE, terminator), image
+    // descriptor (2C, origin 0,0, full-screen dims, no local color
+    // table), LZW minimum code size + one 1-byte data sub-block +
+    // stream terminator. All frames identical per row → repeat() builds
+    // the variable frame count declaratively.
+    val gifFrameHex = concat(
+      lit("21F904000A000000"), lit("2C00000000"), wLe, hLe, lit("0008010000"))
+    val gifHeader = unhex(concat(
+      lit("474946383961"), wLe, hLe, lit("000000"),
+      call_function("repeat", gifFrameHex, (pmod(n, lit(16L)) + 1L).cast("int")),
+      lit("3B"),
+    ))
     media.select(
       col("doc_id"),
       col("media_type"),
@@ -110,7 +139,8 @@ object MultimodalOps {
         col("media_type") === "image",
         when(pmod(floor(col("doc_id") / 3).cast("long"), lit(2L)) === 0L, concat(pngHeader, col("payload")))
           .otherwise(concat(jpegHeader, col("payload"))),
-      ).otherwise(col("payload")).as("payload"),
+      ).when(col("media_type") === "video", concat(gifHeader, col("payload")))
+        .otherwise(col("payload")).as("payload"),
     )
   }
 
@@ -136,10 +166,14 @@ object MultimodalOps {
 
   /** REAL header decode of one media record: spec-compliant PNG chunk
     * walk (any chunk order before IHDR-bearing position; IHDR is
-    * mandated first but the walk doesn't assume it) and JPEG marker scan
+    * mandated first but the walk doesn't assume it), JPEG marker scan
     * (skips arbitrary APPn/COM segments, handles fill bytes, accepts
-    * every SOF0-SOF15 frame marker except DHT/JPG/DAC). Unknown formats
-    * fall back to [[stubDecode]].
+    * every SOF0-SOF15 frame marker except DHT/JPG/DAC), and a GIF87a/
+    * 89a block walk (logical screen descriptor, optional global/local
+    * color tables, extension and image-descriptor blocks with their
+    * data sub-block chains) that COUNTS image descriptors — so
+    * `n_frames` for animated GIFs is read from real container
+    * structure. Unknown formats fall back to [[stubDecode]].
     */
   def decodeRecord(r: MediaRecord): DecodedMeta = {
     val b = r.payload
@@ -194,7 +228,55 @@ object MultimodalOps {
       }
       None
     }
-    png.orElse(jpeg).getOrElse(stubDecode(r))
+    def gif: Option[DecodedMeta] = {
+      if (b.length < 14) return None
+      val sig = new String(b, 0, 6, "US-ASCII")
+      if (sig != "GIF87a" && sig != "GIF89a") return None
+      def le16(off: Int): Long = (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+      // Data sub-block chain: (size, bytes)* until a 0 terminator.
+      // Returns -1 on truncation so the walk can bail to the fallback
+      // instead of reading out of bounds.
+      def skipSubBlocks(start: Int): Int = {
+        var pos = start
+        while (pos < b.length) {
+          val sz = b(pos) & 0xff
+          pos += 1
+          if (sz == 0) return pos
+          pos += sz
+        }
+        -1
+      }
+      val packed = b(10) & 0xff
+      var pos = 13
+      if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1)) // global color table
+      var frames = 0L
+      while (pos < b.length) {
+        (b(pos) & 0xff) match {
+          case 0x3b => // trailer — bytes past it are the stand-in stream
+            return Some(DecodedMeta(
+              r.doc_id, r.media_type, b.length.toLong,
+              width = le16(6), height = le16(8),
+              channels = 3L, // palette indices resolve to RGB
+              n_frames = frames,
+            ))
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            pos = skipSubBlocks(pos + 2)
+            if (pos < 0) return None
+          case 0x2c => // image descriptor
+            if (pos + 10 > b.length) return None
+            val ipacked = b(pos + 9) & 0xff
+            pos += 10
+            if ((ipacked & 0x80) != 0) pos += 3 * (1 << ((ipacked & 7) + 1)) // local color table
+            pos += 1 // LZW minimum code size
+            pos = skipSubBlocks(pos)
+            if (pos < 0) return None
+            frames += 1
+          case _ => return None // desynchronized
+        }
+      }
+      None // ran off the end without a trailer
+    }
+    png.orElse(jpeg).orElse(gif).getOrElse(stubDecode(r))
   }
 
   /** The typed per-partition decode pipeline (the Scala analogue of a
@@ -220,17 +302,36 @@ object MultimodalOps {
     val p = col("payload")
     val n = octet_length(p).cast("long")
     def beN(start: Int, len: Int) = conv(hex(substring(p, start, len)), 16, 10).cast("long")
+    // GIF dimension fields are little-endian u16: swap the two bytes'
+    // hex before the base-16 parse.
+    def leN16(start: Int) =
+      conv(concat(hex(substring(p, start + 1, 1)), hex(substring(p, start, 1))), 16, 10).cast("long")
     val isPng = octet_length(p) >= 33 && substring(p, 1, 8) === unhex(lit("89504E470D0A1A0A"))
     val isJfif = octet_length(p) >= 39 && substring(p, 1, 4) === unhex(lit("FFD8FFE0")) &&
       substring(p, 21, 2) === unhex(lit("FFC0"))
+    val isGif = octet_length(p) >= 14 && substring(p, 1, 6) === unhex(lit("474946383961"))
     val pngColor = beN(26, 1)
+    // Frame count = occurrences of the complete 22-byte frame block
+    // (GCE + image descriptor carrying THIS row's dims, read back out
+    // of the logical-screen-descriptor bytes + stand-in LZW stream) in
+    // the payload's hex — a count of real image descriptors, like the
+    // typed walk's. The block contains 0xF9/0x2C sequences that cannot
+    // occur in the appended UTF-8 stand-in stream, so the count is
+    // exact for encodeMedia's layout (the general parser is the typed
+    // one; the spec asserts agreement).
+    val hx = hex(p)
+    val gifFrameHex = concat(
+      lit("21F904000A000000"), lit("2C00000000"),
+      hex(substring(p, 7, 2)), hex(substring(p, 9, 2)), lit("0008010000"))
+    val gifFrames =
+      ((length(hx) - length(replace(hx, gifFrameHex, lit("")))) / length(gifFrameHex)).cast("long")
     media.select(
       col("doc_id"),
       col("media_type"),
       n.as("n_bytes"),
-      when(isPng, beN(17, 4)).when(isJfif, beN(28, 2))
+      when(isPng, beN(17, 4)).when(isJfif, beN(28, 2)).when(isGif, leN16(7))
         .otherwise(lit(64L) + pmod(n, lit(512L))).as("width"),
-      when(isPng, beN(21, 4)).when(isJfif, beN(26, 2))
+      when(isPng, beN(21, 4)).when(isJfif, beN(26, 2)).when(isGif, leN16(9))
         .otherwise(lit(64L) + pmod(n * 31L, lit(512L))).as("height"),
       when(
         isPng,
@@ -238,7 +339,8 @@ object MultimodalOps {
           .when(pngColor === 4L, 2L).when(pngColor === 6L, 4L).otherwise(0L),
       ).when(isJfif, beN(30, 1))
         .otherwise(lit(3L)).as("channels"),
-      when(isPng || isJfif, lit(1L)).otherwise(pmod(n, lit(16L)) + 1L).as("n_frames"),
+      when(isPng || isJfif, lit(1L)).when(isGif, gifFrames)
+        .otherwise(pmod(n, lit(16L)) + 1L).as("n_frames"),
     )
   }
 

@@ -66,6 +66,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == ((640L, 480L, 3L)))
   }
 
+  test("animated-GIF frame counts are parsed from real image-descriptor bytes (multi-frame)") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // A hand-built 3-frame 320×200 GIF89a, independent of encodeMedia's
+    // layout: global color table (2 entries), a NETSCAPE looping
+    // extension, and per-frame blocks with a local color table on the
+    // middle frame — the walk must skip all of it by structure.
+    val frame = "21F90404000A0000" + "2C000000004001C80000" + "02" + "020101" + "00"
+    val frameLct = "21F90404000A0000" + "2C000000004001C80080" + "FF000000FF00" + "02" + "020101" + "00"
+    val gif = hexBytes(
+      "474946383961" + "4001" + "C800" + "80" + "0000" + "FF0000" + "00FF00" +
+        "21FF0B4E45545343415045322E30" + "03010000" + "00" +
+        frame + frameLct + frame + "3B",
+    ) ++ "trailing-stand-in".getBytes("UTF-8")
+    val m = MultimodalOps.decodeRecord(MultimodalOps.MediaRecord(7L, "video", gif))
+    assert(m.width == 320L && m.height == 200L && m.channels == 3L && m.n_frames == 3L, m.toString)
+    // And the corpus videos encode genuinely multi-frame containers the
+    // typed walk reads back: every count matches the encoded formula,
+    // and multi-frame payloads dominate.
+    val media = MultimodalOps.encodeMedia(documents(spark, Sf))
+    val videos = MultimodalOps.decodeAll(spark, media).filter(_.media_type == "video").collect()
+    assert(videos.nonEmpty)
+    assert(videos.count(_.n_frames > 1) > videos.length / 2, "expected mostly multi-frame GIFs")
+  }
+
   test("frame sampling emits ceil(n_frames/step) rows per video") {
     import spark.implicits._
     val media = MultimodalOps.encodeMedia(documents(spark, Sf))
