@@ -134,16 +134,28 @@ object Bench {
 
   /** Runs the stateful streaming edges over a finite FlowGen input and
     * prints one `[bench-stream]` line per operator to stderr: rows in,
-    * wall seconds, input rows/s. Failures are reported, never fatal —
-    * the batch bench line must still be produced.
+    * wall seconds, input rows/s. Each pipeline runs once over a small
+    * warm input first (cold-start profiling, round 5: the FIRST
+    * transformWithState query pays ~7 s of one-time codegen + RocksDB
+    * JNI load — 18k rows/s cold vs 51k warm for the identical run), so
+    * the timed pass measures steady state like the batch bench's warm
+    * pass does. The dominant steady-state cost is the PER-MICRO-BATCH
+    * fixed overhead (~0.7–0.9 s per batch: state-store commit +
+    * checkpoint per partition — 200k rows measured 72k rows/s at 1
+    * batch, 14.6k at 16 batches), which is the provider floor, not the
+    * processor: sizing micro-batches is the scale lever. Failures are
+    * reported, never fatal — the batch bench line must still be
+    * produced.
     */
   private def streamingSmoke(spark: SparkSession): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
+    val warmRows = 5000
     val fmt = classOf[graft.sources.FlowGen].getName
-    def timed(name: String)(run: => Long): Unit =
+    def timed(name: String)(run: Int => Long): Unit =
       try {
+        run(warmRows)
         val t0 = System.nanoTime()
-        val outRows = run
+        val outRows = run(rows)
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench-stream] $name%-18s in=$rows out=$outRows $sec%7.2f s  ${rows / sec}%10.0f rows/s",
@@ -151,11 +163,11 @@ object Bench {
       } catch {
         case e: Throwable => System.err.println(s"[bench-stream] $name FAILED: $e")
       }
-    def flowGen(emit: String) = spark.readStream.format(fmt)
-      .option("rows", rows).option("rowsPerBatch", rows / 4)
+    def flowGen(emit: String, n: Int) = spark.readStream.format(fmt)
+      .option("rows", n).option("rowsPerBatch", n / 4)
       .option("seed", 11).option("emit", emit).load()
 
-    timed("running_totals") {
+    timed("running_totals") { n =>
       import spark.implicits._
       val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set(
@@ -164,7 +176,7 @@ object Bench {
       )
       try {
         val ckpt = java.nio.file.Files.createTempDirectory("bench_tws").toFile.getAbsolutePath
-        val in = graft.operators.NetflowOps.parseRawNetflow(flowGen("json"))
+        val in = graft.operators.NetflowOps.parseRawNetflow(flowGen("json", n))
           .select($"ip_src", $"bytes").as[(String, Long)]
         val q = graft.streaming.RunningTotals.runningBytes(in)
           .toDF("host", "total_bytes")
@@ -182,10 +194,10 @@ object Bench {
       }
     }
 
-    timed("session_window") {
+    timed("session_window") { n =>
       import org.apache.spark.sql.functions._
       val ckpt = java.nio.file.Files.createTempDirectory("bench_sess").toFile.getAbsolutePath
-      val curated = graft.operators.NetflowOps.parseRawNetflow(flowGen("json"))
+      val curated = graft.operators.NetflowOps.parseRawNetflow(flowGen("json", n))
         .withColumn("ts", to_timestamp(col("timestamp")))
         .withWatermark("ts", "30 seconds")
       val agg = curated
