@@ -462,5 +462,30 @@ object TextQueries {
              |  max(inv_p) AS max_inv_prob
              |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+    // Paragraph-level boilerplate removal (the CCNet/RefinedWeb stage):
+    // 10-word segments counted corpus-wide by portable hash, segments
+    // seen > 2 times dropped, documents reassembled in segment order.
+    Q(
+      "tx_boilerplate",
+      (s, d) => TextOps.removeBoilerplate(documents(s, d), width = 10, maxReps = 2),
+      Some {
+        import OracleSnippets._
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |sx AS (SELECT doc_id, w,
+           |         unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS seg_idx
+           |       FROM t),
+           |s AS (SELECT doc_id, seg_idx,
+           |        array_to_string(w[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg
+           |      FROM sx),
+           |h AS (SELECT doc_id, seg_idx, seg, ${charHash("seg")} AS h FROM s),
+           |f AS (SELECT h, count(*) AS n_reps FROM h GROUP BY h)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+           |  CAST(sum(CASE WHEN n_reps > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           |  coalesce(string_agg(CASE WHEN n_reps <= 2 THEN seg END, ' ' ORDER BY seg_idx), '')
+           |    AS clean_text
+           |FROM h JOIN f USING (h)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+    ),
   )
 }

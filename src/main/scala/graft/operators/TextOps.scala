@@ -583,4 +583,56 @@ object TextOps {
       )
       .orderBy("doc_id")
   }
+
+  /** Paragraph-level boilerplate removal — the CCNet/RefinedWeb curation
+    * stage: segment each document, count every segment's exact
+    * occurrences across the WHOLE corpus, drop segments repeated more
+    * than `maxReps` times (headers, footers, navigation chrome, license
+    * blurbs), and reassemble the cleaned document in segment order.
+    * The corpus has no newlines, so "paragraphs" are fixed `width`-word
+    * windows; a real corpus would split on blank lines — only the
+    * segmenter expression changes.
+    *
+    * Scale shape: segments are counted by their 64-bit [[graft.expressions.PolyHash]]
+    * (one narrow-key shuffle with map-side combine — the hash, not the
+    * segment text, is what ships), joined back by hash, and re-assembled
+    * with one per-doc aggregate whose ordered fold is the deterministic
+    * collect_list→array_sort idiom every per-doc reassembly here uses.
+    * Nothing is ever globally sorted; no driver state. At 100 TB the
+    * frequency table is the only wide artifact and it shrinks with
+    * distinct-segment count, not corpus size.
+    *
+    * Output: (doc_id, n_segments, n_dropped, clean_text) — clean_text
+    * is '' when every segment was boilerplate.
+    */
+  def removeBoilerplate(docs: DataFrame, width: Int, maxReps: Long): DataFrame = {
+    import graft.expressions.PolyHash
+    val toks = tokens(col("text"))
+    val segs = docs.select(
+      col("doc_id"),
+      posexplode(
+        transform(
+          sequence(lit(0), ceil(size(toks) / lit(width.toDouble)).cast("int") - 1),
+          i => array_join(slice(toks, i * width + 1, lit(width)), " "),
+        ),
+      ).as(Seq("seg_idx", "seg")),
+    )
+    val hashed = segs.select(col("doc_id"), col("seg_idx"), col("seg"), PolyHash(col("seg")).as("h"))
+    val freq = hashed.groupBy(col("h")).agg(count(lit(1)).as("n_reps"))
+    hashed
+      .join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("n_reps") > maxReps, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("n_reps") <= maxReps, struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg"),
+          ),
+          " ",
+        ).as("clean_text"),
+      )
+      .orderBy("doc_id")
+  }
 }

@@ -197,6 +197,28 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.bpeMergeStep(degenerate, k = 5).count() == 0)
   }
 
+  test("removeBoilerplate drops corpus-repeated segments and reassembles docs in order") {
+    // width=2 segments: "the footer" appears in all 3 docs (> maxReps=2)
+    // → dropped everywhere; unique segments survive in position order.
+    val docs = Seq(
+      (1L, "alpha beta the footer"),
+      (2L, "the footer gamma delta"),
+      (3L, "epsilon zeta the footer tail"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplate(docs, width = 2, maxReps = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, "alpha beta"),
+      (2L, 2L, 1L, "gamma delta"),
+      (3L, 3L, 1L, "epsilon zeta tail"),
+    ))
+    // A doc that is ALL boilerplate comes back empty, not missing.
+    val all = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y")).toDF("doc_id", "text")
+    val cleaned = TextOps.removeBoilerplate(all, width = 2, maxReps = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(cleaned.size == 4 && cleaned.forall { case (_, n, d, t) => n == 1 && d == 1 && t == "" })
+  }
+
   test("unigramRarity scores documents by corpus-trained inverse token probability") {
     // Corpus: a×2, b×2, c×1 → total 5. inv_p: a=2.5, b=2.5, c=5.
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
