@@ -43,6 +43,39 @@ object SimilarityQueries {
        |              (pqa, pqb) -> pqa + pqb) AS recon_err
        |FROM am GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** CTE chain producing the TRAINED per-block PQ codebook `cb2` (plus
+    * the sub-vector frame `sv` consumers join against): seed sub-vectors
+    * `cb0`, then two unrolled Lloyd steps — assignment argmin (ties →
+    * lowest cid) and per-dim vec_id-ordered fold means, exactly
+    * `SimilarityOps.trainCodebook`'s deterministic contract. Shared by
+    * sim_pq_train and sim_pq_adc_trained.
+    */
+  private val trainedCbCtes: String = {
+    // One Lloyd step: codebook CTE `from` → assignment → per-dim
+    // ordered-fold means → codebook CTE `to`.
+    def lloyd(i: Int, from: String, to: String): String =
+      s"""d$i AS (SELECT s.vec_id, s.blk, s.sv, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+         |        FROM sv s JOIN $from c ON s.blk = c.blk),
+         |a$i AS (SELECT vec_id, blk, sv, cid FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id, blk
+         |                      ORDER BY dist, cid) AS rn FROM d$i)
+         |        WHERE rn = 1),
+         |x$i AS (SELECT vec_id, blk, cid, unnest(sv) AS xd,
+         |          generate_subscripts(sv, 1) AS pos FROM a$i),
+         |m$i AS (SELECT blk, cid, pos,
+         |          list_reduce(list_prepend(0.0, list(xd ORDER BY vec_id)),
+         |                      (pta, ptb) -> pta + ptb) / count(*) AS c
+         |        FROM x$i GROUP BY blk, cid, pos),
+         |$to AS (SELECT blk, cid, list(c ORDER BY pos) AS cv
+         |        FROM m$i GROUP BY blk, cid)""".stripMargin
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bx AS (SELECT vec_id, e, unnest(generate_series(0, 3)) AS blk FROM v),
+       |sv AS (SELECT vec_id, blk, e[blk*16+1 : blk*16+16] AS sv FROM bx),
+       |cb0 AS (SELECT blk, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
+       |${lloyd(1, "cb0", "cb1")},
+       |${lloyd(2, "cb1", "cb2")}""".stripMargin
+  }
+
   private def topkSql(cellJoin: String, k: Int): String =
     s"""WITH v AS (SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, label, embedding, ${unitNorm("e")} AS u FROM v),
@@ -212,42 +245,53 @@ object SimilarityQueries {
           isSeed = col("vec_id") < 8, iters = 2)
         SimilarityOps.pqEncode(emb, blocks = 4, subDim = 16, codebook = cb, nSeeds = 8)
       },
-      Some {
-        // One Lloyd step: codebook CTE `from` → assignment → per-dim
-        // ordered-fold means → codebook CTE `to`.
-        def lloyd(i: Int, from: String, to: String): String =
-          s"""d$i AS (SELECT s.vec_id, s.blk, s.sv, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
-             |        FROM sv s JOIN $from c ON s.blk = c.blk),
-             |a$i AS (SELECT vec_id, blk, sv, cid FROM (
-             |          SELECT *, row_number() OVER (PARTITION BY vec_id, blk
-             |                      ORDER BY dist, cid) AS rn FROM d$i)
-             |        WHERE rn = 1),
-             |x$i AS (SELECT vec_id, blk, cid, unnest(sv) AS xd,
-             |          generate_subscripts(sv, 1) AS pos FROM a$i),
-             |m$i AS (SELECT blk, cid, pos,
-             |          list_reduce(list_prepend(0.0, list(xd ORDER BY vec_id)),
-             |                      (pta, ptb) -> pta + ptb) / count(*) AS c
-             |        FROM x$i GROUP BY blk, cid, pos),
-             |$to AS (SELECT blk, cid, list(c ORDER BY pos) AS cv
-             |        FROM m$i GROUP BY blk, cid)""".stripMargin
-        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-           |bx AS (SELECT vec_id, e, unnest(generate_series(0, 3)) AS blk FROM v),
-           |sv AS (SELECT vec_id, blk, e[blk*16+1 : blk*16+16] AS sv FROM bx),
-           |cb0 AS (SELECT blk, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
-           |${lloyd(1, "cb0", "cb1")},
-           |${lloyd(2, "cb1", "cb2")},
-           |de AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
-           |       FROM sv s JOIN cb2 c ON s.blk = c.blk),
-           |ae AS (SELECT vec_id, blk, cid, dist FROM (
-           |         SELECT *, row_number() OVER (PARTITION BY vec_id, blk
-           |                     ORDER BY dist, cid) AS rn FROM de)
-           |       WHERE rn = 1)
-           |SELECT vec_id,
-           |  CAST(sum(cid * power(8, blk)) AS BIGINT) AS pq_code,
-           |  list_reduce(list_prepend(0.0, list(dist ORDER BY blk)),
-           |              (pqa, pqb) -> pqa + pqb) AS recon_err
-           |FROM ae GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      Some(s"""WITH $trainedCbCtes,
+              |de AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+              |       FROM sv s JOIN cb2 c ON s.blk = c.blk),
+              |ae AS (SELECT vec_id, blk, cid, dist FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vec_id, blk
+              |                     ORDER BY dist, cid) AS rn FROM de)
+              |       WHERE rn = 1)
+              |SELECT vec_id,
+              |  CAST(sum(cid * power(8, blk)) AS BIGINT) AS pq_code,
+              |  list_reduce(list_prepend(0.0, list(dist ORDER BY blk)),
+              |              (pqa, pqb) -> pqa + pqb) AS recon_err
+              |FROM ae GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    ),
+    // ADC search against the TRAINED codebook — the complete vector-store
+    // read path (train → encode → LUT → scan codes). Codes and LUT both
+    // derive from the same trained frame, exactly what pqAdcTopK's
+    // codebook overload guarantees.
+    Q(
+      "sim_pq_adc_trained",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = SimilarityOps.trainCodebook(emb, blocks = 4, subDim = 16,
+          isSeed = col("vec_id") < 8, iters = 2)
+        SimilarityOps.pqAdcTopK(emb, blocks = 4, subDim = 16, codebook = cb,
+          nSeeds = 8, isQuery = col("vec_id") < 10, k = 5)
       },
+      Some(s"""WITH $trainedCbCtes,
+              |dst AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+              |        FROM sv s JOIN cb2 c ON s.blk = c.blk),
+              |am AS (SELECT vec_id, blk, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vec_id, blk
+              |                     ORDER BY dist, cid) AS rn FROM dst)
+              |       WHERE rn = 1),
+              |qb AS (SELECT vec_id AS query_id, blk, sv AS qv FROM sv WHERE vec_id < 10),
+              |lut AS (SELECT q.query_id, q.blk, c.cid, ${l2sq("q.qv", "c.cv")} AS d
+              |        FROM qb q JOIN cb2 c ON q.blk = c.blk),
+              |sc AS (SELECT l.query_id, a.vec_id,
+              |         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.blk)),
+              |                     (ata, atb) -> ata + atb) AS approx_dist
+              |       FROM am a JOIN lut l ON a.blk = l.blk AND a.cid = l.cid
+              |       GROUP BY l.query_id, a.vec_id)
+              |SELECT query_id, neighbor_id, approx_dist, rank FROM (
+              |  SELECT query_id, vec_id AS neighbor_id, approx_dist,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |           ORDER BY approx_dist, vec_id) AS INT) AS rank
+              |  FROM sc WHERE query_id <> vec_id)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     ),
     // One Lloyd's k-means iteration (the IVF-quantizer training step):
     // vectors assigned to the nearest of 8 seed centroids by squared-L2
