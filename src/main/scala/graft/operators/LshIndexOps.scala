@@ -148,4 +148,127 @@ object LshIndexOps {
       .filter(col("jaccard") >= threshold)
       .orderBy("new_doc_id", "dup_of")
   }
+
+  /** One micro-batch of the STREAMING dedup: returns the batch's
+    * near-dup rows `(new_doc_id, dup_of, jaccard)` and GROWS the index
+    * with the batch's kept (non-dup, not-already-indexed) docs, so later
+    * batches dedup against everything that arrived before them.
+    *
+    * Match rule (the greedy keeper discipline a continuously-ingesting
+    * pipeline runs): a batch doc is a dup if its band keys collide with
+    * (a) any INDEXED doc, or (b) any lower-doc_id doc of the SAME batch
+    * — verified at `threshold` either way. Within a batch the lower-id
+    * match counts even if that doc is itself a dup (transitive chains
+    * collapse greedily); across batches only kept docs are matchable,
+    * because the index stores only keepers. Replay-safe on the index:
+    * kept docs are anti-joined against the stored doc table before the
+    * append, so a replayed batch never double-inserts (the RETURNED dup
+    * rows are at-least-once, like every foreachBatch emission — pair
+    * with the K1 batch_id-partition pattern for an idempotent sink).
+    *
+    * Order of operations matters and is pinned by localCheckpoints: the
+    * dup frame is MATERIALIZED before the append mutates the tables it
+    * reads — a lazy plan would see the batch's own rows in the stored
+    * bands and flag everything as its own duplicate.
+    */
+  def dedupBatchAndGrow(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      n: Int,
+      k: Int,
+      bands: Int,
+      buckets: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val idx = indexFrame(batch, n, k, bands).localCheckpoint()
+    val batchBands = idx
+      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
+    val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    def verified(candidates: DataFrame, rightSets: DataFrame): DataFrame =
+      candidates
+        .join(idx.select(col("doc_id").as("new_doc_id"), col("sh").as("sh_a")), "new_doc_id")
+        .join(rightSets, "dup_of")
+        .select(
+          col("new_doc_id"),
+          col("dup_of"),
+          (c.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - c)).as("jaccard"),
+        )
+        .filter(col("jaccard") >= threshold)
+    val vsIndex = verified(
+      batchBands
+        .as("x")
+        .join(
+          spark.table(s"${prefix}_bands").as("y"),
+          col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key"),
+        )
+        .select(col("x.doc_id").as("new_doc_id"), col("y.doc_id").as("dup_of"))
+        .distinct(),
+      spark.table(s"${prefix}_docs").select(col("doc_id").as("dup_of"), col("sh").as("sh_b")),
+    )
+    val withinBatch = verified(
+      batchBands
+        .as("x")
+        .join(
+          batchBands.as("y"),
+          col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
+            col("y.doc_id") < col("x.doc_id"),
+        )
+        .select(col("x.doc_id").as("new_doc_id"), col("y.doc_id").as("dup_of"))
+        .distinct(),
+      idx.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")),
+    )
+    val dups = vsIndex.unionByName(withinBatch).localCheckpoint()
+    val kept = idx
+      .join(dups.select(col("new_doc_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .join(spark.table(s"${prefix}_docs").select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    kept
+      .select(col("doc_id"), col("sh"))
+      .write.mode("append")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_docs")
+    kept
+      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
+      .write.mode("append")
+      .bucketBy(buckets, "band_idx", "band_key")
+      .saveAsTable(s"${prefix}_bands")
+    // The session caches each table's resolved relation (file listing
+    // included) on first read; without an explicit refresh the NEXT
+    // batch's candidate join would silently run against the pre-append
+    // file set and miss every cross-batch duplicate.
+    spark.catalog.refreshTable(s"${prefix}_docs")
+    spark.catalog.refreshTable(s"${prefix}_bands")
+    dups
+  }
+
+  /** Continuous ingestion dedup — the streaming face of the persisted
+    * index: every micro-batch of the `docs` stream (doc_id, text) is
+    * deduped by [[dedupBatchAndGrow]] and its near-dup rows handed to
+    * `onDups` (write to a sink, quarantine, metric — caller's choice).
+    * The index artifact is the stream's STATE, stored as bucketed
+    * tables rather than in a state store: restarts recover it for free,
+    * batch consumers ([[nearDupPairs]] etc.) read the same artifact
+    * concurrently, and state size scales with the warehouse, not
+    * executor memory.
+    */
+  def streamingDedup(
+      spark: SparkSession,
+      prefix: String,
+      docs: DataFrame,
+      n: Int,
+      k: Int,
+      bands: Int,
+      buckets: Int,
+      threshold: Double,
+      checkpoint: String,
+      onDups: (DataFrame, Long) => Unit,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onDups(dedupBatchAndGrow(spark, prefix, batch, n, k, bands, buckets, threshold), batchId)
+      }
+      .start()
 }

@@ -71,6 +71,59 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup flags dups against index + earlier arrivals and grows the index with keepers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val prefix = "lshstream"
+    Seq(s"${prefix}_docs", s"${prefix}_bands").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val cut = docs(docs.length / 2)._1
+    val (indexed, streamed) = docs.partition(_._1 < cut)
+    LshIndexOps.writeIndex(
+      indexed.toSeq.toDF("doc_id", "text"), N, K, Bands, buckets = 4, prefix = prefix)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh_stream").toFile.getAbsolutePath
+    val q = LshIndexOps.streamingDedup(
+      spark, prefix, in.toDF().toDF("doc_id", "text"), N, K, Bands, buckets = 4,
+      threshold = Threshold, checkpoint = ckpt,
+      onDups = (d, _) => collected ++= d.as[(Long, Long, Double)].collect(),
+    )
+    // Three arrival waves, ascending doc_id.
+    val waves = streamed.grouped(streamed.length / 3 + 1).toSeq
+    try waves.foreach { w => in.addData(w.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // Independent expectation: greedy simulation of the documented match
+    // rule over the single-pass operator's pair set (itself pinned by
+    // its own DuckDB oracle).
+    val pairs = DedupOps
+      .minhashLshPairs(Tables.documents(spark, Sf), N, K, Bands, Threshold)
+      .as[(Long, Long, Double)].collect() // doc_a < doc_b
+    val wave = streamed.zipWithIndex.flatMap { case ((id, _), i) =>
+      Some(id -> waves.indexWhere(_.exists(_._1 == id)))
+    }.toMap
+    val kept = scala.collection.mutable.Set(indexed.map(_._1): _*)
+    val expected = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+    streamed.map(_._1).foreach { x =>
+      val rows = pairs.collect {
+        case (a, b, j) if b == x && (wave.get(a) match {
+              case None => kept.contains(a) // indexed corpus: keepers only
+              case Some(wa) if wa < wave(x) => kept.contains(a) // earlier wave: keepers only
+              case Some(wa) => wa == wave(x) // same wave: any lower id
+            }) => (x, a, j)
+      }
+      if (rows.isEmpty) kept += x else expected ++= rows
+    }
+    assert(collected.nonEmpty, "stream should observe near-dups")
+    assert(collected.toSet == expected.toSet,
+      s"stream dups mismatch:\n got ${collected.sorted.mkString(", ")}\n exp ${expected.sorted.mkString(", ")}")
+    // The index grew by exactly the kept streamed docs.
+    val storedIds = spark.table(s"${prefix}_docs").select("doc_id").as[Long].collect().toSet
+    assert(storedIds == kept.toSet, "index must contain exactly the keepers")
+  }
+
   test("incremental dedup against the index flags a planted near-duplicate") {
     buildOnce()
     import spark.implicits._
