@@ -70,11 +70,14 @@ object DedupQueries {
 
   /** One-time temp-warehouse database for the persisted-index queries —
     * keeps their bucketed tables out of the session's default warehouse
-    * (whose cwd the driver controls). Returns the `db.table` prefix the
-    * LshIndexOps build/read calls share.
+    * (whose cwd the driver controls). The location carries the Spark
+    * applicationId: a FRESH session's in-memory catalog knows nothing of
+    * a previous run's tables, so reusing a fixed path would hit
+    * LOCATION_ALREADY_EXISTS on the stale directory. Returns the
+    * `db.table` prefix the LshIndexOps build/read calls share.
     */
   private def indexDb(s: SparkSession, name: String): String = {
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_wh"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_${s.sparkContext.applicationId}"
     s.sql(s"CREATE DATABASE IF NOT EXISTS graft_lsh_idx LOCATION '$loc'")
     s"graft_lsh_idx.$name"
   }
