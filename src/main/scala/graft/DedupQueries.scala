@@ -44,11 +44,12 @@ object DedupQueries {
   private val EmbedBands: Seq[Seq[Int]] =
     (0 until 8).map(b => Seq(b * 8, b * 8 + 3, b * 8 + 6))
 
-  /** Oracle for the minhash-LSH pair pipeline — shared by the pairs
-    * query and the clusters query built on top of it.
+  /** CTE chain producing the LSH band-collision candidate pairs `cand`
+    * (and the shingle-set CTE `sh` verifiers join) — shared by the
+    * Jaccard-verified and edit-distance-verified pair oracles.
     */
-  private val minhashPairsSql: String =
-    s"""WITH sh AS (
+  private val lshCandCtes: String =
+    s"""sh AS (
        |  SELECT doc_id, ${shingleHashes("w")} AS sh
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
        |sg AS (SELECT doc_id, sh, ${minhashSig("sh", K)} AS sig FROM sh),
@@ -60,7 +61,13 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bk x JOIN bk y
        |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       |          AND x.doc_id < y.doc_id)
+       |          AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Oracle for the minhash-LSH pair pipeline — shared by the pairs
+    * query and the clusters query built on top of it.
+    */
+  private val minhashPairsSql: String =
+    s"""WITH $lshCandCtes
        |SELECT c.doc_a, c.doc_b, ${jaccard("a.sh", "b.sh")} AS jaccard
        |FROM cand c
        |JOIN sh a ON a.doc_id = c.doc_a
@@ -105,6 +112,24 @@ object DedupQueries {
       "dd_minhash_lsh",
       (s, d) => DedupOps.minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold),
       Some(minhashPairsSql),
+    ),
+    // Character-level verify over the SAME band candidates: edit
+    // distance ≤ 6 instead of token-set Jaccard — catches true re-edits
+    // and drops bag-of-words coincidence (at this cut one jaccard-passing
+    // pair with 8 inserted chars is excluded: a genuinely different,
+    // stricter signal). Length-difference pre-filter is an exact bound.
+    Q(
+      "dd_edit_pairs",
+      (s, d) => DedupOps.editDistancePairs(documents(s, d), N, K, Bands, maxEdits = 6),
+      Some(s"""WITH $lshCandCtes
+              |SELECT c.doc_a, c.doc_b,
+              |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+              |FROM cand c
+              |JOIN documents a ON a.doc_id = c.doc_a
+              |JOIN documents b ON b.doc_id = c.doc_b
+              |WHERE abs(length(a.text) - length(b.text)) <= 6
+              |  AND levenshtein(a.text, b.text) <= 6
+              |ORDER BY doc_a, doc_b""".stripMargin),
     ),
     // The PERSISTED-index read path (LshIndexOps): build the bucketed
     // shingle/band tables into a temp-warehouse database, then answer

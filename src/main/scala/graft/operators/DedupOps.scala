@@ -139,6 +139,28 @@ object DedupOps {
       bands: Int,
       threshold: Double,
   ): DataFrame = {
+    val (sets, candidates) = lshSetsAndCandidates(sized, k, bands)
+    // Verify stage: sorted merge-scan intersect count on candidates only
+    // (sh is sorted above; union size = sz_a + sz_b − c).
+    val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (c.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - c)).as("jaccard"),
+      )
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The banding core shared by the Jaccard and edit-distance verify
+    * paths: the materialized signature/band table (`sets`, with the
+    * sorted shingle arrays the Jaccard verify consumes) and the distinct
+    * band-collision candidate pairs.
+    */
+  private def lshSetsAndCandidates(sized: DataFrame, k: Int, bands: Int): (DataFrame, DataFrame) = {
     val rowsPerBand = k / bands
     val p = partitions(sized)
     val sets = sized
@@ -161,18 +183,35 @@ object DedupOps {
       )
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Verify stage: sorted merge-scan intersect count on candidates only
-    // (sh is sorted above; union size = sz_a + sz_b − c).
-    val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    (sets, candidates)
+  }
+
+  /** Character-level near-dup verify: the same MinHash-LSH band
+    * candidates as [[minhashLshPairs]], verified by EDIT DISTANCE
+    * instead of set overlap — the signal that separates true re-edits
+    * (small char deltas: typo fixes, inserted sentences) from
+    * bag-of-words coincidence, which token-set Jaccard cannot. An exact
+    * |len_a − len_b| ≤ maxEdits pre-filter (edit distance is bounded
+    * below by the length difference) guards the O(len·len) levenshtein
+    * so the quadratic-in-length kernel runs only on length-compatible
+    * candidates; at 100 TB the pre-filter prunes on two already-present
+    * int columns before any text is compared. Recall is the band recall
+    * (the measured dd_lsh_recall trade); the verify itself is exact.
+    */
+  def editDistancePairs(docs: DataFrame, n: Int, k: Int, bands: Int, maxEdits: Int): DataFrame = {
+    val (_, candidates) = lshSetsAndCandidates(shingleSets(docs, n), k, bands)
+    def side(s: String) = docs.select(
+      col("doc_id").as(s"doc_$s"), col("text").as(s"text_$s"), length(col("text")).as(s"len_$s"))
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(side("a"), "doc_a")
+      .join(side("b"), "doc_b")
+      .filter(abs(col("len_a") - col("len_b")) <= maxEdits)
       .select(
         col("doc_a"),
         col("doc_b"),
-        (c.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - c)).as("jaccard"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
       )
-      .filter(col("jaccard") >= threshold)
+      .filter(col("edit_dist") <= maxEdits)
       .orderBy("doc_a", "doc_b")
   }
 
