@@ -43,14 +43,16 @@ object SimilarityQueries {
        |              (pqa, pqb) -> pqa + pqb) AS recon_err
        |FROM am GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-  /** CTE chain producing the TRAINED per-block PQ codebook `cb2` (plus
-    * the sub-vector frame `sv` consumers join against): seed sub-vectors
+  /** CTE chain producing the TRAINED per-block codebook `cb2` (plus the
+    * sub-vector frame `sv` consumers join against): seed sub-vectors
     * `cb0`, then two unrolled Lloyd steps — assignment argmin (ties →
     * lowest cid) and per-dim vec_id-ordered fold means, exactly
-    * `SimilarityOps.trainCodebook`'s deterministic contract. Shared by
-    * sim_pq_train and sim_pq_adc_trained.
+    * `SimilarityOps.trainCodebook`'s deterministic contract. blocks=4/
+    * subDim=16 is the PQ layout (sim_pq_train, sim_pq_adc_trained);
+    * blocks=1/subDim=64 is plain k-means over the full vector — the
+    * IVF coarse quantizer (sim_ivf_trained).
     */
-  private val trainedCbCtes: String = {
+  private def trainedCbCtes(blocks: Int, subDim: Int): String = {
     // One Lloyd step: codebook CTE `from` → assignment → per-dim
     // ordered-fold means → codebook CTE `to`.
     def lloyd(i: Int, from: String, to: String): String =
@@ -69,8 +71,8 @@ object SimilarityQueries {
          |$to AS (SELECT blk, cid, list(c ORDER BY pos) AS cv
          |        FROM m$i GROUP BY blk, cid)""".stripMargin
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |bx AS (SELECT vec_id, e, unnest(generate_series(0, 3)) AS blk FROM v),
-       |sv AS (SELECT vec_id, blk, e[blk*16+1 : blk*16+16] AS sv FROM bx),
+       |bx AS (SELECT vec_id, e, unnest(generate_series(0, ${blocks - 1})) AS blk FROM v),
+       |sv AS (SELECT vec_id, blk, e[blk*$subDim+1 : blk*$subDim+$subDim] AS sv FROM bx),
        |cb0 AS (SELECT blk, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
        |${lloyd(1, "cb0", "cb1")},
        |${lloyd(2, "cb1", "cb2")}""".stripMargin
@@ -245,7 +247,7 @@ object SimilarityQueries {
           isSeed = col("vec_id") < 8, iters = 2)
         SimilarityOps.pqEncode(emb, blocks = 4, subDim = 16, codebook = cb, nSeeds = 8)
       },
-      Some(s"""WITH $trainedCbCtes,
+      Some(s"""WITH ${trainedCbCtes(4, 16)},
               |de AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
               |       FROM sv s JOIN cb2 c ON s.blk = c.blk),
               |ae AS (SELECT vec_id, blk, cid, dist FROM (
@@ -271,7 +273,7 @@ object SimilarityQueries {
         SimilarityOps.pqAdcTopK(emb, blocks = 4, subDim = 16, codebook = cb,
           nSeeds = 8, isQuery = col("vec_id") < 10, k = 5)
       },
-      Some(s"""WITH $trainedCbCtes,
+      Some(s"""WITH ${trainedCbCtes(4, 16)},
               |dst AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
               |        FROM sv s JOIN cb2 c ON s.blk = c.blk),
               |am AS (SELECT vec_id, blk, cid FROM (
@@ -292,6 +294,40 @@ object SimilarityQueries {
               |           ORDER BY approx_dist, vec_id) AS INT) AS rank
               |  FROM sc WHERE query_id <> vec_id)
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    ),
+    // IVF with a TRAINED coarse quantizer: 2 Lloyd iterations over the
+    // FULL vectors (blocks=1 = plain k-means), every vector assigned to
+    // its nearest trained centroid (broadcast + min-struct argmin, the
+    // corpus never shuffles for assignment), then within-cell cosine
+    // top-k — the complete IVF build+search pipeline, trained end to end.
+    Q(
+      "sim_ivf_trained",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+          isSeed = col("vec_id") < 8, iters = 2)
+        val withCell = emb.join(SimilarityOps.assignCells(emb, cb), "vec_id")
+        SimilarityOps.ivfTopK(withCell, col("vec_id") < 10, col("cell"), BucketK)
+      },
+      Some(s"""WITH ${trainedCbCtes(1, 64)},
+              |asgd AS (SELECT s.vec_id, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+              |         FROM sv s JOIN cb2 c ON s.blk = c.blk),
+              |asg AS (SELECT vec_id, cid AS cell FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY vec_id
+              |                      ORDER BY dist, cid) AS rn FROM asgd)
+              |        WHERE rn = 1),
+              |n AS (SELECT v.vec_id, ${unitNorm("e")} AS u, a.cell
+              |      FROM v JOIN asg a ON a.vec_id = v.vec_id),
+              |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |        ${dot("q.u", "c.u")} AS cosine
+              |      FROM n q JOIN n c
+              |        ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND q.cell = c.cell)
+              |SELECT query_id, neighbor_id, cosine, rank FROM (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              |              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+              |  FROM p)
+              |WHERE rank <= $BucketK
+              |ORDER BY query_id, rank""".stripMargin),
     ),
     // One Lloyd's k-means iteration (the IVF-quantizer training step):
     // vectors assigned to the nearest of 8 seed centroids by squared-L2

@@ -555,6 +555,29 @@ object SimilarityOps {
     * `label` column stands in for the nearest-centroid cell id a k-means
     * quantizer would produce): search only the query's cell.
     */
+  /** Nearest-trained-centroid cell assignment — the coarse-quantizer
+    * lookup an IVF index runs at ingest. The codebook frame is
+    * [[trainCodebook]]'s `(blk, cid, cv)` shape with `blocks = 1`
+    * (plain k-means over the full vector); it broadcasts whole (K rows)
+    * and the argmin is the same `min(struct(dist, cid))` partial
+    * aggregation as [[kmeansStep]] — the corpus is never shuffled, one
+    * (vec_id, cell) row per vector comes out.
+    */
+  def assignCells(embeddings: DataFrame, codebook: DataFrame): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val dist = aggregate(
+      zip_with(e, col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, d) => acc + d,
+    )
+    embeddings
+      .crossJoin(broadcast(codebook.select(col("cid"), col("cv"))))
+      .select(col("vec_id"), col("cid"), dist.as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+  }
+
   def ivfTopK(embeddings: DataFrame, isQuery: Column, cell: Column, k: Int): DataFrame = {
     val v = embeddings.select(col("vec_id"), unitNorm(col("embedding")).as("u"), cell.as("cell"))
     val queries = broadcast(
