@@ -438,6 +438,42 @@ object RelationalQueries {
              |ORDER BY event_id""".stripMargin),
     ),
 
+    // SCD2 dimension build from a change log — the dataset-versioning
+    // shape: per user, collapse consecutive identical attribute values
+    // (change detection via lag), then validity intervals via lead;
+    // the open row's valid_to is NULL. One (user) window partition, no
+    // self-join — the gaps-and-islands discipline of nf_sessionize
+    // applied to slowly-changing attributes.
+    Q(
+      "q_scd2",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .select(
+            col("user_id"), col("event_type"), col("ts"), col("event_id"),
+            lag(col("event_type"), 1).over(w).as("prev_type"),
+          )
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .select(
+            col("user_id"), col("event_type"),
+            col("ts").as("valid_from"),
+            lead(col("ts"), 1).over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+              .as("valid_to"),
+          )
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |isl AS (SELECT user_id, event_type, ts, event_id FROM ch
+             |        WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id, event_type, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+             |FROM isl
+             |ORDER BY user_id, valid_from""".stripMargin),
+    ),
+
     // DISTINCT = shuffle on the full key; low-cardinality here.
     Q(
       "q_distinct",

@@ -462,6 +462,31 @@ object TextQueries {
              |  max(inv_p) AS max_inv_prob
              |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+    // Content-defined chunking: boundaries after tokens whose hash is
+    // ≡ 0 mod 8 — edits shift only their own chunk, later chunks'
+    // content hashes survive for chunk-level dedup stores.
+    Q(
+      "tx_cdc_chunk",
+      (s, d) => TextOps.cdcChunk(documents(s, d), modulus = 8),
+      Some {
+        import OracleSnippets._
+        s"""WITH t AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           |         generate_subscripts(string_split(text, ' '), 1) AS pos
+           |  FROM documents),
+           |f AS (SELECT doc_id, pos, tok,
+           |        CASE WHEN ${charHash("tok")} % 8 = 0 THEN 1 ELSE 0 END AS b
+           |      FROM t),
+           |c AS (SELECT doc_id, pos, tok,
+           |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+           |      FROM f)
+           |SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+           |FROM c GROUP BY doc_id, chunk_id
+           |ORDER BY doc_id, chunk_id""".stripMargin
+      },
+    ),
     // Paragraph-level boilerplate removal (the CCNet/RefinedWeb stage):
     // 10-word segments counted corpus-wide by portable hash, segments
     // seen > 2 times dropped, documents reassembled in segment order.

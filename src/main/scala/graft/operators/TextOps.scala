@@ -584,6 +584,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking (the FastCDC idea at token granularity):
+    * a chunk boundary falls AFTER any token whose portable hash is
+    * ≡ 0 mod `modulus` — boundaries are decided by LOCAL content, so an
+    * insertion early in a document shifts only its own chunk, and every
+    * later chunk's text (and therefore its content hash, in a dedup
+    * store keyed by chunk) is unchanged. Fixed-width chunking
+    * ([[chunk]]) re-cuts everything after an edit; this is the
+    * dedup-friendly alternative. Expected chunk length = `modulus`
+    * tokens.
+    *
+    * Scale shape: one posexplode, one per-doc running sum (window
+    * partitioned by doc_id — parallel across docs, like [[packSequences]]
+    * per-lang), one (doc, chunk) aggregate with the ordered-fold
+    * reassembly. No global ordering anywhere.
+    */
+  def cdcChunk(docs: DataFrame, modulus: Int): DataFrame = {
+    import graft.expressions.PolyHash
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("b", (pmod(PolyHash(col("tok")), lit(modulus.toLong)) === 0L).cast("long"))
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))), s => s.getField("tok")),
+          " ",
+        ).as("chunk_text"),
+      )
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Paragraph-level boilerplate removal — the CCNet/RefinedWeb curation
     * stage: segment each document, count every segment's exact
     * occurrences across the WHOLE corpus, drop segments repeated more
