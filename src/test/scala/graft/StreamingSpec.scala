@@ -349,6 +349,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ListState top-N leaderboard equals the batch window rank regardless of batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    // Events over two keys, split across three batches so the merge
+    // crosses state; value ties (2.0) force the event_id tiebreak.
+    val rows = Seq(
+      (1L, 10L, 2.0), (1L, 11L, 5.0), (2L, 12L, 1.0),
+      (1L, 13L, 3.0), (2L, 14L, 2.0), (1L, 15L, 2.0),
+      (2L, 16L, 9.0), (1L, 17L, 7.0), (2L, 18L, 2.0),
+    )
+    val in = MemoryStream[(Long, Long, Double)]
+    val lastEmit = scala.collection.mutable.Map[Long, Seq[(Long, Double, Int)]]()
+    val q = graft.streaming.TopNPerKey.topN(in.toDS(), n = 3)
+      .toDF("user_id", "event_id", "value", "rank")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("topn").toFile.getAbsolutePath)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, Long, Double, Int)].collect()
+          .groupBy(_._1).foreach { case (k, rs) =>
+            lastEmit(k) = rs.sortBy(_._4).map(r => (r._2, r._3, r._4)).toSeq
+          }
+      }
+      .start()
+    try {
+      rows.grouped(3).foreach { g => in.addData(g); q.processAllAvailable() }
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // Batch reference: window rank ≤ 3 by (value desc, event_id) per key.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val expected = rows.toDF("user_id", "event_id", "value")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.sortBy(_._4).map(r => (r._2, r._3, r._4)).toSeq }
+    assert(lastEmit.toMap == expected.toMap, s"got $lastEmit, expected $expected")
+  }
+
   test("streaming running z-score is bit-identical to the batch window query") {
     // The exact-integer-state contract: RunningZScoreProcessor carries
     // (n, Σcents, Σcents²) as longs, so feeding the events table through
