@@ -462,6 +462,25 @@ object TextQueries {
              |  max(inv_p) AS max_inv_prob
              |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+    // Corpus-relative quality binning: exact TTR quartile boundaries
+    // from one aggregate, broadcast, docs bucketed row-locally (no
+    // ntile window — that would single-partition the corpus).
+    Q(
+      "tx_quality_bins",
+      (s, d) => TextOps.qualityBins(documents(s, d)),
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS score
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             |b AS (SELECT quantile_cont(score, 0.25) AS p25,
+             |             quantile_cont(score, 0.50) AS p50,
+             |             quantile_cont(score, 0.75) AS p75 FROM s)
+             |SELECT doc_id, score,
+             |  CAST(1 + CASE WHEN score > p25 THEN 1 ELSE 0 END
+             |         + CASE WHEN score > p50 THEN 1 ELSE 0 END
+             |         + CASE WHEN score > p75 THEN 1 ELSE 0 END AS BIGINT) AS bin
+             |FROM s CROSS JOIN b ORDER BY doc_id""".stripMargin),
+    ),
     // Content-defined chunking: boundaries after tokens whose hash is
     // ≡ 0 mod 8 — edits shift only their own chunk, later chunks'
     // content hashes survive for chunk-level dedup stores.

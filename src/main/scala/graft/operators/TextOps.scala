@@ -584,6 +584,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-relative quality binning — the "drop the bottom quartile"
+    * curation stage: per-doc score (type-token ratio, the same exact
+    * double [[tokenStats]] emits), exact quartile boundaries from ONE
+    * corpus aggregate, every doc bucketed by comparison against the
+    * broadcast 1-row boundary frame. The bin is row-local after the
+    * broadcast — no global sort, no ntile window (which would single-
+    * partition the corpus). At 100 TB the exact percentile swaps for
+    * `approx_percentile` under the same tolerance contract the sketch
+    * queries use; nothing else changes.
+    */
+  def qualityBins(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("score"),
+    )
+    val bounds = scored.agg(
+      expr("percentile(score, 0.25)").as("p25"),
+      expr("percentile(score, 0.50)").as("p50"),
+      expr("percentile(score, 0.75)").as("p75"),
+    )
+    scored
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("doc_id"),
+        col("score"),
+        (lit(1L) + (col("score") > col("p25")).cast("long")
+          + (col("score") > col("p50")).cast("long")
+          + (col("score") > col("p75")).cast("long")).as("bin"),
+      )
+      .orderBy("doc_id")
+  }
+
   /** Content-defined chunking (the FastCDC idea at token granularity):
     * a chunk boundary falls AFTER any token whose portable hash is
     * ≡ 0 mod `modulus` — boundaries are decided by LOCAL content, so an
