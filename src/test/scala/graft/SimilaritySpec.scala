@@ -228,6 +228,27 @@ class SimilaritySpec extends SparkSpec {
       col("vec_id") < 10, 5)) == 1)
   }
 
+  test("assignCells: corpus never shuffles for assignment, codebook broadcasts, no Window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val emb = embeddings(spark, Sf)
+    val cb = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val assigned = SimilarityOps.assignCells(emb, cb)
+    // Correctness: a partition of the corpus, one cell per vector, cells
+    // drawn from the trained centroid ids (seed ids 0..7).
+    val cells = assigned.select("vec_id", "cell").as[(Long, Long)].collect()
+    assert(cells.length == emb.count() && cells.map(_._1).distinct.length == cells.length)
+    assert(cells.forall(_._2 < 8))
+    // Plan: the argmin is a min(struct) aggregate (no Window), the
+    // codebook side broadcasts, and the corpus is never shuffled into
+    // the join (no shuffled join operator anywhere).
+    assert(assigned.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"codebook should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle for assignment:\n$plan")
+  }
+
   test("trainCodebook reduces total PQ reconstruction error (Lloyd monotonicity) and plugs into ADC") {
     val emb = embeddings(spark, Sf)
     val seedErr = SimilarityOps
