@@ -33,6 +33,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.window10s(noEvents).count() == 0)
   }
 
+  test("round-5 operators on empty input") {
+    assert(TextOps.removeBoilerplate(noDocs, 10, 2).count() == 0)
+    assert(TextOps.cdcChunk(noDocs, 8).count() == 0)
+    assert(TextOps.qualityBins(noDocs).count() == 0)
+    assert(DedupOps.editDistancePairs(noDocs, 3, 32, 8, 6).count() == 0)
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val cbEmpty = SimilarityOps.trainCodebook(noEmb, 1, 64, col("vec_id") < 8, iters = 2)
+    assert(cbEmpty.count() == 0)
+    assert(SimilarityOps.assignCells(noEmb, cbEmpty).count() == 0)
+  }
+
   test("round-2 operators on empty input") {
     assert(TextOps.repetition(noDocs).count() == 0)
     assert(TextOps.piiScrub(noDocs, col("text")).count() == 0)
