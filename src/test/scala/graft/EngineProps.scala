@@ -383,6 +383,54 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  /** cdcChunk is a partition of the document: chunks joined back in
+    * chunk order reproduce the original text exactly, and token counts
+    * are conserved — for ANY generated corpus and modulus.
+    */
+  property("cdcChunk chunks reassemble to the original document") = {
+    import spark.implicits._
+    val genDoc = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "e", "f")).map(_.mkString(" "))
+    val genMod = Gen.choose(2, 6)
+    Prop.forAll(Gen.nonEmptyListOf(genDoc), genMod) { (texts, m) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val chunks = graft.operators.TextOps
+        .cdcChunk(docs.toDF("doc_id", "text"), m)
+        .as[(Long, Long, Long, String)].collect()
+      val rebuilt = chunks.groupBy(_._1).view.mapValues { rs =>
+        (rs.sortBy(_._2).map(_._4).mkString(" "), rs.map(_._3).sum)
+      }.toMap
+      docs.forall { case (id, t) =>
+        rebuilt(id) == ((t, t.split(" ").length.toLong))
+      }
+    }
+  }
+
+  /** removeBoilerplate conserves segments (kept + dropped = total) and
+    * drops a segment iff its corpus frequency exceeds maxReps — checked
+    * against a straight-line frequency count.
+    */
+  property("removeBoilerplate drops exactly the over-frequent segments") = {
+    import spark.implicits._
+    val genDoc = Gen.nonEmptyListOf(Gen.oneOf("x y", "p q", "r s", "u v")).map(_.mkString(" "))
+    Prop.forAll(Gen.nonEmptyListOf(genDoc), Gen.choose(1L, 3L)) { (texts, maxReps) =>
+      val width = 2
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val segsOf = (t: String) => t.split(" ").grouped(width).map(_.mkString(" ")).toSeq
+      val freq = docs.flatMap(d => segsOf(d._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = graft.operators.TextOps
+        .removeBoilerplate(docs.toDF("doc_id", "text"), width, maxReps)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      docs.forall { case (id, t) =>
+        val segs = segsOf(t)
+        val keep = segs.filter(s => freq(s) <= maxReps)
+        val (_, n, d, clean) = got(id)
+        n == segs.size && d == (segs.size - keep.size) && clean == keep.mkString(" ")
+      }
+    }
+  }
+
   /** bpeMergeStep's pair counts equal the straight-line sliding-window
     * count over the same regex token stream.
     */
