@@ -113,6 +113,24 @@ object DedupQueries {
       (s, d) => DedupOps.minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold),
       Some(minhashPairsSql),
     ),
+    // ASYMMETRIC containment over the same band candidates: the
+    // partial-copy detector — a short doc quoted inside a long one is
+    // invisible to symmetric Jaccard (union-diluted) but ≈1-contained.
+    // Threshold 0.7 on either direction.
+    Q(
+      "dd_containment",
+      (s, d) => DedupOps.containmentPairs(documents(s, d), N, K, Bands, threshold = 0.7),
+      Some(s"""WITH $lshCandCtes
+              |SELECT doc_a, doc_b, containment_a, containment_b FROM (
+              |  SELECT c.doc_a, c.doc_b,
+              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment_a,
+              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) AS containment_b
+              |  FROM cand c
+              |  JOIN sh a ON a.doc_id = c.doc_a
+              |  JOIN sh b ON b.doc_id = c.doc_b)
+              |WHERE containment_a >= 0.7 OR containment_b >= 0.7
+              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
     // Character-level verify over the SAME band candidates: edit
     // distance ≤ 6 instead of token-set Jaccard — catches true re-edits
     // and drops bag-of-words coincidence (at this cut one jaccard-passing

@@ -172,6 +172,43 @@ object NetflowQueries {
              |FROM w, st ORDER BY window_start""".stripMargin),
     ),
 
+    // Per-window traffic CONCENTRATION (Herfindahl index over source
+    // activity): HHI = Σ cnt² / (Σ cnt)² per 10-s window — the scan/
+    // DDoS shape signal (≈1 = one source dominates, ≈1/n = diffuse).
+    // Entropy is the textbook form but ln() is not bit-portable across
+    // engines (the tx_unigram_rarity finding); HHI carries the same
+    // ordering with EXACT integer sums and a single double division.
+    // Two stacked map-side-combinable aggregates, one events scan, no
+    // window functions.
+    Q(
+      "nf_concentration",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        events(s, d)
+          .groupBy(window(col("ts"), "10 seconds"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("window.start").as("window_start"), col("cnt"))
+          .groupBy(col("window_start"))
+          .agg(
+            sum(col("cnt")).as("n_events"),
+            count(lit(1)).as("n_users"),
+            (sum(col("cnt") * col("cnt")).cast("double") /
+              (sum(col("cnt")) * sum(col("cnt"))).cast("double")).as("hhi"),
+          )
+          .orderBy("window_start")
+      },
+      Some("""WITH pk AS (
+             |  SELECT time_bucket(INTERVAL '10 seconds', ts) AS window_start,
+             |    user_id, count(*) AS cnt
+             |  FROM events GROUP BY window_start, user_id)
+             |SELECT window_start,
+             |  CAST(sum(cnt) AS BIGINT) AS n_events,
+             |  count(*) AS n_users,
+             |  CAST(sum(cnt * cnt) AS DOUBLE)
+             |    / CAST(sum(cnt) * sum(cnt) AS DOUBLE) AS hhi
+             |FROM pk GROUP BY window_start ORDER BY window_start""".stripMargin),
+    ),
+
     // Heavy hitters ("top talkers" in netflow terms): total traffic per
     // host, top 10. TakeOrderedAndProject keeps k rows per partition —
     // no global sort at any scale.

@@ -186,6 +186,38 @@ object DedupOps {
     (sets, candidates)
   }
 
+  /** Containment pairs — ASYMMETRIC overlap |A∩B| / |A| over the same
+    * LSH band candidates: the partial-copy detector (a short document
+    * quoted wholesale inside a long one sits far below any symmetric
+    * Jaccard threshold — intersection over the UNION is diluted by the
+    * long side — but its containment in the long doc is ≈ 1). Emits
+    * both directions' scores per candidate pair, keeping pairs where
+    * EITHER side is contained at `threshold`. Same band-recall contract
+    * and the same codegen'd sorted-intersect verify as the Jaccard
+    * path; only the denominator changes.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val (sets, candidates) = lshSetsAndCandidates(shingleSets(docs, n), k, bands)
+    val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (c.cast("double") / size(col("sh_a"))).as("containment_a"),
+        (c.cast("double") / size(col("sh_b"))).as("containment_b"),
+      )
+      .filter(col("containment_a") >= threshold || col("containment_b") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Character-level near-dup verify: the same MinHash-LSH band
     * candidates as [[minhashLshPairs]], verified by EDIT DISTANCE
     * instead of set overlap — the signal that separates true re-edits
