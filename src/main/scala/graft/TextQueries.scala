@@ -462,6 +462,27 @@ object TextQueries {
              |  max(inv_p) AS max_inv_prob
              |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+    // Bigram-LM rarity: inverse conditional probability 1/P(w2|w1) per
+    // transition, corpus-trained, exact count ratios — the fluency
+    // filter stacked on tx_unigram_rarity.
+    Q(
+      "tx_bigram_rarity",
+      (s, d) => TextOps.bigramRarity(documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |p AS (SELECT doc_id, i AS pos, w[i] AS w1, w[i+1] AS w2
+             |      FROM (SELECT doc_id, w,
+             |              unnest(generate_series(1, len(w) - 1)) AS i FROM t)),
+             |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM p GROUP BY w1, w2),
+             |c1 AS (SELECT w1, count(*) AS cnt1 FROM p GROUP BY w1),
+             |l AS (SELECT doc_id, pos,
+             |        CAST(cnt1 AS DOUBLE) / CAST(cnt2 AS DOUBLE) AS inv_cp
+             |      FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  list_reduce(list_prepend(0.0, list(inv_cp ORDER BY pos)),
+             |              (ba, bb) -> ba + bb) / count(*) AS mean_inv_cp,
+             |  max(inv_cp) AS max_inv_cp
+             |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
     // Corpus-relative quality binning: exact TTR quartile boundaries
     // from one aggregate, broadcast, docs bucketed row-locally (no
     // ntile window — that would single-partition the corpus).

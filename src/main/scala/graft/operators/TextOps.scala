@@ -584,6 +584,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM rarity — [[unigramRarity]]'s 2-gram upgrade: per
+    * position, the inverse CONDITIONAL probability 1/P(w2|w1) =
+    * count(w1·) / count(w1 w2), both counts trained on the corpus
+    * itself. Exact integer-count ratios (no ln(), the documented
+    * portability rule), per-doc mean via the position-ordered fold.
+    * High mean = improbable transitions = likely garbled text; the
+    * fluency filter a curation pipeline stacks on the unigram one.
+    * Docs with fewer than 2 tokens have no bigrams and drop out —
+    * same contract as [[bpeMergeStep]].
+    *
+    * Scale shape: pair explode is row-local (zip with tail), the two
+    * count tables shuffle on (w1, w2) / (w1) with map-side combine,
+    * join-back is key-partitioned, and the per-doc fold carries O(doc)
+    * state — the unigramRarity scale notes apply verbatim.
+    */
+  def bigramRarity(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nPairs = greatest(size(toks) - 1, lit(0))
+    val pairs = docs
+      .select(
+        col("doc_id"),
+        posexplode(
+          zip_with(
+            slice(toks, lit(1), nPairs),
+            slice(toks, lit(2), nPairs),
+            (a, b) => struct(a.as("w1"), b.as("w2")),
+          ),
+        ).as(Seq("pos", "pr")),
+      )
+      .select(col("doc_id"), col("pos"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val bigramCnt = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+    val firstCnt = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+    pairs
+      .join(bigramCnt, Seq("w1", "w2"))
+      .join(firstCnt, Seq("w1"))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        (col("cnt1").cast("double") / col("cnt2").cast("double")).as("inv_cp"),
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("inv_cp")))), s => s.getField("inv_cp")),
+          lit(0.0),
+          (acc, x) => acc + x,
+        ).as("s"),
+        max(col("inv_cp")).as("max_inv_cp"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        (col("s") / col("n_bigrams")).as("mean_inv_cp"),
+        col("max_inv_cp"),
+      )
+      .orderBy("doc_id")
+  }
+
   /** Corpus-relative quality binning — the "drop the bottom quartile"
     * curation stage: per-doc score (type-token ratio, the same exact
     * double [[tokenStats]] emits), exact quartile boundaries from ONE
