@@ -113,6 +113,29 @@ object DedupQueries {
       (s, d) => DedupOps.minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold),
       Some(minhashPairsSql),
     ),
+    // MOSS-style winnowing-fingerprint pairs: LOCAL overlap (shared
+    // spans of ≥ w+k−1 = 6 tokens guarantee a shared fingerprint) via a
+    // posting-list equi-join on the fingerprint — finds the plagiarized-
+    // paragraph shape that global set scores dilute. ≥ 10 shared minima.
+    Q(
+      "dd_winnow_pairs",
+      (s, d) => DedupOps.winnowPairs(documents(s, d), k = 3, w = 4, minShared = 10),
+      Some(s"""WITH hs AS (
+              |  SELECT doc_id, ${OracleSnippets.shingleHashesOrdered("string_split(text, ' ')", 3)} AS hs
+              |  FROM documents),
+              |f AS (SELECT doc_id,
+              |        unnest(list_distinct(list_transform(
+              |          generate_series(1, greatest(len(hs)-3, 1)),
+              |          wni -> list_min(hs[wni:wni+3])))) AS fingerprint
+              |      FROM hs)
+              |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |  CAST(count(*) AS BIGINT) AS n_shared
+              |FROM f x JOIN f y
+              |  ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+              |GROUP BY doc_a, doc_b
+              |HAVING count(*) >= 10
+              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
     // ASYMMETRIC containment over the same band candidates: the
     // partial-copy detector — a short doc quoted inside a long one is
     // invisible to symmetric Jaccard (union-diluted) but ≈1-contained.

@@ -186,6 +186,30 @@ object DedupOps {
     (sets, candidates)
   }
 
+  /** Winnowing-fingerprint pairs — the MOSS detector: document pairs
+    * ranked by how many winnowing fingerprints they SHARE. Winnowing
+    * guarantees any common run of ≥ w+k−1 tokens yields a shared
+    * fingerprint, so this finds LOCAL overlap (a plagiarized paragraph
+    * inside otherwise-different documents) that global set-overlap
+    * scores dilute away. Candidates come from a posting-list equi-join
+    * on the fingerprint value — same scale shape (and same hot-key
+    * dial) as the PPJoin postings — then one (pair) count with map-side
+    * combine; no all-pairs stage exists.
+    */
+  def winnowPairs(docs: DataFrame, k: Int, w: Int, minShared: Long): DataFrame = {
+    val fp = TextOps.winnow(docs, k, w)
+    fp.as("x")
+      .join(
+        fp.as("y"),
+        col("x.fingerprint") === col("y.fingerprint") && col("x.doc_id") < col("y.doc_id"),
+      )
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Containment pairs — ASYMMETRIC overlap |A∩B| / |A| over the same
     * LSH band candidates: the partial-copy detector (a short document
     * quoted wholesale inside a long one sits far below any symmetric
