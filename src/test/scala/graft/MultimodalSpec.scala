@@ -91,6 +91,34 @@ class MultimodalSpec extends SparkSpec {
     assert(videos.count(_.n_frames > 1) > videos.length / 2, "expected mostly multi-frame GIFs")
   }
 
+  test("malformed containers fall back to the stub — never hang, never throw") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val malformed = Seq(
+      // PNG signature + chunk whose length field claims 4 GiB (the
+      // ADVICE-flagged overflow shape: a negative Int advance).
+      hexBytes("89504E470D0A1A0A" + "FFFFFFFF" + "49444154" + "0000"),
+      // PNG signature, then truncated mid chunk header.
+      hexBytes("89504E470D0A1A0A" + "000000"),
+      // GIF header whose first block introducer is garbage (desync).
+      hexBytes("474946383961" + "4001" + "C800" + "00" + "0000" + "7A"),
+      // GIF with an image descriptor but truncated before its data.
+      hexBytes("474946383961" + "4001" + "C800" + "00" + "0000" + "2C00000000"),
+      // GIF extension whose sub-block chain runs off the end.
+      hexBytes("474946383961" + "4001" + "C800" + "00" + "0000" + "21FF0BFF"),
+      // JPEG SOI then a segment length pointing past the payload.
+      hexBytes("FFD8" + "FFE0FFFF"),
+      // Empty and single-byte payloads.
+      Array.empty[Byte],
+      Array(0x89.toByte),
+    )
+    malformed.zipWithIndex.foreach { case (b, i) =>
+      val r = MultimodalOps.MediaRecord(i.toLong, "image", b)
+      // Must terminate and equal the documented stub fallback.
+      assert(MultimodalOps.decodeRecord(r) == MultimodalOps.stubDecode(r), s"payload $i")
+    }
+  }
+
   test("frame sampling emits ceil(n_frames/step) rows per video") {
     import spark.implicits._
     val media = MultimodalOps.encodeMedia(documents(spark, Sf))
