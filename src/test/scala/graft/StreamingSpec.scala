@@ -398,6 +398,45 @@ class StreamingSpec extends SparkSpec {
     assert(lastEmit.toMap == expected.toMap, s"got $lastEmit, expected $expected")
   }
 
+  test("MapState categorical counters equal the batch crosstab regardless of batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    val rows = Seq(
+      (1L, "view"), (1L, "click"), (2L, "view"),
+      (1L, "view"), (2L, "purchase"), (1L, "click"),
+      (2L, "view"), (1L, "view"), (2L, "view"),
+    )
+    val in = MemoryStream[(Long, String)]
+    // Last-write-wins per (key, category): the final update carries the
+    // final running count.
+    val latest = scala.collection.mutable.Map[(Long, String), Long]()
+    val q = graft.streaming.TypeCounts.typeCounts(in.toDS())
+      .toDF("user_id", "event_type", "n")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("typec").toFile.getAbsolutePath)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, String, Long)].collect().foreach { case (u, t, n) => latest((u, t)) = n }
+      }
+      .start()
+    try {
+      rows.grouped(4).foreach { g => in.addData(g); q.processAllAvailable() }
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val expected = rows.groupBy(identity).map { case ((u, t), rs) => (u, t) -> rs.size.toLong }
+    assert(latest.toMap == expected, s"got $latest, expected $expected")
+  }
+
   test("streaming running z-score is bit-identical to the batch window query") {
     // The exact-integer-state contract: RunningZScoreProcessor carries
     // (n, Σcents, Σcents²) as longs, so feeding the events table through
