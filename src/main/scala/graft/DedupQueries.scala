@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.{DedupOps, LshIndexOps}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, sum}
 import Tables.{documents, embeddings}
 import OracleSnippets._
 
@@ -185,6 +185,36 @@ object DedupQueries {
         LshIndexOps.nearDupPairs(s, indexDb(s, "pairs"), JaccardThreshold)
       },
       Some(minhashPairsSql),
+    ),
+    // Index health stats — the operational view of the persisted band
+    // table: per band, bucket count, the hottest bucket, and the EXACT
+    // candidate-pair cost Σ s·(s−1)/2 the self-join will pay. This is
+    // the number that tells an operator when a stop-band-key (skew)
+    // dial is needed — all integer arithmetic, fully portable.
+    Q(
+      "dd_index_stats",
+      (s, d) => {
+        LshIndexOps.writeIndex(
+          documents(s, d), N, K, Bands, buckets = 8, prefix = indexDb(s, "stats"))
+        s.table(s"${indexDb(s, "stats")}_bands")
+          .groupBy(col("band_idx"), col("band_key"))
+          .agg(count(lit(1)).as("bucket_size"))
+          .groupBy(col("band_idx"))
+          .agg(
+            count(lit(1)).as("n_buckets"),
+            max(col("bucket_size")).as("max_bucket"),
+            sum(expr("bucket_size * (bucket_size - 1) DIV 2")).as("candidate_pairs"),
+          )
+          .orderBy("band_idx")
+      },
+      Some(s"""WITH $lshCandCtes,
+              |b AS (SELECT band_idx, band_key, count(*) AS s
+              |      FROM bk GROUP BY band_idx, band_key)
+              |SELECT band_idx,
+              |  CAST(count(*) AS BIGINT) AS n_buckets,
+              |  CAST(max(s) AS BIGINT) AS max_bucket,
+              |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
+              |FROM b GROUP BY band_idx ORDER BY band_idx""".stripMargin),
     ),
     // Incremental dedup against the persisted index: docs with
     // doc_id % 5 == 0 arrive as the "new batch", the rest are the
