@@ -78,6 +78,38 @@ object SimilarityQueries {
        |${lloyd(2, "cb1", "cb2")}""".stripMargin
   }
 
+  /** The trained-IVF search (build + assign + within-cell top-k) and
+    * its oracle — shared by sim_ivf_trained and sim_ivf_recall.
+    */
+  private def ivfTrainedTopK(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val emb = embeddings(s, d)
+    val cb = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val withCell = emb.join(SimilarityOps.assignCells(emb, cb), "vec_id")
+    SimilarityOps.ivfTopK(withCell, col("vec_id") < 10, col("cell"), BucketK)
+  }
+
+  private val ivfTrainedSql: String =
+    s"""WITH ${trainedCbCtes(1, 64)},
+       |asgd AS (SELECT s.vec_id, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+       |         FROM sv s JOIN cb2 c ON s.blk = c.blk),
+       |asg AS (SELECT vec_id, cid AS cell FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY dist, cid) AS rn FROM asgd)
+       |        WHERE rn = 1),
+       |n AS (SELECT v.vec_id, ${unitNorm("e")} AS u, a.cell
+       |      FROM v JOIN asg a ON a.vec_id = v.vec_id),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        ${dot("q.u", "c.u")} AS cosine
+       |      FROM n q JOIN n c
+       |        ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND q.cell = c.cell)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM p)
+       |WHERE rank <= $BucketK
+       |ORDER BY query_id, rank""".stripMargin
+
   private def topkSql(cellJoin: String, k: Int): String =
     s"""WITH v AS (SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, label, embedding, ${unitNorm("e")} AS u FROM v),
@@ -302,32 +334,56 @@ object SimilarityQueries {
     // top-k — the complete IVF build+search pipeline, trained end to end.
     Q(
       "sim_ivf_trained",
+      (s, d) => ivfTrainedTopK(s, d),
+      Some(ivfTrainedSql),
+    ),
+    // Recall@k of the TRAINED-IVF path against exact brute force — the
+    // metric that decides whether 2 Lloyd iterations and 8 cells are
+    // enough, closing the train → search → MEASURE loop the other
+    // scoreboards (sim_ann_recall, dd_lsh_recall) establish.
+    Q(
+      "sim_ivf_recall",
       (s, d) => {
-        val emb = embeddings(s, d)
-        val cb = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
-          isSeed = col("vec_id") < 8, iters = 2)
-        val withCell = emb.join(SimilarityOps.assignCells(emb, cb), "vec_id")
-        SimilarityOps.ivfTopK(withCell, col("vec_id") < 10, col("cell"), BucketK)
+        import org.apache.spark.sql.functions._
+        val exact = SimilarityOps
+          .bruteForceTopK(embeddings(s, d), col("vec_id") < 10, BucketK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_exact"))
+        val approx = ivfTrainedTopK(s, d)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_approx"))
+        exact
+          .join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy(col("query_id"))
+          .agg(
+            count(col("in_exact")).as("n_true"),
+            count(col("in_approx")).as("n_approx"),
+            count(when(col("in_exact").isNotNull && col("in_approx").isNotNull, 1)).as("n_hits"),
+          )
+          .select(
+            col("query_id"),
+            col("n_true"),
+            col("n_approx"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / col("n_true").cast("double")).as("recall_at_k"),
+          )
+          .orderBy("query_id")
       },
-      Some(s"""WITH ${trainedCbCtes(1, 64)},
-              |asgd AS (SELECT s.vec_id, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
-              |         FROM sv s JOIN cb2 c ON s.blk = c.blk),
-              |asg AS (SELECT vec_id, cid AS cell FROM (
-              |          SELECT *, row_number() OVER (PARTITION BY vec_id
-              |                      ORDER BY dist, cid) AS rn FROM asgd)
-              |        WHERE rn = 1),
-              |n AS (SELECT v.vec_id, ${unitNorm("e")} AS u, a.cell
-              |      FROM v JOIN asg a ON a.vec_id = v.vec_id),
-              |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-              |        ${dot("q.u", "c.u")} AS cosine
-              |      FROM n q JOIN n c
-              |        ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND q.cell = c.cell)
-              |SELECT query_id, neighbor_id, cosine, rank FROM (
-              |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-              |              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-              |  FROM p)
-              |WHERE rank <= $BucketK
-              |ORDER BY query_id, rank""".stripMargin),
+      Some {
+        val exactSql = topkSql("", BucketK)
+        s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)),
+           |ap AS (SELECT query_id, neighbor_id FROM ($ivfTrainedSql)),
+           |j AS (SELECT coalesce(e.query_id, a.query_id) AS query_id,
+           |             e.neighbor_id AS en, a.neighbor_id AS an
+           |      FROM ex e FULL OUTER JOIN ap a
+           |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+           |SELECT query_id,
+           |  CAST(count(en) AS BIGINT) AS n_true,
+           |  CAST(count(an) AS BIGINT) AS n_approx,
+           |  CAST(count(CASE WHEN en IS NOT NULL AND an IS NOT NULL THEN 1 END) AS BIGINT)
+           |    AS n_hits,
+           |  CAST(count(CASE WHEN en IS NOT NULL AND an IS NOT NULL THEN 1 END) AS DOUBLE)
+           |    / CAST(count(en) AS DOUBLE) AS recall_at_k
+           |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+      },
     ),
     // One Lloyd's k-means iteration (the IVF-quantizer training step):
     // vectors assigned to the nearest of 8 seed centroids by squared-L2
