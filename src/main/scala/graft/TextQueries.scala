@@ -521,7 +521,8 @@ object TextQueries {
            |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
            |      FROM f)
-           |SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           |  CAST(count(*) AS BIGINT) AS n_tokens,
            |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
            |FROM c GROUP BY doc_id, chunk_id
            |ORDER BY doc_id, chunk_id""".stripMargin

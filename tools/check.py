@@ -47,15 +47,20 @@ def cells_equal(a, b):
     return a == b or str(a) == str(b)
 
 def decimal_cols(describe_sql):
-    """Columns whose type is DECIMAL — banned at the query boundary.
+    """Columns whose type is DECIMAL or HUGEINT — banned at the boundary.
 
-    The driver hashes Spark parquet decimals with their scale ("5.30")
-    but oracle-side floats as "5.3", so trailing-zero values mismatch
-    even when equal. fetchdf() coerces both to float64, which is why
-    cell comparison alone can't catch it.
+    DECIMAL: the driver hashes Spark parquet decimals with their scale
+    ("5.30") but oracle-side floats as "5.3", so trailing-zero values
+    mismatch even when equal. HUGEINT: DuckDB window `sum` over INTEGER
+    yields INT128, which the driver's typed rendering hashes differently
+    from Spark's BIGINT (the tx_cdc_chunk r05 failure). fetchdf()
+    coerces both to numpy types, which is why cell comparison alone
+    can't catch either.
     """
     rows = con.execute(describe_sql).fetchall()
-    return [r[0] for r in rows if r[1].upper().startswith("DECIMAL")]
+    return [r[0] for r in rows
+            if r[1].upper().startswith("DECIMAL")
+            or r[1].upper() == "HUGEINT"]
 
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
@@ -72,8 +77,8 @@ for name, sql in sorted(oracle.items()):
         n_fail += 1
         continue
     if bad_dec:
-        print(f"FAIL {name}: DECIMAL at query boundary (cast to DOUBLE "
-              f"in query + oracle): {bad_dec}")
+        print(f"FAIL {name}: DECIMAL/HUGEINT at query boundary (cast to "
+              f"DOUBLE/BIGINT in query + oracle): {bad_dec}")
         n_fail += 1
         continue
     if list(spark_df.columns) != list(duck_df.columns):
