@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -20,6 +19,28 @@ import org.apache.spark.sql.functions._
   * corpus, and the query set is always the broadcast side of the join.
   */
 object SimilarityOps {
+
+  /** Per-query top-k over scored candidate rows (query_id, neighbor_id,
+    * score) via the bounded-heap aggregate
+    * [[graft.expressions.TopKPairs]] — NOT a `row_number()` window. The
+    * window form shuffles every scored candidate onto the
+    * low-cardinality, skewed query key and sorts; the aggregate
+    * partial-aggregates, so the exchange carries k rows per
+    * (partition, query). Ordering (score, then neighbor_id) is
+    * identical to the window it replaced, so oracles are unchanged.
+    */
+  private def rankTopK(scored: DataFrame, scoreName: String, ascending: Boolean, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKPairs.topK(col(scoreName), col("neighbor_id"), k, ascending).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(
+        col("query_id"),
+        col("p.id").as("neighbor_id"),
+        col("p.score").as(scoreName),
+        (col("pos") + 1).cast("int").as("rank"),
+      )
+      .orderBy("query_id", "rank")
 
   /** Strict left-fold dot product of two equal-length double arrays —
     * a codegen'd custom Expression (see [[graft.expressions.ArrayDot]]);
@@ -54,11 +75,7 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"),
         dot(col("qu"), col("u")).as("cosine"),
       )
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "cosine", ascending = false, k)
   }
 
   /** Sign-LSH bucket id: one bit per probe dimension (axis-aligned
@@ -94,11 +111,7 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"),
         dot(col("qu"), col("u")).as("cosine"),
       )
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "cosine", ascending = false, k)
   }
 
   /** IVF training step: per-cell centroid of the (double-cast) vectors,
@@ -212,11 +225,7 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"),
         dot(col("qu"), col("u")).as("cosine"),
       )
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "cosine", ascending = false, k)
   }
 
   /** Per-vector symmetric int8 quantization — the embedding-compression
@@ -533,8 +542,7 @@ object SimilarityOps {
           ).as("d"),
         ),
     )
-    val w = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("neighbor_id"))
-    corpusCodes
+    val scored = corpusCodes
       .join(lut, Seq("blk", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(
@@ -546,9 +554,7 @@ object SimilarityOps {
       )
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "approx_dist", ascending = true, k)
   }
 
   /** IVF-style ANN with a precomputed coarse assignment column (here the
@@ -591,10 +597,6 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"),
         dot(col("qu"), col("u")).as("cosine"),
       )
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "cosine", ascending = false, k)
   }
 }

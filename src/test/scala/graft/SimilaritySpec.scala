@@ -222,10 +222,24 @@ class SimilaritySpec extends SparkSpec {
     val emb = embeddings(spark, Sf)
     assert(nWindows(SimilarityOps.kmeansStep(emb, col("vec_id") < 8)) == 0)
     assert(nWindows(SimilarityOps.pqEncode(emb, 4, 16, col("vec_id") < 8, 8)) == 0)
-    // ADC keeps exactly ONE window: the final per-query top-k rank (rank
-    // is part of the output contract); the inherited encode argmin is gone.
+    // The whole ANN read-path family is window-free: the per-query
+    // top-k is the bounded-heap TopKPairs aggregate (map-side combine,
+    // k rows per (partition, query) exchanged), not a row_number window
+    // that would shuffle every scored candidate onto the skewed
+    // query_id key.
     assert(nWindows(SimilarityOps.pqAdcTopK(emb, 4, 16, col("vec_id") < 8, 8,
-      col("vec_id") < 10, 5)) == 1)
+      col("vec_id") < 10, 5)) == 0)
+    assert(nWindows(SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 5)) == 0)
+    assert(nWindows(SimilarityOps.lshBucketTopK(emb, col("vec_id") < 10, Seq(1, 2, 3), 5)) == 0)
+    assert(nWindows(SimilarityOps.multiProbeTopK(emb, col("vec_id") < 10, Seq(1, 2, 3), 5)) == 0)
+    assert(nWindows(SimilarityOps.ivfTopK(emb, col("vec_id") < 10, col("label"), 5)) == 0)
+    // And the top-k aggregate actually partial-aggregates: the physical
+    // plan carries bounded_top_k in BOTH partial (map-side, before the
+    // exchange) and final mode — the whole point of replacing the window.
+    val phys = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("partial_bounded_top_k"), s"no map-side combine in:\n$phys")
+    assert(phys.contains("bounded_top_k"))
   }
 
   test("assignCells: corpus never shuffles for assignment, codebook broadcasts, no Window") {
