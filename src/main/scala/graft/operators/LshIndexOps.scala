@@ -200,7 +200,12 @@ object LshIndexOps {
         .as("x")
         .join(
           spark.table(s"${prefix}_bands").as("y"),
-          col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key"),
+          col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
+            // A replayed batch (failure after the append committed but
+            // before the streaming checkpoint) finds its own keepers in
+            // the stored bands; without this guard each collides with
+            // itself and comes back as a false (doc, doc, 1.0) dup row.
+            col("x.doc_id") =!= col("y.doc_id"),
         )
         .select(col("x.doc_id").as("new_doc_id"), col("y.doc_id").as("dup_of"))
         .distinct(),

@@ -124,6 +124,78 @@ class LshIndexSpec extends SparkSpec {
     assert(storedIds == kept.toSet, "index must contain exactly the keepers")
   }
 
+  test("streaming dedup restart: replayed batch adds no keepers twice, no self-dups, converges to the uninterrupted run") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val cut = docs(docs.length / 2)._1
+    val (indexed, streamed) = docs.partition(_._1 < cut)
+    val waves = streamed.grouped(streamed.length / 3 + 1).toSeq
+
+    def runStream(
+        prefix: String,
+        in: MemoryStream[(Long, String)],
+        ckpt: String,
+        collected: scala.collection.mutable.Buffer[(Long, Long, Double)],
+    ) = {
+      if (!spark.catalog.tableExists(s"${prefix}_docs")) {
+        LshIndexOps.writeIndex(
+          indexed.toSeq.toDF("doc_id", "text"), N, K, Bands, buckets = 4, prefix = prefix)
+      }
+      LshIndexOps.streamingDedup(
+        spark, prefix, in.toDF().toDF("doc_id", "text"), N, K, Bands, buckets = 4,
+        threshold = Threshold, checkpoint = ckpt,
+        onDups = (d, _) => collected ++= d.as[(Long, Long, Double)].collect(),
+      )
+    }
+
+    // Reference: the uninterrupted run.
+    Seq("lshrref", "lshrcut").foreach(p =>
+      Seq(s"${p}_docs", s"${p}_bands").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")))
+    val refDups = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+    val inRef = MemoryStream[(Long, String)]
+    val ckptRef = java.nio.file.Files.createTempDirectory("lsh_restart_ref").toFile.getAbsolutePath
+    val qRef = runStream("lshrref", inRef, ckptRef, refDups)
+    try waves.foreach { w => inRef.addData(w.toSeq); qRef.processAllAvailable() }
+    finally qRef.stop()
+
+    // Interrupted run: crash in the window where batch 1's table appends
+    // committed but its streaming checkpoint commit was lost — the worst
+    // case for the "index as state" design, forcing a full replay of a
+    // batch whose side effects already landed.
+    val cutDups = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+    val in = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh_restart_cut").toFile.getAbsolutePath
+    val q1 = runStream("lshrcut", in, ckpt, cutDups)
+    try {
+      in.addData(waves(0).toSeq); q1.processAllAvailable()
+      in.addData(waves(1).toSeq); q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+    val commits = new java.io.File(ckpt, "commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    assert(commits.length == 2, s"expected two committed batches, got ${commits.length}")
+    val lastCommit = commits.maxBy(_.getName.toInt)
+    // Hadoop's local ChecksumFileSystem keeps a .N.crc sidecar; leaving
+    // it behind makes the replay's atomic rename fail as already-exists.
+    new java.io.File(lastCommit.getParentFile, s".${lastCommit.getName}.crc").delete()
+    assert(lastCommit.delete())
+    val q2 = runStream("lshrcut", in, ckpt, cutDups)
+    try {
+      q2.processAllAvailable() // replays wave 1 against its own committed appends
+      in.addData(waves(2).toSeq); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val refKept = spark.table("lshrref_docs").select("doc_id").as[Long].collect().sorted.toSeq
+    val cutKept = spark.table("lshrcut_docs").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(cutKept.length == cutKept.distinct.length, "replay must not double-insert keepers")
+    assert(cutKept == refKept, "restarted run must converge to the uninterrupted keeper set")
+    assert(!cutDups.exists(r => r._1 == r._2), "replay must not emit self-dup rows")
+    assert(cutDups.toSet == refDups.toSet,
+      "dup SET must equal the uninterrupted run's (at-least-once multiplicity aside)")
+  }
+
   test("incremental dedup against the index flags a planted near-duplicate") {
     buildOnce()
     import spark.implicits._
