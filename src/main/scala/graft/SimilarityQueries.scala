@@ -110,6 +110,44 @@ object SimilarityQueries {
        |WHERE rank <= $BucketK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** nprobe for the multi-probe trained-IVF search (of 8 trained cells). */
+  private val IvfNProbe = 2
+
+  /** Multi-probe search over the TRAINED coarse quantizer and its
+    * oracle — shared by sim_ivf_multiprobe and its recall scoreboard.
+    */
+  private def ivfMultiProbeTrained(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val emb = embeddings(s, d)
+    val cb = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    SimilarityOps.ivfMultiProbeTopK(emb, cb, IvfNProbe, col("vec_id") < 10, BucketK)
+  }
+
+  private val ivfMultiProbeSql: String =
+    s"""WITH ${trainedCbCtes(1, 64)},
+       |asgd AS (SELECT s.vec_id, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+       |         FROM sv s JOIN cb2 c ON s.blk = c.blk),
+       |asg AS (SELECT vec_id, cid AS cell FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY dist, cid) AS rn FROM asgd)
+       |        WHERE rn = 1),
+       |qc AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY dist, cid) AS rn FROM asgd WHERE vec_id < 10)
+       |       WHERE rn <= $IvfNProbe),
+       |n AS (SELECT v.vec_id, ${unitNorm("e")} AS u, a.cell
+       |      FROM v JOIN asg a ON a.vec_id = v.vec_id),
+       |p AS (SELECT qc.query_id, c.vec_id AS neighbor_id,
+       |        ${dot("qn.u", "c.u")} AS cosine
+       |      FROM qc JOIN n qn ON qn.vec_id = qc.query_id
+       |        JOIN n c ON c.cell = qc.cell AND c.vec_id <> qc.query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM p)
+       |WHERE rank <= $BucketK
+       |ORDER BY query_id, rank""".stripMargin
+
   private def topkSql(cellJoin: String, k: Int): String =
     s"""WITH v AS (SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, label, embedding, ${unitNorm("e")} AS u FROM v),
@@ -371,6 +409,64 @@ object SimilarityQueries {
         val exactSql = topkSql("", BucketK)
         s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)),
            |ap AS (SELECT query_id, neighbor_id FROM ($ivfTrainedSql)),
+           |j AS (SELECT coalesce(e.query_id, a.query_id) AS query_id,
+           |             e.neighbor_id AS en, a.neighbor_id AS an
+           |      FROM ex e FULL OUTER JOIN ap a
+           |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+           |SELECT query_id,
+           |  CAST(count(en) AS BIGINT) AS n_true,
+           |  CAST(count(an) AS BIGINT) AS n_approx,
+           |  CAST(count(CASE WHEN en IS NOT NULL AND an IS NOT NULL THEN 1 END) AS BIGINT)
+           |    AS n_hits,
+           |  CAST(count(CASE WHEN en IS NOT NULL AND an IS NOT NULL THEN 1 END) AS DOUBLE)
+           |    / CAST(count(en) AS DOUBLE) AS recall_at_k
+           |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+      },
+    ),
+    // Multi-probe over the TRAINED coarse quantizer: each query searches
+    // its nprobe=2 nearest trained cells (bounded top-P aggregate over
+    // the broadcast codebook — no shuffle, no window) while the corpus
+    // keeps its single cell — the recall knob a production IVF exposes,
+    // at ~2× the single-probe read cost instead of the brute-force scan.
+    Q(
+      "sim_ivf_multiprobe",
+      (s, d) => ivfMultiProbeTrained(s, d),
+      Some(ivfMultiProbeSql),
+    ),
+    // Recall@k of the multi-probe path against exact brute force — must
+    // dominate sim_ivf_recall's single-probe numbers at the same k
+    // (pinned per query by SimilaritySpec): more probes, never less
+    // recall.
+    Q(
+      "sim_ivf_multiprobe_recall",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val exact = SimilarityOps
+          .bruteForceTopK(embeddings(s, d), col("vec_id") < 10, BucketK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_exact"))
+        val approx = ivfMultiProbeTrained(s, d)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_approx"))
+        exact
+          .join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy(col("query_id"))
+          .agg(
+            count(col("in_exact")).as("n_true"),
+            count(col("in_approx")).as("n_approx"),
+            count(when(col("in_exact").isNotNull && col("in_approx").isNotNull, 1)).as("n_hits"),
+          )
+          .select(
+            col("query_id"),
+            col("n_true"),
+            col("n_approx"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / col("n_true").cast("double")).as("recall_at_k"),
+          )
+          .orderBy("query_id")
+      },
+      Some {
+        val exactSql = topkSql("", BucketK)
+        s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)),
+           |ap AS (SELECT query_id, neighbor_id FROM ($ivfMultiProbeSql)),
            |j AS (SELECT coalesce(e.query_id, a.query_id) AS query_id,
            |             e.neighbor_id AS en, a.neighbor_id AS an
            |      FROM ex e FULL OUTER JOIN ap a

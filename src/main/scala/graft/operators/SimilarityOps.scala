@@ -599,4 +599,53 @@ object SimilarityOps {
       )
     rankTopK(scored, "cosine", ascending = false, k)
   }
+
+  /** Multi-probe search over a TRAINED coarse quantizer — the nprobe
+    * recall knob a real IVF index exposes. Each query is assigned to its
+    * `nprobe` nearest trained centroids (broadcast codebook, bounded
+    * top-P aggregate — the same no-shuffle shape as [[assignCells]]) and
+    * searches all of them; the corpus keeps its single [[assignCells]]
+    * cell, so the per-cell equi-join stays the only corpus exchange and
+    * each (query, corpus) pair arises at most once (no dedup needed).
+    * nprobe = 1 degenerates to [[ivfTopK]] over [[assignCells]].
+    */
+  def ivfMultiProbeTopK(
+      embeddings: DataFrame,
+      codebook: DataFrame,
+      nprobe: Int,
+      isQuery: Column,
+      k: Int,
+  ): DataFrame = {
+    val v = embeddings
+      .join(assignCells(embeddings, codebook), "vec_id")
+      .select(col("vec_id"), unitNorm(col("embedding")).as("u"), col("cell"))
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val dist = aggregate(
+      zip_with(e, col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, d) => acc + d,
+    )
+    val probeCells = embeddings
+      .filter(isQuery)
+      .crossJoin(broadcast(codebook.select(col("cid"), col("cv"))))
+      .select(col("vec_id"), col("cid"), dist.as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(graft.expressions.TopKPairs.topK(col("dist"), col("cid"), nprobe, ascending = true).as("tk"))
+      .select(col("vec_id").as("query_id"), explode(col("tk.id")).as("cell"))
+    val queries = broadcast(
+      embeddings
+        .filter(isQuery)
+        .select(col("vec_id").as("query_id"), unitNorm(col("embedding")).as("qu"))
+        .join(probeCells, "query_id"),
+    )
+    val scored = queries
+      .join(v, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        dot(col("qu"), col("u")).as("cosine"),
+      )
+    rankTopK(scored, "cosine", ascending = false, k)
+  }
 }

@@ -263,6 +263,30 @@ class SimilaritySpec extends SparkSpec {
       s"corpus must not shuffle for assignment:\n$plan")
   }
 
+  test("trained-IVF multi-probe recall dominates single-probe per query and stays window-free") {
+    import spark.implicits._
+    val emb = embeddings(spark, Sf)
+    val cb = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val exact = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .filter(exact.contains).groupBy(_._1).view.mapValues(_.length).toMap
+    val withCell = emb.join(SimilarityOps.assignCells(emb, cb), "vec_id")
+    val single = hits(SimilarityOps.ivfTopK(withCell, col("vec_id") < 10, col("cell"), 3))
+    val multi = SimilarityOps.ivfMultiProbeTopK(emb, cb, nprobe = 2, col("vec_id") < 10, 3)
+    val multiHits = hits(multi)
+    (0L until 10L).foreach { q =>
+      assert(multiHits.getOrElse(q, 0) >= single.getOrElse(q, 0),
+        s"query $q: multi-probe recall fell below single-probe")
+    }
+    assert(multiHits.values.sum > single.values.sum,
+      "2 probes of 8 cells should strictly improve total recall on this corpus")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(multi.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+  }
+
   test("trainCodebook reduces total PQ reconstruction error (Lloyd monotonicity) and plugs into ADC") {
     val emb = embeddings(spark, Sf)
     val seedErr = SimilarityOps
