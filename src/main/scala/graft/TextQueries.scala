@@ -528,6 +528,37 @@ object TextQueries {
            |ORDER BY doc_id, chunk_id""".stripMargin
       },
     ),
+    // Chunk-level dedup over the CDC chunk store: chunk texts hashed and
+    // counted corpus-wide, per-doc duplicated-chunk fraction — the
+    // cross-document copy detector content-defined boundaries exist for.
+    Q(
+      "tx_chunk_dedup",
+      (s, d) => TextOps.chunkDedup(documents(s, d), modulus = 8),
+      Some {
+        import OracleSnippets._
+        s"""WITH t AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           |         generate_subscripts(string_split(text, ' '), 1) AS pos
+           |  FROM documents),
+           |f AS (SELECT doc_id, pos, tok,
+           |        CASE WHEN ${charHash("tok")} % 8 = 0 THEN 1 ELSE 0 END AS b
+           |      FROM t),
+           |c AS (SELECT doc_id, pos, tok,
+           |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+           |      FROM f),
+           |ch AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+           |       FROM c GROUP BY doc_id, chunk_id),
+           |hh AS (SELECT doc_id, ${charHash("chunk_text")} AS h FROM ch),
+           |fr AS (SELECT h, count(*) AS n_reps FROM hh GROUP BY h)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(sum(CASE WHEN n_reps > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           |  CAST(sum(CASE WHEN n_reps > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |    AS dup_frac
+           |FROM hh JOIN fr USING (h)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+    ),
     // Paragraph-level boilerplate removal (the CCNet/RefinedWeb stage):
     // 10-word segments counted corpus-wide by portable hash, segments
     // seen > 2 times dropped, documents reassembled in segment order.

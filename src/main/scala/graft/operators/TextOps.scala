@@ -691,7 +691,14 @@ object TextOps {
     * per-lang), one (doc, chunk) aggregate with the ordered-fold
     * reassembly. No global ordering anywhere.
     */
-  def cdcChunk(docs: DataFrame, modulus: Int): DataFrame = {
+  def cdcChunk(docs: DataFrame, modulus: Int): DataFrame =
+    cdcChunkUnordered(docs, modulus).orderBy("doc_id", "chunk_id")
+
+  /** [[cdcChunk]] without the presentation sort — the form downstream
+    * operators ([[chunkDedup]]) consume, so no range exchange is buried
+    * inside their pipelines.
+    */
+  private[operators] def cdcChunkUnordered(docs: DataFrame, modulus: Int): DataFrame = {
     import graft.expressions.PolyHash
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
@@ -708,7 +715,41 @@ object TextOps {
           " ",
         ).as("chunk_text"),
       )
-      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Chunk-level dedup over the [[cdcChunk]] store — the payoff of
+    * content-defined boundaries: an edit shifts only its own chunk, so
+    * cross-document copies keep identical chunk hashes and surface here
+    * even when whole-document hashes differ. Each chunk's text is
+    * reduced to its 64-bit [[graft.expressions.PolyHash]], counted
+    * corpus-wide (narrow-key shuffle with map-side combine — the hash,
+    * not the chunk text, is what ships, the [[removeBoilerplate]]
+    * counting shape), and every document reports its duplicated-chunk
+    * fraction — the triage signal a chunk-level dedup store acts on.
+    *
+    * Output: (doc_id, n_chunks, n_dup_chunks, dup_frac), where a chunk
+    * is duplicated when its hash occurs in more than one (doc, chunk)
+    * row corpus-wide.
+    */
+  def chunkDedup(docs: DataFrame, modulus: Int): DataFrame = {
+    import graft.expressions.PolyHash
+    val chunks = cdcChunkUnordered(docs, modulus)
+      .select(col("doc_id"), PolyHash(col("chunk_text")).as("h"))
+    val freq = chunks.groupBy(col("h")).agg(count(lit(1)).as("n_reps"))
+    chunks
+      .join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_reps") > 1L, 1L).otherwise(0L)).as("n_dup_chunks"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks").cast("double")).as("dup_frac"),
+      )
+      .orderBy("doc_id")
   }
 
   /** Paragraph-level boilerplate removal — the CCNet/RefinedWeb curation
