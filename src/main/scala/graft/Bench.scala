@@ -93,11 +93,12 @@ object Bench {
       (name, sec, secMax)
     }
     val loadEnd = loadavg()
-    // Stateful-streaming throughput smoke (stderr only, never in the
-    // JSON): FlowGen AvailableNow → transformWithState running totals /
-    // session-window aggregation, reported as rows/s so the cost of the
-    // stateful operators is tracked round over round.
-    streamingSmoke(spark)
+    // Stateful-streaming throughput smoke: FlowGen AvailableNow →
+    // transformWithState running totals / session-window aggregation.
+    // Per-operator rows/s go into the JSON ("stream") so streaming
+    // throughput is machine-comparable round over round like the query
+    // times; the [bench-stream] stderr lines remain for eyeballing.
+    val streamRates = streamingSmoke(spark)
     // One machine-readable line. The driver keeps only the LAST ~2.5 kB
     // of process output — shared with sbt's banner/[success] lines — so:
     // per-query times round to ms, at most 40 (the slowest) queries are
@@ -121,7 +122,10 @@ object Bench {
         "\"" + k + "\":[" + r3(lo) + "," + r3(hi) + "]"
       }.mkString("{", ",", "}")
       val load = s"[${r3(load0)},${r3(loadMax)},${r3(loadEnd)}]"
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"omitted":$omitted,"failed":$failed,"spread":$spread,"load":$load,"remeasured":$remeasured,"value":${r3(total)}}"""
+      val stream = streamRates.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.0f")
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"omitted":$omitted,"failed":$failed,"spread":$spread,"load":$load,"remeasured":$remeasured,"stream":$stream,"value":${r3(total)}}"""
     }
     val budget = 1800 // bytes; leaves room for sbt's banner + [success] lines
     var keep = math.min(40, results.size)
@@ -145,12 +149,14 @@ object Bench {
     * batch, 14.6k at 16 batches), which is the provider floor, not the
     * processor: sizing micro-batches is the scale lever. Failures are
     * reported, never fatal — the batch bench line must still be
-    * produced.
+    * produced. Returns (name, input rows/s) per operator, -1 on
+    * failure, for the JSON's "stream" field.
     */
-  private def streamingSmoke(spark: SparkSession): Unit = {
+  private def streamingSmoke(spark: SparkSession): Seq[(String, Double)] = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
     val warmRows = 5000
     val fmt = classOf[graft.sources.FlowGen].getName
+    val rates = scala.collection.mutable.Buffer[(String, Double)]()
     def timed(name: String)(run: Int => Long): Unit =
       try {
         run(warmRows)
@@ -160,8 +166,11 @@ object Bench {
         System.err.println(
           f"[bench-stream] $name%-18s in=$rows out=$outRows $sec%7.2f s  ${rows / sec}%10.0f rows/s",
         )
+        rates += name -> rows / sec
       } catch {
-        case e: Throwable => System.err.println(s"[bench-stream] $name FAILED: $e")
+        case e: Throwable =>
+          System.err.println(s"[bench-stream] $name FAILED: $e")
+          rates += name -> -1.0
       }
     def flowGen(emit: String, n: Int) = spark.readStream.format(fmt)
       .option("rows", n).option("rowsPerBatch", n / 4)
@@ -210,5 +219,6 @@ object Bench {
       q.awaitTermination()
       q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
     }
+    rates.toSeq
   }
 }
