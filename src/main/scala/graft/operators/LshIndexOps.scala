@@ -149,6 +149,77 @@ object LshIndexOps {
       .orderBy("new_doc_id", "dup_of")
   }
 
+  /** Index maintenance: rewrite both index tables at `newBuckets`
+    * physical buckets. Content is preserved bit-for-bit — physical
+    * bucketing never affects which pairs come out (LshIndexSpec asserts
+    * equality across a rebucket) — but a months-running ingest needs
+    * this pass for two reasons: every [[dedupBatchAndGrow]] append adds
+    * one file per bucket, so reads degrade as the file count grows
+    * (compaction collapses them to one file per bucket again), and the
+    * exchange-free candidate self-join schedules one task per bucket,
+    * so the bucket count chosen at day one caps the join's parallelism
+    * no matter how large the corpus has grown.
+    *
+    * Each table is rewritten to a temp name, then swapped in with
+    * drop+rename — the artifact is a complete, consistently-bucketed
+    * index before and after (a reader mid-swap sees the old or the new
+    * table, never a half-written one). Streaming ingest into the index
+    * must be restarted with the new bucket count after a rebucket (an
+    * append with the old count would fail the bucket-spec match, not
+    * corrupt the table).
+    */
+  def rebucket(spark: SparkSession, prefix: String, newBuckets: Int): Unit =
+    Seq(
+      (s"${prefix}_docs", Seq("doc_id"), true),
+      (s"${prefix}_bands", Seq("band_idx", "band_key"), false),
+    ).foreach { case (table, keys, sorted) =>
+      val tmp = s"${table}_rebucket"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      val w = spark.table(table)
+        .write.mode("overwrite")
+        .bucketBy(newBuckets, keys.head, keys.tail: _*)
+      (if (sorted) w.sortBy("doc_id") else w).saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    }
+
+  /** The compaction dial wired to the health stat the dd_index_stats
+    * view exposes: the candidate self-join's total cost is Σ s·(s−1)/2 over
+    * band buckets, and with one task per physical bucket the per-task
+    * share is cost / buckets. When that share exceeds
+    * `candidatesPerBucketBudget`, rewrite the index with enough buckets
+    * to bring it back under budget (capped at `maxBuckets`). Returns
+    * the new bucket count, or None when the current layout is within
+    * budget. The one-row `head()` is the same driver-side scalar read
+    * as the cluster-convergence checksum — not a data collect.
+    */
+  def rebucketIfNeeded(
+      spark: SparkSession,
+      prefix: String,
+      candidatesPerBucketBudget: Long,
+      maxBuckets: Int = 4096,
+  ): Option[Int] = {
+    require(candidatesPerBucketBudget > 0, "budget must be positive")
+    val totalCandidates = spark
+      .table(s"${prefix}_bands")
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("s"))
+      .agg(coalesce(sum(expr("s * (s - 1) DIV 2")), lit(0L)))
+      .head()
+      .getLong(0)
+    val current = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(s"${prefix}_bands"))
+      .bucketSpec.map(_.numBuckets).getOrElse(1)
+    val needed = math.min(
+      maxBuckets.toLong,
+      (totalCandidates + candidatesPerBucketBudget - 1) / candidatesPerBucketBudget,
+    ).toInt
+    if (needed > current) {
+      rebucket(spark, prefix, needed)
+      Some(needed)
+    } else None
+  }
+
   /** One micro-batch of the STREAMING dedup: returns the batch's
     * near-dup rows `(new_doc_id, dup_of, jaccard)` and GROWS the index
     * with the batch's kept (non-dup, not-already-indexed) docs, so later

@@ -196,6 +196,51 @@ class LshIndexSpec extends SparkSpec {
       "dup SET must equal the uninterrupted run's (at-least-once multiplicity aside)")
   }
 
+  test("rebucket preserves pair results, stays exchange-free, and the cost dial triggers correctly") {
+    import spark.implicits._
+    val prefix = "lshrebkt"
+    Seq(s"${prefix}_docs", s"${prefix}_bands").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    LshIndexOps.writeIndex(
+      Tables.documents(spark, Sf), N, K, Bands, buckets = 4, prefix = prefix)
+    def pairs() = LshIndexOps.nearDupPairs(spark, prefix, Threshold)
+      .as[(Long, Long, Double)].collect().toSeq
+    def numBuckets() = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(s"${prefix}_bands"))
+      .bucketSpec.map(_.numBuckets).getOrElse(0)
+    val before = pairs()
+    assert(before.nonEmpty && numBuckets() == 4)
+
+    // Within budget: no rewrite.
+    assert(LshIndexOps.rebucketIfNeeded(spark, prefix, Long.MaxValue).isEmpty)
+    assert(numBuckets() == 4)
+    // A 1-candidate-per-bucket budget forces a rewrite at more buckets.
+    val grown = LshIndexOps.rebucketIfNeeded(spark, prefix, 1L, maxBuckets = 16)
+    assert(grown.contains(16), s"expected the maxBuckets cap, got $grown")
+    assert(numBuckets() == 16)
+    assert(pairs() == before, "physical rebucketing must not change pair results")
+
+    // The candidate self-join stays exchange-free at the new count.
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bandsDf = spark.table(s"${prefix}_bands")
+      val joined = bandsDf.as("x").join(
+        bandsDf.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      assert(joined.count() > 0)
+      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+        "rebucketed band self-join must not shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
+  }
+
   test("incremental dedup against the index flags a planted near-duplicate") {
     buildOnce()
     import spark.implicits._
