@@ -77,16 +77,21 @@ object DedupQueries {
 
   /** One-time temp-warehouse database for the persisted-index queries —
     * keeps their bucketed tables out of the session's default warehouse
-    * (whose cwd the driver controls). The location carries the Spark
-    * applicationId: a FRESH session's in-memory catalog knows nothing of
-    * a previous run's tables, so reusing a fixed path would hit
-    * LOCATION_ALREADY_EXISTS on the stale directory. Returns the
-    * `db.table` prefix the LshIndexOps build/read calls share.
+    * (whose cwd the driver controls). BOTH the database name and its
+    * location carry the Spark applicationId: with only the location
+    * keyed, a persistent metastore would make CREATE DATABASE IF NOT
+    * EXISTS silently keep a PRIOR application's stale temp-dir location
+    * and this run's table writes would land under a path tmp-cleaning
+    * may have removed. (A fixed location alone also fails fresh
+    * sessions: LOCATION_ALREADY_EXISTS on the stale directory.) Returns
+    * the `db.table` prefix the LshIndexOps build/read calls share.
     */
   private def indexDb(s: SparkSession, name: String): String = {
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_${s.sparkContext.applicationId}"
-    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_lsh_idx LOCATION '$loc'")
-    s"graft_lsh_idx.$name"
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val db = s"graft_lsh_idx_$app"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/$db"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    s"$db.$name"
   }
 
   val all: Seq[Q] = Seq(
@@ -131,6 +136,34 @@ object DedupQueries {
               |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
               |  CAST(count(*) AS BIGINT) AS n_shared
               |FROM f x JOIN f y
+              |  ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+              |GROUP BY doc_a, doc_b
+              |HAVING count(*) >= 10
+              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    // The winnow detector with its hot-key dial engaged: fingerprints
+    // whose posting list exceeds 16 docs are dropped before the
+    // self-join (a fingerprint in m docs costs m(m−1)/2 join rows — a
+    // boilerplate phrase is a quadratic hotspot, and its ubiquity is
+    // exactly why it is not plagiarism evidence).
+    Q(
+      "dd_winnow_capped",
+      (s, d) => DedupOps.winnowPairs(documents(s, d), k = 3, w = 4, minShared = 10,
+        maxPostingLen = 16),
+      Some(s"""WITH hs AS (
+              |  SELECT doc_id, ${OracleSnippets.shingleHashesOrdered("string_split(text, ' ')", 3)} AS hs
+              |  FROM documents),
+              |f AS (SELECT doc_id,
+              |        unnest(list_distinct(list_transform(
+              |          generate_series(1, greatest(len(hs)-3, 1)),
+              |          wni -> list_min(hs[wni:wni+3])))) AS fingerprint
+              |      FROM hs),
+              |pl AS (SELECT fingerprint FROM f GROUP BY fingerprint
+              |       HAVING count(*) <= 16),
+              |ff AS (SELECT f.doc_id, f.fingerprint FROM f JOIN pl USING (fingerprint))
+              |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |  CAST(count(*) AS BIGINT) AS n_shared
+              |FROM ff x JOIN ff y
               |  ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
               |GROUP BY doc_a, doc_b
               |HAVING count(*) >= 10

@@ -192,12 +192,50 @@ object DedupOps {
     * fingerprint, so this finds LOCAL overlap (a plagiarized paragraph
     * inside otherwise-different documents) that global set-overlap
     * scores dilute away. Candidates come from a posting-list equi-join
-    * on the fingerprint value — same scale shape (and same hot-key
-    * dial) as the PPJoin postings — then one (pair) count with map-side
-    * combine; no all-pairs stage exists.
+    * on the fingerprint value — same scale shape as the PPJoin
+    * postings — then one (pair) count with map-side combine; no
+    * all-pairs stage exists.
     */
-  def winnowPairs(docs: DataFrame, k: Int, w: Int, minShared: Long): DataFrame = {
-    val fp = TextOps.winnow(docs, k, w)
+  def winnowPairs(docs: DataFrame, k: Int, w: Int, minShared: Long): DataFrame =
+    winnowPairs(docs, k, w, minShared, maxPostingLen = Long.MaxValue)
+
+  /** [[winnowPairs]] with the hot-key dial wired in: a fingerprint
+    * shared by m documents contributes m·(m−1)/2 join rows, so one
+    * ubiquitous fingerprint (a boilerplate phrase every page carries)
+    * is a quadratic hotspot at corpus scale. Fingerprints whose posting
+    * list exceeds `maxPostingLen` are dropped BEFORE the self-join —
+    * one narrow count on the fingerprint key (map-side combine) plus a
+    * semi-join, bounding any key's join fan-out at
+    * maxPostingLen·(maxPostingLen−1)/2. Dropping them is the MOSS
+    * discipline, not a shortcut: a fingerprint present in half the
+    * corpus identifies boilerplate, and the local-overlap evidence the
+    * detector ranks on is exactly the NON-ubiquitous shared spans.
+    */
+  def winnowPairs(
+      docs: DataFrame,
+      k: Int,
+      w: Int,
+      minShared: Long,
+      maxPostingLen: Long,
+  ): DataFrame = {
+    val fpAll =
+      if (maxPostingLen == Long.MaxValue) TextOps.winnow(docs, k, w)
+      // Materialized once: the posting count, the semi-join probe, and
+      // both self-join sides would otherwise each re-run the winnow
+      // pipeline (the subtree-reuse lesson minhashLshPairsFrom pins).
+      else TextOps.winnow(docs, k, w).localCheckpoint()
+    val fp =
+      if (maxPostingLen == Long.MaxValue) fpAll
+      else
+        fpAll.join(
+          fpAll
+            .groupBy(col("fingerprint"))
+            .agg(count(lit(1)).as("plen"))
+            .filter(col("plen") <= maxPostingLen)
+            .select("fingerprint"),
+          Seq("fingerprint"),
+          "left_semi",
+        )
     fp.as("x")
       .join(
         fp.as("y"),
