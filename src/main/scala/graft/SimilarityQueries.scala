@@ -50,32 +50,34 @@ object SimilarityQueries {
     * `SimilarityOps.trainCodebook`'s deterministic contract. blocks=4/
     * subDim=16 is the PQ layout (sim_pq_train, sim_pq_adc_trained);
     * blocks=1/subDim=64 is plain k-means over the full vector — the
-    * IVF coarse quantizer (sim_ivf_trained).
+    * IVF coarse quantizer (sim_ivf_trained). The `pre` prefix renames
+    * every CTE so two independent trained codebooks (coarse + PQ, as
+    * sim_ivfpq composes) can share one WITH chain without collisions.
     */
-  private def trainedCbCtes(blocks: Int, subDim: Int): String = {
+  private def trainedCbCtes(blocks: Int, subDim: Int, pre: String = ""): String = {
     // One Lloyd step: codebook CTE `from` → assignment → per-dim
     // ordered-fold means → codebook CTE `to`.
     def lloyd(i: Int, from: String, to: String): String =
-      s"""d$i AS (SELECT s.vec_id, s.blk, s.sv, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
-         |        FROM sv s JOIN $from c ON s.blk = c.blk),
-         |a$i AS (SELECT vec_id, blk, sv, cid FROM (
+      s"""${pre}d$i AS (SELECT s.vec_id, s.blk, s.sv, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+         |        FROM ${pre}sv s JOIN $from c ON s.blk = c.blk),
+         |${pre}a$i AS (SELECT vec_id, blk, sv, cid FROM (
          |          SELECT *, row_number() OVER (PARTITION BY vec_id, blk
-         |                      ORDER BY dist, cid) AS rn FROM d$i)
+         |                      ORDER BY dist, cid) AS rn FROM ${pre}d$i)
          |        WHERE rn = 1),
-         |x$i AS (SELECT vec_id, blk, cid, unnest(sv) AS xd,
-         |          generate_subscripts(sv, 1) AS pos FROM a$i),
-         |m$i AS (SELECT blk, cid, pos,
+         |${pre}x$i AS (SELECT vec_id, blk, cid, unnest(sv) AS xd,
+         |          generate_subscripts(sv, 1) AS pos FROM ${pre}a$i),
+         |${pre}m$i AS (SELECT blk, cid, pos,
          |          list_reduce(list_prepend(0.0, list(xd ORDER BY vec_id)),
          |                      (pta, ptb) -> pta + ptb) / count(*) AS c
-         |        FROM x$i GROUP BY blk, cid, pos),
+         |        FROM ${pre}x$i GROUP BY blk, cid, pos),
          |$to AS (SELECT blk, cid, list(c ORDER BY pos) AS cv
-         |        FROM m$i GROUP BY blk, cid)""".stripMargin
-    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |bx AS (SELECT vec_id, e, unnest(generate_series(0, ${blocks - 1})) AS blk FROM v),
-       |sv AS (SELECT vec_id, blk, e[blk*$subDim+1 : blk*$subDim+$subDim] AS sv FROM bx),
-       |cb0 AS (SELECT blk, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
-       |${lloyd(1, "cb0", "cb1")},
-       |${lloyd(2, "cb1", "cb2")}""".stripMargin
+         |        FROM ${pre}m$i GROUP BY blk, cid)""".stripMargin
+    s"""${pre}v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${pre}bx AS (SELECT vec_id, e, unnest(generate_series(0, ${blocks - 1})) AS blk FROM ${pre}v),
+       |${pre}sv AS (SELECT vec_id, blk, e[blk*$subDim+1 : blk*$subDim+$subDim] AS sv FROM ${pre}bx),
+       |${pre}cb0 AS (SELECT blk, vec_id AS cid, sv AS cv FROM ${pre}sv WHERE vec_id < 8),
+       |${lloyd(1, s"${pre}cb0", s"${pre}cb1")},
+       |${lloyd(2, s"${pre}cb1", s"${pre}cb2")}""".stripMargin
   }
 
   /** The trained-IVF search (build + assign + within-cell top-k) and
@@ -147,6 +149,58 @@ object SimilarityQueries {
        |  FROM p)
        |WHERE rank <= $BucketK
        |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-PQ: the composed read path (trained coarse quantizer + trained
+    * PQ codes + probed-cell ADC scan) and its oracle — shared by
+    * sim_ivfpq and its recall scoreboard. Both codebooks train from the
+    * same seed rows with the same 2-step Lloyd unroll.
+    */
+  private def ivfPqTrained(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val emb = embeddings(s, d)
+    val coarse = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val pq = SimilarityOps.trainCodebook(emb, blocks = 4, subDim = 16,
+      isSeed = col("vec_id") < 8, iters = 2)
+    SimilarityOps.ivfPqTopK(emb, coarse, pq, blocks = 4, subDim = 16,
+      nSeeds = 8, nprobe = IvfNProbe, isQuery = col("vec_id") < 10, k = 5)
+  }
+
+  private val ivfPqSql: String =
+    s"""WITH ${trainedCbCtes(1, 64, "g")},
+       |${trainedCbCtes(4, 16, "p")},
+       |asgd AS (SELECT s.vec_id, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+       |         FROM gsv s JOIN gcb2 c ON s.blk = c.blk),
+       |asg AS (SELECT vec_id, cid AS cell FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY dist, cid) AS rn FROM asgd)
+       |        WHERE rn = 1),
+       |qc AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY dist, cid) AS rn FROM asgd WHERE vec_id < 10)
+       |       WHERE rn <= $IvfNProbe),
+       |pdst AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+       |         FROM psv s JOIN pcb2 c ON s.blk = c.blk),
+       |am AS (SELECT vec_id, blk, cid FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id, blk
+       |                     ORDER BY dist, cid) AS rn FROM pdst)
+       |       WHERE rn = 1),
+       |qb AS (SELECT vec_id AS query_id, blk, sv AS qv FROM psv WHERE vec_id < 10),
+       |lut AS (SELECT q.query_id, q.blk, c.cid, ${l2sq("q.qv", "c.cv")} AS d
+       |        FROM qb q JOIN pcb2 c ON q.blk = c.blk),
+       |sc AS (SELECT qc.query_id, a.vec_id,
+       |         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.blk)),
+       |                     (iva, ivb) -> iva + ivb) AS approx_dist
+       |       FROM am a JOIN asg g ON g.vec_id = a.vec_id
+       |         JOIN qc ON qc.cell = g.cell
+       |         JOIN lut l ON l.query_id = qc.query_id
+       |           AND l.blk = a.blk AND l.cid = a.cid
+       |       GROUP BY qc.query_id, a.vec_id)
+       |SELECT query_id, neighbor_id, approx_dist, rank FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, approx_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_dist, vec_id) AS INT) AS rank
+       |  FROM sc WHERE query_id <> vec_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private def topkSql(cellJoin: String, k: Int): String =
     s"""WITH v AS (SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -467,6 +521,66 @@ object SimilarityQueries {
         val exactSql = topkSql("", BucketK)
         s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)),
            |ap AS (SELECT query_id, neighbor_id FROM ($ivfMultiProbeSql)),
+           |j AS (SELECT coalesce(e.query_id, a.query_id) AS query_id,
+           |             e.neighbor_id AS en, a.neighbor_id AS an
+           |      FROM ex e FULL OUTER JOIN ap a
+           |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+           |SELECT query_id,
+           |  CAST(count(en) AS BIGINT) AS n_true,
+           |  CAST(count(an) AS BIGINT) AS n_approx,
+           |  CAST(count(CASE WHEN en IS NOT NULL AND an IS NOT NULL THEN 1 END) AS BIGINT)
+           |    AS n_hits,
+           |  CAST(count(CASE WHEN en IS NOT NULL AND an IS NOT NULL THEN 1 END) AS DOUBLE)
+           |    / CAST(count(en) AS DOUBLE) AS recall_at_k
+           |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+      },
+    ),
+    // IVF-PQ: the composed billion-scale read path — trained coarse
+    // quantizer partitions the corpus, trained PQ codes represent it,
+    // and each query ADC-scans only its nprobe=2 probed cells' codes
+    // against a broadcast LUT. The non-residual IVF-PQ variant; with
+    // nprobe = #cells it degenerates to exactly sim_pq_adc_trained
+    // (pinned by SimilaritySpec). The only corpus exchanges are the
+    // cell/code equi-joins — never a per-query shuffle.
+    Q(
+      "sim_ivfpq",
+      (s, d) => ivfPqTrained(s, d),
+      Some(ivfPqSql),
+    ),
+    // Recall@k of the IVF-PQ path against exact brute force — the
+    // double-approximation (coarse probe set × PQ distance distortion)
+    // scoreboard; the number a vector-store owner tunes nprobe and
+    // codebook size against.
+    Q(
+      "sim_ivfpq_recall",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val exact = SimilarityOps
+          .bruteForceTopK(embeddings(s, d), col("vec_id") < 10, 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_exact"))
+        val approx = ivfPqTrained(s, d)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_approx"))
+        exact
+          .join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy(col("query_id"))
+          .agg(
+            count(col("in_exact")).as("n_true"),
+            count(col("in_approx")).as("n_approx"),
+            count(when(col("in_exact").isNotNull && col("in_approx").isNotNull, 1)).as("n_hits"),
+          )
+          .select(
+            col("query_id"),
+            col("n_true"),
+            col("n_approx"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / col("n_true").cast("double")).as("recall_at_k"),
+          )
+          .orderBy("query_id")
+      },
+      Some {
+        val exactSql = topkSql("", 5)
+        s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)),
+           |ap AS (SELECT query_id, neighbor_id FROM ($ivfPqSql)),
            |j AS (SELECT coalesce(e.query_id, a.query_id) AS query_id,
            |             e.neighbor_id AS en, a.neighbor_id AS an
            |      FROM ex e FULL OUTER JOIN ap a

@@ -648,4 +648,92 @@ object SimilarityOps {
       )
     rankTopK(scored, "cosine", ascending = false, k)
   }
+
+  /** IVF-PQ composed read path — the canonical billion-scale vector-store
+    * architecture: a TRAINED coarse quantizer partitions the corpus into
+    * cells ([[assignCells]]), the corpus is stored ONLY as packed PQ
+    * codes ([[pqEncodeWith]]), and a query probes its `nprobe` nearest
+    * cells and ADC-scans just those cells' codes against a broadcast
+    * (block, centroid) lookup table. This is the non-residual IVF-PQ
+    * variant (codes quantize the raw vectors, not the per-cell
+    * residuals) — the composition of the trained-IVF and trained-ADC
+    * paths over one shared corpus representation.
+    *
+    * Scale shape: the corpus is touched exactly twice at build (cell
+    * assignment and PQ encode — both broadcast-join + map-side-combine
+    * argmin, never shuffled wide) and once per read, where the only
+    * corpus exchange is the (blocks-exploded) codes joining the
+    * broadcast probe set on `cell` and the broadcast LUT on
+    * (query, blk, code); the per-(query, vector) fold and bounded-heap
+    * top-k partial-aggregate. nprobe = #cells degenerates to exactly
+    * [[pqAdcTopK]] over the same codebook (pinned by SimilaritySpec).
+    *
+    * Determinism: both argmins are min(struct(dist, id)), the ADC
+    * distance folds in block order, ties rank by neighbor id — the
+    * DuckDB oracle reproduces every double bit-for-bit.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      coarseCodebook: DataFrame,
+      pqCodebook: DataFrame,
+      blocks: Int,
+      subDim: Int,
+      nSeeds: Int,
+      nprobe: Int,
+      isQuery: Column,
+      k: Int,
+  ): DataFrame = {
+    val cells = assignCells(embeddings, coarseCodebook)
+    val divisors = array((0 until blocks).map(b => lit(math.pow(nSeeds.toDouble, b).toLong)): _*)
+    val corpusCodes = pqEncodeWith(embeddings, blocks, subDim, pqCodebook, nSeeds)
+      .join(cells, "vec_id")
+      .select(col("vec_id"), col("cell"), col("pq_code"), posexplode(divisors).as(Seq("blk", "divisor")))
+      .select(col("vec_id"), col("cell"), col("blk"), expr(s"pq_code div divisor % $nSeeds").as("code"))
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val cdist = aggregate(
+      zip_with(e, col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, d) => acc + d,
+    )
+    val probeCells = broadcast(
+      embeddings
+        .filter(isQuery)
+        .crossJoin(broadcast(coarseCodebook.select(col("cid"), col("cv"))))
+        .select(col("vec_id"), col("cid"), cdist.as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(graft.expressions.TopKPairs.topK(col("dist"), col("cid"), nprobe, ascending = true).as("tk"))
+        .select(col("vec_id").as("query_id"), explode(col("tk.id")).as("cell")),
+    )
+    val qBlocks = subVectors(embeddings.filter(isQuery), blocks, subDim)
+      .select(col("vec_id").as("query_id"), col("blk"), col("sv").as("qv"))
+    val cbBlocks = pqCodebook.select(col("cid").as("code"), col("blk"), col("cv"))
+    val lut = broadcast(
+      qBlocks
+        .join(cbBlocks, Seq("blk"))
+        .select(
+          col("query_id"),
+          col("blk"),
+          col("code"),
+          aggregate(
+            zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0),
+            (acc, d) => acc + d,
+          ).as("d"),
+        ),
+    )
+    val scored = corpusCodes
+      .join(probeCells, Seq("cell"))
+      .join(lut, Seq("query_id", "blk", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("blk"), col("d")))), s => s.getField("d")),
+          lit(0.0),
+          (acc, x) => acc + x,
+        ).as("approx_dist"),
+      )
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
+    rankTopK(scored, "approx_dist", ascending = true, k)
+  }
 }

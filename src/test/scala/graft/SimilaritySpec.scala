@@ -316,4 +316,46 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).sum == emb.count(), "cluster sizes must partition the corpus")
     assert(out.forall { case (c, _) => c >= 0 && c < 8 })
   }
+
+  test("ivfPqTopK: nprobe=#cells degenerates to trained ADC; probed search stays in probed cells, window-free") {
+    val emb = embeddings(spark, Sf)
+    val coarse = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val pq = SimilarityOps.trainCodebook(emb, blocks = 4, subDim = 16,
+      isSeed = col("vec_id") < 8, iters = 2)
+    // With every cell probed, the cell restriction admits the whole
+    // corpus and IVF-PQ IS the trained ADC scan — identical rows,
+    // identical fold-order doubles, identical tie-broken ranks.
+    val full = SimilarityOps.ivfPqTopK(emb, coarse, pq, blocks = 4, subDim = 16,
+      nSeeds = 8, nprobe = 8, isQuery = col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id", "approx_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val adc = SimilarityOps.pqAdcTopK(emb, 4, 16, pq, 8, isQuery = col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id", "approx_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == adc, "nprobe=#cells must reproduce the unrestricted trained-ADC results")
+    // nprobe=2: every returned neighbor's cell is one of its query's
+    // two probed cells, and the plan is window-free with a map-side
+    // partial bounded top-k.
+    val probed = SimilarityOps.ivfPqTopK(emb, coarse, pq, blocks = 4, subDim = 16,
+      nSeeds = 8, nprobe = 2, isQuery = col("vec_id") < 10, k = 5)
+    val cells = SimilarityOps.assignCells(emb, coarse)
+      .as[(Long, Long)].collect().toMap
+    val dists = emb.crossJoin(broadcast(coarse.select(col("cid"), col("cv"))))
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("cid"),
+        aggregate(zip_with(transform(col("embedding"), x => x.cast("double")), col("cv"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, d) => a + d))
+      .as[(Long, Long, Double)].collect()
+    val probeSets = dists.groupBy(_._1).view.mapValues(
+      _.sortBy(r => (r._3, r._2)).take(2).map(_._2).toSet).toMap
+    val rows = probed.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n) =>
+      assert(probeSets(q).contains(cells(n)), s"neighbor $n of query $q is outside its probed cells")
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(probed.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(probed.queryExecution.executedPlan.toString.contains("partial_bounded_top_k"))
+  }
 }
