@@ -591,6 +591,37 @@ object DedupQueries {
               |FROM tagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // Maximal duplicated-substring spans (exact substring dedup's
+    // actionable output): positional 5-gram hashes seen in ≥2 distinct
+    // docs, consecutive duplicated positions merged gaps-and-islands
+    // style into [span_start, span_end] token ranges (≥3 consecutive
+    // 5-grams ⇒ ≥7 cuttable tokens). Where dd_dup_ngrams says how much
+    // of a doc is duplicated, this says exactly where to cut.
+    Q(
+      "dd_dup_spans",
+      (s, d) => DedupOps.dupSpans(documents(s, d), n = 5, minGrams = 3),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id,
+              |    ${shingleHashesOrdered("string_split(text, ' ')", 5)} AS hs
+              |  FROM documents),
+              |px AS (SELECT doc_id, unnest(hs) AS h,
+              |         generate_subscripts(hs, 1) - 1 AS pos FROM sh),
+              |dup AS (SELECT h FROM (SELECT h, doc_id FROM px GROUP BY h, doc_id)
+              |        GROUP BY h HAVING count(*) >= 2),
+              |dp AS (SELECT p.doc_id, p.pos FROM px p JOIN dup d USING (h)),
+              |isl AS (SELECT doc_id, pos,
+              |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              |        FROM dp),
+              |ag AS (SELECT doc_id, grp, min(pos) AS span_start, max(pos) AS last_gram,
+              |         count(*) AS n_grams FROM isl GROUP BY doc_id, grp)
+              |SELECT doc_id,
+              |  CAST(span_start AS BIGINT) AS span_start,
+              |  CAST(last_gram + 4 AS BIGINT) AS span_end,
+              |  CAST(last_gram + 5 - span_start AS BIGINT) AS span_tokens,
+              |  CAST(n_grams AS BIGINT) AS n_grams
+              |FROM ag WHERE n_grams >= 3 ORDER BY doc_id, span_start""".stripMargin),
+    ),
+
     // Quality-aware keeper: same clusters as dd_keep_list, but each
     // cluster keeps its highest-token-count member (tie → min doc_id)
     // instead of the min id — the policy that retains the longest copy

@@ -705,4 +705,55 @@ object DedupOps {
       )
       .orderBy("doc_id")
   }
+
+  /** Maximal duplicated-substring SPANS — the actionable output of exact
+    * substring dedup (the operation "remove any substring of ≥ L tokens
+    * that also appears elsewhere in the corpus" needs): where
+    * [[dupNgramStats]] reports how MUCH of a document is duplicated,
+    * this reports WHERE, as `[span_start, span_end]` token ranges a
+    * curation pipeline can cut or mask verbatim.
+    *
+    * A position is "duplicated" iff its word n-gram's hash occurs in ≥2
+    * distinct documents; maximal runs of consecutive duplicated
+    * positions become spans via gaps-and-islands (pos − row_number is
+    * constant exactly on a consecutive run), and spans shorter than
+    * `minGrams` n-grams are dropped. `span_end` is the last TOKEN index
+    * covered (last shingle start + n − 1), so `span_tokens` is the
+    * cuttable substring length in tokens.
+    *
+    * Scale shape: the duplicated-hash set is built by a narrow 8-byte-key
+    * aggregate ((h, doc) distinct → h count), positions rejoin it on the
+    * same key, and the islands window partitions by doc_id — per-doc
+    * state is bounded by document length, never corpus size. Nothing
+    * pairwise: the 100 TB cost is two hash-key shuffles + one
+    * doc-partitioned sort, same family as [[dupNgramStats]].
+    */
+  def dupSpans(docs: DataFrame, n: Int, minGrams: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = graft.expressions.SketchColumns.shingleHashesOrdered(col("text"), n)
+    // (doc_id, pos) is unique by construction (one posexplode per doc).
+    val positioned = docs.select(col("doc_id"), posexplode(hs).as(Seq("pos", "h")))
+    val dupHashes = positioned
+      .select(col("h"), col("doc_id"))
+      .distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"))
+    val islands = positioned
+      .join(dupHashes, "h")
+      .withColumn("grp", col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+    islands
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("last_gram"), count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") >= minGrams)
+      .select(
+        col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        (col("last_gram") + (n - 1)).cast("long").as("span_end"),
+        (col("last_gram") + n - col("span_start")).cast("long").as("span_tokens"),
+        col("n_grams"),
+      )
+      .orderBy("doc_id", "span_start")
+  }
 }

@@ -143,6 +143,25 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((4L, 1L, 0.25)))
   }
 
+  test("dupSpans merges consecutive duplicated positions into maximal token spans") {
+    // With n=2: docs 1 and 2 share the runs "a b c d" and "e f g h";
+    // the interleaved "x y" in doc 2 splits them into two islands per
+    // doc. Doc 4 shares only the single 2-gram "c d" — a 1-gram island,
+    // dropped by minGrams=2. Doc 3 is disjoint — no rows at all.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y e f g h"),
+      (3L, "p q r s"),
+      (4L, "c d z1 z2 z3"),
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupSpans(docs, n = 2, minGrams = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 3L, 4L, 3L), (1L, 4L, 7L, 4L, 3L),
+      (2L, 0L, 3L, 4L, 3L), (2L, 6L, 9L, 4L, 3L),
+    ))
+  }
+
   test("edgeChecksum convergence test agrees with exact symmetric-except on random edge sets") {
     // connectedComponentsStars declares convergence when round N's edge
     // set checksums equal round N−1's; this pins the cheap (count,
