@@ -53,8 +53,16 @@ object SimilarityQueries {
     * IVF coarse quantizer (sim_ivf_trained). The `pre` prefix renames
     * every CTE so two independent trained codebooks (coarse + PQ, as
     * sim_ivfpq composes) can share one WITH chain without collisions.
+    * `srcSql` overrides the vector source (must yield (vec_id, e) with
+    * e DOUBLE[]) — the residual-PQ oracle trains on residuals, not on
+    * the embeddings table.
     */
-  private def trainedCbCtes(blocks: Int, subDim: Int, pre: String = ""): String = {
+  private def trainedCbCtes(
+      blocks: Int,
+      subDim: Int,
+      pre: String = "",
+      srcSql: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings",
+  ): String = {
     // One Lloyd step: codebook CTE `from` → assignment → per-dim
     // ordered-fold means → codebook CTE `to`.
     def lloyd(i: Int, from: String, to: String): String =
@@ -72,7 +80,7 @@ object SimilarityQueries {
          |        FROM ${pre}x$i GROUP BY blk, cid, pos),
          |$to AS (SELECT blk, cid, list(c ORDER BY pos) AS cv
          |        FROM ${pre}m$i GROUP BY blk, cid)""".stripMargin
-    s"""${pre}v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""${pre}v AS ($srcSql),
        |${pre}bx AS (SELECT vec_id, e, unnest(generate_series(0, ${blocks - 1})) AS blk FROM ${pre}v),
        |${pre}sv AS (SELECT vec_id, blk, e[blk*$subDim+1 : blk*$subDim+$subDim] AS sv FROM ${pre}bx),
        |${pre}cb0 AS (SELECT blk, vec_id AS cid, sv AS cv FROM ${pre}sv WHERE vec_id < 8),
@@ -195,6 +203,65 @@ object SimilarityQueries {
        |         JOIN lut l ON l.query_id = qc.query_id
        |           AND l.blk = a.blk AND l.cid = a.cid
        |       GROUP BY qc.query_id, a.vec_id)
+       |SELECT query_id, neighbor_id, approx_dist, rank FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, approx_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_dist, vec_id) AS INT) AS rank
+       |  FROM sc WHERE query_id <> vec_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Residual IVF-PQ (PQ trained on and coding vec − c_cell, per-cell
+    * query LUTs) and its oracle — shared by sim_ivfpq_res and its
+    * recall scoreboard.
+    */
+  private def ivfPqResidual(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val emb = embeddings(s, d)
+    val coarse = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    SimilarityOps.ivfPqResidualTopK(emb, coarse, blocks = 4, subDim = 16,
+      nSeeds = 8, nprobe = IvfNProbe, isSeed = col("vec_id") < 8, iters = 2,
+      isQuery = col("vec_id") < 10, k = 5)
+  }
+
+  private val ivfPqResidualSql: String =
+    s"""WITH ${trainedCbCtes(1, 64, "g")},
+       |asgd AS (SELECT s.vec_id, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+       |         FROM gsv s JOIN gcb2 c ON s.blk = c.blk),
+       |asg AS (SELECT vec_id, cid AS cell FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY dist, cid) AS rn FROM asgd)
+       |        WHERE rn = 1),
+       |rv AS (SELECT v.vec_id, a.cell,
+       |         list_transform(generate_series(1, 64),
+       |           rsi -> v.e[rsi] - c.cv[rsi]) AS e
+       |       FROM gv v JOIN asg a ON a.vec_id = v.vec_id
+       |         JOIN gcb2 c ON c.cid = a.cell),
+       |${trainedCbCtes(4, 16, "p", "SELECT vec_id, e FROM rv")},
+       |pdst AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+       |         FROM psv s JOIN pcb2 c ON s.blk = c.blk),
+       |am AS (SELECT vec_id, blk, cid FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id, blk
+       |                     ORDER BY dist, cid) AS rn FROM pdst)
+       |       WHERE rn = 1),
+       |qc AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY dist, cid) AS rn FROM asgd WHERE vec_id < 10)
+       |       WHERE rn <= $IvfNProbe),
+       |qr AS (SELECT qc.query_id, qc.cell,
+       |         list_transform(generate_series(1, 64),
+       |           qsi -> v.e[qsi] - c.cv[qsi]) AS qe
+       |       FROM qc JOIN gv v ON v.vec_id = qc.query_id
+       |         JOIN gcb2 c ON c.cid = qc.cell),
+       |qb AS (SELECT query_id, cell, blk, qe[blk*16+1 : blk*16+16] AS qv
+       |       FROM (SELECT *, unnest(generate_series(0, 3)) AS blk FROM qr)),
+       |lut AS (SELECT q.query_id, q.cell, q.blk, c.cid, ${l2sq("q.qv", "c.cv")} AS d
+       |        FROM qb q JOIN pcb2 c ON q.blk = c.blk),
+       |sc AS (SELECT l.query_id, a.vec_id,
+       |         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.blk)),
+       |                     (iva, ivb) -> iva + ivb) AS approx_dist
+       |       FROM am a JOIN asg g ON g.vec_id = a.vec_id
+       |         JOIN lut l ON l.cell = g.cell AND l.blk = a.blk AND l.cid = a.cid
+       |       GROUP BY l.query_id, a.vec_id)
        |SELECT query_id, neighbor_id, approx_dist, rank FROM (
        |  SELECT query_id, vec_id AS neighbor_id, approx_dist,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -581,6 +648,66 @@ object SimilarityQueries {
         val exactSql = topkSql("", 5)
         s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)),
            |ap AS (SELECT query_id, neighbor_id FROM ($ivfPqSql)),
+           |j AS (SELECT coalesce(e.query_id, a.query_id) AS query_id,
+           |             e.neighbor_id AS en, a.neighbor_id AS an
+           |      FROM ex e FULL OUTER JOIN ap a
+           |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+           |SELECT query_id,
+           |  CAST(count(en) AS BIGINT) AS n_true,
+           |  CAST(count(an) AS BIGINT) AS n_approx,
+           |  CAST(count(CASE WHEN en IS NOT NULL AND an IS NOT NULL THEN 1 END) AS BIGINT)
+           |    AS n_hits,
+           |  CAST(count(CASE WHEN en IS NOT NULL AND an IS NOT NULL THEN 1 END) AS DOUBLE)
+           |    / CAST(count(en) AS DOUBLE) AS recall_at_k
+           |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+      },
+    ),
+    // Residual IVF-PQ: the production encoding — PQ trained on and
+    // coding each vector's residual against its coarse centroid, with
+    // per-(query, probed-cell) LUTs. Same probe/scan shape and byte
+    // budget as sim_ivfpq; residual coding wins when the coarse cells
+    // capture real cluster structure (residuals concentrate near 0).
+    Q(
+      "sim_ivfpq_res",
+      (s, d) => ivfPqResidual(s, d),
+      Some(ivfPqResidualSql),
+    ),
+    // Recall@k of residual IVF-PQ against exact brute force — read side
+    // by side with sim_ivfpq_recall. On the synthetic corpus (near-
+    // uniform embeddings, so residuals aren't tighter than raw vectors)
+    // residual does NOT dominate raw — which is exactly why the
+    // scoreboard exists: it's the instrument a store owner tunes the
+    // encoding against, not a foregone conclusion.
+    Q(
+      "sim_ivfpq_res_recall",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val exact = SimilarityOps
+          .bruteForceTopK(embeddings(s, d), col("vec_id") < 10, 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_exact"))
+        val approx = ivfPqResidual(s, d)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_approx"))
+        exact
+          .join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy(col("query_id"))
+          .agg(
+            count(col("in_exact")).as("n_true"),
+            count(col("in_approx")).as("n_approx"),
+            count(when(col("in_exact").isNotNull && col("in_approx").isNotNull, 1)).as("n_hits"),
+          )
+          .select(
+            col("query_id"),
+            col("n_true"),
+            col("n_approx"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / col("n_true").cast("double")).as("recall_at_k"),
+          )
+          .orderBy("query_id")
+      },
+      Some {
+        val exactSql = topkSql("", 5)
+        s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)),
+           |ap AS (SELECT query_id, neighbor_id FROM ($ivfPqResidualSql)),
            |j AS (SELECT coalesce(e.query_id, a.query_id) AS query_id,
            |             e.neighbor_id AS en, a.neighbor_id AS an
            |      FROM ex e FULL OUTER JOIN ap a

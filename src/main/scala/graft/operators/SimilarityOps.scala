@@ -736,4 +736,113 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
     rankTopK(scored, "approx_dist", ascending = true, k)
   }
+
+  /** RESIDUAL IVF-PQ — the production vector-index encoding: the PQ
+    * codebook is trained on, and the codes represent, each vector's
+    * residual against its coarse cell centroid (vec − c_cell), not the
+    * raw vector. Residuals concentrate near the origin, so the same code
+    * budget spends its centroids on a much tighter distribution — the
+    * accuracy-per-byte step that makes [[ivfPqTopK]]'s raw-vector codes
+    * look like the baseline they are.
+    *
+    * Read path: a query probes its `nprobe` nearest coarse cells; for
+    * each probed cell it forms the PER-CELL query residual (q − c_cell)
+    * and builds that cell's LUT, so
+    * ‖q − (c_cell + decode(code))‖² = ‖(q − c_cell) − decode(code)‖²
+    * is the block-LUT sum exactly as in plain ADC. The LUT join key
+    * gains `cell`: corpus codes join the broadcast LUT on (cell, blk,
+    * code) — the LUT itself restricts the scan to probed cells, so no
+    * separate probe-set join is needed and the only corpus exchange is
+    * that broadcast-hash join plus the (query, vec) fold aggregate.
+    *
+    * Training and encode touch the corpus via the same broadcast-join +
+    * map-side-combine argmin shapes as [[trainCodebook]] /
+    * [[pqEncodeWith]] (the residual frame is computed row-locally off a
+    * broadcast coarse codebook); nothing here shuffles the corpus wider
+    * than its own keys at 100 TB.
+    *
+    * Determinism: identical contracts to [[ivfPqTopK]] (min-struct
+    * argmins, block-ordered folds, id tie-breaks) plus elementwise
+    * residual subtraction — bit-reproduced by the DuckDB oracle.
+    */
+  def ivfPqResidualTopK(
+      embeddings: DataFrame,
+      coarseCodebook: DataFrame,
+      blocks: Int,
+      subDim: Int,
+      nSeeds: Int,
+      nprobe: Int,
+      isSeed: Column,
+      iters: Int,
+      isQuery: Column,
+      k: Int,
+  ): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val coarseByCell = coarseCodebook.select(col("cid").as("cell"), col("cv"))
+    val cells = assignCells(embeddings, coarseCodebook)
+    val resFrame = embeddings
+      .join(cells, "vec_id")
+      .join(broadcast(coarseByCell), "cell")
+      .select(col("vec_id"), col("cell"), zip_with(e, col("cv"), (x, y) => x - y).as("embedding"))
+      .localCheckpoint()
+    val pqCb = trainCodebook(resFrame, blocks, subDim, isSeed, iters)
+    val divisors = array((0 until blocks).map(b => lit(math.pow(nSeeds.toDouble, b).toLong)): _*)
+    val corpusCodes = pqEncodeWith(resFrame, blocks, subDim, pqCb, nSeeds)
+      .join(resFrame.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("pq_code"), posexplode(divisors).as(Seq("blk", "divisor")))
+      .select(col("vec_id"), col("cell"), col("blk"), expr(s"pq_code div divisor % $nSeeds").as("code"))
+    val cdist = aggregate(
+      zip_with(e, col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, d) => acc + d,
+    )
+    val probeCells = embeddings
+      .filter(isQuery)
+      .crossJoin(broadcast(coarseCodebook.select(col("cid"), col("cv"))))
+      .select(col("vec_id"), col("cid"), cdist.as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(graft.expressions.TopKPairs.topK(col("dist"), col("cid"), nprobe, ascending = true).as("tk"))
+      .select(col("vec_id").as("query_id"), explode(col("tk.id")).as("cell"))
+    // Per-(query, probed cell) residual, sliced into PQ blocks.
+    val qres = embeddings
+      .filter(isQuery)
+      .select(col("vec_id").as("query_id"), e.as("qe"))
+      .join(probeCells, "query_id")
+      .join(broadcast(coarseByCell), "cell")
+      .select(col("query_id"), col("cell"), zip_with(col("qe"), col("cv"), (x, y) => x - y).as("qr"))
+    val qBlocks = qres.select(
+      col("query_id"),
+      col("cell"),
+      posexplode(array((0 until blocks).map(b => slice(col("qr"), b * subDim + 1, subDim)): _*))
+        .as(Seq("blk", "qv")),
+    )
+    val lut = broadcast(
+      qBlocks
+        .join(pqCb.select(col("cid").as("code"), col("blk"), col("cv")), Seq("blk"))
+        .select(
+          col("query_id"),
+          col("cell"),
+          col("blk"),
+          col("code"),
+          aggregate(
+            zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0),
+            (acc, d) => acc + d,
+          ).as("d"),
+        ),
+    )
+    val scored = corpusCodes
+      .join(lut, Seq("cell", "blk", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("blk"), col("d")))), s => s.getField("d")),
+          lit(0.0),
+          (acc, x) => acc + x,
+        ).as("approx_dist"),
+      )
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
+    rankTopK(scored, "approx_dist", ascending = true, k)
+  }
 }

@@ -358,4 +358,69 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
     assert(probed.queryExecution.executedPlan.toString.contains("partial_bounded_top_k"))
   }
+
+  test("ivfPqResidualTopK is bit-identical to a driver-side recompute of the probed residual-ADC scan") {
+    val emb = embeddings(spark, Sf)
+    val coarse = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val out = SimilarityOps.ivfPqResidualTopK(emb, coarse, blocks = 4, subDim = 16,
+      nSeeds = 8, nprobe = 2, isSeed = col("vec_id") < 8, iters = 2,
+      isQuery = col("vec_id") < 10, k = 5)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(out.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(out.queryExecution.executedPlan.toString.contains("partial_bounded_top_k"))
+    val got = out.select("query_id", "neighbor_id", "approx_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    // Driver recompute, mirroring every fold order. The PQ codebook is
+    // rebuilt through the same trainCodebook entry point over an
+    // externally-derived residual frame (training itself is pinned by
+    // the sim_pq_train oracle); the read path — cells, codes, probes,
+    // per-cell LUTs, block-ordered sums, tie-broken ranks — is redone
+    // in plain Scala.
+    def l2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    val vecs = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, IndexedSeq[Double])].collect().toMap
+    val coarseCvs = coarse.select(col("cid"), col("cv"))
+      .as[(Long, IndexedSeq[Double])].collect().toMap
+    def argminCell(e: IndexedSeq[Double]): Long =
+      coarseCvs.toSeq.map { case (cid, cv) => (l2(e, cv), cid) }.min._2
+    val cellOf = vecs.map { case (v, e) => v -> argminCell(e) }
+    val resOf = vecs.map { case (v, e) =>
+      v -> e.indices.map(i => e(i) - coarseCvs(cellOf(v))(i))
+    }
+    val resFrame = emb
+      .join(SimilarityOps.assignCells(emb, coarse), "vec_id")
+      .join(broadcast(coarse.select(col("cid").as("cell"), col("cv"))), "cell")
+      .select(col("vec_id"),
+        zip_with(transform(col("embedding"), x => x.cast("double")), col("cv"), (x, y) => x - y)
+          .as("embedding"))
+    val pqCvs = SimilarityOps.trainCodebook(resFrame, blocks = 4, subDim = 16,
+      isSeed = col("vec_id") < 8, iters = 2)
+      .select(col("blk"), col("cid"), col("cv"))
+      .as[(Int, Long, IndexedSeq[Double])].collect()
+      .map { case (b, c, cv) => (b.toLong, c) -> cv }.toMap
+    def sub(e: IndexedSeq[Double], blk: Long): IndexedSeq[Double] =
+      e.slice(blk.toInt * 16, blk.toInt * 16 + 16)
+    val codeOf: Map[(Long, Long), Long] = resOf.flatMap { case (v, r) =>
+      (0L until 4L).map { b =>
+        (v, b) -> pqCvs.collect { case ((bb, c), cv) if bb == b => (l2(sub(r, b), cv), c) }.min._2
+      }
+    }
+    val expected = (0L until 10L).flatMap { q =>
+      val probes = coarseCvs.toSeq
+        .map { case (cid, cv) => (l2(vecs(q), cv), cid) }.sorted.take(2).map(_._2)
+      val cand = vecs.keys.filter(v => v != q && probes.contains(cellOf(v)))
+      val scoredQ = cand.map { v =>
+        val qres = vecs(q).indices.map(i => vecs(q)(i) - coarseCvs(cellOf(v))(i))
+        val d = (0L until 4L).map(b => l2(sub(qres, b), pqCvs((b, codeOf((v, b))))))
+          .foldLeft(0.0)(_ + _)
+        (v, d)
+      }.toSeq
+      scoredQ.sortBy { case (v, d) => (d, v) }.take(5).zipWithIndex
+        .map { case ((v, d), i) => (q, v, d, i + 1) }
+    }.toSet
+    assert(got == expected, "probed residual-ADC results must match the driver recompute bit-for-bit")
+  }
 }
