@@ -2262,5 +2262,42 @@ object RelationalQueries {
              |  WHERE CAST(ps.qty_dec AS DOUBLE) > CAST(pp.part_qty_dec AS DOUBLE) / 2)
              |ORDER BY s_suppkey""".stripMargin),
     ),
+
+    // Z-order vs linear layout, judged by the zone maps each would give
+    // its files: rank-scale (l_partkey, l_suppkey) to 8 bits, Morton-
+    // interleave, bucket into 32 files per layout, and per file report
+    // rank-space min/max plus whether a 2-D box predicate could skip it
+    // — the parquet row-group pruning decision made queryable. Layout
+    // evaluation is one broadcast min/max + row-local arithmetic + a
+    // (layout, file) rollup; no global sort touches the fact table.
+    Q(
+      "q_zorder_layout",
+      (s, d) => graft.operators.LayoutOps.zoneMapLayouts(
+        lineitem(s, d), "l_partkey", "l_suppkey", bits = 8, nFiles = 32, boxLo = 64L, boxHi = 127L),
+      Some {
+        val interleave = (0 until 8)
+          .map(i => s"((ra >> $i) & 1) * ${1L << (2 * i)} + ((rb >> $i) & 1) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        s"""WITH mm AS (SELECT CAST(min(l_partkey) AS BIGINT) AS amin,
+           |                   CAST(max(l_partkey) AS BIGINT) AS amax,
+           |                   CAST(min(l_suppkey) AS BIGINT) AS bmin,
+           |                   CAST(max(l_suppkey) AS BIGINT) AS bmax FROM lineitem),
+           |r AS (SELECT
+           |        (CAST(l_partkey AS BIGINT) - amin) * 255 // greatest(amax - amin, 1) AS ra,
+           |        (CAST(l_suppkey AS BIGINT) - bmin) * 255 // greatest(bmax - bmin, 1) AS rb
+           |      FROM lineitem, mm),
+           |z AS (SELECT ra, rb, $interleave AS zval FROM r),
+           |f AS (SELECT 'zorder' AS layout, zval // 2048 AS file_id, ra, rb FROM z
+           |      UNION ALL
+           |      SELECT 'linear' AS layout, ra // 8 AS file_id, ra, rb FROM z)
+           |SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(min(ra) AS BIGINT) AS min_ra, CAST(max(ra) AS BIGINT) AS max_ra,
+           |  CAST(min(rb) AS BIGINT) AS min_rb, CAST(max(rb) AS BIGINT) AS max_rb,
+           |  NOT (max(ra) < 64 OR min(ra) > 127 OR max(rb) < 64 OR min(rb) > 127)
+           |    AS scan_needed
+           |FROM f GROUP BY layout, file_id ORDER BY layout, file_id""".stripMargin
+      },
+    ),
   )
 }
