@@ -2299,5 +2299,61 @@ object RelationalQueries {
            |FROM f GROUP BY layout, file_id ORDER BY layout, file_id""".stripMargin
       },
     ),
+
+    // Hilbert vs Z-order on the same contest: both curves bucket the
+    // rank-scaled (l_partkey, l_suppkey) plane into 48 equal-index-width
+    // files. 48 is deliberately not a power of 2: power-of-2 widths align
+    // with the quadrant recursion and the two curves then produce the
+    // IDENTICAL square decomposition — at a non-aligned width (1366
+    // cells) Z-order ranges straddle quadrant jumps while Hilbert ranges
+    // stay plane-contiguous (~1.8× total zone-map area apart). The oracle
+    // replays the quadrant walk as one chained CTE per bit level —
+    // MATERIALIZED, because inlining would grow the rotation expression
+    // ~5× per level, the same blow-up the Spark side avoids with
+    // stepwise projections.
+    Q(
+      "q_hilbert_layout",
+      (s, d) => graft.operators.LayoutOps.curveLayouts(
+        lineitem(s, d), "l_partkey", "l_suppkey", bits = 8, nFiles = 48, boxLo = 40L, boxHi = 110L),
+      Some {
+        val interleave = (0 until 8)
+          .map(i => s"((ra >> $i) & 1) * ${1L << (2 * i)} + ((rb >> $i) & 1) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        val steps = (7 to 0 by -1).map { i =>
+          val s = 1L << i
+          val prev = if (i == 7) "h8" else s"h${i + 1}"
+          s"""h$i AS MATERIALIZED (SELECT ra, rb,
+             |  CASE WHEN ((y >> $i) & 1) = 0
+             |       THEN (CASE WHEN ((x >> $i) & 1) = 1 THEN 255 - y ELSE y END)
+             |       ELSE x END AS x,
+             |  CASE WHEN ((y >> $i) & 1) = 0
+             |       THEN (CASE WHEN ((x >> $i) & 1) = 1 THEN 255 - x ELSE x END)
+             |       ELSE y END AS y,
+             |  d + ${s * s} * xor(3 * ((x >> $i) & 1), ((y >> $i) & 1)) AS d
+             |FROM $prev)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH mm AS (SELECT CAST(min(l_partkey) AS BIGINT) AS amin,
+           |                   CAST(max(l_partkey) AS BIGINT) AS amax,
+           |                   CAST(min(l_suppkey) AS BIGINT) AS bmin,
+           |                   CAST(max(l_suppkey) AS BIGINT) AS bmax FROM lineitem),
+           |r AS (SELECT
+           |        (CAST(l_partkey AS BIGINT) - amin) * 255 // greatest(amax - amin, 1) AS ra,
+           |        (CAST(l_suppkey AS BIGINT) - bmin) * 255 // greatest(bmax - bmin, 1) AS rb
+           |      FROM lineitem, mm),
+           |h8 AS (SELECT ra, rb, ra AS x, rb AS y, CAST(0 AS BIGINT) AS d FROM r),
+           |$steps,
+           |c AS (SELECT ra, rb, d AS hval, $interleave AS zval FROM h0),
+           |f AS (SELECT 'hilbert' AS layout, hval // 1366 AS file_id, ra, rb FROM c
+           |      UNION ALL
+           |      SELECT 'zorder' AS layout, zval // 1366 AS file_id, ra, rb FROM c)
+           |SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(min(ra) AS BIGINT) AS min_ra, CAST(max(ra) AS BIGINT) AS max_ra,
+           |  CAST(min(rb) AS BIGINT) AS min_rb, CAST(max(rb) AS BIGINT) AS max_rb,
+           |  NOT (max(ra) < 40 OR min(ra) > 110 OR max(rb) < 40 OR min(rb) > 110)
+           |    AS scan_needed
+           |FROM f GROUP BY layout, file_id ORDER BY layout, file_id""".stripMargin
+      },
+    ),
   )
 }

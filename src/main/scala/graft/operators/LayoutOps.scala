@@ -30,6 +30,48 @@ object LayoutOps {
         shiftright(rb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }
 
+  /** Append a Hilbert-curve index `out` computed from two `bits`-bit
+    * non-negative rank columns: the top-down quadrant walk (at each bit
+    * level, add the quadrant's offset `s²·((3·rx) xor ry)` and rotate or
+    * reflect the remaining low bits into the sub-square's frame). Unlike
+    * Z-order, consecutive Hilbert indexes are always adjacent cells, so
+    * equal-width index ranges make files with tighter bounding boxes.
+    *
+    * One narrow projection per bit level: the rotation references each
+    * intermediate coordinate several times, so inlining everything into a
+    * single Column would blow the expression tree up ~5× per level —
+    * stepwise aliases keep it linear in `bits` and Catalyst's
+    * CollapseProject leaves multiply-referenced non-trivial aliases
+    * un-inlined. Reflections use `2^bits - 1 - v` (not `2^i - 1 - v`) so
+    * coordinates stay non-negative; lower levels only ever read bits
+    * below `i`, where the two agree mod 2^i.
+    */
+  def withHilbertIndex(
+      df: DataFrame,
+      xName: String,
+      yName: String,
+      bits: Int,
+      out: String,
+  ): DataFrame = {
+    val n = 1L << bits
+    val keep = df.columns.map(col)
+    val init = df.select(
+      keep :+ col(xName).cast("long").as("_hx") :+ col(yName).cast("long").as("_hy") :+
+        lit(0L).as(out): _*)
+    val walked = ((bits - 1) to 0 by -1).foldLeft(init) { (acc, i) =>
+      val s = 1L << i
+      val rx = shiftright(col("_hx"), i).bitwiseAND(lit(1L))
+      val ry = shiftright(col("_hy"), i).bitwiseAND(lit(1L))
+      val d2 = col(out) + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      val flipX = when(rx === 1, lit(n - 1) - col("_hx")).otherwise(col("_hx"))
+      val flipY = when(rx === 1, lit(n - 1) - col("_hy")).otherwise(col("_hy"))
+      val nx = when(ry === 0, flipY).otherwise(col("_hx"))
+      val ny = when(ry === 0, flipX).otherwise(col("_hy"))
+      acc.select(keep :+ nx.as("_hx") :+ ny.as("_hy") :+ d2.as(out): _*)
+    }
+    walked.select(keep :+ col(out): _*)
+  }
+
   /** Compare a Z-order layout against a linear (sort-by-A) layout of the
     * same rows into `nFiles` files, by the zone maps each file would
     * carry and whether a box predicate (ranks of A and B both in
@@ -55,20 +97,8 @@ object LayoutOps {
       boxHi: Long,
   ): DataFrame = {
     require(nFiles > 0 && (1L << (2 * bits)) % nFiles == 0, "nFiles must divide 4^bits")
-    val a = col(colA).cast("long")
-    val b = col(colB).cast("long")
-    val mm = df.agg(
-      min(a).as("amin"), max(a).as("amax"),
-      min(b).as("bmin"), max(b).as("bmax"),
-    )
+    val scaled = rankScaled(df, colA, colB, bits)
     val maxRank = (1L << bits) - 1
-    val scaled = df
-      .select(a.as("a"), b.as("b"))
-      .crossJoin(broadcast(mm))
-      .select(
-        expr(s"(a - amin) * $maxRank div greatest(amax - amin, 1)").as("ra"),
-        expr(s"(b - bmin) * $maxRank div greatest(bmax - bmin, 1)").as("rb"),
-      )
     val zFileWidth = (1L << (2 * bits)) / nFiles
     val aFileWidth = (maxRank + 1) / nFiles
     val assigned = scaled
@@ -83,6 +113,85 @@ object LayoutOps {
       .select(lit("zorder").as("layout"), col("zfile").as("file_id"), col("ra"), col("rb"))
       .unionAll(
         assigned.select(lit("linear").as("layout"), col("afile").as("file_id"), col("ra"), col("rb")),
+      )
+    both
+      .groupBy(col("layout"), col("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("ra")).as("min_ra"), max(col("ra")).as("max_ra"),
+        min(col("rb")).as("min_rb"), max(col("rb")).as("max_rb"),
+      )
+      .select(
+        col("layout"), col("file_id"), col("n_rows"),
+        col("min_ra"), col("max_ra"), col("min_rb"), col("max_rb"),
+        (!(col("max_ra") < boxLo || col("min_ra") > boxHi ||
+          col("max_rb") < boxLo || col("min_rb") > boxHi)).as("scan_needed"),
+      )
+      .orderBy("layout", "file_id")
+  }
+
+  /** Min/max rank-scale two columns to [0, 2^bits): one tiny aggregate
+    * broadcast back, then row-local integer arithmetic.
+    */
+  private def rankScaled(df: DataFrame, colA: String, colB: String, bits: Int): DataFrame = {
+    val a = col(colA).cast("long")
+    val b = col(colB).cast("long")
+    val mm = df.agg(
+      min(a).as("amin"), max(a).as("amax"),
+      min(b).as("bmin"), max(b).as("bmax"),
+    )
+    val maxRank = (1L << bits) - 1
+    df.select(a.as("a"), b.as("b"))
+      .crossJoin(broadcast(mm))
+      .select(
+        expr(s"(a - amin) * $maxRank div greatest(amax - amin, 1)").as("ra"),
+        expr(s"(b - bmin) * $maxRank div greatest(bmax - bmin, 1)").as("rb"),
+      )
+  }
+
+  /** Hilbert vs Z-order, same contest as [[zoneMapLayouts]]: bucket the
+    * rank-scaled rows into `nFiles` equal-index-width files under each
+    * curve and report per-file zone maps plus the box-pruning verdict.
+    * Both curves visit the same 4^bits cells; the difference is purely
+    * how contiguous index ranges map to 2-D regions — Hilbert's
+    * unit-step adjacency gives files tighter bounding boxes, which is
+    * the whole case for Hilbert clustering in lakehouse OPTIMIZE
+    * implementations. Same plan shape: one min/max broadcast, row-local
+    * curve arithmetic (`bits` narrow projections for Hilbert), one
+    * (layout, file) rollup.
+    *
+    * `nFiles` deliberately need NOT divide 4^bits: power-of-2 file
+    * widths align with the quadrant recursion and make the two curves
+    * produce the *identical* square decomposition (both reduce to
+    * 4^k-cell blocks). Real balanced-file writes put boundaries at
+    * arbitrary curve offsets — and at a non-aligned width (ceil
+    * division below) Z-order ranges straddle quadrant jumps while
+    * Hilbert ranges stay contiguous in the plane: ~1.8× total
+    * zone-map area on a uniform grid at 48 files.
+    */
+  def curveLayouts(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      bits: Int,
+      nFiles: Int,
+      boxLo: Long,
+      boxHi: Long,
+  ): DataFrame = {
+    require(nFiles > 0, "nFiles must be positive")
+    val cells = 1L << (2 * bits)
+    val fileWidth = (cells + nFiles - 1) / nFiles
+    val scaled = rankScaled(df, colA, colB, bits)
+    val curved = withHilbertIndex(scaled, "ra", "rb", bits, "hval")
+      .select(
+        col("ra"), col("rb"),
+        col("hval"),
+        interleaveBits(col("ra"), col("rb"), bits).as("zval"),
+      )
+    val both = curved
+      .select(lit("hilbert").as("layout"), expr(s"hval div $fileWidth").as("file_id"), col("ra"), col("rb"))
+      .unionAll(
+        curved.select(lit("zorder").as("layout"), expr(s"zval div $fileWidth").as("file_id"), col("ra"), col("rb")),
       )
     both
       .groupBy(col("layout"), col("file_id"))

@@ -24,6 +24,44 @@ class LayoutSpec extends SparkSpec {
     got.foreach { case (a, b, z) => assert(z == mortonRef(a, b, 8), s"($a, $b)") }
   }
 
+  /** Scala reference Hilbert encode (top-down quadrant walk). */
+  private def hilbertRef(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0; var y = y0; var d = 0L
+    val n = 1L << bits
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertRef is a bijection onto [0, 4^bits) whose consecutive cells are grid-adjacent") {
+    val bits = 4
+    val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    val byD = cells.map { case (x, y) => (hilbertRef(x, y, bits), x, y) }.sortBy(_._1)
+    // Bijection: the 256 indexes are exactly 0..255.
+    assert(byD.map(_._1) == (0L until (n.toLong * n)).toVector.map(identity))
+    // The Hilbert property Z-order lacks: each step moves one cell.
+    byD.sliding(2).foreach { case Seq((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L, s"jump at ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("withHilbertIndex matches the reference over the full 8-bit plane sample") {
+    val pairs = for (a <- 0L until 256L by 17L; b <- 0L until 256L by 13L) yield (a, b)
+    val got = LayoutOps.withHilbertIndex(pairs.toDF("ra", "rb"), "ra", "rb", 8, "h")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, h) => assert(h == hilbertRef(a, b, 8), s"($a, $b)") }
+  }
+
   test("zoneMapLayouts: files partition the rows, zone maps bound their ranks, z-order prunes the box harder") {
     val out = LayoutOps.zoneMapLayouts(
       lineitem(spark, Sf), "l_partkey", "l_suppkey", bits = 8, nFiles = 32, boxLo = 64L, boxHi = 127L)
@@ -44,5 +82,34 @@ class LayoutSpec extends SparkSpec {
     val scanned = byLayout.view.mapValues(_.count(_._8)).toMap
     assert(scanned("zorder") < scanned("linear"),
       s"zorder must prune harder on a 2-D box: $scanned")
+  }
+
+  test("curveLayouts: hilbert files have strictly tighter zone maps than z-order at a non-aligned width") {
+    val out = LayoutOps.curveLayouts(
+      lineitem(spark, Sf), "l_partkey", "l_suppkey", bits = 8, nFiles = 48, boxLo = 40L, boxHi = 110L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    val byLayout = out.groupBy(_._1)
+    val total = lineitem(spark, Sf).count()
+    byLayout.foreach { case (layout, files) =>
+      assert(files.map(_._3).sum == total, s"$layout files must partition the table")
+      files.foreach { case (_, _, _, minRa, maxRa, minRb, maxRb, scan) =>
+        assert(minRa >= 0 && maxRa <= 255 && minRb >= 0 && maxRb <= 255)
+        assert(scan == !(maxRa < 40 || minRa > 110 || maxRb < 40 || minRb > 110))
+      }
+    }
+    // Total zone-map area = expected files touched by a uniform point
+    // query, the robust curve-quality metric: Hilbert's unit-step
+    // adjacency must beat Z-order's quadrant jumps at a width that does
+    // not align with the quadrant recursion.
+    val area = byLayout.view.mapValues(
+      _.map { case (_, _, _, minRa, maxRa, minRb, maxRb, _) =>
+        (maxRa - minRa + 1) * (maxRb - minRb + 1)
+      }.sum).toMap
+    assert(area("hilbert") < area("zorder"),
+      s"hilbert must have tighter zone maps: $area")
+    // And on the concrete 2-D box it scans no more files.
+    val scanned = byLayout.view.mapValues(_.count(_._8)).toMap
+    assert(scanned("hilbert") <= scanned("zorder"),
+      s"hilbert must prune at least as hard: $scanned")
   }
 }
