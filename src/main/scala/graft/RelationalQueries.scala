@@ -2355,5 +2355,42 @@ object RelationalQueries {
            |FROM f GROUP BY layout, file_id ORDER BY layout, file_id""".stripMargin
       },
     ),
+
+    // Small-file compaction plan (OPTIMIZE bin-packing): treat each
+    // ship-day as one ingest file (count x 120 bytes), pack sub-64 KiB
+    // files into output groups at cumulative-offset boundaries —
+    // deterministic, metadata-scale (one window over ~file-count rows,
+    // never the corpus). Per planned output file: key range, input file
+    // count, bytes.
+    Q(
+      "q_compact_plan",
+      (s, d) => {
+        val files = lineitem(s, d)
+          .groupBy(date_trunc("day", col("l_shipdate")).as("file_key"))
+          .agg((count(lit(1)) * lit(120L)).as("bytes"))
+        graft.operators.LayoutOps.compactionPlan(files, "file_key", "bytes", target = 65536L)
+      },
+      Some("""WITH files AS (
+             |  SELECT date_trunc('day', l_shipdate) AS file_key,
+             |         CAST(count(*) * 120 AS BIGINT) AS bytes
+             |  FROM lineitem GROUP BY 1),
+             |small AS (
+             |  SELECT file_key, bytes,
+             |         CAST(coalesce(sum(bytes) OVER (ORDER BY file_key
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |           // 65536 AS bin
+             |  FROM files WHERE bytes < 65536),
+             |packed AS (
+             |  SELECT 'packed' AS bin_kind, min(file_key) AS first_file,
+             |         max(file_key) AS last_file, CAST(count(*) AS BIGINT) AS n_files,
+             |         CAST(sum(bytes) AS BIGINT) AS bytes_total
+             |  FROM small GROUP BY bin),
+             |single AS (
+             |  SELECT 'single' AS bin_kind, file_key AS first_file, file_key AS last_file,
+             |         CAST(1 AS BIGINT) AS n_files, bytes AS bytes_total
+             |  FROM files WHERE bytes >= 65536)
+             |SELECT * FROM (SELECT * FROM packed UNION ALL SELECT * FROM single)
+             |ORDER BY bin_kind, first_file""".stripMargin),
+    ),
   )
 }

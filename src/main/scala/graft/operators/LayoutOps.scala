@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: the write-side half of the 100 TB story. A
@@ -128,6 +129,52 @@ object LayoutOps {
           col("max_rb") < boxLo || col("min_rb") > boxHi)).as("scan_needed"),
       )
       .orderBy("layout", "file_id")
+  }
+
+  /** Plan a small-file compaction — the OPTIMIZE bin-packing decision a
+    * months-running ingest needs once streaming sinks have littered the
+    * table with micro-batch-sized files. Files smaller than `target`
+    * bytes are packed, in file-key order, into output groups at
+    * cumulative-offset boundaries of `target` (a file straddling a
+    * boundary joins the group its starting offset falls in — the same
+    * rule Spark's own file-scan packing uses for maxPartitionBytes
+    * splits, and deterministic, unlike first-fit-decreasing). Files
+    * already at/over `target` keep their own group untouched.
+    *
+    * Output: one row per planned output file — `bin_kind`
+    * ('packed'|'single'), `first_file`/`last_file` key range, `n_files`,
+    * `bytes_total`. The plan runs entirely over file METADATA (key,
+    * bytes): a 100 TB table is ~10^6 file entries, so the one ordered
+    * running sum is a metadata-scale window, never a corpus shuffle.
+    */
+  def compactionPlan(
+      files: DataFrame,
+      fileCol: String,
+      bytesCol: String,
+      target: Long,
+  ): DataFrame = {
+    require(target > 0, "target must be positive")
+    val bytes = col(bytesCol).cast("long")
+    val w = Window.orderBy(col(fileCol)).rowsBetween(Window.unboundedPreceding, -1)
+    val packed = files
+      .filter(bytes < target)
+      .select(col(fileCol).as("file_key"), bytes.as("bytes"))
+      .withColumn("_offset", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .select(col("file_key"), col("bytes"), expr(s"_offset div $target").as("_bin"))
+      .groupBy(col("_bin"))
+      .agg(
+        min(col("file_key")).as("first_file"),
+        max(col("file_key")).as("last_file"),
+        count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("bytes_total"),
+      )
+      .select(lit("packed").as("bin_kind"), col("first_file"), col("last_file"),
+        col("n_files"), col("bytes_total"))
+    val single = files
+      .filter(bytes >= target)
+      .select(lit("single").as("bin_kind"), col(fileCol).as("first_file"),
+        col(fileCol).as("last_file"), lit(1L).as("n_files"), bytes.as("bytes_total"))
+    packed.unionAll(single).orderBy("bin_kind", "first_file")
   }
 
   /** Min/max rank-scale two columns to [0, 2^bits): one tiny aggregate

@@ -112,4 +112,21 @@ class LayoutSpec extends SparkSpec {
     assert(scanned("hilbert") <= scanned("zorder"),
       s"hilbert must prune at least as hard: $scanned")
   }
+
+  test("compactionPlan: packs small files at offset boundaries, passes large files through") {
+    // 10 small files of 30 each (target 100: offsets 0..270 → bins
+    // 0,0,0,0 | 1,1,1 | 2,2,2 — the 4th file straddles 90..120 and joins
+    // bin 0), plus two large files that must stay single.
+    val files = ((1 to 10).map(i => (f"f$i%02d", 30L)) ++ Seq(("g1", 100L), ("g2", 250L)))
+      .toDF("file_key", "bytes")
+    val plan = LayoutOps.compactionPlan(files, "file_key", "bytes", target = 100L)
+      .as[(String, String, String, Long, Long)].collect()
+    val (packed, single) = plan.partition(_._1 == "packed")
+    assert(single.map(_._2).sorted.toSeq == Seq("g1", "g2"))
+    assert(single.forall(b => b._4 == 1L && b._2 == b._3))
+    assert(packed.map(_._4).toSeq == Seq(4L, 3L, 3L), s"straddler joins its starting bin: ${packed.toSeq}")
+    assert(plan.map(_._5).sum == 10 * 30L + 100L + 250L, "bytes preserved")
+    // Packed bins cover disjoint, ordered key ranges.
+    packed.sortBy(_._2).sliding(2).foreach { case Array(a, b) => assert(a._3 < b._2) }
+  }
 }
