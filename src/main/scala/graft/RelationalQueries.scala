@@ -2392,5 +2392,54 @@ object RelationalQueries {
              |SELECT * FROM (SELECT * FROM packed UNION ALL SELECT * FROM single)
              |ORDER BY bin_kind, first_file""".stripMargin),
     ),
+
+    // Incremental aggregate maintenance (materialized-view refresh): the
+    // per-customer order summary is kept as PARTIAL aggregates — count,
+    // decimal sum, max, latest-date — so an ingest batch only computes
+    // its own partials and merges (sum-of-counts, sum-of-sums, max-of-
+    // maxes); nothing rescans history. Decimal sums are exact and
+    // associative, so the two-stage path is bit-equal to a full
+    // recompute — and the ORACLE IS the full recompute: the driver's
+    // hash-match is itself the proof of the merge algebra. Derived
+    // ratios (avg) come only from merged partials at the end.
+    Q(
+      "q_incr_agg",
+      (s, d) => {
+        val cut = lit("1997-01-01").cast("timestamp")
+        def partials(o: org.apache.spark.sql.DataFrame) =
+          o.groupBy(col("o_custkey"))
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(dec(col("o_totalprice"))).as("revenue"),
+              max(dec(col("o_totalprice"))).as("max_price"),
+              max(col("o_orderdate")).as("last_order"),
+            )
+        val base = partials(orders(s, d).filter(col("o_orderdate") < cut))
+        val delta = partials(orders(s, d).filter(col("o_orderdate") >= cut))
+        base.unionAll(delta)
+          .groupBy(col("o_custkey"))
+          .agg(
+            sum(col("n_orders")).as("n_orders"),
+            sum(col("revenue")).as("rev"),
+            max(col("max_price")).as("maxp"),
+            max(col("last_order")).as("last_order"),
+          )
+          .select(
+            col("o_custkey"),
+            col("n_orders"),
+            col("rev").cast("double").as("revenue"),
+            (col("rev").cast("double") / col("n_orders")).as("avg_price"),
+            col("maxp").cast("double").as("max_price"),
+            col("last_order"),
+          )
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+             |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+             |  max(o_orderdate) AS last_order
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+    ),
   )
 }
