@@ -18,6 +18,52 @@ object RelationalQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
 
+  /** Shared WITH-chain for the hilbert/zorder layout oracles: rank-scale
+    * (l_partkey, l_suppkey) to 8 bits, replay the Hilbert quadrant walk
+    * as one chained CTE per bit level (MATERIALIZED — inlining would
+    * grow the rotation expression ~5× per level, the same blow-up the
+    * Spark side avoids with stepwise projections), Morton-interleave,
+    * bucket both curves into 48 files of 1366 cells, and expose `zm`:
+    * per (layout, file_id) row counts + rank-space zone maps.
+    */
+  private lazy val curveZoneMapCtes: String = {
+    val interleave = (0 until 8)
+      .map(i => s"((ra >> $i) & 1) * ${1L << (2 * i)} + ((rb >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+    val steps = (7 to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = if (i == 7) "h8" else s"h${i + 1}"
+      s"""h$i AS MATERIALIZED (SELECT ra, rb,
+         |  CASE WHEN ((y >> $i) & 1) = 0
+         |       THEN (CASE WHEN ((x >> $i) & 1) = 1 THEN 255 - y ELSE y END)
+         |       ELSE x END AS x,
+         |  CASE WHEN ((y >> $i) & 1) = 0
+         |       THEN (CASE WHEN ((x >> $i) & 1) = 1 THEN 255 - x ELSE x END)
+         |       ELSE y END AS y,
+         |  d + ${s * s} * xor(3 * ((x >> $i) & 1), ((y >> $i) & 1)) AS d
+         |FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mm AS (SELECT CAST(min(l_partkey) AS BIGINT) AS amin,
+       |                   CAST(max(l_partkey) AS BIGINT) AS amax,
+       |                   CAST(min(l_suppkey) AS BIGINT) AS bmin,
+       |                   CAST(max(l_suppkey) AS BIGINT) AS bmax FROM lineitem),
+       |r AS (SELECT
+       |        (CAST(l_partkey AS BIGINT) - amin) * 255 // greatest(amax - amin, 1) AS ra,
+       |        (CAST(l_suppkey AS BIGINT) - bmin) * 255 // greatest(bmax - bmin, 1) AS rb
+       |      FROM lineitem, mm),
+       |h8 AS (SELECT ra, rb, ra AS x, rb AS y, CAST(0 AS BIGINT) AS d FROM r),
+       |$steps,
+       |c AS (SELECT ra, rb, d AS hval, $interleave AS zval FROM h0),
+       |f AS (SELECT 'hilbert' AS layout, hval // 1366 AS file_id, ra, rb FROM c
+       |      UNION ALL
+       |      SELECT 'zorder' AS layout, zval // 1366 AS file_id, ra, rb FROM c),
+       |zm AS (SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(min(ra) AS BIGINT) AS min_ra, CAST(max(ra) AS BIGINT) AS max_ra,
+       |  CAST(min(rb) AS BIGINT) AS min_rb, CAST(max(rb) AS BIGINT) AS max_rb
+       |FROM f GROUP BY layout, file_id)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // TPC-H Q1-shaped pricing summary: one scan, partial+final hash agg on
@@ -2315,45 +2361,38 @@ object RelationalQueries {
       "q_hilbert_layout",
       (s, d) => graft.operators.LayoutOps.curveLayouts(
         lineitem(s, d), "l_partkey", "l_suppkey", bits = 8, nFiles = 48, boxLo = 40L, boxHi = 110L),
-      Some {
-        val interleave = (0 until 8)
-          .map(i => s"((ra >> $i) & 1) * ${1L << (2 * i)} + ((rb >> $i) & 1) * ${1L << (2 * i + 1)}")
-          .mkString(" + ")
-        val steps = (7 to 0 by -1).map { i =>
-          val s = 1L << i
-          val prev = if (i == 7) "h8" else s"h${i + 1}"
-          s"""h$i AS MATERIALIZED (SELECT ra, rb,
-             |  CASE WHEN ((y >> $i) & 1) = 0
-             |       THEN (CASE WHEN ((x >> $i) & 1) = 1 THEN 255 - y ELSE y END)
-             |       ELSE x END AS x,
-             |  CASE WHEN ((y >> $i) & 1) = 0
-             |       THEN (CASE WHEN ((x >> $i) & 1) = 1 THEN 255 - x ELSE x END)
-             |       ELSE y END AS y,
-             |  d + ${s * s} * xor(3 * ((x >> $i) & 1), ((y >> $i) & 1)) AS d
-             |FROM $prev)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH mm AS (SELECT CAST(min(l_partkey) AS BIGINT) AS amin,
-           |                   CAST(max(l_partkey) AS BIGINT) AS amax,
-           |                   CAST(min(l_suppkey) AS BIGINT) AS bmin,
-           |                   CAST(max(l_suppkey) AS BIGINT) AS bmax FROM lineitem),
-           |r AS (SELECT
-           |        (CAST(l_partkey AS BIGINT) - amin) * 255 // greatest(amax - amin, 1) AS ra,
-           |        (CAST(l_suppkey AS BIGINT) - bmin) * 255 // greatest(bmax - bmin, 1) AS rb
-           |      FROM lineitem, mm),
-           |h8 AS (SELECT ra, rb, ra AS x, rb AS y, CAST(0 AS BIGINT) AS d FROM r),
-           |$steps,
-           |c AS (SELECT ra, rb, d AS hval, $interleave AS zval FROM h0),
-           |f AS (SELECT 'hilbert' AS layout, hval // 1366 AS file_id, ra, rb FROM c
-           |      UNION ALL
-           |      SELECT 'zorder' AS layout, zval // 1366 AS file_id, ra, rb FROM c)
-           |SELECT layout, CAST(file_id AS BIGINT) AS file_id,
-           |  CAST(count(*) AS BIGINT) AS n_rows,
-           |  CAST(min(ra) AS BIGINT) AS min_ra, CAST(max(ra) AS BIGINT) AS max_ra,
-           |  CAST(min(rb) AS BIGINT) AS min_rb, CAST(max(rb) AS BIGINT) AS max_rb,
-           |  NOT (max(ra) < 40 OR min(ra) > 110 OR max(rb) < 40 OR min(rb) > 110)
+      Some(
+        s"""$curveZoneMapCtes
+           |SELECT layout, file_id, n_rows, min_ra, max_ra, min_rb, max_rb,
+           |  NOT (max_ra < 40 OR min_ra > 110 OR max_rb < 40 OR min_rb > 110)
            |    AS scan_needed
-           |FROM f GROUP BY layout, file_id ORDER BY layout, file_id""".stripMargin
-      },
+           |FROM zm ORDER BY layout, file_id""".stripMargin),
+    ),
+
+    // Clustering depth over the same zone maps: per file, how many other
+    // files' bounding boxes intersect it — the files a lookup in the
+    // overlap region must scan, and the re-cluster-now signal OPTIMIZE
+    // acts on. Hilbert's plane-contiguous ranges overlap each other far
+    // less than Z-order's jump-straddling ones. Metadata-scale box
+    // self-join; never touches the corpus.
+    Q(
+      "q_zone_overlap",
+      (s, d) => graft.operators.LayoutOps.overlapDepth(
+        graft.operators.LayoutOps.curveLayouts(
+          lineitem(s, d), "l_partkey", "l_suppkey", bits = 8, nFiles = 48, boxLo = 40L, boxHi = 110L)),
+      Some(
+        s"""$curveZoneMapCtes,
+           |ov AS (SELECT a.layout AS layout, a.file_id AS file_id,
+           |         count(b.file_id) AS n_overlaps
+           |       FROM zm a LEFT JOIN zm b
+           |         ON a.layout = b.layout AND a.file_id <> b.file_id
+           |        AND NOT (a.max_ra < b.min_ra OR a.min_ra > b.max_ra
+           |              OR a.max_rb < b.min_rb OR a.min_rb > b.max_rb)
+           |       GROUP BY a.layout, a.file_id)
+           |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(sum(n_overlaps) AS BIGINT) AS total_overlaps,
+           |  CAST(max(n_overlaps) AS BIGINT) AS max_overlap
+           |FROM ov GROUP BY layout ORDER BY layout""".stripMargin),
     ),
 
     // Small-file compaction plan (OPTIMIZE bin-packing): treat each

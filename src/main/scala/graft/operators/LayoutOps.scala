@@ -177,6 +177,42 @@ object LayoutOps {
     packed.unionAll(single).orderBy("bin_kind", "first_file")
   }
 
+  /** Clustering-depth metric over the zone maps [[curveLayouts]] /
+    * [[zoneMapLayouts]] emit: per file, how many OTHER files' rank
+    * bounding boxes intersect its own — the number of files a lookup
+    * landing in the overlap region must scan, and the signal a
+    * lakehouse OPTIMIZE uses to decide when re-clustering pays.
+    * Metadata-scale self-join (file count squared, never the corpus).
+    * Per layout: file count, total overlap endpoints, worst file.
+    *
+    * The zone-map frame is localCheckpoint'd first: it is file-count
+    * sized, and the self-join would otherwise duplicate the whole
+    * upstream curve pipeline into both join branches.
+    */
+  def overlapDepth(zoneMaps: DataFrame): DataFrame = {
+    val a = zoneMaps.select(col("layout"), col("file_id"),
+      col("min_ra"), col("max_ra"), col("min_rb"), col("max_rb"))
+      .localCheckpoint()
+    val b = a.select(col("layout").as("b_layout"), col("file_id").as("b_file"),
+      col("min_ra").as("b_min_ra"), col("max_ra").as("b_max_ra"),
+      col("min_rb").as("b_min_rb"), col("max_rb").as("b_max_rb"))
+    a.join(
+        b,
+        col("layout") === col("b_layout") && col("file_id") =!= col("b_file") &&
+          !(col("max_ra") < col("b_min_ra") || col("min_ra") > col("b_max_ra") ||
+            col("max_rb") < col("b_min_rb") || col("min_rb") > col("b_max_rb")),
+        "left")
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(col("b_file")).as("n_overlaps"))
+      .groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_overlaps")).as("total_overlaps"),
+        max(col("n_overlaps")).as("max_overlap"),
+      )
+      .orderBy("layout")
+  }
+
   /** Min/max rank-scale two columns to [0, 2^bits): one tiny aggregate
     * broadcast back, then row-local integer arithmetic.
     */

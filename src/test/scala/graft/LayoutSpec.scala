@@ -113,6 +113,17 @@ class LayoutSpec extends SparkSpec {
       s"hilbert must prune at least as hard: $scanned")
   }
 
+  test("overlapDepth: hilbert files overlap each other strictly less than z-order files") {
+    val zm = LayoutOps.curveLayouts(
+      lineitem(spark, Sf), "l_partkey", "l_suppkey", bits = 8, nFiles = 48, boxLo = 40L, boxHi = 110L)
+    val depth = LayoutOps.overlapDepth(zm)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(depth.keySet == Set("hilbert", "zorder"))
+    assert(depth("hilbert")._2 == 48L && depth("zorder")._2 == 48L)
+    assert(depth("hilbert")._3 < depth("zorder")._3,
+      s"hilbert must have lower total clustering depth: $depth")
+  }
+
   test("compactionPlan: packs small files at offset boundaries, passes large files through") {
     // 10 small files of 30 each (target 100: offsets 0..270 → bins
     // 0,0,0,0 | 1,1,1 | 2,2,2 — the 4th file straddles 90..120 and joins
