@@ -2480,5 +2480,43 @@ object RelationalQueries {
              |  max(o_orderdate) AS last_order
              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
     ),
+
+    // Bloom-filter semi-join reduction (runtime-filter audit): a 512 Ki-
+    // bit bloom over urgent orders' keys, broadcast and probed row-
+    // locally against lineitem — the probe-side pruning that cuts the
+    // shuffle into a big join. Output counts probe rows, bloom passes,
+    // exact matches, false positives, and n_missed, which the bloom
+    // contract requires to be 0 (the no-false-negatives proof is IN the
+    // result). Deterministic Knuth multiplicative hashes; the oracle
+    // tests position-set membership — definitionally the same predicate
+    // as the bit test.
+    Q(
+      "q_bloom_semijoin",
+      (s, d) => graft.operators.BloomOps.bloomSemiJoinStats(
+        lineitem(s, d), "l_orderkey",
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT"), "o_orderkey",
+        mBits = 524288L),
+      Some("""WITH bk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+             |            WHERE o_orderpriority = '1-URGENT'),
+             |hs(a, b) AS (VALUES (2654435761, 0), (2246822519, 7), (3266489917, 13)),
+             |pos AS (SELECT DISTINCT ((k * a + b) % 2147483647) % 524288 AS p
+             |        FROM bk CROSS JOIN hs),
+             |probe AS (SELECT l_orderkey AS pk,
+             |  ((l_orderkey * 2654435761 + 0) % 2147483647) % 524288 AS p1,
+             |  ((l_orderkey * 2246822519 + 7) % 2147483647) % 524288 AS p2,
+             |  ((l_orderkey * 3266489917 + 13) % 2147483647) % 524288 AS p3
+             |  FROM lineitem),
+             |flags AS (SELECT pk,
+             |  (p1 IN (SELECT p FROM pos) AND p2 IN (SELECT p FROM pos)
+             |    AND p3 IN (SELECT p FROM pos)) AS bloom_pass,
+             |  pk IN (SELECT k FROM bk) AS exact_in
+             |  FROM probe)
+             |SELECT CAST(count(*) AS BIGINT) AS n_probe,
+             |  CAST(count(*) FILTER (bloom_pass) AS BIGINT) AS n_pass,
+             |  CAST(count(*) FILTER (exact_in) AS BIGINT) AS n_exact,
+             |  CAST(count(*) FILTER (bloom_pass AND NOT exact_in) AS BIGINT) AS n_false_pos,
+             |  CAST(count(*) FILTER (exact_in AND NOT bloom_pass) AS BIGINT) AS n_missed
+             |FROM flags""".stripMargin),
+    ),
   )
 }

@@ -54,4 +54,16 @@ class RuntimeFilterSpec extends SparkSpec {
       assert(!p.contains("might_contain"), p)
     }
   }
+
+  test("portable bloom audit: probe side stays shuffle-free and the filter never misses") {
+    val stats = graft.operators.BloomOps.bloomSemiJoinStats(
+      spark.read.parquet(s"$Sf/lineitem.parquet"), "l_orderkey",
+      spark.read.parquet(s"$Sf/orders.parquet").filter(col("o_orderpriority") === "1-URGENT"),
+      "o_orderkey", mBits = 524288L)
+    val physical = stats.queryExecution.executedPlan.toString
+    assert(!physical.contains("SortMergeJoin"), physical)
+    val row = stats.collect().head
+    assert(row.getAs[Long]("n_missed") == 0L, "bloom filters must have no false negatives")
+    assert(row.getAs[Long]("n_pass") >= row.getAs[Long]("n_exact"))
+  }
 }
