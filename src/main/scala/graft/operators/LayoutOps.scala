@@ -177,6 +177,34 @@ object LayoutOps {
     packed.unionAll(single).orderBy("bin_kind", "first_file")
   }
 
+  /** The actual clustered-WRITE path: original columns + the Hilbert
+    * curve key `hval` over the two rank-scaled dimensions. A layout
+    * rewrite is then
+    * `withCurveKey(df, a, b, bits).repartitionByRange(nFiles, col("hval"))
+    * .sortWithinPartitions("hval").drop("hval").write...` — one range
+    * shuffle (the unavoidable cost of any re-clustering), after which
+    * parquet row-group stats on BOTH dimensions become selective.
+    * LayoutSpec proves the payoff against real files: a 2-D box scans
+    * strictly fewer row-group rows than a single-column sort layout.
+    */
+  def withCurveKey(df: DataFrame, colA: String, colB: String, bits: Int): DataFrame = {
+    val a = col(colA).cast("long")
+    val b = col(colB).cast("long")
+    val mm = df.agg(
+      min(a).as("amin"), max(a).as("amax"),
+      min(b).as("bmin"), max(b).as("bmax"),
+    )
+    val maxRank = (1L << bits) - 1
+    val keep = df.columns.map(col)
+    val ranked = df
+      .crossJoin(broadcast(mm))
+      .select(
+        keep
+          :+ expr(s"(CAST($colA AS BIGINT) - amin) * $maxRank div greatest(amax - amin, 1)").as("_ra")
+          :+ expr(s"(CAST($colB AS BIGINT) - bmin) * $maxRank div greatest(bmax - bmin, 1)").as("_rb"): _*)
+    withHilbertIndex(ranked, "_ra", "_rb", bits, "hval").drop("_ra", "_rb")
+  }
+
   /** Clustering-depth metric over the zone maps [[curveLayouts]] /
     * [[zoneMapLayouts]] emit: per file, how many OTHER files' rank
     * bounding boxes intersect its own — the number of files a lookup

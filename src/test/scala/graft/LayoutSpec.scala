@@ -124,6 +124,46 @@ class LayoutSpec extends SparkSpec {
       s"hilbert must have lower total clustering depth: $depth")
   }
 
+  test("a hilbert-clustered write is row-group-pruned harder than a single-column sort on a 2-D box") {
+    // Real files, real parquet stats: write lineitem (sf0.01, 60k rows)
+    // 48 ways under each layout, then measure rows actually emitted by
+    // the scan (= rows in row groups the pushed filters could not
+    // prune). The box selects ~50% of l_partkey but ~11% of l_suppkey:
+    // the partkey-sorted layout can only prune the first dimension;
+    // the curve layout prunes both.
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val dir = java.nio.file.Files.createTempDirectory("layout_write").toFile.getAbsolutePath
+    val (hdir, ldir) = (s"$dir/hilbert", s"$dir/linear")
+    LayoutOps.withCurveKey(li, "l_partkey", "l_suppkey", 8)
+      .repartitionByRange(48, col("hval")).sortWithinPartitions("hval")
+      .drop("hval").write.parquet(hdir)
+    li.repartitionByRange(48, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.parquet(ldir)
+
+    def scanStats(path: String): (Long, Long) = {
+      val old = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = spark.read.parquet(path)
+          .filter(col("l_partkey").between(400, 1400) && col("l_suppkey").between(40, 50))
+        // collect() (not count()) so the metrics land on THIS plan —
+        // count() executes a separate aggregated queryExecution.
+        val matched = df.collect().length.toLong
+        val scan = df.queryExecution.executedPlan.collectLeaves()
+          .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+          .getOrElse(fail("no FileSourceScanExec in plan"))
+        (matched, scan.metrics("numOutputRows").value)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    }
+
+    val (hMatched, hScanned) = scanStats(hdir)
+    val (lMatched, lScanned) = scanStats(ldir)
+    assert(hMatched == lMatched, "a layout rewrite must not change query results")
+    assert(hMatched > 0)
+    assert(hScanned < lScanned,
+      s"hilbert clustering must let parquet stats prune both dimensions: $hScanned vs $lScanned")
+  }
+
   test("compactionPlan: packs small files at offset boundaries, passes large files through") {
     // 10 small files of 30 each (target 100: offsets 0..270 → bins
     // 0,0,0,0 | 1,1,1 | 2,2,2 — the 4th file straddles 90..120 and joins
