@@ -2518,5 +2518,47 @@ object RelationalQueries {
              |  CAST(count(*) FILTER (exact_in AND NOT bloom_pass) AS BIGINT) AS n_missed
              |FROM flags""".stripMargin),
     ),
+
+    // Targeted-delete rewrite planning (right-to-be-forgotten audit):
+    // erase a handful of customers from orders laid out two ways —
+    // value-range files on the delete key ('clustered') vs on arrival
+    // order ('ingest'). Copy-on-write rewrites every file whose zone
+    // map admits a delete key, so the clustered layout touches a few
+    // files while the ingest layout rewrites nearly the whole table —
+    // the amplification a mis-clustered 100 TB table pays per erasure.
+    Q(
+      "q_delete_plan",
+      (s, d) => graft.operators.LayoutOps.deletePlan(
+        orders(s, d), "o_custkey", "o_orderkey",
+        customer(s, d).filter(col("c_custkey") % 1000 === 7), "c_custkey",
+        nFiles = 48),
+      Some("""WITH mm AS (SELECT CAST(min(o_custkey) AS BIGINT) AS kmin,
+             |                   CAST(max(o_custkey) AS BIGINT) AS kmax,
+             |                   CAST(min(o_orderkey) AS BIGINT) AS imin,
+             |                   CAST(max(o_orderkey) AS BIGINT) AS imax FROM orders),
+             |dk AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS dk
+             |       FROM customer WHERE c_custkey % 1000 = 7),
+             |a AS (SELECT CAST(o_custkey AS BIGINT) AS k,
+             |        (CAST(o_custkey AS BIGINT) - kmin) * 48 // (kmax - kmin + 1) AS clustered,
+             |        (CAST(o_orderkey AS BIGINT) - imin) * 48 // (imax - imin + 1) AS ingest,
+             |        o_custkey IN (SELECT dk FROM dk) AS is_del
+             |      FROM orders, mm),
+             |u AS (SELECT 'clustered' AS layout, clustered AS file_id, k, is_del FROM a
+             |      UNION ALL
+             |      SELECT 'ingest' AS layout, ingest AS file_id, k, is_del FROM a),
+             |pf AS (SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             |              min(k) AS min_k, max(k) AS max_k,
+             |              CAST(count(*) FILTER (is_del) AS BIGINT) AS n_deleted
+             |       FROM u GROUP BY layout, file_id),
+             |fl AS (SELECT pf.*,
+             |         EXISTS (SELECT 1 FROM dk WHERE dk BETWEEN min_k AND max_k) AS candidate
+             |       FROM pf)
+             |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(count(*) FILTER (candidate) AS BIGINT) AS candidate_files,
+             |  CAST(count(*) FILTER (n_deleted > 0) AS BIGINT) AS actual_files,
+             |  CAST(sum(CASE WHEN candidate THEN n_rows ELSE 0 END) AS BIGINT) AS rows_to_rewrite,
+             |  CAST(sum(n_deleted) AS BIGINT) AS rows_deleted
+             |FROM fl GROUP BY layout ORDER BY layout""".stripMargin),
+    ),
   )
 }

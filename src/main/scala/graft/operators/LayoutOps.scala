@@ -241,6 +241,81 @@ object LayoutOps {
       .orderBy("layout")
   }
 
+  /** Targeted-delete (right-to-be-forgotten) rewrite planning: given
+    * the keys to erase, how many files must be rewritten, and how many
+    * rows ride along? Copy-on-write storage rewrites every file whose
+    * zone map ADMITS a delete key — so the cost is decided by layout.
+    * Two layouts of the same rows are audited side by side: `clustered`
+    * (value-range files on the delete key itself) and `ingest`
+    * (value-range files on arrival order). Per layout: file count,
+    * zone-map candidate files, files actually holding deletes, rows to
+    * rewrite (all rows of candidate files), rows actually deleted —
+    * the amplification a mis-clustered 100 TB table pays on every
+    * erasure request.
+    *
+    * Plan shape: two row-local file assignments off one broadcast
+    * min/max, a (layout, file) zone-map rollup, then metadata-scale
+    * joins against the (small, broadcast) delete-key set.
+    */
+  def deletePlan(
+      df: DataFrame,
+      keyCol: String,
+      ingestCol: String,
+      deleteKeys: DataFrame,
+      deleteKeyCol: String,
+      nFiles: Int,
+  ): DataFrame = {
+    require(nFiles > 0, "nFiles must be positive")
+    val k = col(keyCol).cast("long")
+    val i = col(ingestCol).cast("long")
+    val mm = df.agg(
+      min(k).as("kmin"), max(k).as("kmax"),
+      min(i).as("imin"), max(i).as("imax"),
+    )
+    val dk = broadcast(
+      deleteKeys.select(col(deleteKeyCol).cast("long").as("dk")).distinct())
+    val assigned = df
+      .select(k.as("k"), i.as("i"))
+      .crossJoin(broadcast(mm))
+      .select(
+        col("k"),
+        expr(s"(k - kmin) * $nFiles div (kmax - kmin + 1)").as("clustered"),
+        expr(s"(i - imin) * $nFiles div (imax - imin + 1)").as("ingest"),
+      )
+      .join(dk.withColumn("_d", lit(1)), col("k") === col("dk"), "left")
+      .withColumn("is_del", col("_d").isNotNull)
+    val perFile = assigned
+      .select(lit("clustered").as("layout"), col("clustered").as("file_id"), col("k"), col("is_del"))
+      .unionAll(
+        assigned.select(lit("ingest").as("layout"), col("ingest").as("file_id"), col("k"), col("is_del")))
+      .groupBy(col("layout"), col("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count(when(col("is_del"), lit(1))).as("n_deleted"),
+      )
+      // metadata-scale; checkpointed so the semi/anti split below does
+      // not duplicate the corpus aggregation into both branches.
+      .localCheckpoint()
+    val flagged = perFile
+      .join(dk, col("dk").between(col("min_k"), col("max_k")), "left_semi")
+      .withColumn("candidate", lit(true))
+      .unionByName(
+        perFile
+          .join(dk, col("dk").between(col("min_k"), col("max_k")), "left_anti")
+          .withColumn("candidate", lit(false)))
+    flagged
+      .groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        count(when(col("candidate"), lit(1))).as("candidate_files"),
+        count(when(col("n_deleted") > 0, lit(1))).as("actual_files"),
+        sum(when(col("candidate"), col("n_rows")).otherwise(lit(0L))).as("rows_to_rewrite"),
+        sum(col("n_deleted")).as("rows_deleted"),
+      )
+      .orderBy("layout")
+  }
+
   /** Min/max rank-scale two columns to [0, 2^bits): one tiny aggregate
     * broadcast back, then row-local integer arithmetic.
     */
