@@ -82,4 +82,19 @@ class EmptyInputSpec extends SparkSpec {
         .count() == 0,
     )
   }
+
+  test("round-6 layout/maintenance operators on empty input") {
+    val noKeyed = Seq.empty[(Long, Long)].toDF("ka", "kb")
+    assert(LayoutOps.zoneMapLayouts(noKeyed, "ka", "kb", 8, 32, 64L, 127L).count() == 0)
+    assert(LayoutOps.curveLayouts(noKeyed, "ka", "kb", 8, 48, 40L, 110L).count() == 0)
+    assert(LayoutOps.overlapDepth(
+      LayoutOps.curveLayouts(noKeyed, "ka", "kb", 8, 48, 40L, 110L)).count() == 0)
+    assert(LayoutOps.withHilbertIndex(noKeyed, "ka", "kb", 8, "h").count() == 0)
+    val noFiles = Seq.empty[(String, Long)].toDF("file_key", "bytes")
+    assert(LayoutOps.compactionPlan(noFiles, "file_key", "bytes", 100L).count() == 0)
+    assert(LayoutOps.deletePlan(noKeyed, "ka", "kb", noKeyed.select(col("ka")), "ka", 8).count() == 0)
+    // A bloom audit over nothing is one all-zero stats row, not a crash.
+    val stats = BloomOps.bloomSemiJoinStats(noKeyed, "ka", noKeyed, "kb", 1024L).collect()
+    assert(stats.length == 1 && stats.head.getAs[Long]("n_probe") == 0L)
+  }
 }
