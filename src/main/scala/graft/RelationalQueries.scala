@@ -2395,6 +2395,51 @@ object RelationalQueries {
            |FROM ov GROUP BY layout ORDER BY layout""".stripMargin),
     ),
 
+    // Three-column Z-order (the ZORDER BY a, b, c user surface): rank-
+    // scale (l_partkey, l_suppkey, shipdate-epoch) to 6 bits each,
+    // interleave into an 18-bit code, bucket into 64 files, and report
+    // 3-D zone maps + the cube-predicate verdict against a sort-by-
+    // partkey layout. A cube selecting half of each dimension is 1/8 of
+    // the volume — the curve prunes toward it, the sort caps at 1/2.
+    Q(
+      "q_zorder3_layout",
+      (s, d) => graft.operators.LayoutOps.zorder3Layouts(
+        lineitem(s, d)
+          .withColumn("ship_day", datediff(col("l_shipdate"), lit("1990-01-01"))),
+        "l_partkey", "l_suppkey", "ship_day",
+        bits = 6, nFiles = 64, boxLo = 16L, boxHi = 47L),
+      Some {
+        val interleave3 = (0 until 6).flatMap(i => Seq(
+          s"((ra >> $i) & 1) * ${1L << (3 * i)}",
+          s"((rb >> $i) & 1) * ${1L << (3 * i + 1)}",
+          s"((rc >> $i) & 1) * ${1L << (3 * i + 2)}")).mkString(" + ")
+        s"""WITH mm AS (SELECT CAST(min(l_partkey) AS BIGINT) AS amin,
+           |                   CAST(max(l_partkey) AS BIGINT) AS amax,
+           |                   CAST(min(l_suppkey) AS BIGINT) AS bmin,
+           |                   CAST(max(l_suppkey) AS BIGINT) AS bmax,
+           |                   CAST(min(date_diff('day', DATE '1990-01-01', l_shipdate)) AS BIGINT) AS cmin,
+           |                   CAST(max(date_diff('day', DATE '1990-01-01', l_shipdate)) AS BIGINT) AS cmax
+           |            FROM lineitem),
+           |r AS (SELECT
+           |        (CAST(l_partkey AS BIGINT) - amin) * 63 // greatest(amax - amin, 1) AS ra,
+           |        (CAST(l_suppkey AS BIGINT) - bmin) * 63 // greatest(bmax - bmin, 1) AS rb,
+           |        (date_diff('day', DATE '1990-01-01', l_shipdate) - cmin) * 63 // greatest(cmax - cmin, 1) AS rc
+           |      FROM lineitem, mm),
+           |z AS (SELECT ra, rb, rc, $interleave3 AS zval FROM r),
+           |f AS (SELECT 'zorder3' AS layout, zval // 4096 AS file_id, ra, rb, rc FROM z
+           |      UNION ALL
+           |      SELECT 'linear' AS layout, ra AS file_id, ra, rb, rc FROM z)
+           |SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(min(ra) AS BIGINT) AS min_ra, CAST(max(ra) AS BIGINT) AS max_ra,
+           |  CAST(min(rb) AS BIGINT) AS min_rb, CAST(max(rb) AS BIGINT) AS max_rb,
+           |  CAST(min(rc) AS BIGINT) AS min_rc, CAST(max(rc) AS BIGINT) AS max_rc,
+           |  NOT (max(ra) < 16 OR min(ra) > 47 OR max(rb) < 16 OR min(rb) > 47
+           |    OR max(rc) < 16 OR min(rc) > 47) AS scan_needed
+           |FROM f GROUP BY layout, file_id ORDER BY layout, file_id""".stripMargin
+      },
+    ),
+
     // Small-file compaction plan (OPTIMIZE bin-packing): treat each
     // ship-day as one ingest file (count x 120 bytes), pack sub-64 KiB
     // files into output groups at cumulative-offset boundaries —

@@ -73,6 +73,89 @@ object LayoutOps {
     walked.select(keep :+ col(out): _*)
   }
 
+  /** N-column Morton interleave: bit i of rank j lands at position
+    * `ranks.size * i + j`. The 2-column [[interleaveBits]] is the
+    * special case; real clustering commands take column LISTS
+    * (ZORDER BY a, b, c), and the interleave generalizes for free.
+    */
+  def interleaveBitsN(ranks: Seq[Column], bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      ranks.zipWithIndex.foldLeft(acc) { case (a, (r, j)) =>
+        a + shiftright(r, i).bitwiseAND(lit(1L)) * lit(1L << (ranks.size * i + j))
+      }
+    }
+
+  /** Three-column Z-order vs linear (sort-by-A), same contest shape as
+    * [[zoneMapLayouts]]: rank-scale all three columns to [0, 2^bits),
+    * interleave, bucket into `nFiles` equal-index-width files, and per
+    * (layout, file) report three-dimensional zone maps plus whether a
+    * cube predicate (all three ranks in [boxLo, boxHi]) could skip the
+    * file. A cube selecting 1/2 per dimension is 1/8 of the volume: the
+    * 3-D curve layout prunes toward 1/8 of files while the sort-by-A
+    * layout can never do better than 1/2. Same plan: one broadcast
+    * min/max, row-local interleave, one (layout, file) rollup.
+    */
+  def zorder3Layouts(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      colC: String,
+      bits: Int,
+      nFiles: Int,
+      boxLo: Long,
+      boxHi: Long,
+  ): DataFrame = {
+    require(nFiles > 0, "nFiles must be positive")
+    require(3 * bits <= 62, "3*bits must fit a long")
+    val cells = 1L << (3 * bits)
+    val fileWidth = (cells + nFiles - 1) / nFiles
+    val a = col(colA).cast("long")
+    val b = col(colB).cast("long")
+    val c = col(colC).cast("long")
+    val mm = df.agg(
+      min(a).as("amin"), max(a).as("amax"),
+      min(b).as("bmin"), max(b).as("bmax"),
+      min(c).as("cmin"), max(c).as("cmax"),
+    )
+    val maxRank = (1L << bits) - 1
+    val scaled = df
+      .select(a.as("a"), b.as("b"), c.as("c"))
+      .crossJoin(broadcast(mm))
+      .select(
+        expr(s"(a - amin) * $maxRank div greatest(amax - amin, 1)").as("ra"),
+        expr(s"(b - bmin) * $maxRank div greatest(bmax - bmin, 1)").as("rb"),
+        expr(s"(c - cmin) * $maxRank div greatest(cmax - cmin, 1)").as("rc"),
+      )
+    val aFileWidth = (maxRank + 1 + nFiles - 1) / nFiles
+    val assigned = scaled.select(
+      col("ra"), col("rb"), col("rc"),
+      interleaveBitsN(Seq(col("ra"), col("rb"), col("rc")), bits).as("zval"),
+    )
+    val both = assigned
+      .select(lit("zorder3").as("layout"), expr(s"zval div $fileWidth").as("file_id"),
+        col("ra"), col("rb"), col("rc"))
+      .unionAll(
+        assigned.select(lit("linear").as("layout"), expr(s"ra div $aFileWidth").as("file_id"),
+          col("ra"), col("rb"), col("rc")))
+    both
+      .groupBy(col("layout"), col("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("ra")).as("min_ra"), max(col("ra")).as("max_ra"),
+        min(col("rb")).as("min_rb"), max(col("rb")).as("max_rb"),
+        min(col("rc")).as("min_rc"), max(col("rc")).as("max_rc"),
+      )
+      .select(
+        col("layout"), col("file_id"), col("n_rows"),
+        col("min_ra"), col("max_ra"), col("min_rb"), col("max_rb"),
+        col("min_rc"), col("max_rc"),
+        (!(col("max_ra") < boxLo || col("min_ra") > boxHi ||
+          col("max_rb") < boxLo || col("min_rb") > boxHi ||
+          col("max_rc") < boxLo || col("min_rc") > boxHi)).as("scan_needed"),
+      )
+      .orderBy("layout", "file_id")
+  }
+
   /** Compare a Z-order layout against a linear (sort-by-A) layout of the
     * same rows into `nFiles` files, by the zone maps each file would
     * carry and whether a box predicate (ranks of A and B both in

@@ -113,6 +113,26 @@ class LayoutSpec extends SparkSpec {
       s"hilbert must prune at least as hard: $scanned")
   }
 
+  test("zorder3Layouts: 3-D cube pruning beats the single-column sort") {
+    val out = LayoutOps.zorder3Layouts(
+      lineitem(spark, Sf).withColumn("ship_day", datediff(col("l_shipdate"), lit("1990-01-01"))),
+      "l_partkey", "l_suppkey", "ship_day",
+      bits = 6, nFiles = 64, boxLo = 16L, boxHi = 47L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    val byLayout = out.groupBy(_._1)
+    val total = lineitem(spark, Sf).count()
+    byLayout.foreach { case (layout, files) =>
+      assert(files.map(_._3).sum == total, s"$layout files must partition the table")
+    }
+    // Scanned fraction: the cube selects 1/2 per dimension = 1/8 of the
+    // volume; sort-by-partkey can never beat its 1/2 projection.
+    val scanned = byLayout.view.mapValues(fs => (fs.count(_._10), fs.size)).toMap
+    val (z3s, z3n) = scanned("zorder3")
+    val (lins, linn) = scanned("linear")
+    assert(z3s.toDouble / z3n < lins.toDouble / linn,
+      s"zorder3 must prune a 3-D cube harder: $scanned")
+  }
+
   test("overlapDepth: hilbert files overlap each other strictly less than z-order files") {
     val zm = LayoutOps.curveLayouts(
       lineitem(spark, Sf), "l_partkey", "l_suppkey", bits = 8, nFiles = 48, boxLo = 40L, boxHi = 110L)
