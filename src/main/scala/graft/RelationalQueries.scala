@@ -2440,6 +2440,44 @@ object RelationalQueries {
       },
     ),
 
+    // File-level column stats (the zone map's CBO sibling): per value-
+    // range file, row count and l_partkey NDV — exact plus the HLL
+    // estimate under the registry's tolerance contract. One pass
+    // collects stats for every file; the sketch tier (q_hll_union)
+    // already proves these re-aggregate to table level without a
+    // rescan, which is what lets a 100 TB planner keep stats current
+    // per-file and merge on demand.
+    Q(
+      "q_file_ndv",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_orderkey").cast("long").as("k"), col("l_partkey"))
+        val mm = li.agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+        li.crossJoin(broadcast(mm))
+          .select(expr("(k - kmin) * 32 div (kmax - kmin + 1)").as("file_id"), col("l_partkey"))
+          .groupBy(col("file_id"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("l_partkey")).as("ndv_parts"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("__approx"),
+          )
+          .select(
+            col("file_id"), col("n_rows"), col("ndv_parts"),
+            (abs(col("__approx") - col("ndv_parts")).cast("double") /
+              col("ndv_parts") <= lit(0.05)).as("within_bound"),
+          )
+          .orderBy("file_id")
+      },
+      Some("""WITH mm AS (SELECT CAST(min(l_orderkey) AS BIGINT) AS kmin,
+             |                   CAST(max(l_orderkey) AS BIGINT) AS kmax FROM lineitem),
+             |f AS (SELECT (CAST(l_orderkey AS BIGINT) - kmin) * 32 // (kmax - kmin + 1) AS file_id,
+             |             l_partkey
+             |      FROM lineitem, mm)
+             |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_parts,
+             |  true AS within_bound
+             |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin),
+    ),
+
     // Small-file compaction plan (OPTIMIZE bin-packing): treat each
     // ship-day as one ingest file (count x 120 bytes), pack sub-64 KiB
     // files into output groups at cumulative-offset boundaries —

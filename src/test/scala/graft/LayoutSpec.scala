@@ -184,6 +184,22 @@ class LayoutSpec extends SparkSpec {
       s"hilbert clustering must let parquet stats prune both dimensions: $hScanned vs $lScanned")
   }
 
+  test("degenerate inputs: constant columns collapse to rank 0 without dividing by zero") {
+    val const = Seq.fill(100)((7L, 7L)).toDF("ka", "kb")
+    val zm = LayoutOps.zoneMapLayouts(const, "ka", "kb", 8, 32, 64L, 127L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    // All ranks 0 → every layout lands in file 0 with a [0,0]x[0,0] box.
+    zm.foreach { case (_, fid, n, minRa, maxRa, minRb, maxRb, scan) =>
+      assert(fid == 0L && n == 100L)
+      assert(minRa == 0L && maxRa == 0L && minRb == 0L && maxRb == 0L)
+      assert(!scan, "a [0,0] zone map cannot intersect the [64,127] box")
+    }
+    assert(zm.length == 2)
+    val h = LayoutOps.withHilbertIndex(const, "ka", "kb", 8, "h")
+      .select("h").distinct().as[Long].collect()
+    assert(h.toSeq == Seq(hilbertRef(7L, 7L, 8)), "constant input is a single curve cell")
+  }
+
   test("compactionPlan: packs small files at offset boundaries, passes large files through") {
     // 10 small files of 30 each (target 100: offsets 0..270 → bins
     // 0,0,0,0 | 1,1,1 | 2,2,2 — the 4th file straddles 90..120 and joins
