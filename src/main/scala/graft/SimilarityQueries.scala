@@ -269,6 +269,72 @@ object SimilarityQueries {
        |  FROM sc WHERE query_id <> vec_id)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Trained-ADC scan CTE chain (trained codebook → argmin codes →
+    * per-query LUT → summed approximate distances as `sc`) — shared by
+    * the sim_pq_adc_trained oracle and the re-rank oracle, which differ
+    * only in what they do with `sc`. Also defines `v` (vec_id, e) for
+    * consumers needing raw doubles.
+    */
+  private val adcScanCtes: String =
+    s"""${trainedCbCtes(4, 16)},
+       |dst AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+       |        FROM sv s JOIN cb2 c ON s.blk = c.blk),
+       |am AS (SELECT vec_id, blk, cid FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id, blk
+       |                     ORDER BY dist, cid) AS rn FROM dst)
+       |       WHERE rn = 1),
+       |qb AS (SELECT vec_id AS query_id, blk, sv AS qv FROM sv WHERE vec_id < 10),
+       |lut AS (SELECT q.query_id, q.blk, c.cid, ${l2sq("q.qv", "c.cv")} AS d
+       |        FROM qb q JOIN cb2 c ON q.blk = c.blk),
+       |sc AS (SELECT l.query_id, a.vec_id,
+       |         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.blk)),
+       |                     (ata, atb) -> ata + atb) AS approx_dist
+       |       FROM am a JOIN lut l ON a.blk = l.blk AND a.cid = l.cid
+       |       GROUP BY l.query_id, a.vec_id)""".stripMargin
+
+  private val adcTrainedSql: String =
+    s"""WITH $adcScanCtes
+       |SELECT query_id, neighbor_id, approx_dist, rank FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, approx_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_dist, vec_id) AS INT) AS rank
+       |  FROM sc WHERE query_id <> vec_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Stage-1 candidate count for the two-stage re-rank read path. */
+  private val RerankR = 20
+
+  /** Two-stage retrieval: trained-ADC candidates (top-R by approximate
+    * distance) re-ranked by exact cosine over raw vectors — shared by
+    * sim_rerank and its scoreboard.
+    */
+  private def rerankTrained(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val emb = embeddings(s, d)
+    val cb = SimilarityOps.trainCodebook(emb, blocks = 4, subDim = 16,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val cand = SimilarityOps.pqAdcTopK(emb, blocks = 4, subDim = 16, codebook = cb,
+      nSeeds = 8, isQuery = col("vec_id") < 10, k = RerankR)
+    SimilarityOps.rerankExact(emb, cand, TopK)
+  }
+
+  private val rerankSql: String =
+    s"""WITH $adcScanCtes,
+       |cand AS (SELECT query_id, vec_id AS neighbor_id FROM (
+       |           SELECT query_id, vec_id,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY approx_dist, vec_id) AS rn
+       |           FROM sc WHERE query_id <> vec_id)
+       |         WHERE rn <= $RerankR),
+       |nrm AS (SELECT vec_id, ${unitNorm("e")} AS u FROM v),
+       |rr AS (SELECT c.query_id, c.neighbor_id, ${dot("q.u", "x.u")} AS cosine
+       |       FROM cand c JOIN nrm q ON q.vec_id = c.query_id
+       |         JOIN nrm x ON x.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM rr)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   private def topkSql(cellJoin: String, k: Int): String =
     s"""WITH v AS (SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, label, embedding, ${unitNorm("e")} AS u FROM v),
@@ -464,27 +530,18 @@ object SimilarityQueries {
         SimilarityOps.pqAdcTopK(emb, blocks = 4, subDim = 16, codebook = cb,
           nSeeds = 8, isQuery = col("vec_id") < 10, k = 5)
       },
-      Some(s"""WITH ${trainedCbCtes(4, 16)},
-              |dst AS (SELECT s.vec_id, s.blk, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
-              |        FROM sv s JOIN cb2 c ON s.blk = c.blk),
-              |am AS (SELECT vec_id, blk, cid FROM (
-              |         SELECT *, row_number() OVER (PARTITION BY vec_id, blk
-              |                     ORDER BY dist, cid) AS rn FROM dst)
-              |       WHERE rn = 1),
-              |qb AS (SELECT vec_id AS query_id, blk, sv AS qv FROM sv WHERE vec_id < 10),
-              |lut AS (SELECT q.query_id, q.blk, c.cid, ${l2sq("q.qv", "c.cv")} AS d
-              |        FROM qb q JOIN cb2 c ON q.blk = c.blk),
-              |sc AS (SELECT l.query_id, a.vec_id,
-              |         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.blk)),
-              |                     (ata, atb) -> ata + atb) AS approx_dist
-              |       FROM am a JOIN lut l ON a.blk = l.blk AND a.cid = l.cid
-              |       GROUP BY l.query_id, a.vec_id)
-              |SELECT query_id, neighbor_id, approx_dist, rank FROM (
-              |  SELECT query_id, vec_id AS neighbor_id, approx_dist,
-              |    CAST(row_number() OVER (PARTITION BY query_id
-              |           ORDER BY approx_dist, vec_id) AS INT) AS rank
-              |  FROM sc WHERE query_id <> vec_id)
-              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      Some(adcTrainedSql),
+    ),
+    // Two-stage retrieval — the production serving shape: the trained
+    // ADC index nominates R=20 candidates per query from compressed
+    // codes alone, then ONLY those rows' raw vectors are fetched
+    // (broadcast-hash join; the corpus never shuffles) and re-ranked by
+    // exact cosine. Approximation error survives only in WHICH R
+    // candidates surfaced, never in their final ordering.
+    Q(
+      "sim_rerank",
+      (s, d) => rerankTrained(s, d),
+      Some(rerankSql),
     ),
     // IVF with a TRAINED coarse quantizer: 2 Lloyd iterations over the
     // FULL vectors (blocks=1 = plain k-means), every vector assigned to
@@ -800,6 +857,64 @@ object SimilarityQueries {
            |  CAST(count(CASE WHEN en IS NOT NULL AND an IS NOT NULL THEN 1 END) AS DOUBLE)
            |    / CAST(count(en) AS DOUBLE) AS recall_at_k
            |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+      },
+    ),
+    // Re-rank scoreboard: per query, how many of the exact top-5 the
+    // plain ADC@5 read finds vs the re-ranked (ADC@20 → exact) read.
+    // gain ≥ 0 ALWAYS: ADC@5 ⊆ the R=20 candidate set, and any exact
+    // top-5 member inside the candidates must survive an exact-cosine
+    // re-rank to 5 (only other top-5 members can outrank it) — the
+    // provable dominance SimilaritySpec pins. What's bought: stage 2
+    // converts candidate recall into final recall at the cost of R raw
+    // rows per query instead of zero.
+    Q(
+      "sim_rerank_recall",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val emb = embeddings(s, d)
+        val cb = SimilarityOps.trainCodebook(emb, blocks = 4, subDim = 16,
+          isSeed = col("vec_id") < 8, iters = 2)
+        val exact = SimilarityOps
+          .bruteForceTopK(emb, col("vec_id") < 10, TopK)
+          .select(col("query_id"), col("neighbor_id"))
+        val adc = SimilarityOps
+          .pqAdcTopK(emb, blocks = 4, subDim = 16, codebook = cb,
+            nSeeds = 8, isQuery = col("vec_id") < 10, k = TopK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_adc"))
+        val rr = rerankTrained(s, d)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_rr"))
+        exact
+          .join(adc, Seq("query_id", "neighbor_id"), "left")
+          .join(rr, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(
+            count(lit(1)).as("n_true"),
+            count(col("in_adc")).as("hits_adc"),
+            count(col("in_rr")).as("hits_rerank"),
+          )
+          .select(
+            col("query_id"),
+            col("n_true"),
+            col("hits_adc"),
+            col("hits_rerank"),
+            (col("hits_rerank") - col("hits_adc")).as("gain"),
+          )
+          .orderBy("query_id")
+      },
+      Some {
+        val exactSql = topkSql("", TopK)
+        s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)),
+           |ad AS (SELECT query_id, neighbor_id FROM ($adcTrainedSql)),
+           |rr AS (SELECT query_id, neighbor_id FROM ($rerankSql))
+           |SELECT e.query_id,
+           |  CAST(count(*) AS BIGINT) AS n_true,
+           |  CAST(count(a.neighbor_id) AS BIGINT) AS hits_adc,
+           |  CAST(count(r.neighbor_id) AS BIGINT) AS hits_rerank,
+           |  CAST(count(r.neighbor_id) - count(a.neighbor_id) AS BIGINT) AS gain
+           |FROM ex e
+           |  LEFT JOIN ad a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  LEFT JOIN rr r ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+           |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
       },
     ),
   )

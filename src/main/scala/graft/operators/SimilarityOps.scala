@@ -557,6 +557,43 @@ object SimilarityOps {
     rankTopK(scored, "approx_dist", ascending = true, k)
   }
 
+  /** Two-stage retrieval re-rank — the final stage of the production
+    * read path: a compressed index (ADC / IVF-PQ) nominates R candidate
+    * ids per query, and only those rows' RAW vectors are fetched and
+    * scored exactly. `candidates` carries (query_id, neighbor_id);
+    * output is exact-cosine top-k under the same (score desc, then id)
+    * tie contract as [[bruteForceTopK]], so the oracle re-ranks the
+    * identical candidate set bit-for-bit.
+    *
+    * Scale shape: the candidate set is |queries|·R rows — it
+    * localCheckpoints (the stage-1 plan computes once, not once per
+    * consumer) and broadcasts; the raw corpus is touched by ONE
+    * broadcast-hash join fetch on `vec_id` and is never shuffled. Exact
+    * arithmetic runs on |queries|·R vectors instead of the corpus —
+    * recall stays stage-1's candidate recall, while ordering within the
+    * candidates becomes exact (so re-rank@k provably never has fewer
+    * true top-k hits than stage-1@k over the same index).
+    */
+  def rerankExact(embeddings: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val cand = broadcast(
+      candidates.select(col("query_id"), col("neighbor_id")).localCheckpoint(),
+    )
+    val qv = broadcast(
+      embeddings
+        .join(cand.select(col("query_id")).distinct(), col("vec_id") === col("query_id"))
+        .select(col("query_id"), unitNorm(col("embedding")).as("qu")),
+    )
+    val scored = embeddings
+      .join(cand, col("vec_id") === col("neighbor_id"))
+      .join(qv, "query_id")
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        dot(col("qu"), unitNorm(col("embedding"))).as("cosine"),
+      )
+    rankTopK(scored, "cosine", ascending = false, k)
+  }
+
   /** IVF-style ANN with a precomputed coarse assignment column (here the
     * `label` column stands in for the nearest-centroid cell id a k-means
     * quantizer would produce): search only the query's cell.

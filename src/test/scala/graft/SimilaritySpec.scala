@@ -423,4 +423,38 @@ class SimilaritySpec extends SparkSpec {
     }.toSet
     assert(got == expected, "probed residual-ADC results must match the driver recompute bit-for-bit")
   }
+
+  test("rerankExact: exact-cosine re-rank of ADC candidates dominates plain ADC per query, window-free") {
+    import spark.implicits._
+    val emb = embeddings(spark, Sf)
+    val cb = SimilarityOps.trainCodebook(emb, blocks = 4, subDim = 16,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val exact = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .filter(exact.contains).groupBy(_._1).view.mapValues(_.length).toMap
+    val adc5 = SimilarityOps.pqAdcTopK(emb, blocks = 4, subDim = 16, codebook = cb,
+      nSeeds = 8, isQuery = col("vec_id") < 10, k = 5)
+    val cand = SimilarityOps.pqAdcTopK(emb, blocks = 4, subDim = 16, codebook = cb,
+      nSeeds = 8, isQuery = col("vec_id") < 10, k = 20)
+    val rr = SimilarityOps.rerankExact(emb, cand, 5)
+    // Re-rank must return candidate rows only, exactly k per query, and
+    // its exact-top-5 hit count can never fall below plain ADC@5's:
+    // ADC@5 ⊆ the candidate set, and an exact top-5 member among the
+    // candidates is outranked only by other exact top-5 members.
+    val candSet = cand.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rrRows = rr.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rrRows.toSet.subsetOf(candSet), "re-rank emitted a non-candidate row")
+    assert(rrRows.groupBy(_._1).values.forall(_.length == 5))
+    val adcHits = hits(adc5)
+    val rrHits = hits(rr)
+    (0L until 10L).foreach { q =>
+      assert(rrHits.getOrElse(q, 0) >= adcHits.getOrElse(q, 0),
+        s"query $q: re-rank recall fell below plain ADC")
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(rr.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "re-rank top-k must be the bounded-heap aggregate, not a window")
+  }
 }
