@@ -584,5 +584,66 @@ object TextQueries {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
     ),
+    // Conjunctive retrieval over the inverted index: docs containing
+    // ALL of {dup, spark, window}. The oracle states the semantics
+    // independently (per-doc token-list membership); the engine runs
+    // the posting-list intersection as one count aggregate over
+    // term-filtered postings.
+    Q(
+      "tx_search_and",
+      (s, d) => graft.operators.SearchOps.searchAnd(documents(s, d), Seq("dup", "spark", "window")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(w, t -> t IN ('dup', 'spark', 'window'))) AS BIGINT)
+             |    AS total_tf
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |WHERE len(list_filter(w, t -> t = 'dup')) > 0
+             |  AND len(list_filter(w, t -> t = 'spark')) > 0
+             |  AND len(list_filter(w, t -> t = 'window')) > 0
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    // Exact phrase match ("table table") over positional postings,
+    // counting OVERLAPPING occurrences — the oracle mirrors the
+    // positional join (a substring regex would undercount "a a a").
+    Q(
+      "tx_search_phrase",
+      (s, d) => graft.operators.SearchOps.searchPhrase(documents(s, d), Seq("table", "table")),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |            generate_subscripts(string_split(text, ' '), 1) AS pos
+             |          FROM documents)
+             |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+             |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |WHERE a.tok = 'table' AND b.tok = 'table'
+             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
+    ),
+    // Ranked retrieval, log-free TF-IDF (score = Σ tf·N/df in fixed
+    // term order — ln() is non-portable across engines, the
+    // tx_unigram_rarity precedent): 'dup' is ~34× rarer than the other
+    // terms, so the ranking demonstrably follows the IDF weight, and
+    // every score double is bit-reproduced by the oracle.
+    Q(
+      "tx_search_ranked",
+      (s, d) => graft.operators.SearchOps.searchRanked(documents(s, d), Seq("dup", "spark", "table"), 10),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |t AS (SELECT doc_id,
+             |        len(list_filter(w, x -> x = 'dup')) AS tf1,
+             |        len(list_filter(w, x -> x = 'spark')) AS tf2,
+             |        len(list_filter(w, x -> x = 'table')) AS tf3
+             |      FROM w),
+             |n AS (SELECT count(*) AS nd FROM w),
+             |d AS (SELECT count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+             |        count(CASE WHEN tf2 > 0 THEN 1 END) AS df2,
+             |        count(CASE WHEN tf3 > 0 THEN 1 END) AS df3 FROM t),
+             |s AS (SELECT doc_id,
+             |        (CASE WHEN tf1 > 0 THEN CAST(tf1 AS DOUBLE) * nd / df1 ELSE 0.0 END)
+             |      + (CASE WHEN tf2 > 0 THEN CAST(tf2 AS DOUBLE) * nd / df2 ELSE 0.0 END)
+             |      + (CASE WHEN tf3 > 0 THEN CAST(tf3 AS DOUBLE) * nd / df3 ELSE 0.0 END)
+             |          AS score
+             |      FROM t, n, d WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0)
+             |SELECT rank, doc_id, score FROM (
+             |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+             |         doc_id, score
+             |  FROM s)
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    ),
   )
 }

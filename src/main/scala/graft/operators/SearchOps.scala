@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inverted-index text retrieval over the documents table — the search
+  * read paths a corpus store serves (and a training-data pipeline uses
+  * for targeted corpus probes): positional postings, conjunctive (AND)
+  * lookup, exact phrase match, and ranked retrieval under a log-free
+  * TF-IDF weight.
+  *
+  * Tokenization is the corpus contract shared with
+  * [[TextOps.tokens]] (single-space split), so every query here is
+  * bit-reproducible by a DuckDB oracle over `string_split`.
+  *
+  * Scale shape: [[postings]] is the one corpus-wide explode an index
+  * build pays; every search below filters postings to its literal query
+  * terms FIRST, so what flows into joins/aggregates is a handful of
+  * per-term posting lists (size Σ df(t)), never the corpus. Against a
+  * PERSISTED postings table bucketed by term, the same plans become
+  * pruned per-term reads with no shuffle — the LshIndexOps pattern
+  * applied to text.
+  */
+object SearchOps {
+
+  /** Positional postings — one row per token occurrence: (term, doc_id,
+    * pos), `pos` 1-based within the document. The inverted-index build:
+    * one explode over the corpus; persisted bucketed by `term` it
+    * serves every retrieval query without re-reading text.
+    */
+  def postings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+      .select(col("term"), col("doc_id"), (col("pos0") + 1).cast("int").as("pos"))
+
+  /** Conjunctive (AND) retrieval: documents containing EVERY query
+    * term, with the total query-term frequency per document. Postings
+    * are filtered to the literal terms before anything else (the
+    * predicate reaches the scan), so the aggregate sees |terms| posting
+    * lists; a document qualifies when it matches all |terms| distinct
+    * terms — the standard posting-list intersection as one count
+    * aggregate instead of |terms| joins.
+    */
+  def searchAnd(docs: DataFrame, terms: Seq[String]): DataFrame =
+    postings(docs)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_matched"), count(lit(1)).as("total_tf"))
+      .filter(col("n_matched") === terms.size)
+      .select(col("doc_id"), col("total_tf"))
+      .orderBy("doc_id")
+
+  /** Exact phrase match over positional postings: documents where the
+    * phrase's terms occur at consecutive positions, with the occurrence
+    * count (overlapping occurrences counted — "a a a" contains "a a"
+    * twice, which substring regexes get wrong by consuming the
+    * separator). Each phrase term contributes one PRE-FILTERED posting
+    * list; the join chain advances the position by one per term, so
+    * every join is an equi-join on (doc_id, pos) between per-term lists
+    * — the corpus itself is never self-joined.
+    */
+  def searchPhrase(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    def termList(t: String) =
+      postings(docs).filter(col("term") === t).select(col("doc_id"), col("pos"))
+    val start = termList(phrase.head)
+    val matched = phrase.zipWithIndex.tail.foldLeft(start) { case (acc, (t, i)) =>
+      val next = termList(t).select(col("doc_id").as("d2"), col("pos").as("p2"))
+      acc
+        .join(next, col("d2") === col("doc_id") && col("p2") === col("pos") + i)
+        .select(col("doc_id"), col("pos"))
+    }
+    matched
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+
+  /** Ranked (disjunctive) retrieval under the log-free TF-IDF weight:
+    * score(d) = Σ_t tf(t,d) · N / df(t), summed in the CALLER'S term
+    * order. ln()-based IDF is measurably non-portable across engines
+    * (the tx_unigram_rarity precedent), so the weight keeps the exact
+    * inverse-document-frequency ratio un-damped — rare terms dominate,
+    * which is the ranking signal being demonstrated. Every per-term
+    * component is one double multiply + divide on exact integers, and
+    * the fixed-order final sum makes the score bit-reproducible.
+    *
+    * Plan: df is a |terms|-row broadcast, N a broadcast scalar; per-doc
+    * term sums select at most one non-zero addend per term (adding an
+    * exact 0.0 is order-independent), and the final top-k is the
+    * bounded-heap aggregate — no window, nothing shuffles but the
+    * filtered postings keyed by doc.
+    */
+  def searchRanked(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val tf = postings(docs)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val perTermScore = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"),
+        col("term"),
+        (col("tf").cast("double") * col("n") / col("df")).as("s"),
+      )
+    val perDoc = perTermScore
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("term") === terms.head, col("s")).otherwise(0.0)).as(s"s_0"),
+        terms.zipWithIndex.tail.map { case (t, i) =>
+          sum(when(col("term") === t, col("s")).otherwise(0.0)).as(s"s_$i")
+        }: _*,
+      )
+    val score = terms.indices.map(i => col(s"s_$i")).reduceLeft(_ + _)
+    perDoc
+      .select(lit(1).as("g"), col("doc_id"), score.as("score"))
+      .groupBy(col("g"))
+      .agg(graft.expressions.TopKPairs.topK(col("score"), col("doc_id"), k, ascending = false).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("doc_id"),
+        col("p.score").as("score"),
+      )
+      .orderBy("rank")
+  }
+}
