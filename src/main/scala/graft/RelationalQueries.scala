@@ -2643,5 +2643,57 @@ object RelationalQueries {
              |  CAST(sum(n_deleted) AS BIGINT) AS rows_deleted
              |FROM fl GROUP BY layout ORDER BY layout""".stripMargin),
     ),
+    // Iterative graph compute: PageRank (3 power iterations, damping
+    // 85/100) over the supplier co-occurrence graph (src↔dst when two
+    // suppliers fill lines of one order). EXACT integer arithmetic on a
+    // 1e12 scale — IEEE-double PageRank is not bit-reproducible under
+    // Spark's partition-order summation, so ranks are scaled integers
+    // and the oracle unrolls the same three rounds with DuckDB's `//`.
+    // One edge-list join + one dst-keyed sum per round — the canonical
+    // distributed PageRank; lineage truncated per round.
+    Q(
+      "q_pagerank",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val edges = graft.operators.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_suppkey")
+        graft.operators.GraphOps.pageRankInt(edges, iters = 3, scale = 1000000000000L)
+      },
+      Some("""WITH e AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+             |  FROM lineitem a JOIN lineitem b
+             |    ON b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey),
+             |deg AS MATERIALIZED (
+             |  SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+             |nn AS (SELECT count(*) AS n FROM deg),
+             |p0 AS MATERIALIZED (
+             |  SELECT node, 1000000000000 // n AS pr FROM deg CROSS JOIN nn),
+             |c1 AS MATERIALIZED (
+             |  SELECT e.dst, CAST(sum(p.pr // d.out_deg) AS BIGINT) AS sc
+             |  FROM e JOIN p0 p ON p.node = e.src JOIN deg d ON d.node = e.src
+             |  GROUP BY e.dst),
+             |p1 AS MATERIALIZED (
+             |  SELECT d.node,
+             |    (15 * (1000000000000 // n)) // 100 + (85 * coalesce(c.sc, 0)) // 100 AS pr
+             |  FROM deg d CROSS JOIN nn LEFT JOIN c1 c ON c.dst = d.node),
+             |c2 AS MATERIALIZED (
+             |  SELECT e.dst, CAST(sum(p.pr // d.out_deg) AS BIGINT) AS sc
+             |  FROM e JOIN p1 p ON p.node = e.src JOIN deg d ON d.node = e.src
+             |  GROUP BY e.dst),
+             |p2 AS MATERIALIZED (
+             |  SELECT d.node,
+             |    (15 * (1000000000000 // n)) // 100 + (85 * coalesce(c.sc, 0)) // 100 AS pr
+             |  FROM deg d CROSS JOIN nn LEFT JOIN c2 c ON c.dst = d.node),
+             |c3 AS MATERIALIZED (
+             |  SELECT e.dst, CAST(sum(p.pr // d.out_deg) AS BIGINT) AS sc
+             |  FROM e JOIN p2 p ON p.node = e.src JOIN deg d ON d.node = e.src
+             |  GROUP BY e.dst),
+             |p3 AS MATERIALIZED (
+             |  SELECT d.node,
+             |    (15 * (1000000000000 // n)) // 100 + (85 * coalesce(c.sc, 0)) // 100 AS pr
+             |  FROM deg d CROSS JOIN nn LEFT JOIN c3 c ON c.dst = d.node)
+             |SELECT d.node, d.out_deg, CAST(p.pr AS BIGINT) AS pr
+             |FROM deg d JOIN p3 p ON p.node = d.node
+             |ORDER BY d.node""".stripMargin),
+    ),
   )
 }

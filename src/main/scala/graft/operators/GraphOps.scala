@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation (power-iteration PageRank) in EXACT
+  * integer arithmetic, plus the co-occurrence graph build that feeds
+  * it. Link-graph centrality is a standard corpus-quality signal in
+  * training-data pipelines; this is that computation in the
+  * bit-reproducible style the repo's oracles demand: ranks are scaled
+  * integers (`scale` ≈ total mass), every step is integer
+  * multiply/divide/sum, so there is no floating-point summation-order
+  * drift between engines — the DuckDB oracle unrolls the same
+  * iterations and matches every rank exactly.
+  *
+  * Scale shape: one iteration = one broadcast-free equi-join of the
+  * edge list with the current rank vector (both keyed by node) plus one
+  * `dst`-keyed sum — the canonical distributed PageRank round, O(|E|)
+  * shuffled per round with no driver participation. The rank frame
+  * localCheckpoints per round (the established iterative-algorithm
+  * rule: lineage must not grow with the iteration count).
+  */
+object GraphOps {
+
+  /** Symmetric co-occurrence edges: src → dst when the two keys appear
+    * under one shared group (here: two suppliers filling lines of the
+    * same order). Both directions are emitted, so every node with an
+    * in-edge has an out-edge — no dangling-mass correction is needed
+    * downstream. The self-join is keyed by the group id and the
+    * distinct by the pair — the standard two-shuffle co-occurrence
+    * build.
+    */
+  def coOccurrenceEdges(rows: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val a = rows.select(col(groupCol).as("g"), col(keyCol).as("src"))
+    val b = rows.select(col(groupCol).as("g"), col(keyCol).as("dst"))
+    a.join(b, "g")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+  }
+
+  /** Integer-scaled PageRank, damping 85/100, `iters` power iterations:
+    *
+    *   pr₀(v)   = scale div N
+    *   prᵢ₊₁(v) = (15·(scale div N)) div 100
+    *            + (85·Σ_{u→v} (prᵢ(u) div outdeg(u))) div 100
+    *
+    * All divisions are integer (truncating; every operand is
+    * non-negative, so Spark `div` and DuckDB `//` agree exactly).
+    * Truncation loses a bounded trickle of mass per round — the price
+    * of bit-reproducibility across engines, which IEEE-double PageRank
+    * cannot offer under Spark's partition-order-dependent summation.
+    *
+    * Nodes are the edge list's sources (callers feeding a symmetric
+    * edge set — [[coOccurrenceEdges]] — cover every non-isolated node).
+    * Output: (node, out_deg, pr) after `iters` rounds.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val adj = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
+      .select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint()
+    val deg = adj.select(col("src").as("node"), col("out_deg")).distinct()
+    val n = broadcast(deg.agg(count(lit(1)).as("n")))
+    val base = deg.crossJoin(n)
+    var pr = base.select(col("node"), expr(s"$scale div n").as("pr")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(pr, adj("src") === pr("node"))
+        .select(col("dst"), expr("pr div out_deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+      pr = base
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(
+          col("node"),
+          (expr(s"(15 * ($scale div n)) div 100") +
+            expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"),
+        )
+        .localCheckpoint()
+    }
+    deg.join(pr, "node").select(col("node"), col("out_deg"), col("pr")).orderBy("node")
+  }
+}

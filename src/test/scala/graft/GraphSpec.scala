@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+import Tables.lineitem
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coOccurrenceEdges emits both directions once, never self-edges") {
+    val rows = Seq((10L, 1L), (10L, 2L), (10L, 2L), (20L, 2L), (20L, 3L), (30L, 4L))
+      .toDF("g", "k")
+    val got = GraphOps.coOccurrenceEdges(rows, "g", "k")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L),
+      "duplicate memberships collapse; isolated key 4 contributes nothing")
+  }
+
+  test("pageRankInt matches the hand-computed integer recurrence on a path graph") {
+    // 1 ↔ 2 ↔ 3: deg(1)=1, deg(2)=2, deg(3)=1; N=3, scale=3000 → pr0=1000.
+    // Round 1: sc(1)=sc(3)=1000 div 2=500, sc(2)=1000+1000=2000;
+    // base=(15·1000) div 100=150; pr=(150+425, 150+1700, 150+425).
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = GraphOps.pageRankInt(edges, iters = 1, scale = 3000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 575L), (2L, 2L, 1850L), (3L, 1L, 575L)))
+  }
+
+  test("pageRankInt on testdata: total mass is conserved up to truncation loss, deterministically") {
+    val li = lineitem(spark, Sf).select(col("l_orderkey"), col("l_suppkey"))
+    val edges = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_suppkey")
+    val scale = 1000000000000L
+    val run1 = GraphOps.pageRankInt(edges, iters = 3, scale = scale)
+      .as[(Long, Long, Long)].collect().toSeq
+    val run2 = GraphOps.pageRankInt(edges, iters = 3, scale = scale)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(run1 == run2, "integer PageRank must be bit-identical across runs")
+    val total = run1.map(_._3).sum
+    // Each round floors N div-by-outdeg contributions, the damping
+    // split, and the per-node base — mass can only shrink, and by less
+    // than ~1 unit per integer division performed.
+    assert(total <= scale, "truncation can only lose mass")
+    assert(total > scale * 99 / 100, s"lost more than 1% of mass: $total of $scale")
+    // At sf0.001 every supplier pair co-occurs (complete graph), so the
+    // uniform vector is the true fixpoint: a regular graph must yield
+    // identical ranks; an irregular one must differentiate them.
+    val degs = run1.map(_._2).distinct
+    if (degs.size == 1)
+      assert(run1.map(_._3).distinct.size == 1,
+        "regular graph: PageRank's fixpoint is uniform")
+    else
+      assert(run1.map(_._3).distinct.size > 1,
+        "irregular degrees must differentiate ranks")
+  }
+}
