@@ -11,6 +11,19 @@ object OracleSnippets {
 
   val P = "2147483647"
 
+  /** SimilarityOps fixed-point mean (aggregate context): mean of double
+    * expr `xd` over the current group via scaled-BIGINT accumulation —
+    * floor(xd·2^20) summed as an integer (order-independent, so a plain
+    * partial-aggregatable sum) and divided back once. Mirrors
+    * `SimilarityOps.fpMean` bit-for-bit: the product, floor, BIGINT→
+    * DOUBLE conversion, and final division are all IEEE-deterministic
+    * in both engines. The outer CAST to BIGINT guards DuckDB's
+    * sum(BIGINT)→HUGEINT widening (the tx_cdc_chunk lesson).
+    */
+  def fpMeanAgg(xd: String): String =
+    s"""CAST(CAST(sum(CAST(floor(($xd) * 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |  / (count(*) * 1048576.0)""".stripMargin
+
   /** HashOps.polyHash: left fold (acc*31 + codepoint) mod P over chars. */
   def charHash(s: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -20,6 +20,32 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** Fixed-point scale for centroid means: 2^20. Centroid training
+    * (`centroids`, `kmeansStep`, `trainCodebook`) needs deterministic
+    * means of doubles, but a raw double `sum()` floats with partition
+    * order and an ordered fold over a `collect_list` of every assignee
+    * materializes a corpus/K-sized array per centroid — an executor
+    * OOM at 100 TB. Scaled-integer accumulation gives both properties
+    * at once: each element contributes floor(xd·2^20) to a BIGINT sum
+    * (integer addition is associative and commutative, so the plain
+    * partial-aggregatable `sum()` is exact and order-independent), and
+    * one final division by n·2^20 lands the mean. Every step — IEEE
+    * multiply, floor, BIGINT→double conversion, one divide — is
+    * bit-identical in DuckDB (`OracleSnippets.fpMeanAgg`). Precision:
+    * quantization biases each mean by at most 2^-20 ≈ 9.5e-7 — noise
+    * for quantizer training (codebook entries are themselves lossy
+    * compression); headroom: |xd| ≤ ~2e3 keeps per-element terms under
+    * 2^31, so overflow needs > 2^32 rows on one centroid-dim.
+    */
+  private[graft] val FpScale: Double = 1048576.0
+
+  /** Aggregate expression: fixed-point sum of `xd` (see [[FpScale]]). */
+  private def fpSum(xd: Column): Column = sum(floor(xd * lit(FpScale)))
+
+  /** The mean recovered from a fixed-point sum `s` and count `n`. */
+  private def fpMean(s: Column, n: Column): Column =
+    s.cast("double") / (n.cast("double") * lit(FpScale))
+
   /** Per-query top-k over scored candidate rows (query_id, neighbor_id,
     * score) via the bounded-heap aggregate
     * [[graft.expressions.TopKPairs]] — NOT a `row_number()` window. The
@@ -115,12 +141,11 @@ object SimilarityOps {
   }
 
   /** IVF training step: per-cell centroid of the (double-cast) vectors,
-    * long-form output (cell, dim, centroid, n). The mean is an ordered
-    * left fold over vec_id divided by the count — deterministic doubles
-    * (a plain avg() would float with partition order), so the oracle
-    * reproduces them bit-for-bit. One shuffle on (cell, dim); at scale
-    * the fold-based mean would switch to a mergeable (sum, count) pair
-    * per partition with a documented tolerance instead.
+    * long-form output (cell, dim, centroid, n). The mean is the
+    * fixed-point (sum, count) aggregate of [[FpScale]]: deterministic
+    * doubles (a plain avg() would float with partition order) from a
+    * plain map-side-combinable `sum()` — O(1) state per group, no
+    * per-centroid array. One shuffle on (cell, dim).
     */
   def centroids(embeddings: DataFrame, cell: Column): DataFrame =
     embeddings
@@ -131,30 +156,23 @@ object SimilarityOps {
       )
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"), col("xd"))
       .groupBy(col("label"), col("dim"))
-      .agg(
-        aggregate(
-          transform(array_sort(collect_list(struct(col("vec_id"), col("xd")))), s => s.getField("xd")),
-          lit(0.0),
-          (acc, v) => acc + v,
-        ).as("sum_xd"),
-        count(lit(1)).as("n"),
-      )
+      .agg(fpSum(col("xd")).as("s"), count(lit(1)).as("n"))
       .select(
         col("label"),
         col("dim"),
-        (col("sum_xd") / col("n")).as("centroid"),
+        fpMean(col("s"), col("n")).as("centroid"),
         col("n"),
       )
       .orderBy("label", "dim")
 
-  /** The 100 TB centroid path: the mean as a mergeable (sum, count)
-    * aggregate (map-side-combinable partials, O(1) state per group) —
-    * what replaces [[centroids]]' O(cell)-state ordered fold at scale —
-    * adjudicated in the same pass against the bit-reproducible fold
-    * under a tolerance contract: output carries the exact fold value
-    * plus a `within_tol` boolean (|mergeable − exact| ≤ tol), so the
-    * oracle (exact value + literal true) stays hash-checkable while the
-    * production aggregate is the mergeable one.
+  /** [[centroids]] with a numerical-adjudication column: alongside the
+    * exact fixed-point mean, compute the raw-double `sum()/n` mean (the
+    * naive mergeable form, whose exact value floats with partition
+    * order) and report `within_tol` = |raw − fixed-point| ≤ tol. The
+    * oracle pins the fixed-point value plus literal true, so the row
+    * stays hash-checkable while documenting that the order-dependent
+    * raw mean lands within tolerance of the deterministic one — the
+    * check a pipeline owner wants before trusting either form.
     */
   def centroidsWithMergeCheck(embeddings: DataFrame, cell: Column, tol: Double): DataFrame =
     embeddings
@@ -166,19 +184,15 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"), col("xd"))
       .groupBy(col("label"), col("dim"))
       .agg(
-        aggregate(
-          transform(array_sort(collect_list(struct(col("vec_id"), col("xd")))), p => p.getField("xd")),
-          lit(0.0),
-          (acc, v) => acc + v,
-        ).as("sum_ord"),
-        sum(col("xd")).as("sum_merge"),
+        fpSum(col("xd")).as("s"),
+        sum(col("xd")).as("sum_raw"),
         count(lit(1)).as("n"),
       )
       .select(
         col("label"),
         col("dim"),
-        (col("sum_ord") / col("n")).as("centroid"),
-        (abs(col("sum_merge") / col("n") - col("sum_ord") / col("n")) <= lit(tol)).as("within_tol"),
+        fpMean(col("s"), col("n")).as("centroid"),
+        (abs(col("sum_raw") / col("n") - fpMean(col("s"), col("n"))) <= lit(tol)).as("within_tol"),
         col("n"),
       )
       .orderBy("label", "dim")
@@ -271,7 +285,7 @@ object SimilarityOps {
     * (rows selected by `isSeed`) are broadcast, every vector is assigned
     * to its nearest seed by squared L2 (strict left fold, ties broken by
     * seed id — deterministic), and new per-cluster centroids come out as
-    * the same ordered-fold mean [[centroids]] uses, long-form
+    * the same fixed-point mean [[centroids]] uses, long-form
     * (cluster, dim, centroid, n).
     *
     * Scale shape: assignment is a broadcast nested-loop against K seed
@@ -318,15 +332,8 @@ object SimilarityOps {
       )
       .select(col("vec_id"), col("cluster"), (col("pos") + 1).as("dim"), col("xd"))
       .groupBy(col("cluster"), col("dim"))
-      .agg(
-        aggregate(
-          transform(array_sort(collect_list(struct(col("vec_id"), col("xd")))), s => s.getField("xd")),
-          lit(0.0),
-          (acc, x) => acc + x,
-        ).as("sum_xd"),
-        count(lit(1)).as("n"),
-      )
-      .select(col("cluster"), col("dim"), (col("sum_xd") / col("n")).as("centroid"), col("n"))
+      .agg(fpSum(col("xd")).as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("dim"), fpMean(col("s"), col("n")).as("centroid"), col("n"))
       .orderBy("cluster", "dim")
   }
 
@@ -385,11 +392,12 @@ object SimilarityOps {
     * [[kmeansStep]]'s machinery applied blockwise.
     *
     * Determinism contract: assignment argmin is min(struct(dist, cid))
-    * (ties → lowest cid) and the mean is the vec_id-ordered fold per
-    * dimension [[centroids]] uses, so every trained centroid double is
-    * bit-reproducible in the SQL oracle (which unrolls the same fixed
-    * number of steps). Entries that attract no assignees in a round drop
-    * out (standard dead-centroid behavior) — both engines agree.
+    * (ties → lowest cid) and the mean is the fixed-point per-dimension
+    * aggregate [[centroids]] uses ([[FpScale]]), so every trained
+    * centroid double is bit-reproducible in the SQL oracle (which
+    * unrolls the same fixed number of steps). Entries that attract no
+    * assignees in a round drop out (standard dead-centroid behavior) —
+    * both engines agree.
     *
     * Scale shape per iteration: one broadcast join of the (tiny)
     * codebook against the sub-vector frame, one (vec_id, blk) argmin
@@ -417,18 +425,13 @@ object SimilarityOps {
       cb = assigned
         .select(col("vec_id"), col("blk"), col("cid"), posexplode(col("sv")).as(Seq("pos", "xd")))
         .groupBy(col("blk"), col("cid"), col("pos"))
-        .agg(
-          aggregate(
-            transform(array_sort(collect_list(struct(col("vec_id"), col("xd")))), s => s.getField("xd")),
-            lit(0.0),
-            (acc, x) => acc + x,
-          ).as("s"),
-          count(lit(1)).as("n"),
-        )
+        .agg(fpSum(col("xd")).as("s"), count(lit(1)).as("n"))
         .groupBy(col("blk"), col("cid"))
+        // Reassemble the centroid vector: this collect_list is bounded
+        // by subDim (one element per dimension), not by assignee count.
         .agg(
           transform(
-            array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("c")))),
+            array_sort(collect_list(struct(col("pos"), fpMean(col("s"), col("n")).as("c")))),
             s => s.getField("c"),
           ).as("cv"),
         )
