@@ -46,7 +46,8 @@ object SimilarityQueries {
   /** CTE chain producing the TRAINED per-block codebook `cb2` (plus the
     * sub-vector frame `sv` consumers join against): seed sub-vectors
     * `cb0`, then two unrolled Lloyd steps — assignment argmin (ties →
-    * lowest cid) and per-dim vec_id-ordered fold means, exactly
+    * lowest cid) and per-dim fixed-point scaled-BIGINT means
+    * (`OracleSnippets.fpMeanAgg`), exactly
     * `SimilarityOps.trainCodebook`'s deterministic contract. blocks=4/
     * subDim=16 is the PQ layout (sim_pq_train, sim_pq_adc_trained);
     * blocks=1/subDim=64 is plain k-means over the full vector — the
@@ -75,8 +76,7 @@ object SimilarityQueries {
          |${pre}x$i AS (SELECT vec_id, blk, cid, unnest(sv) AS xd,
          |          generate_subscripts(sv, 1) AS pos FROM ${pre}a$i),
          |${pre}m$i AS (SELECT blk, cid, pos,
-         |          list_reduce(list_prepend(0.0, list(xd ORDER BY vec_id)),
-         |                      (pta, ptb) -> pta + ptb) / count(*) AS c
+         |          ${fpMeanAgg("xd")} AS c
          |        FROM ${pre}x$i GROUP BY blk, cid, pos),
          |$to AS (SELECT blk, cid, list(c ORDER BY pos) AS cv
          |        FROM ${pre}m$i GROUP BY blk, cid)""".stripMargin
@@ -410,16 +410,17 @@ object SimilarityQueries {
              |    qi -> abs(e[qi] - qv[qi]*scale))) AS max_abs_err
              |FROM q ORDER BY vec_id""".stripMargin),
     ),
-    // IVF training step: per-cell centroids. Means are computed as a
-    // vec_id-ordered left fold divided by the count, so the doubles are
-    // deterministic and bit-identical in the oracle (a plain avg() would
-    // depend on partition/accumulation order).
+    // IVF training step: per-cell centroids. Means are the fixed-point
+    // scaled-BIGINT aggregate (SimilarityOps.FpScale): order-independent
+    // integer sums, so the doubles are deterministic and bit-identical in
+    // the oracle with O(1) aggregation state (a plain avg() would depend
+    // on partition/accumulation order; an ordered fold would materialize
+    // every assignee per centroid).
     Q(
       "sim_centroids",
       (s, d) => SimilarityOps.centroids(embeddings(s, d), col("label")),
-      Some("""SELECT label, dim,
-             |  list_reduce(list_prepend(0.0, list(xd ORDER BY vec_id)),
-             |              (cda, cdb) -> cda + cdb) / count(*) AS centroid,
+      Some(s"""SELECT label, dim,
+             |  ${fpMeanAgg("xd")} AS centroid,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM (SELECT vec_id, label,
              |        unnest(CAST(embedding AS DOUBLE[])) AS xd,
@@ -427,18 +428,20 @@ object SimilarityQueries {
              |      FROM embeddings)
              |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
     ),
-    // The scale path for centroid training: mergeable (sum, count) mean
-    // (O(1) state per group, map-side combinable) adjudicated against
-    // the bit-reproducible ordered fold under a tolerance contract —
-    // the oracle pins the exact fold value plus literal true, so the
-    // row stays hash-checkable while documenting that the mergeable
-    // aggregate is numerically interchangeable at this tolerance.
+    // Numerical adjudication of the two mean forms: the raw-double
+    // sum()/n mean (order-dependent, what a naive pipeline computes) vs
+    // the deterministic fixed-point mean, reported as `within_tol`.
+    // Tolerance bound: floor-quantization biases each element's
+    // contribution down by < 2^-20, so |raw − fp| ≤ 2^-20 (≈9.5e-7)
+    // plus O(n·ulp) summation noise — tol = 2e-6 covers the bound with
+    // 2× headroom, so the oracle may pin within_tol as literal true.
+    // (tol below 2^-20 would be semantically wrong: quantization alone
+    // exceeds it on essentially every row.)
     Q(
       "sim_centroids_merge",
-      (s, d) => SimilarityOps.centroidsWithMergeCheck(embeddings(s, d), col("label"), tol = 1e-9),
-      Some("""SELECT label, dim,
-             |  list_reduce(list_prepend(0.0, list(xd ORDER BY vec_id)),
-             |              (cda, cdb) -> cda + cdb) / count(*) AS centroid,
+      (s, d) => SimilarityOps.centroidsWithMergeCheck(embeddings(s, d), col("label"), tol = 2e-6),
+      Some(s"""SELECT label, dim,
+             |  ${fpMeanAgg("xd")} AS centroid,
              |  true AS within_tol,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM (SELECT vec_id, label,
@@ -782,7 +785,7 @@ object SimilarityQueries {
     // One Lloyd's k-means iteration (the IVF-quantizer training step):
     // vectors assigned to the nearest of 8 seed centroids by squared-L2
     // strict fold (ties → lowest seed id), new centroids as the same
-    // ordered-fold mean sim_centroids pins. Assignment is a broadcast
+    // fixed-point mean sim_centroids pins. Assignment is a broadcast
     // nested-loop against the 8 seed rows (corpus never shuffles for
     // it); the only shuffle is the (cluster, dim) aggregation.
     Q(
@@ -800,8 +803,7 @@ object SimilarityQueries {
               |x AS (SELECT vec_id, seed_id AS cluster, unnest(e) AS xd,
               |        generate_subscripts(e, 1) AS dim FROM asg)
               |SELECT cluster, dim,
-              |  list_reduce(list_prepend(0.0, list(xd ORDER BY vec_id)),
-              |              (kma, kmb) -> kma + kmb) / count(*) AS centroid,
+              |  ${fpMeanAgg("xd")} AS centroid,
               |  CAST(count(*) AS BIGINT) AS n
               |FROM x GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin),
     ),

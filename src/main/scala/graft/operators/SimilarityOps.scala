@@ -35,7 +35,13 @@ object SimilarityOps {
     * quantization biases each mean by at most 2^-20 ≈ 9.5e-7 — noise
     * for quantizer training (codebook entries are themselves lossy
     * compression); headroom: |xd| ≤ ~2e3 keeps per-element terms under
-    * 2^31, so overflow needs > 2^32 rows on one centroid-dim.
+    * 2^31, so overflow needs > 2^32 rows on one centroid-dim. Past that
+    * headroom the engines diverge in FAILURE MODE, not just value:
+    * Spark's non-ANSI LONG sum wraps silently, while DuckDB widens
+    * BIGINT sums to HUGEINT and the oracle's outer CAST back to BIGINT
+    * throws — a silent wrong answer on one side vs an error on the
+    * other. Acceptable at the documented headroom; a deployment
+    * expecting > 2^32 rows per (cell, dim) should add a count guard.
     */
   private[graft] val FpScale: Double = 1048576.0
 
