@@ -12,6 +12,62 @@ object TextQueries {
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** One-time temp-warehouse database for the persisted-search-index
+    * queries — same appId-keyed naming discipline as DedupQueries'
+    * indexDb (see that comment for why BOTH name and location must
+    * carry the applicationId). Returns the `db.table` prefix.
+    */
+  private def searchDb(s: org.apache.spark.sql.SparkSession, name: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val db = s"graft_search_idx_$app"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/$db"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    s"$db.$name"
+  }
+
+  /** Oracle of the conjunctive search — shared by tx_search_and (the
+    * corpus-scan face) and tx_search_indexed (the persisted-index read
+    * path): the two faces are the same semantics over different
+    * postings sources, so they must hash-match the same SQL.
+    */
+  private val searchAndSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(w, t -> t IN ('dup', 'spark', 'window'))) AS BIGINT)
+      |    AS total_tf
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |WHERE len(list_filter(w, t -> t = 'dup')) > 0
+      |  AND len(list_filter(w, t -> t = 'spark')) > 0
+      |  AND len(list_filter(w, t -> t = 'window')) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Oracle of the ranked TF-IDF search — shared by tx_search_ranked
+    * and tx_search_incremental (index built on 4/5 of the corpus, the
+    * rest appended: the grown index must answer exactly as a scan of
+    * the full corpus).
+    */
+  private val searchRankedSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS (SELECT doc_id,
+      |        len(list_filter(w, x -> x = 'dup')) AS tf1,
+      |        len(list_filter(w, x -> x = 'spark')) AS tf2,
+      |        len(list_filter(w, x -> x = 'table')) AS tf3
+      |      FROM w),
+      |n AS (SELECT count(*) AS nd FROM w),
+      |d AS (SELECT count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+      |        count(CASE WHEN tf2 > 0 THEN 1 END) AS df2,
+      |        count(CASE WHEN tf3 > 0 THEN 1 END) AS df3 FROM t),
+      |s AS (SELECT doc_id,
+      |        (CASE WHEN tf1 > 0 THEN CAST(tf1 AS DOUBLE) * nd / df1 ELSE 0.0 END)
+      |      + (CASE WHEN tf2 > 0 THEN CAST(tf2 AS DOUBLE) * nd / df2 ELSE 0.0 END)
+      |      + (CASE WHEN tf3 > 0 THEN CAST(tf3 AS DOUBLE) * nd / df3 ELSE 0.0 END)
+      |          AS score
+      |      FROM t, n, d WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0)
+      |SELECT rank, doc_id, score FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+      |         doc_id, score
+      |  FROM s)
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "tx_token_stats",
@@ -592,14 +648,7 @@ object TextQueries {
     Q(
       "tx_search_and",
       (s, d) => graft.operators.SearchOps.searchAnd(documents(s, d), Seq("dup", "spark", "window")),
-      Some("""SELECT doc_id,
-             |  CAST(len(list_filter(w, t -> t IN ('dup', 'spark', 'window'))) AS BIGINT)
-             |    AS total_tf
-             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-             |WHERE len(list_filter(w, t -> t = 'dup')) > 0
-             |  AND len(list_filter(w, t -> t = 'spark')) > 0
-             |  AND len(list_filter(w, t -> t = 'window')) > 0
-             |ORDER BY doc_id""".stripMargin),
+      Some(searchAndSql),
     ),
     // Exact phrase match ("table table") over positional postings,
     // counting OVERLAPPING occurrences — the oracle mirrors the
@@ -623,27 +672,42 @@ object TextQueries {
     Q(
       "tx_search_ranked",
       (s, d) => graft.operators.SearchOps.searchRanked(documents(s, d), Seq("dup", "spark", "table"), 10),
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |t AS (SELECT doc_id,
-             |        len(list_filter(w, x -> x = 'dup')) AS tf1,
-             |        len(list_filter(w, x -> x = 'spark')) AS tf2,
-             |        len(list_filter(w, x -> x = 'table')) AS tf3
-             |      FROM w),
-             |n AS (SELECT count(*) AS nd FROM w),
-             |d AS (SELECT count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
-             |        count(CASE WHEN tf2 > 0 THEN 1 END) AS df2,
-             |        count(CASE WHEN tf3 > 0 THEN 1 END) AS df3 FROM t),
-             |s AS (SELECT doc_id,
-             |        (CASE WHEN tf1 > 0 THEN CAST(tf1 AS DOUBLE) * nd / df1 ELSE 0.0 END)
-             |      + (CASE WHEN tf2 > 0 THEN CAST(tf2 AS DOUBLE) * nd / df2 ELSE 0.0 END)
-             |      + (CASE WHEN tf3 > 0 THEN CAST(tf3 AS DOUBLE) * nd / df3 ELSE 0.0 END)
-             |          AS score
-             |      FROM t, n, d WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0)
-             |SELECT rank, doc_id, score FROM (
-             |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
-             |         doc_id, score
-             |  FROM s)
-             |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+      Some(searchRankedSql),
+    ),
+    // The PERSISTED-index read path (SearchIndexOps): build the
+    // term-bucketed postings/lexicon/meta tables into a temp-warehouse
+    // database, then answer the conjunctive search entirely from the
+    // stored artifact — pruned per-term bucket reads, no corpus scan,
+    // no re-explode (SearchIndexSpec pins the plan). Results are
+    // identical to tx_search_and's, so it shares that oracle.
+    Q(
+      "tx_search_indexed",
+      (s, d) => {
+        graft.operators.SearchIndexOps.writeIndex(
+          documents(s, d), buckets = 8, prefix = searchDb(s, "full"))
+        graft.operators.SearchIndexOps.searchAnd(s, searchDb(s, "full"), Seq("dup", "spark", "window"))
+      },
+      Some(searchAndSql),
+    ),
+    // Incremental index growth: 4/5 of the corpus indexed up front, the
+    // doc_id % 5 == 0 batch appended WITHOUT rewriting existing files
+    // (new postings/lexicon files per bucket, one new meta row; df and
+    // N are sums of per-batch partials). The grown index must answer
+    // the ranked TF-IDF search exactly as a full-corpus scan — ranked
+    // is the read path that exercises the partial-sum merge of BOTH
+    // lexicon (df) and meta (N), so it shares tx_search_ranked's oracle.
+    Q(
+      "tx_search_incremental",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pre = searchDb(s, "incr")
+        graft.operators.SearchIndexOps.writeIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), buckets = 8, prefix = pre)
+        graft.operators.SearchIndexOps.appendDocuments(
+          s, pre, docs.filter(col("doc_id") % 5 === 0), buckets = 8)
+        graft.operators.SearchIndexOps.searchRanked(s, pre, Seq("dup", "spark", "table"), 10)
+      },
+      Some(searchRankedSql),
     ),
   )
 }

@@ -16,22 +16,40 @@ import org.apache.spark.sql.functions._
   * Scale shape: [[postings]] is the one corpus-wide explode an index
   * build pays; every search below filters postings to its literal query
   * terms FIRST, so what flows into joins/aggregates is a handful of
-  * per-term posting lists (size Σ df(t)), never the corpus. Against a
-  * PERSISTED postings table bucketed by term, the same plans become
-  * pruned per-term reads with no shuffle — the LshIndexOps pattern
-  * applied to text.
+  * per-term posting lists (size Σ df(t)), never the corpus. The
+  * operators here re-derive postings from the corpus per query (fine
+  * for one-off probes); [[SearchIndexOps]] PERSISTS the postings table
+  * bucketed by term — the LshIndexOps pattern applied to text — and
+  * serves the identical search semantics from pruned per-term reads
+  * with no corpus re-explode. The `*From` cores below are shared by
+  * both faces, so index-served results are the same plans over a
+  * different postings source, not a reimplementation.
   */
 object SearchOps {
 
   /** Positional postings — one row per token occurrence: (term, doc_id,
     * pos), `pos` 1-based within the document. The inverted-index build:
-    * one explode over the corpus; persisted bucketed by `term` it
-    * serves every retrieval query without re-reading text.
+    * one explode over the corpus; persisted bucketed by `term`
+    * ([[SearchIndexOps.writeIndex]]) it serves every retrieval query
+    * without re-reading text.
     */
   def postings(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
       .select(col("term"), col("doc_id"), (col("pos0") + 1).cast("int").as("pos"))
+
+  /** AND-retrieval core over an arbitrary postings source (corpus-derived
+    * or the persisted table): the term filter comes FIRST so it reaches
+    * the scan — against the bucketed table it also prunes buckets.
+    */
+  private[operators] def andFrom(postings: DataFrame, terms: Seq[String]): DataFrame =
+    postings
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_matched"), count(lit(1)).as("total_tf"))
+      .filter(col("n_matched") === terms.size)
+      .select(col("doc_id"), col("total_tf"))
+      .orderBy("doc_id")
 
   /** Conjunctive (AND) retrieval: documents containing EVERY query
     * term, with the total query-term frequency per document. Postings
@@ -42,27 +60,16 @@ object SearchOps {
     * aggregate instead of |terms| joins.
     */
   def searchAnd(docs: DataFrame, terms: Seq[String]): DataFrame =
-    postings(docs)
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("term")).as("n_matched"), count(lit(1)).as("total_tf"))
-      .filter(col("n_matched") === terms.size)
-      .select(col("doc_id"), col("total_tf"))
-      .orderBy("doc_id")
+    andFrom(postings(docs), terms)
 
-  /** Exact phrase match over positional postings: documents where the
-    * phrase's terms occur at consecutive positions, with the occurrence
-    * count (overlapping occurrences counted — "a a a" contains "a a"
-    * twice, which substring regexes get wrong by consuming the
-    * separator). Each phrase term contributes one PRE-FILTERED posting
-    * list; the join chain advances the position by one per term, so
-    * every join is an equi-join on (doc_id, pos) between per-term lists
-    * — the corpus itself is never self-joined.
+  /** Phrase-match core: `termList` supplies one PRE-FILTERED positional
+    * posting list (doc_id, pos) per term; the join chain advances the
+    * position by one per term, so every join is an equi-join on
+    * (doc_id, pos) between per-term lists — the corpus itself is never
+    * self-joined.
     */
-  def searchPhrase(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+  private[operators] def phraseFrom(termList: String => DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least two terms")
-    def termList(t: String) =
-      postings(docs).filter(col("term") === t).select(col("doc_id"), col("pos"))
     val start = termList(phrase.head)
     val matched = phrase.zipWithIndex.tail.foldLeft(start) { case (acc, (t, i)) =>
       val next = termList(t).select(col("doc_id").as("d2"), col("pos").as("p2"))
@@ -76,14 +83,23 @@ object SearchOps {
       .orderBy("doc_id")
   }
 
-  /** Ranked (disjunctive) retrieval under the log-free TF-IDF weight:
-    * score(d) = Σ_t tf(t,d) · N / df(t), summed in the CALLER'S term
-    * order. ln()-based IDF is measurably non-portable across engines
-    * (the tx_unigram_rarity precedent), so the weight keeps the exact
-    * inverse-document-frequency ratio un-damped — rare terms dominate,
-    * which is the ranking signal being demonstrated. Every per-term
-    * component is one double multiply + divide on exact integers, and
-    * the fixed-order final sum makes the score bit-reproducible.
+  /** Exact phrase match over positional postings: documents where the
+    * phrase's terms occur at consecutive positions, with the occurrence
+    * count (overlapping occurrences counted — "a a a" contains "a a"
+    * twice, which substring regexes get wrong by consuming the
+    * separator).
+    */
+  def searchPhrase(docs: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseFrom(
+      t => postings(docs).filter(col("term") === t).select(col("doc_id"), col("pos")),
+      phrase,
+    )
+
+  /** Ranked-retrieval core: `tf` is (doc_id, term, tf) over the query
+    * terms only, `df` is (term, df), `n` a one-row (n) frame — the three
+    * inputs a persisted index serves from its postings/lexicon/meta
+    * tables and the corpus-scan face derives on the fly. Identical
+    * arithmetic either way, so scores are bit-equal across faces.
     *
     * Plan: df is a |terms|-row broadcast, N a broadcast scalar; per-doc
     * term sums select at most one non-zero addend per term (adding an
@@ -91,13 +107,13 @@ object SearchOps {
     * bounded-heap aggregate — no window, nothing shuffles but the
     * filtered postings keyed by doc.
     */
-  def searchRanked(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
-    val tf = postings(docs)
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
+  private[operators] def rankedFrom(
+      tf: DataFrame,
+      df: DataFrame,
+      n: DataFrame,
+      terms: Seq[String],
+      k: Int,
+  ): DataFrame = {
     val perTermScore = tf
       .join(broadcast(df), "term")
       .crossJoin(broadcast(n))
@@ -126,5 +142,30 @@ object SearchOps {
         col("p.score").as("score"),
       )
       .orderBy("rank")
+  }
+
+  /** Per-term term frequencies of the query terms from a postings
+    * source — the `tf` input of [[rankedFrom]].
+    */
+  private[operators] def tfFrom(postings: DataFrame, terms: Seq[String]): DataFrame =
+    postings
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Ranked (disjunctive) retrieval under the log-free TF-IDF weight:
+    * score(d) = Σ_t tf(t,d) · N / df(t), summed in the CALLER'S term
+    * order. ln()-based IDF is measurably non-portable across engines
+    * (the tx_unigram_rarity precedent), so the weight keeps the exact
+    * inverse-document-frequency ratio un-damped — rare terms dominate,
+    * which is the ranking signal being demonstrated. Every per-term
+    * component is one double multiply + divide on exact integers, and
+    * the fixed-order final sum makes the score bit-reproducible.
+    */
+  def searchRanked(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val tf = tfFrom(postings(docs), terms)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    rankedFrom(tf, df, n, terms, k)
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{SearchIndexOps, SearchOps}
+
+/** The persisted inverted-index artifact (SearchIndexOps): every read
+  * path must equal the corpus-scan operator bit-for-bit, the read-path
+  * plan must never touch the corpus (and must prune postings buckets to
+  * the query terms), and incremental append must merge df/N partials so
+  * the grown index answers exactly as a full-corpus scan.
+  */
+class SearchIndexSpec extends SparkSpec {
+
+  private val Prefix = "searchix"
+  private val Terms = Seq("dup", "spark", "window")
+  private val RankTerms = Seq("dup", "spark", "table")
+
+  private def buildOnce(): Unit =
+    if (!spark.catalog.tableExists(s"${Prefix}_postings")) {
+      SearchIndexOps.writeIndex(Tables.documents(spark, Sf), buckets = 8, prefix = Prefix)
+    }
+
+  private def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("indexed AND / phrase / ranked equal the corpus-scan operators") {
+    buildOnce()
+    val docs = Tables.documents(spark, Sf)
+    assert(same(
+      SearchIndexOps.searchAnd(spark, Prefix, Terms),
+      SearchOps.searchAnd(docs, Terms),
+    ), "AND results must match the corpus-scan face")
+    assert(same(
+      SearchIndexOps.searchPhrase(spark, Prefix, Seq("table", "table")),
+      SearchOps.searchPhrase(docs, Seq("table", "table")),
+    ), "phrase results must match the corpus-scan face")
+    assert(same(
+      SearchIndexOps.searchRanked(spark, Prefix, RankTerms, 10),
+      SearchOps.searchRanked(docs, RankTerms, 10),
+    ), "ranked results (scores included) must match the corpus-scan face")
+  }
+
+  test("read path scans only index tables and prunes postings buckets to the query terms") {
+    buildOnce()
+    for (
+      q <- Seq(
+        SearchIndexOps.searchAnd(spark, Prefix, Terms),
+        SearchIndexOps.searchRanked(spark, Prefix, RankTerms, 10),
+      )
+    ) {
+      val plan = q.queryExecution.executedPlan.toString
+      // No corpus participation: the only file scans are the index
+      // tables (documents.parquet would surface as a scan over the
+      // testdata path / a "text" column read).
+      assert(!plan.contains("documents"), s"read path must not scan the corpus:\n$plan")
+      assert(!plan.contains("text#"), s"read path must not read document text:\n$plan")
+      // Bucket pruning: the literal term filter selects a strict subset
+      // of the 8 term buckets at the scan.
+      val selected = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      assert(selected.nonEmpty, s"expected bucket pruning at the postings scan:\n$plan")
+      selected.foreach { case (sel, total) =>
+        assert(sel < total, s"term filter must prune buckets ($sel of $total selected):\n$plan")
+      }
+    }
+  }
+
+  test("appended batch merges into df/N partials: grown index equals full-corpus scan") {
+    val prefix = "searchincr"
+    Seq("postings", "lexicon", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val docs = Tables.documents(spark, Sf)
+    SearchIndexOps.writeIndex(docs.filter(col("doc_id") % 5 =!= 0), buckets = 8, prefix = prefix)
+    SearchIndexOps.appendDocuments(spark, prefix, docs.filter(col("doc_id") % 5 === 0), buckets = 8)
+    // Ranked exercises df (lexicon partial sum) and N (meta partial
+    // sum); a missed merge shifts every score.
+    assert(same(
+      SearchIndexOps.searchRanked(spark, prefix, RankTerms, 10),
+      SearchOps.searchRanked(docs, RankTerms, 10),
+    ), "ranked search over the grown index must equal a full-corpus scan")
+    assert(same(
+      SearchIndexOps.searchAnd(spark, prefix, Terms),
+      SearchOps.searchAnd(docs, Terms),
+    ), "AND search over the grown index must equal a full-corpus scan")
+    // The meta table holds exactly two partial rows summing to the
+    // corpus size — the append added, never rewrote.
+    import spark.implicits._
+    val metaRows = spark.table(s"${prefix}_meta").as[Long].collect().sorted
+    assert(metaRows.length == 2, s"expected two partial meta rows, got ${metaRows.toSeq}")
+    assert(metaRows.sum == docs.count(), "meta partials must sum to the corpus size")
+  }
+
+  test("lexicon partial sums equal postings-derived document frequencies") {
+    buildOnce()
+    val fromLexicon = spark.table(s"${Prefix}_lexicon")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val fromPostings = spark.table(s"${Prefix}_postings")
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    assert(same(fromLexicon, fromPostings),
+      "lexicon df partials must sum to the true per-term document frequency")
+  }
+}
