@@ -26,14 +26,39 @@ object GraphOps {
     * under one shared group (here: two suppliers filling lines of the
     * same order). Both directions are emitted, so every node with an
     * in-edge has an out-edge — no dangling-mass correction is needed
-    * downstream. The self-join is keyed by the group id and the
-    * distinct by the pair — the standard two-shuffle co-occurrence
-    * build.
+    * downstream.
+    *
+    * Skew guard: the group self-join is quadratic in DISTINCT group
+    * members, so one hub group (a boilerplate document, a hot session)
+    * of size s produces s·(s−1) edge candidates and its group key lands
+    * on one task — the classic co-occurrence blow-up. Two defenses,
+    * always on: (1) members are distinct-reduced BEFORE the self-join
+    * (duplicate (group, key) rows used to multiply join output only for
+    * the trailing distinct to discard); (2) groups with more than
+    * `maxGroupSize` distinct members are dropped WHOLESALE — the
+    * stop-key discipline LSH band tables use. A group that size carries
+    * near-zero co-occurrence signal (every member "co-occurs" with
+    * everything) and unbounded cost; dropping it bounds per-group work
+    * at maxGroupSize² while leaving every sane group's edges untouched
+    * (GraphSpec pins both properties). The count is computed per group
+    * key in the same shuffle that distinct-reduces the members — no
+    * extra pass over `rows`.
     */
-  def coOccurrenceEdges(rows: DataFrame, groupCol: String, keyCol: String): DataFrame = {
-    val a = rows.select(col(groupCol).as("g"), col(keyCol).as("src"))
-    val b = rows.select(col(groupCol).as("g"), col(keyCol).as("dst"))
-    a.join(b, "g")
+  def coOccurrenceEdges(
+      rows: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      maxGroupSize: Int = 1000,
+  ): DataFrame = {
+    val members = rows
+      .select(col(groupCol).as("g"), col(keyCol).as("k"))
+      .distinct()
+      .withColumn("gs", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("gs") <= maxGroupSize)
+      .select(col("g"), col("k"))
+    members
+      .select(col("g"), col("k").as("src"))
+      .join(members.select(col("g"), col("k").as("dst")), "g")
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .distinct()

@@ -16,6 +16,23 @@ class GraphSpec extends SparkSpec {
       "duplicate memberships collapse; isolated key 4 contributes nothing")
   }
 
+  test("coOccurrenceEdges drops hub groups wholesale and bounds the blow-up") {
+    // One hot group (g=99) with 50 distinct members over the cap, two
+    // sane groups; duplicates inside the hot group must not matter.
+    val sane = Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+    val hot = (0 until 50).flatMap(i => Seq((99L, 100L + i), (99L, 100L + i)))
+    val rows = (sane ++ hot).toDF("g", "k")
+    val capped = GraphOps.coOccurrenceEdges(rows, "g", "k", maxGroupSize = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L),
+      "the over-cap group contributes zero edges; sane groups are untouched")
+    // At a cap admitting the hub, its complete digraph appears — the
+    // quadratic cost the guard exists to refuse.
+    val uncapped = GraphOps.coOccurrenceEdges(rows, "g", "k", maxGroupSize = 50)
+      .as[(Long, Long)].collect()
+    assert(uncapped.length == 4 + 50 * 49, "cap at group size admits the full clique")
+  }
+
   test("pageRankInt matches the hand-computed integer recurrence on a path graph") {
     // 1 ↔ 2 ↔ 3: deg(1)=1, deg(2)=2, deg(3)=1; N=3, scale=3000 → pr0=1000.
     // Round 1: sc(1)=sc(3)=1000 div 2=500, sc(2)=1000+1000=2000;
