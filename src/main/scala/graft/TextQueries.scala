@@ -25,6 +25,26 @@ object TextQueries {
     s"$db.$name"
   }
 
+  /** Build the full-corpus search index once per (session, dataset) and
+    * share it across every read-path query — the artifact IS build-once
+    * read-many; re-paying the corpus explode per consumer would
+    * misrepresent exactly the cost profile the persisted index exists
+    * to fix (the trainedCb memoization rationale applied to storage).
+    * The incremental query deliberately does NOT use this: its build +
+    * append sequence is the thing under test.
+    */
+  private val builtFullIdx = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def fullSearchIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    builtFullIdx.getOrElseUpdate(
+      (s, d), {
+        val pre = searchDb(s, "full")
+        graft.operators.SearchIndexOps.writeIndex(documents(s, d), buckets = 8, prefix = pre)
+        pre
+      },
+    )
+
   /** Oracle of the conjunctive search — shared by tx_search_and (the
     * corpus-scan face) and tx_search_indexed (the persisted-index read
     * path): the two faces are the same semantics over different
@@ -39,6 +59,19 @@ object TextQueries {
       |  AND len(list_filter(w, t -> t = 'spark')) > 0
       |  AND len(list_filter(w, t -> t = 'window')) > 0
       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle of the phrase search — shared by tx_search_phrase and
+    * tx_search_indexed_phrase (same positional-join semantics over
+    * corpus-derived vs stored postings).
+    */
+  private val searchPhraseSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |            generate_subscripts(string_split(text, ' '), 1) AS pos
+      |          FROM documents)
+      |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |WHERE a.tok = 'table' AND b.tok = 'table'
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
   /** Oracle of the ranked TF-IDF search — shared by tx_search_ranked
     * and tx_search_incremental (index built on 4/5 of the corpus, the
@@ -656,13 +689,7 @@ object TextQueries {
     Q(
       "tx_search_phrase",
       (s, d) => graft.operators.SearchOps.searchPhrase(documents(s, d), Seq("table", "table")),
-      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-             |            generate_subscripts(string_split(text, ' '), 1) AS pos
-             |          FROM documents)
-             |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
-             |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-             |WHERE a.tok = 'table' AND b.tok = 'table'
-             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
+      Some(searchPhraseSql),
     ),
     // Ranked retrieval, log-free TF-IDF (score = Σ tf·N/df in fixed
     // term order — ln() is non-portable across engines, the
@@ -682,12 +709,34 @@ object TextQueries {
     // identical to tx_search_and's, so it shares that oracle.
     Q(
       "tx_search_indexed",
-      (s, d) => {
-        graft.operators.SearchIndexOps.writeIndex(
-          documents(s, d), buckets = 8, prefix = searchDb(s, "full"))
-        graft.operators.SearchIndexOps.searchAnd(s, searchDb(s, "full"), Seq("dup", "spark", "window"))
-      },
+      (s, d) =>
+        graft.operators.SearchIndexOps.searchAnd(
+          s, fullSearchIndex(s, d), Seq("dup", "spark", "window")),
       Some(searchAndSql),
+    ),
+    // Phrase match served from the stored positional postings — each
+    // phrase term is one pruned per-term read; shares tx_search_phrase's
+    // oracle (same semantics, different postings source).
+    Q(
+      "tx_search_indexed_phrase",
+      (s, d) =>
+        graft.operators.SearchIndexOps.searchPhrase(
+          s, fullSearchIndex(s, d), Seq("table", "table")),
+      Some(searchPhraseSql),
+    ),
+    // Index health stats — the operational read an index owner runs:
+    // hottest posting lists (the per-term read cost) with their df, one
+    // aggregate over the stored postings, corpus untouched. Ties on
+    // list length break by term so the top-N cut is deterministic.
+    Q(
+      "tx_search_stats",
+      (s, d) =>
+        graft.operators.SearchIndexOps.indexStats(s, fullSearchIndex(s, d), topN = 25),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+             |SELECT term, CAST(count(*) AS BIGINT) AS n_postings,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |FROM t GROUP BY term
+             |ORDER BY n_postings DESC, term LIMIT 25""".stripMargin),
     ),
     // Incremental index growth: 4/5 of the corpus indexed up front, the
     // doc_id % 5 == 0 batch appended WITHOUT rewriting existing files

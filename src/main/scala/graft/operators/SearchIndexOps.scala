@@ -79,6 +79,68 @@ object SearchIndexOps {
     Seq("postings", "lexicon", "meta").foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
   }
 
+  /** Index health stats — the operational view of the stored postings:
+    * per term-bucket file count proxy isn't observable from SQL, but
+    * the skew that matters is: postings per term (the posting-list
+    * length a read pays), docs per term (df), and the share of the
+    * biggest list. One aggregate over the postings table, no corpus.
+    */
+  def indexStats(spark: SparkSession, prefix: String, topN: Int): DataFrame =
+    spark
+      .table(s"${prefix}_postings")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_postings"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n_postings").desc, col("term"))
+      .limit(topN)
+
+  /** Index maintenance: rewrite the postings and lexicon tables at
+    * `newBuckets` physical buckets (same swap discipline as
+    * [[LshIndexOps.rebucket]] — temp table, drop, rename; readers see
+    * the old or the new index, never half of one). Needed for the same
+    * two reasons: every append adds one file per bucket, so reads
+    * degrade as files accumulate, and the bucket count chosen at build
+    * time caps the pruned read's parallelism forever. Content is
+    * bit-preserved; only layout changes (SearchIndexSpec asserts).
+    */
+  def rebucket(spark: SparkSession, prefix: String, newBuckets: Int): Unit =
+    Seq(
+      (s"${prefix}_postings", true),
+      (s"${prefix}_lexicon", false),
+    ).foreach { case (table, sorted) =>
+      val tmp = s"${table}_rebucket"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      val w = spark.table(table).write.mode("overwrite").bucketBy(newBuckets, "term")
+      (if (sorted) w.sortBy("term", "doc_id", "pos") else w).saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    }
+
+  /** Continuous ingestion — the streaming face of the persisted index:
+    * every micro-batch of the `docs` stream (doc_id, text) is appended
+    * via [[appendDocuments]]. The artifact is the stream's STATE stored
+    * in the warehouse (the [[LshIndexOps.streamingDedup]] discipline):
+    * restarts recover it for free, batch consumers query it
+    * concurrently, and state size scales with storage, not executor
+    * memory. Appends are at-least-once on replay — a replayed batch
+    * re-appends its postings, which double-counts tf/df for those docs;
+    * pair with an upstream exactly-once source or dedup batch doc_ids
+    * against the index before calling when replays are possible.
+    */
+  def streamingIndex(
+      spark: SparkSession,
+      prefix: String,
+      docs: DataFrame,
+      buckets: Int,
+      checkpoint: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendDocuments(spark, prefix, batch, buckets)
+      }
+      .start()
+
   /** Conjunctive (AND) retrieval from the stored postings — identical
     * semantics (and core) to [[SearchOps.searchAnd]], but the term
     * filter prunes buckets of the persisted table instead of gating a

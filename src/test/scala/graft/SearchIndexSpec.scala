@@ -89,6 +89,55 @@ class SearchIndexSpec extends SparkSpec {
     assert(metaRows.sum == docs.count(), "meta partials must sum to the corpus size")
   }
 
+  test("rebucket preserves results bit-for-bit and keeps bucket pruning at the new count") {
+    val prefix = "searchrebkt"
+    Seq("postings", "lexicon", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    SearchIndexOps.writeIndex(Tables.documents(spark, Sf), buckets = 4, prefix = prefix)
+    def ranked() = SearchIndexOps.searchRanked(spark, prefix, RankTerms, 10).collect().toSeq
+    def numBuckets() = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(s"${prefix}_postings"))
+      .bucketSpec.map(_.numBuckets).getOrElse(0)
+    val before = ranked()
+    assert(before.nonEmpty && numBuckets() == 4)
+    SearchIndexOps.rebucket(spark, prefix, newBuckets = 16)
+    assert(numBuckets() == 16)
+    assert(ranked() == before, "physical rebucketing must not change results")
+    val plan = SearchIndexOps.searchAnd(spark, prefix, Terms)
+      .queryExecution.executedPlan.toString
+    val selected = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    assert(selected.nonEmpty && selected.forall { case (sel, total) => total == 16 && sel < total },
+      s"pruning must hold at the new bucket count:\n$plan")
+  }
+
+  test("streaming ingest grows the index per micro-batch; queries equal a full-corpus scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prefix = "searchstream"
+    Seq("postings", "lexicon", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val cut = docs(docs.length / 3)._1
+    val (seed, streamed) = docs.partition(_._1 < cut)
+    SearchIndexOps.writeIndex(seed.toSeq.toDF("doc_id", "text"), buckets = 4, prefix = prefix)
+    val in = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("search_stream").toFile.getAbsolutePath
+    val q = SearchIndexOps.streamingIndex(
+      spark, prefix, in.toDF().toDF("doc_id", "text"), buckets = 4, checkpoint = ckpt)
+    val waves = streamed.grouped(streamed.length / 2 + 1).toSeq
+    try waves.foreach { w => in.addData(w.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    assert(same(
+      SearchIndexOps.searchRanked(spark, prefix, RankTerms, 10),
+      SearchOps.searchRanked(Tables.documents(spark, Sf), RankTerms, 10),
+    ), "stream-grown index must answer exactly as a full-corpus scan")
+    import spark.implicits._
+    val metaRows = spark.table(s"${prefix}_meta").as[Long].collect()
+    assert(metaRows.length == 1 + waves.length, "one meta partial per build/batch")
+    assert(metaRows.sum == docs.length.toLong, "meta partials must sum to the corpus size")
+  }
+
   test("lexicon partial sums equal postings-derived document frequencies") {
     buildOnce()
     val fromLexicon = spark.table(s"${Prefix}_lexicon")
