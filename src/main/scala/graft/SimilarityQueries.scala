@@ -48,6 +48,36 @@ object SimilarityQueries {
         embeddings(s, d), blocks, subDim, isSeed = col("vec_id") < 8, iters = 2),
     )
 
+  /** Temp-warehouse database for the persisted-vector-index queries —
+    * the appId-keyed naming discipline of DedupQueries.indexDb (see
+    * that comment for why both name and location carry the appId).
+    */
+  private def vecDb(s: org.apache.spark.sql.SparkSession, name: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val db = s"graft_vec_idx_$app"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/$db"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    s"$db.$name"
+  }
+
+  /** Build the full-corpus vector index once per (session, dataset) —
+    * build-once read-many, the fullSearchIndex rationale. The
+    * incremental query builds its own (its build + append IS the test).
+    */
+  private val builtVecIdx = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def fullVectorIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    builtVecIdx.getOrElseUpdate(
+      (s, d), {
+        val pre = vecDb(s, "full")
+        graft.operators.VectorIndexOps.writeIndex(
+          embeddings(s, d), dim = 64, isSeed = col("vec_id") < 8, iters = 2,
+          buckets = 8, prefix = pre)
+        pre
+      },
+    )
+
   /** Oracle for the PQ code table — shared by sim_pq_codes and (as the
     * code source) sim_pq_adc.
     */
@@ -143,6 +173,39 @@ object SimilarityQueries {
        |  FROM p)
        |WHERE rank <= $BucketK
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle of the INCREMENTALLY-built vector index: the coarse
+    * quantizer trains only on the initially-indexed subset (vec_id % 5
+    * <> 0 — including which seed rows survive the subset), but
+    * assignment and search run over the FULL corpus, exactly what
+    * "append against the frozen stored codebook" means. Everything
+    * after training is ivfTrainedSql's tail over full-corpus frames.
+    */
+  private val ivfIndexIncrSql: String = {
+    val trainSrc =
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 <> 0"
+    s"""WITH ${trainedCbCtes(1, 64, "t", trainSrc)},
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |fsv AS (SELECT vec_id, 0 AS blk, e AS sv FROM v),
+       |asgd AS (SELECT s.vec_id, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+       |         FROM fsv s JOIN tcb2 c ON s.blk = c.blk),
+       |asg AS (SELECT vec_id, cid AS cell FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY dist, cid) AS rn FROM asgd)
+       |        WHERE rn = 1),
+       |n AS (SELECT v.vec_id, ${unitNorm("e")} AS u, a.cell
+       |      FROM v JOIN asg a ON a.vec_id = v.vec_id),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        ${dot("q.u", "c.u")} AS cosine
+       |      FROM n q JOIN n c
+       |        ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND q.cell = c.cell)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM p)
+       |WHERE rank <= $BucketK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** nprobe for the multi-probe trained-IVF search (of 8 trained cells). */
   private val IvfNProbe = 2
@@ -572,6 +635,38 @@ object SimilarityQueries {
       "sim_ivf_trained",
       (s, d) => ivfTrainedTopK(s, d),
       Some(ivfTrainedSql),
+    ),
+    // The PERSISTED vector index (VectorIndexOps): train the coarse
+    // quantizer once, store unit-normed vectors bucketed by cell, and
+    // answer IVF search entirely from the artifact — queries fetch
+    // their stored (u, cell), the corpus side is one cell equi-join
+    // against the bucketed table, no parquet re-read, no re-norm
+    // (VectorIndexSpec pins the plan). Bit-equal to the on-the-fly
+    // trained-IVF path, so it shares ivfTrainedSql.
+    Q(
+      "sim_index_topk",
+      (s, d) =>
+        graft.operators.VectorIndexOps.ivfTopK(
+          s, fullVectorIndex(s, d), col("vec_id") < 10, BucketK),
+      Some(ivfTrainedSql),
+    ),
+    // Incremental ingest against the FROZEN stored codebook: index
+    // built on vec_id % 5 <> 0, the rest appended (assigned by the
+    // stored quantizer — never retrained; retraining would move cell
+    // boundaries under every stored vector). The oracle trains on the
+    // subset and assigns/searches the full corpus.
+    Q(
+      "sim_index_incremental",
+      (s, d) => {
+        val pre = vecDb(s, "incr")
+        graft.operators.VectorIndexOps.writeIndex(
+          embeddings(s, d).filter(col("vec_id") % 5 =!= 0), dim = 64,
+          isSeed = col("vec_id") < 8, iters = 2, buckets = 8, prefix = pre)
+        graft.operators.VectorIndexOps.appendVectors(
+          s, pre, embeddings(s, d).filter(col("vec_id") % 5 === 0), buckets = 8)
+        graft.operators.VectorIndexOps.ivfTopK(s, pre, col("vec_id") < 10, BucketK)
+      },
+      Some(ivfIndexIncrSql),
     ),
     // Recall@k of the TRAINED-IVF path against exact brute force — the
     // metric that decides whether 2 Lloyd iterations and 8 cells are

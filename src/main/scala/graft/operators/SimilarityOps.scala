@@ -61,7 +61,7 @@ object SimilarityOps {
     * (partition, query). Ordering (score, then neighbor_id) is
     * identical to the window it replaced, so oracles are unchanged.
     */
-  private def rankTopK(scored: DataFrame, scoreName: String, ascending: Boolean, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, scoreName: String, ascending: Boolean, k: Int): DataFrame =
     scored
       .groupBy(col("query_id"))
       .agg(graft.expressions.TopKPairs.topK(col(scoreName), col("neighbor_id"), k, ascending).as("tk"))

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED IVF vector-index artifact — the third member of the
+  * storage-side triad ([[LshIndexOps]] for near-dup sets,
+  * [[SearchIndexOps]] for text postings, this for embeddings): a corpus
+  * pipeline trains the coarse quantizer ONCE, assigns and unit-norms
+  * every vector ONCE, and publishes the result as a cell-bucketed
+  * table; every search (and every appended batch) then works against
+  * the stored artifact — the corpus parquet is never re-read, vectors
+  * are never re-normalized, the quantizer is never re-trained.
+  *
+  * Two tables per index:
+  *   - `<prefix>_codebook(blk, cid, cv: array<double>)` — the trained
+  *     coarse quantizer ([[SimilarityOps.trainCodebook]], blocks = 1),
+  *     K rows; appended batches are assigned against it FROZEN, the
+  *     production contract (retraining would silently move cell
+  *     boundaries under every stored vector);
+  *   - `<prefix>_vectors(vec_id, cell, u: array<double>)` — unit-normed
+  *     vectors bucketed by `cell`, the IVF partition: a probe of cells
+  *     C reads |C| buckets' worth of files, not the corpus
+  *     ([[readCells]] gets static bucket pruning for literal cells;
+  *     the search's cell equi-join broadcasts the query side so the
+  *     corpus never shuffles).
+  *
+  * Determinism: unit-norming at ingest uses the same codegen'd
+  * [[SimilarityOps.unitNorm]] expression as the on-the-fly operators
+  * and doubles round-trip parquet exactly, so index-served cosines are
+  * bit-equal to the corpus-scan face and the unchanged DuckDB oracles.
+  */
+object VectorIndexOps {
+
+  /** Train the coarse quantizer on `embeddings` and publish both
+    * tables (overwriting any previous index at `prefix`).
+    */
+  def writeIndex(
+      embeddings: DataFrame,
+      dim: Int,
+      isSeed: Column,
+      iters: Int,
+      buckets: Int,
+      prefix: String,
+  ): Unit = {
+    val cb = SimilarityOps.trainCodebook(embeddings, blocks = 1, subDim = dim, isSeed, iters)
+    cb.write.mode("overwrite").saveAsTable(s"${prefix}_codebook")
+    embeddings
+      .join(SimilarityOps.assignCells(embeddings, cb), "vec_id")
+      .select(col("vec_id"), col("cell"), SimilarityOps.unitNorm(col("embedding")).as("u"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cell")
+      .saveAsTable(s"${prefix}_vectors")
+  }
+
+  /** Incremental ingest: assign a new batch (vec_ids disjoint from the
+    * stored corpus) against the STORED codebook and append — one new
+    * file per touched bucket, existing data untouched. The refresh
+    * matters for the same reason as in [[SearchIndexOps]]: a stale
+    * relation cache would silently serve pre-append search results.
+    */
+  def appendVectors(spark: SparkSession, prefix: String, batch: DataFrame, buckets: Int): Unit = {
+    val cb = spark.table(s"${prefix}_codebook")
+    batch
+      .join(SimilarityOps.assignCells(batch, cb), "vec_id")
+      .select(col("vec_id"), col("cell"), SimilarityOps.unitNorm(col("embedding")).as("u"))
+      .write.mode("append")
+      .bucketBy(buckets, "cell")
+      .saveAsTable(s"${prefix}_vectors")
+    spark.catalog.refreshTable(s"${prefix}_vectors")
+  }
+
+  /** IVF search over the stored artifact — same semantics (and tie
+    * contract) as [[SimilarityOps.ivfTopK]] over a trained assignment,
+    * but both the query vectors and the searched cells come from the
+    * index: queries (selected by `isQuery` on vec_id) broadcast with
+    * their stored cell, the corpus side is one cell equi-join against
+    * the bucketed table, scores are dots of STORED unit vectors.
+    */
+  def ivfTopK(spark: SparkSession, prefix: String, isQuery: Column, k: Int): DataFrame = {
+    val v = spark.table(s"${prefix}_vectors")
+    val queries = broadcast(
+      v.filter(isQuery).select(col("vec_id").as("query_id"), col("u").as("qu"), col("cell")),
+    )
+    val scored = queries
+      .join(v, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        SimilarityOps.dot(col("qu"), col("u")).as("cosine"),
+      )
+    SimilarityOps.rankTopK(scored, "cosine", ascending = false, k)
+  }
+
+  /** Literal-cell read — the serving-side primitive: a probe list of
+    * cell ids reads ONLY those cells' buckets (static bucket pruning on
+    * the `cell` isin predicate; VectorIndexSpec asserts
+    * SelectedBucketsCount < buckets).
+    *
+    * Caveat (measured on Spark 4.1): `DisableUnnecessaryBucketedScan`
+    * drops the bucketed layout — and with it the bucket pruning — for
+    * a bare filter+scan plan, because nothing downstream consumes the
+    * partitioning; the pruned read comes back under
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` (what
+    * a serving deployment doing point probes runs with) or whenever the
+    * probe feeds an aggregate/join that uses the bucketing, as every
+    * real consumer here does. Parquet row-group skipping on the pushed
+    * `In` filter still applies either way.
+    */
+  def readCells(spark: SparkSession, prefix: String, cells: Seq[Long]): DataFrame =
+    spark.table(s"${prefix}_vectors").filter(col("cell").isin(cells: _*))
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{SimilarityOps, VectorIndexOps}
+
+/** The persisted IVF vector index (VectorIndexOps): index-served search
+  * must equal the on-the-fly trained path bit-for-bit, the read path
+  * must touch only index tables, literal cell probes must prune
+  * buckets, and appends must assign against the FROZEN stored codebook.
+  */
+class VectorIndexSpec extends SparkSpec {
+
+  private val Prefix = "vecix"
+  private val K = 3
+
+  private def buildOnce(): Unit =
+    if (!spark.catalog.tableExists(s"${Prefix}_vectors")) {
+      VectorIndexOps.writeIndex(
+        Tables.embeddings(spark, Sf), dim = 64, isSeed = col("vec_id") < 8,
+        iters = 2, buckets = 4, prefix = Prefix)
+    }
+
+  private def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("index-served IVF top-k equals the on-the-fly trained path, scores included") {
+    buildOnce()
+    val emb = Tables.embeddings(spark, Sf)
+    val cb = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val onTheFly = SimilarityOps.ivfTopK(
+      emb.join(SimilarityOps.assignCells(emb, cb), "vec_id"),
+      col("vec_id") < 10, col("cell"), K)
+    val fromIndex = VectorIndexOps.ivfTopK(spark, Prefix, col("vec_id") < 10, K)
+    assert(fromIndex.count() > 0)
+    assert(same(fromIndex, onTheFly),
+      "index-served results (cosines included) must equal the corpus-scan face")
+  }
+
+  test("search read path touches only index tables; literal cell probes prune buckets") {
+    buildOnce()
+    val plan = VectorIndexOps.ivfTopK(spark, Prefix, col("vec_id") < 10, K)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("testdata"), s"read path must not scan the corpus parquet:\n$plan")
+    assert(!plan.contains("embedding#"), s"read path must not read raw embeddings:\n$plan")
+    // Bare probe plans need autoBucketedScan off for the pruned read
+    // (see readCells' caveat: Spark 4.1 drops the bucketed layout when
+    // nothing downstream consumes the partitioning — measured, not
+    // assumed; with the conf on, SelectedBucketsCount vanishes from
+    // this exact plan).
+    val before = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val pplan = VectorIndexOps.readCells(spark, Prefix, Seq(1L, 2L))
+        .queryExecution.executedPlan.toString
+      val selected = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(pplan).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      assert(selected.nonEmpty && selected.forall { case (sel, total) => sel < total },
+        s"literal cell probe must prune buckets:\n$pplan")
+    } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", before)
+  }
+
+  test("append assigns against the frozen stored codebook, never retrains") {
+    val prefix = "vecincr"
+    Seq("codebook", "vectors").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val emb = Tables.embeddings(spark, Sf)
+    VectorIndexOps.writeIndex(
+      emb.filter(col("vec_id") % 5 =!= 0), dim = 64, isSeed = col("vec_id") < 8,
+      iters = 2, buckets = 4, prefix = prefix)
+    VectorIndexOps.appendVectors(spark, prefix, emb.filter(col("vec_id") % 5 === 0), buckets = 4)
+    // Expected: quantizer trained on the subset only, assignment over
+    // everything — the frozen-codebook contract stated independently
+    // through the on-the-fly operators.
+    val cb = SimilarityOps.trainCodebook(emb.filter(col("vec_id") % 5 =!= 0),
+      blocks = 1, subDim = 64, isSeed = col("vec_id") < 8, iters = 2)
+    val expected = SimilarityOps.ivfTopK(
+      emb.join(SimilarityOps.assignCells(emb, cb), "vec_id"),
+      col("vec_id") < 10, col("cell"), K)
+    assert(same(
+      VectorIndexOps.ivfTopK(spark, prefix, col("vec_id") < 10, K),
+      expected,
+    ), "grown index must equal subset-trained codebook + full-corpus assignment")
+    // And it must DIFFER from a full-corpus retrain whenever the
+    // centroids moved (guards against writeIndex secretly retraining).
+    val cbFull = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val retrained = SimilarityOps.ivfTopK(
+      emb.join(SimilarityOps.assignCells(emb, cbFull), "vec_id"),
+      col("vec_id") < 10, col("cell"), K)
+    if (!same(expected, retrained)) {
+      assert(!same(VectorIndexOps.ivfTopK(spark, prefix, col("vec_id") < 10, K), retrained),
+        "grown index must reflect the frozen codebook, not a retrain")
+    }
+  }
+}
