@@ -73,6 +73,45 @@ object TextQueries {
       |WHERE a.tok = 'table' AND b.tok = 'table'
       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
+  /** Oracle of the BM25 search — shared by tx_search_bm25 (corpus
+    * scan) and tx_search_bm25_indexed (served from the stored
+    * postings/lexicon/docs/meta artifact). Mirrors
+    * SearchOps.bm25From's operation order exactly: idf = N/df
+    * (log-free, the tx_search_ranked discipline), norm = 1.0 − b +
+    * b·dl/avgdl with avgdl = CAST(total_dl AS DOUBLE)/n, per-term
+    * score = (idf · (tf·2.2)) / (tf + 1.2·norm), summed in fixed term
+    * order — every step is the same IEEE operation in both engines.
+    */
+  private val searchBm25Sql: String = {
+    def termScore(tf: String, df: String): String =
+      s"""(CASE WHEN $tf > 0 THEN
+         |  (CAST(n AS DOUBLE) / $df) * ($tf * 2.2)
+         |    / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n)))
+         |  ELSE 0.0 END)""".stripMargin
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |l AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+       |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total_dl FROM l),
+       |t AS (SELECT doc_id,
+       |        len(list_filter(w, x -> x = 'dup')) AS tf1,
+       |        len(list_filter(w, x -> x = 'spark')) AS tf2,
+       |        len(list_filter(w, x -> x = 'table')) AS tf3
+       |      FROM w),
+       |d AS (SELECT count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+       |        count(CASE WHEN tf2 > 0 THEN 1 END) AS df2,
+       |        count(CASE WHEN tf3 > 0 THEN 1 END) AS df3 FROM t),
+       |s AS (SELECT t.doc_id,
+       |        ${termScore("tf1", "df1")}
+       |      + ${termScore("tf2", "df2")}
+       |      + ${termScore("tf3", "df3")} AS score
+       |      FROM t JOIN l ON l.doc_id = t.doc_id, st, d
+       |      WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0)
+       |SELECT rank, doc_id, score FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |         doc_id, score
+       |  FROM s)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
   /** Oracle of the ranked TF-IDF search — shared by tx_search_ranked
     * and tx_search_incremental (index built on 4/5 of the corpus, the
     * rest appended: the grown index must answer exactly as a scan of
@@ -723,6 +762,27 @@ object TextQueries {
         graft.operators.SearchIndexOps.searchPhrase(
           s, fullSearchIndex(s, d), Seq("table", "table")),
       Some(searchPhraseSql),
+    ),
+    // BM25 ranked retrieval (log-free idf): the textbook tf-saturation
+    // + document-length normalization on top of the exact N/df weight —
+    // long docs stop winning on raw tf, repeated terms saturate at
+    // k1+1. Pure rational arithmetic (ln() is non-portable), so every
+    // score double is bit-reproduced by the oracle.
+    Q(
+      "tx_search_bm25",
+      (s, d) => graft.operators.SearchOps.searchBm25(documents(s, d), Seq("dup", "spark", "table"), 10),
+      Some(searchBm25Sql),
+    ),
+    // The same BM25 served entirely from the stored artifact — tf from
+    // pruned postings, df from lexicon partials, length norms from the
+    // stored docs table, (N, avgdl) from meta partials. Shared core →
+    // bit-equal scores → shared oracle.
+    Q(
+      "tx_search_bm25_indexed",
+      (s, d) =>
+        graft.operators.SearchIndexOps.searchBm25(
+          s, fullSearchIndex(s, d), Seq("dup", "spark", "table"), 10),
+      Some(searchBm25Sql),
     ),
     // Index health stats — the operational read an index owner runs:
     // hottest posting lists (the per-term read cost) with their df, one

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   *     df rows and readers sum the partials, so an append never
   *     rewrites history (the mergeable-aggregate discipline applied to
   *     the lexicon);
-  *   - `<prefix>_meta(n_docs)` one partial row per build/append, summed
-  *     at read time — the corpus size the TF-IDF weight needs, without
-  *     a corpus scan to recount it.
+  *   - `<prefix>_docs(doc_id, dl)` bucketed by doc_id: per-document
+  *     token counts — the length norms BM25's saturation term needs
+  *     (the Lucene norms-file role);
+  *   - `<prefix>_meta(n_docs, n_tokens)` one partial row per
+  *     build/append, summed at read time — corpus size and total token
+  *     count (→ avgdl), without a corpus scan to recount them.
   *
   * Incremental contract (same as [[LshIndexOps]]): appended batches
   * carry doc_ids disjoint from everything already indexed — documents
@@ -37,21 +40,36 @@ object SearchIndexOps {
   /** Builds and publishes the three index tables (overwriting any
     * previous index at `prefix`).
     */
-  def writeIndex(docs: DataFrame, buckets: Int, prefix: String): Unit = {
+  def writeIndex(docs: DataFrame, buckets: Int, prefix: String): Unit =
+    writeTables(docs, buckets, prefix, org.apache.spark.sql.SaveMode.Overwrite)
+
+  private def writeTables(
+      docs: DataFrame,
+      buckets: Int,
+      prefix: String,
+      mode: org.apache.spark.sql.SaveMode,
+  ): Unit = {
     // Materialize once — postings feed two table writes (each its own
     // action), and the corpus explode should run once per build.
     val p = SearchOps.postings(docs).localCheckpoint()
-    p.write.mode("overwrite")
+    p.write.mode(mode)
       .bucketBy(buckets, "term").sortBy("term", "doc_id", "pos")
       .saveAsTable(s"${prefix}_postings")
     p.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .bucketBy(buckets, "term")
       .saveAsTable(s"${prefix}_lexicon")
-    docs
-      .agg(count(lit(1)).as("n_docs"))
-      .write.mode("overwrite")
+    // Length norms from one narrow projection of the batch (no second
+    // explode — size(split) is row-local).
+    val dl = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .localCheckpoint()
+    dl.write.mode(mode)
+      .bucketBy(buckets, "doc_id")
+      .saveAsTable(s"${prefix}_docs")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+      .write.mode(mode)
       .saveAsTable(s"${prefix}_meta")
   }
 
@@ -63,20 +81,9 @@ object SearchIndexOps {
     * pre-append results to the next query.
     */
   def appendDocuments(spark: SparkSession, prefix: String, batch: DataFrame, buckets: Int): Unit = {
-    val p = SearchOps.postings(batch).localCheckpoint()
-    p.write.mode("append")
-      .bucketBy(buckets, "term").sortBy("term", "doc_id", "pos")
-      .saveAsTable(s"${prefix}_postings")
-    p.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .write.mode("append")
-      .bucketBy(buckets, "term")
-      .saveAsTable(s"${prefix}_lexicon")
-    batch
-      .agg(count(lit(1)).as("n_docs"))
-      .write.mode("append")
-      .saveAsTable(s"${prefix}_meta")
-    Seq("postings", "lexicon", "meta").foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
+    writeTables(batch, buckets, prefix, org.apache.spark.sql.SaveMode.Append)
+    Seq("postings", "lexicon", "docs", "meta")
+      .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
   }
 
   /** Index health stats — the operational view of the stored postings:
@@ -104,12 +111,13 @@ object SearchIndexOps {
     */
   def rebucket(spark: SparkSession, prefix: String, newBuckets: Int): Unit =
     Seq(
-      (s"${prefix}_postings", true),
-      (s"${prefix}_lexicon", false),
-    ).foreach { case (table, sorted) =>
+      (s"${prefix}_postings", "term", true),
+      (s"${prefix}_lexicon", "term", false),
+      (s"${prefix}_docs", "doc_id", false),
+    ).foreach { case (table, key, sorted) =>
       val tmp = s"${table}_rebucket"
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      val w = spark.table(table).write.mode("overwrite").bucketBy(newBuckets, "term")
+      val w = spark.table(table).write.mode("overwrite").bucketBy(newBuckets, key)
       (if (sorted) w.sortBy("term", "doc_id", "pos") else w).saveAsTable(tmp)
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
@@ -177,5 +185,31 @@ object SearchIndexOps {
       .agg(sum(col("df")).as("df"))
     val n = spark.table(s"${prefix}_meta").agg(sum(col("n_docs")).as("n"))
     SearchOps.rankedFrom(tf, df, n, terms, k)
+  }
+
+  /** BM25 retrieval served entirely from the artifact: tf from the
+    * pruned postings read, df from lexicon partials, (N, avgdl) from
+    * meta partials, length norms from the stored docs table — the core
+    * ([[SearchOps.bm25From]]) is shared with the corpus-scan face, so
+    * scores are bit-equal and the oracle unchanged.
+    */
+  def searchBm25(
+      spark: SparkSession,
+      prefix: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    val tf = SearchOps.tfFrom(spark.table(s"${prefix}_postings"), terms)
+    val df = spark
+      .table(s"${prefix}_lexicon")
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"))
+    val stats = spark
+      .table(s"${prefix}_meta")
+      .agg(sum(col("n_docs")).as("n"), sum(col("n_tokens")).as("total_dl"))
+    SearchOps.bm25From(tf, df, stats, spark.table(s"${prefix}_docs"), terms, k, k1, b)
   }
 }

@@ -113,15 +113,26 @@ object SearchOps {
       n: DataFrame,
       terms: Seq[String],
       k: Int,
-  ): DataFrame = {
-    val perTermScore = tf
-      .join(broadcast(df), "term")
-      .crossJoin(broadcast(n))
-      .select(
-        col("doc_id"),
-        col("term"),
-        (col("tf").cast("double") * col("n") / col("df")).as("s"),
-      )
+  ): DataFrame =
+    fixedOrderTopK(
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .select(
+          col("doc_id"),
+          col("term"),
+          (col("tf").cast("double") * col("n") / col("df")).as("s"),
+        ),
+      terms,
+      k,
+    )
+
+  /** Shared ranked-retrieval tail: per-doc score = the per-term scores
+    * `s` summed in the CALLER'S term order (each term selects at most
+    * one non-zero addend, and adding an exact 0.0 is order-independent,
+    * so the double is deterministic), then bounded-heap top-k — no
+    * window, nothing shuffles but the scored rows keyed by doc.
+    */
+  private def fixedOrderTopK(perTermScore: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val perDoc = perTermScore
       .groupBy(col("doc_id"))
       .agg(
@@ -142,6 +153,66 @@ object SearchOps {
         col("p.score").as("score"),
       )
       .orderBy("rank")
+  }
+
+  /** BM25 core (log-free idf): per (doc, term) score
+    *
+    *   idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    *   idf(t) = N / df(t)
+    *
+    * — the standard tf-saturation + document-length normalization,
+    * with the same log-free idf as [[rankedFrom]] (ln() is measurably
+    * non-portable across engines; the saturation and length terms are
+    * pure rational arithmetic on exact integers, so every double is
+    * bit-reproducible when the oracle mirrors the operation order).
+    * `dl` is (doc_id, dl) — from `size(split(text))` on the corpus face
+    * or the stored norms table on the index face; `stats` is one row
+    * (n, total_dl) whose partials an index sums at read time. k1 = 1.2
+    * and b = 0.75 are the textbook defaults; both literals parse to
+    * identical doubles in both engines.
+    */
+  private[operators] def bm25From(
+      tf: DataFrame,
+      df: DataFrame,
+      stats: DataFrame,
+      dl: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      k1: Double,
+      b: Double,
+  ): DataFrame = {
+    val avgdl = col("total_dl").cast("double") / col("n")
+    val idf = col("n").cast("double") / col("df")
+    val norm = lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")
+    val perTermScore = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .join(dl, "doc_id")
+      .withColumn("avgdl", avgdl)
+      .select(
+        col("doc_id"),
+        col("term"),
+        (idf * (col("tf") * lit(k1 + 1.0)) / (col("tf") + lit(k1) * norm)).as("s"),
+      )
+    fixedOrderTopK(perTermScore, terms, k)
+  }
+
+  /** BM25 ranked retrieval over the corpus: tf/df from term-filtered
+    * postings, document lengths from one narrow projection (no explode
+    * — `size(split(...))` per row), corpus stats from their aggregate.
+    */
+  def searchBm25(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    val tf = tfFrom(postings(docs), terms)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+    bm25From(tf, df, stats, dl, terms, k, k1, b)
   }
 
   /** Per-term term frequencies of the query terms from a postings

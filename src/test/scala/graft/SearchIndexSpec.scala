@@ -38,6 +38,10 @@ class SearchIndexSpec extends SparkSpec {
       SearchIndexOps.searchRanked(spark, Prefix, RankTerms, 10),
       SearchOps.searchRanked(docs, RankTerms, 10),
     ), "ranked results (scores included) must match the corpus-scan face")
+    assert(same(
+      SearchIndexOps.searchBm25(spark, Prefix, RankTerms, 10),
+      SearchOps.searchBm25(docs, RankTerms, 10),
+    ), "BM25 results (scores included) must match the corpus-scan face")
   }
 
   test("read path scans only index tables and prunes postings buckets to the query terms") {
@@ -67,7 +71,7 @@ class SearchIndexSpec extends SparkSpec {
 
   test("appended batch merges into df/N partials: grown index equals full-corpus scan") {
     val prefix = "searchincr"
-    Seq("postings", "lexicon", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
     val docs = Tables.documents(spark, Sf)
     SearchIndexOps.writeIndex(docs.filter(col("doc_id") % 5 =!= 0), buckets = 8, prefix = prefix)
     SearchIndexOps.appendDocuments(spark, prefix, docs.filter(col("doc_id") % 5 === 0), buckets = 8)
@@ -81,17 +85,23 @@ class SearchIndexSpec extends SparkSpec {
       SearchIndexOps.searchAnd(spark, prefix, Terms),
       SearchOps.searchAnd(docs, Terms),
     ), "AND search over the grown index must equal a full-corpus scan")
+    // BM25 exercises every stored artifact at once: postings (tf),
+    // lexicon (df), docs (length norms), meta (N and avgdl partials).
+    assert(same(
+      SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10),
+      SearchOps.searchBm25(docs, RankTerms, 10),
+    ), "BM25 over the grown index must equal a full-corpus scan")
     // The meta table holds exactly two partial rows summing to the
     // corpus size — the append added, never rewrote.
     import spark.implicits._
-    val metaRows = spark.table(s"${prefix}_meta").as[Long].collect().sorted
+    val metaRows = spark.table(s"${prefix}_meta").select("n_docs").as[Long].collect().sorted
     assert(metaRows.length == 2, s"expected two partial meta rows, got ${metaRows.toSeq}")
     assert(metaRows.sum == docs.count(), "meta partials must sum to the corpus size")
   }
 
   test("rebucket preserves results bit-for-bit and keeps bucket pruning at the new count") {
     val prefix = "searchrebkt"
-    Seq("postings", "lexicon", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
     SearchIndexOps.writeIndex(Tables.documents(spark, Sf), buckets = 4, prefix = prefix)
     def ranked() = SearchIndexOps.searchRanked(spark, prefix, RankTerms, 10).collect().toSeq
     def numBuckets() = spark.sessionState.catalog
@@ -115,7 +125,7 @@ class SearchIndexSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prefix = "searchstream"
-    Seq("postings", "lexicon", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
     val docs = Tables.documents(spark, Sf).select("doc_id", "text").as[(Long, String)]
       .collect().sortBy(_._1)
     val cut = docs(docs.length / 3)._1
@@ -133,7 +143,7 @@ class SearchIndexSpec extends SparkSpec {
       SearchOps.searchRanked(Tables.documents(spark, Sf), RankTerms, 10),
     ), "stream-grown index must answer exactly as a full-corpus scan")
     import spark.implicits._
-    val metaRows = spark.table(s"${prefix}_meta").as[Long].collect()
+    val metaRows = spark.table(s"${prefix}_meta").select("n_docs").as[Long].collect()
     assert(metaRows.length == 1 + waves.length, "one meta partial per build/batch")
     assert(metaRows.sum == docs.length.toLong, "meta partials must sum to the corpus size")
   }
