@@ -668,6 +668,18 @@ object SimilarityQueries {
       },
       Some(ivfIndexIncrSql),
     ),
+    // Multi-probe from the stored artifact: probe ranking reads the
+    // STORED raw doubles (the `e` column — centroid geometry is not
+    // recoverable from unit-normed `u`), scoring reads `u`; same
+    // semantics as the on-the-fly trained multi-probe, so it shares
+    // that oracle.
+    Q(
+      "sim_index_multiprobe",
+      (s, d) =>
+        graft.operators.VectorIndexOps.ivfMultiProbeTopK(
+          s, fullVectorIndex(s, d), IvfNProbe, col("vec_id") < 10, BucketK),
+      Some(ivfMultiProbeSql),
+    ),
     // Recall@k of the TRAINED-IVF path against exact brute force — the
     // metric that decides whether 2 Lloyd iterations and 8 cells are
     // enough, closing the train → search → MEASURE loop the other

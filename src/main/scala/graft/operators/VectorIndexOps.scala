@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   *     K rows; appended batches are assigned against it FROZEN, the
   *     production contract (retraining would silently move cell
   *     boundaries under every stored vector);
-  *   - `<prefix>_vectors(vec_id, cell, u: array<double>)` — unit-normed
-  *     vectors bucketed by `cell`, the IVF partition: a probe of cells
-  *     C reads |C| buckets' worth of files, not the corpus
+  *   - `<prefix>_vectors(vec_id, cell, u, e: array<double>)` — vectors
+  *     bucketed by `cell`, the IVF partition: `u` unit-normed (what
+  *     cosine scoring reads), `e` the raw doubles (what centroid
+  *     geometry reads — multi-probe ranks cells by l2 from the RAW
+  *     query vector, which is not recoverable from `u`). A probe of
+  *     cells C reads |C| buckets' worth of files, not the corpus
   *     ([[readCells]] gets static bucket pruning for literal cells;
   *     the search's cell equi-join broadcasts the query side so the
-  *     corpus never shuffles).
+  *     corpus never shuffles), and column pruning keeps `e` out of
+  *     every plan that only scores.
   *
   * Determinism: unit-norming at ingest uses the same codegen'd
   * [[SimilarityOps.unitNorm]] expression as the on-the-fly operators
@@ -47,7 +51,12 @@ object VectorIndexOps {
     cb.write.mode("overwrite").saveAsTable(s"${prefix}_codebook")
     embeddings
       .join(SimilarityOps.assignCells(embeddings, cb), "vec_id")
-      .select(col("vec_id"), col("cell"), SimilarityOps.unitNorm(col("embedding")).as("u"))
+      .select(
+        col("vec_id"),
+        col("cell"),
+        SimilarityOps.unitNorm(col("embedding")).as("u"),
+        transform(col("embedding"), x => x.cast("double")).as("e"),
+      )
       .write.mode("overwrite")
       .bucketBy(buckets, "cell")
       .saveAsTable(s"${prefix}_vectors")
@@ -63,7 +72,12 @@ object VectorIndexOps {
     val cb = spark.table(s"${prefix}_codebook")
     batch
       .join(SimilarityOps.assignCells(batch, cb), "vec_id")
-      .select(col("vec_id"), col("cell"), SimilarityOps.unitNorm(col("embedding")).as("u"))
+      .select(
+        col("vec_id"),
+        col("cell"),
+        SimilarityOps.unitNorm(col("embedding")).as("u"),
+        transform(col("embedding"), x => x.cast("double")).as("e"),
+      )
       .write.mode("append")
       .bucketBy(buckets, "cell")
       .saveAsTable(s"${prefix}_vectors")
@@ -92,6 +106,75 @@ object VectorIndexOps {
       )
     SimilarityOps.rankTopK(scored, "cosine", ascending = false, k)
   }
+
+  /** Multi-probe IVF search from the artifact — the nprobe recall knob
+    * over stored data: each query ranks the STORED codebook's centroids
+    * by l2 from its STORED raw vector (broadcast codebook, bounded
+    * top-P aggregate), searches its `nprobe` nearest cells; the corpus
+    * keeps its single stored cell, so the cell equi-join remains the
+    * only corpus-side contact and each (query, corpus) pair arises at
+    * most once. Same semantics (and oracle) as
+    * [[SimilarityOps.ivfMultiProbeTopK]] over a trained quantizer.
+    */
+  def ivfMultiProbeTopK(
+      spark: SparkSession,
+      prefix: String,
+      nprobe: Int,
+      isQuery: Column,
+      k: Int,
+  ): DataFrame = {
+    val v = spark.table(s"${prefix}_vectors")
+    val cb = spark.table(s"${prefix}_codebook")
+    val dist = aggregate(
+      zip_with(col("e"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, d) => acc + d,
+    )
+    val probeCells = v
+      .filter(isQuery)
+      .crossJoin(broadcast(cb.select(col("cid"), col("cv"))))
+      .select(col("vec_id"), col("cid"), dist.as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(graft.expressions.TopKPairs.topK(col("dist"), col("cid"), nprobe, ascending = true).as("tk"))
+      .select(col("vec_id").as("query_id"), explode(col("tk.id")).as("cell"))
+    val queries = broadcast(
+      v.filter(isQuery)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"))
+        .join(probeCells, "query_id"),
+    )
+    val scored = queries
+      .join(v, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        SimilarityOps.dot(col("qu"), col("u")).as("cosine"),
+      )
+    SimilarityOps.rankTopK(scored, "cosine", ascending = false, k)
+  }
+
+  /** Continuous vector ingestion — the streaming face: every
+    * micro-batch of the `vectors` stream (vec_id, embedding) is
+    * assigned against the frozen stored codebook and appended
+    * ([[appendVectors]]). The artifact is the stream's state in the
+    * warehouse (the established index-as-state discipline); appends
+    * are at-least-once on replay, same caveat as
+    * [[SearchIndexOps.streamingIndex]].
+    */
+  def streamingIngest(
+      spark: SparkSession,
+      prefix: String,
+      vectors: DataFrame,
+      buckets: Int,
+      checkpoint: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendVectors(spark, prefix, batch, buckets)
+      }
+      .start()
 
   /** Literal-cell read — the serving-side primitive: a probe list of
     * cell ids reads ONLY those cells' buckets (static bucket pruning on

@@ -60,6 +60,51 @@ class VectorIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", before)
   }
 
+  test("index-served multi-probe equals the on-the-fly trained path") {
+    buildOnce()
+    val emb = Tables.embeddings(spark, Sf)
+    val cb = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    assert(same(
+      VectorIndexOps.ivfMultiProbeTopK(spark, Prefix, nprobe = 2, col("vec_id") < 10, K),
+      SimilarityOps.ivfMultiProbeTopK(emb, cb, nprobe = 2, col("vec_id") < 10, K),
+    ), "multi-probe over the stored artifact must equal the corpus-scan face")
+  }
+
+  test("streaming ingest assigns each micro-batch against the frozen codebook") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prefix = "vecstream"
+    Seq("codebook", "vectors").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val emb = Tables.embeddings(spark, Sf)
+    val rows = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cut = rows(rows.length / 2)._1
+    val (seed, streamed) = rows.partition(_._1 < cut)
+    VectorIndexOps.writeIndex(
+      seed.toSeq.toDF("vec_id", "embedding"), dim = 64, isSeed = col("vec_id") < 8,
+      iters = 2, buckets = 4, prefix = prefix)
+    val in = MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("vec_stream").toFile.getAbsolutePath
+    val q = VectorIndexOps.streamingIngest(
+      spark, prefix, in.toDF().toDF("vec_id", "embedding"), buckets = 4, checkpoint = ckpt)
+    val waves = streamed.grouped(streamed.length / 2 + 1).toSeq
+    try waves.foreach { w => in.addData(w.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // Expected: codebook frozen at the seed corpus, assignment over all.
+    val cb = SimilarityOps.trainCodebook(seed.toSeq.toDF("vec_id", "embedding"),
+      blocks = 1, subDim = 64, isSeed = col("vec_id") < 8, iters = 2)
+    val expected = SimilarityOps.ivfTopK(
+      emb.join(SimilarityOps.assignCells(emb, cb), "vec_id"),
+      col("vec_id") < 10, col("cell"), K)
+    assert(same(
+      VectorIndexOps.ivfTopK(spark, prefix, col("vec_id") < 10, K),
+      expected,
+    ), "stream-grown index must equal frozen-codebook assignment over the full corpus")
+    assert(spark.table(s"${prefix}_vectors").count() == rows.length.toLong,
+      "every streamed vector must land exactly once")
+  }
+
   test("append assigns against the frozen stored codebook, never retrains") {
     val prefix = "vecincr"
     Seq("codebook", "vectors").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
