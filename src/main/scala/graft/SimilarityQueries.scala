@@ -78,6 +78,23 @@ object SimilarityQueries {
       },
     )
 
+  /** The PQ compression layer over the full vector index — built once
+    * per (session, dataset), codebook from the shared trainedCb memo.
+    */
+  private val builtPqIdx = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def fullPqIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    builtPqIdx.getOrElseUpdate(
+      (s, d), {
+        val pre = fullVectorIndex(s, d)
+        graft.operators.VectorIndexOps.writePqCodes(
+          embeddings(s, d), trainedCb(s, d, blocks = 4, subDim = 16),
+          blocks = 4, subDim = 16, nSeeds = 8, prefix = pre)
+        pre
+      },
+    )
+
   /** Oracle for the PQ code table — shared by sim_pq_codes and (as the
     * code source) sim_pq_adc.
     */
@@ -679,6 +696,18 @@ object SimilarityQueries {
         graft.operators.VectorIndexOps.ivfMultiProbeTopK(
           s, fullVectorIndex(s, d), IvfNProbe, col("vec_id") < 10, BucketK),
       Some(ivfMultiProbeSql),
+    ),
+    // ADC over STORED codes: the corpus contact is the codes table (one
+    // long per vector), queries slice the index's stored raw doubles,
+    // the LUT reads the stored frozen PQ codebook. Same scoring tail as
+    // the on-the-fly trained-ADC path → shared oracle.
+    Q(
+      "sim_index_adc",
+      (s, d) =>
+        graft.operators.VectorIndexOps.adcTopK(
+          s, fullPqIndex(s, d), blocks = 4, subDim = 16, nSeeds = 8,
+          isQuery = col("vec_id") < 10, k = 5),
+      Some(adcTrainedSql),
     ),
     // Recall@k of the TRAINED-IVF path against exact brute force — the
     // metric that decides whether 2 Lloyd iterations and 8 cells are

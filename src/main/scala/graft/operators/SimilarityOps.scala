@@ -530,12 +530,35 @@ object SimilarityOps {
       isQuery: Column,
       k: Int,
   ): DataFrame = {
-    val divisors = array((0 until blocks).map(b => lit(math.pow(nSeeds.toDouble, b).toLong)): _*)
-    val corpusCodes = pqEncodeWith(embeddings, blocks, subDim, codebook, nSeeds)
-      .select(col("vec_id"), col("pq_code"), posexplode(divisors).as(Seq("blk", "divisor")))
-      .select(col("vec_id"), col("blk"), expr(s"pq_code div divisor % $nSeeds").as("code"))
+    val corpusCodes = explodeCodes(
+      pqEncodeWith(embeddings, blocks, subDim, codebook, nSeeds), blocks, nSeeds)
     val qBlocks = subVectors(embeddings.filter(isQuery), blocks, subDim)
       .select(col("vec_id").as("query_id"), col("blk"), col("sv").as("qv"))
+    adcTopKFrom(corpusCodes, qBlocks, codebook, k)
+  }
+
+  /** Unpack a packed-code frame (vec_id, pq_code) into per-block rows
+    * (vec_id, blk, code) — row-local, the form the ADC LUT join scans.
+    */
+  private[operators] def explodeCodes(codes: DataFrame, blocks: Int, nSeeds: Int): DataFrame = {
+    val divisors = array((0 until blocks).map(b => lit(math.pow(nSeeds.toDouble, b).toLong)): _*)
+    codes
+      .select(col("vec_id"), col("pq_code"), posexplode(divisors).as(Seq("blk", "divisor")))
+      .select(col("vec_id"), col("blk"), expr(s"pq_code div divisor % $nSeeds").as("code"))
+  }
+
+  /** The ADC scoring tail shared by the on-the-fly and stored-code
+    * faces: broadcast per-query (block, centroid) LUT, one equi-join of
+    * the exploded codes against it, block-ordered fold to the approx
+    * distance, bounded-heap top-k. `corpusCodes` is (vec_id, blk,
+    * code), `qBlocks` (query_id, blk, qv).
+    */
+  private[operators] def adcTopKFrom(
+      corpusCodes: DataFrame,
+      qBlocks: DataFrame,
+      codebook: DataFrame,
+      k: Int,
+  ): DataFrame = {
     val cbBlocks = codebook.select(col("cid").as("code"), col("blk"), col("cv"))
     val lut = broadcast(
       qBlocks

@@ -107,6 +107,54 @@ object VectorIndexOps {
     SimilarityOps.rankTopK(scored, "cosine", ascending = false, k)
   }
 
+  /** Publish the PQ compression layer over an existing index at
+    * `prefix`: the (caller-trained) PQ codebook and each vector's
+    * packed code — the representation that lets a read scan billions
+    * of vectors as one long each. The codebook is stored FROZEN, same
+    * contract as the coarse quantizer.
+    */
+  def writePqCodes(
+      embeddings: DataFrame,
+      pqCodebook: DataFrame,
+      blocks: Int,
+      subDim: Int,
+      nSeeds: Int,
+      prefix: String,
+  ): Unit = {
+    pqCodebook.write.mode("overwrite").saveAsTable(s"${prefix}_pq_codebook")
+    SimilarityOps
+      .pqEncodeWith(embeddings, blocks, subDim, pqCodebook, nSeeds)
+      .write.mode("overwrite")
+      .saveAsTable(s"${prefix}_codes")
+  }
+
+  /** ADC search over STORED codes — the corpus contact is a scan of
+    * the codes table (one long per vector, no raw vectors touched);
+    * query sub-vectors come from the index's stored raw doubles, the
+    * LUT from the stored PQ codebook. Same scoring tail as the
+    * on-the-fly trained-ADC path ([[SimilarityOps.adcTopKFrom]] is
+    * shared), so results are bit-equal and the oracle unchanged.
+    */
+  def adcTopK(
+      spark: SparkSession,
+      prefix: String,
+      blocks: Int,
+      subDim: Int,
+      nSeeds: Int,
+      isQuery: Column,
+      k: Int,
+  ): DataFrame = {
+    val corpusCodes = SimilarityOps.explodeCodes(
+      spark.table(s"${prefix}_codes"), blocks, nSeeds)
+    val blocksArr = array((0 until blocks).map(b => slice(col("e"), b * subDim + 1, subDim)): _*)
+    val qBlocks = spark
+      .table(s"${prefix}_vectors")
+      .filter(isQuery)
+      .select(col("vec_id").as("query_id"), posexplode(blocksArr).as(Seq("blk", "qv")))
+    SimilarityOps.adcTopKFrom(qBlocks = qBlocks, corpusCodes = corpusCodes,
+      codebook = spark.table(s"${prefix}_pq_codebook"), k = k)
+  }
+
   /** Multi-probe IVF search from the artifact — the nprobe recall knob
     * over stored data: each query ranks the STORED codebook's centroids
     * by l2 from its STORED raw vector (broadcast codebook, bounded

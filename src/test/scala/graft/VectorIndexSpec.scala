@@ -105,6 +105,25 @@ class VectorIndexSpec extends SparkSpec {
       "every streamed vector must land exactly once")
   }
 
+  test("ADC over stored codes equals the on-the-fly trained-ADC path") {
+    buildOnce()
+    val emb = Tables.embeddings(spark, Sf)
+    val pqCb = SimilarityOps.trainCodebook(emb, blocks = 4, subDim = 16,
+      isSeed = col("vec_id") < 8, iters = 2)
+    VectorIndexOps.writePqCodes(emb, pqCb, blocks = 4, subDim = 16, nSeeds = 8, prefix = Prefix)
+    val fromIndex = VectorIndexOps.adcTopK(
+      spark, Prefix, blocks = 4, subDim = 16, nSeeds = 8, col("vec_id") < 10, k = 5)
+    val onTheFly = SimilarityOps.pqAdcTopK(emb, blocks = 4, subDim = 16, codebook = pqCb,
+      nSeeds = 8, isQuery = col("vec_id") < 10, k = 5)
+    assert(same(fromIndex, onTheFly),
+      "stored-code ADC (approx distances included) must equal the corpus-scan face")
+    // The read's corpus contact is codes only: no unit vectors, no raw
+    // doubles from the vectors table except the query rows' slices.
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(!plan.contains("testdata"), s"ADC read must not scan the corpus parquet:\n$plan")
+    assert(!plan.contains("u#"), s"ADC read must not touch unit vectors:\n$plan")
+  }
+
   test("append assigns against the frozen stored codebook, never retrains") {
     val prefix = "vecincr"
     Seq("codebook", "vectors").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
