@@ -709,6 +709,18 @@ object SimilarityQueries {
           isQuery = col("vec_id") < 10, k = 5),
       Some(adcTrainedSql),
     ),
+    // Two-stage retrieval from the artifact: stored codes nominate R
+    // candidates, stored unit vectors re-rank them exactly — the full
+    // production serving path with zero corpus contact. Shares the
+    // on-the-fly rerank oracle.
+    Q(
+      "sim_index_rerank",
+      (s, d) =>
+        graft.operators.VectorIndexOps.rerankTopK(
+          s, fullPqIndex(s, d), blocks = 4, subDim = 16, nSeeds = 8,
+          isQuery = col("vec_id") < 10, r = RerankR, k = TopK),
+      Some(rerankSql),
+    ),
     // Recall@k of the TRAINED-IVF path against exact brute force — the
     // metric that decides whether 2 Lloyd iterations and 8 cells are
     // enough, closing the train → search → MEASURE loop the other

@@ -155,6 +155,46 @@ object VectorIndexOps {
       codebook = spark.table(s"${prefix}_pq_codebook"), k = k)
   }
 
+  /** Two-stage retrieval from the artifact — the complete production
+    * serving path over stored data: stage 1 nominates R candidates per
+    * query from the codes table alone ([[adcTopK]]); stage 2 fetches
+    * ONLY those rows' stored unit vectors (broadcast-hash join on
+    * vec_id — the vectors table is never shuffled) and re-ranks by
+    * exact cosine. Same tie contract as the on-the-fly
+    * [[SimilarityOps.rerankExact]] composition, so results are
+    * bit-equal and the oracle unchanged.
+    */
+  def rerankTopK(
+      spark: SparkSession,
+      prefix: String,
+      blocks: Int,
+      subDim: Int,
+      nSeeds: Int,
+      isQuery: Column,
+      r: Int,
+      k: Int,
+  ): DataFrame = {
+    val v = spark.table(s"${prefix}_vectors")
+    val cand = broadcast(
+      adcTopK(spark, prefix, blocks, subDim, nSeeds, isQuery, r)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(),
+    )
+    val qv = broadcast(
+      v.join(cand.select(col("query_id")).distinct(), col("vec_id") === col("query_id"))
+        .select(col("query_id"), col("u").as("qu")),
+    )
+    val scored = v
+      .join(cand, col("vec_id") === col("neighbor_id"))
+      .join(qv, "query_id")
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        SimilarityOps.dot(col("qu"), col("u")).as("cosine"),
+      )
+    SimilarityOps.rankTopK(scored, "cosine", ascending = false, k)
+  }
+
   /** Multi-probe IVF search from the artifact — the nprobe recall knob
     * over stored data: each query ranks the STORED codebook's centroids
     * by l2 from its STORED raw vector (broadcast codebook, bounded

@@ -122,6 +122,17 @@ class VectorIndexSpec extends SparkSpec {
     val plan = fromIndex.queryExecution.executedPlan.toString
     assert(!plan.contains("testdata"), s"ADC read must not scan the corpus parquet:\n$plan")
     assert(!plan.contains("u#"), s"ADC read must not touch unit vectors:\n$plan")
+    // Two-stage rerank over the same stored artifacts equals the
+    // on-the-fly composition (nominate from codes, exact re-rank).
+    val rrIndex = VectorIndexOps.rerankTopK(
+      spark, Prefix, blocks = 4, subDim = 16, nSeeds = 8, col("vec_id") < 10, r = 10, k = K)
+    val rrFly = SimilarityOps.rerankExact(
+      emb,
+      SimilarityOps.pqAdcTopK(emb, blocks = 4, subDim = 16, codebook = pqCb,
+        nSeeds = 8, isQuery = col("vec_id") < 10, k = 10),
+      K)
+    assert(same(rrIndex, rrFly),
+      "index-served two-stage rerank must equal the on-the-fly composition")
   }
 
   test("append assigns against the frozen stored codebook, never retrains") {
