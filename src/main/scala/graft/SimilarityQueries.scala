@@ -90,7 +90,7 @@ object SimilarityQueries {
         val pre = fullVectorIndex(s, d)
         graft.operators.VectorIndexOps.writePqCodes(
           embeddings(s, d), trainedCb(s, d, blocks = 4, subDim = 16),
-          blocks = 4, subDim = 16, nSeeds = 8, prefix = pre)
+          blocks = 4, subDim = 16, nSeeds = 8, buckets = 8, prefix = pre)
         pre
       },
     )
@@ -708,6 +708,18 @@ object SimilarityQueries {
           s, fullPqIndex(s, d), blocks = 4, subDim = 16, nSeeds = 8,
           isQuery = col("vec_id") < 10, k = 5),
       Some(adcTrainedSql),
+    ),
+    // IVF-PQ composed entirely from artifacts: stored coarse codebook
+    // ranks probe cells, stored PQ codebook builds the LUT, and the
+    // corpus contact is the cell-bucketed codes of the probed cells
+    // only. Shares the on-the-fly IVF-PQ oracle.
+    Q(
+      "sim_index_ivfpq",
+      (s, d) =>
+        graft.operators.VectorIndexOps.ivfPqTopK(
+          s, fullPqIndex(s, d), blocks = 4, subDim = 16, nSeeds = 8,
+          nprobe = IvfNProbe, isQuery = col("vec_id") < 10, k = 5),
+      Some(ivfPqSql),
     ),
     // Two-stage retrieval from the artifact: stored codes nominate R
     // candidates, stored unit vectors re-rank them exactly — the full

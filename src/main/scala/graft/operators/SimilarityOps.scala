@@ -540,11 +540,16 @@ object SimilarityOps {
   /** Unpack a packed-code frame (vec_id, pq_code) into per-block rows
     * (vec_id, blk, code) — row-local, the form the ADC LUT join scans.
     */
-  private[operators] def explodeCodes(codes: DataFrame, blocks: Int, nSeeds: Int): DataFrame = {
+  private[operators] def explodeCodes(
+      codes: DataFrame,
+      blocks: Int,
+      nSeeds: Int,
+      keep: Seq[String] = Seq("vec_id"),
+  ): DataFrame = {
     val divisors = array((0 until blocks).map(b => lit(math.pow(nSeeds.toDouble, b).toLong)): _*)
     codes
-      .select(col("vec_id"), col("pq_code"), posexplode(divisors).as(Seq("blk", "divisor")))
-      .select(col("vec_id"), col("blk"), expr(s"pq_code div divisor % $nSeeds").as("code"))
+      .select(keep.map(col) ++ Seq(col("pq_code"), posexplode(divisors).as(Seq("blk", "divisor"))): _*)
+      .select(keep.map(col) ++ Seq(col("blk"), expr(s"pq_code div divisor % $nSeeds").as("code")): _*)
   }
 
   /** The ADC scoring tail shared by the on-the-fly and stored-code
@@ -775,6 +780,22 @@ object SimilarityOps {
     )
     val qBlocks = subVectors(embeddings.filter(isQuery), blocks, subDim)
       .select(col("vec_id").as("query_id"), col("blk"), col("sv").as("qv"))
+    ivfPqTopKFrom(corpusCodes, probeCells, qBlocks, pqCodebook, k)
+  }
+
+  /** The IVF-PQ scoring tail shared by the on-the-fly and stored-index
+    * faces: broadcast per-query LUT, codes restricted to probed cells,
+    * block-ordered fold, bounded-heap top-k. `corpusCodes` is (vec_id,
+    * cell, blk, code), `probeCells` (query_id, cell), `qBlocks`
+    * (query_id, blk, qv).
+    */
+  private[operators] def ivfPqTopKFrom(
+      corpusCodes: DataFrame,
+      probeCells: DataFrame,
+      qBlocks: DataFrame,
+      pqCodebook: DataFrame,
+      k: Int,
+  ): DataFrame = {
     val cbBlocks = pqCodebook.select(col("cid").as("code"), col("blk"), col("cv"))
     val lut = broadcast(
       qBlocks

@@ -119,12 +119,20 @@ object VectorIndexOps {
       blocks: Int,
       subDim: Int,
       nSeeds: Int,
+      buckets: Int,
       prefix: String,
   ): Unit = {
+    val spark = embeddings.sparkSession
     pqCodebook.write.mode("overwrite").saveAsTable(s"${prefix}_pq_codebook")
+    // Codes carry their coarse cell (read from the stored assignment —
+    // one source of truth) and bucket on it: the IVF-PQ read touches
+    // only probed cells' code files.
     SimilarityOps
       .pqEncodeWith(embeddings, blocks, subDim, pqCodebook, nSeeds)
+      .join(spark.table(s"${prefix}_vectors").select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("pq_code"))
       .write.mode("overwrite")
+      .bucketBy(buckets, "cell")
       .saveAsTable(s"${prefix}_codes")
   }
 
@@ -153,6 +161,49 @@ object VectorIndexOps {
       .select(col("vec_id").as("query_id"), posexplode(blocksArr).as(Seq("blk", "qv")))
     SimilarityOps.adcTopKFrom(qBlocks = qBlocks, corpusCodes = corpusCodes,
       codebook = spark.table(s"${prefix}_pq_codebook"), k = k)
+  }
+
+  /** IVF-PQ from the store — the composed billion-scale read over
+    * nothing but artifacts: probe ranking from stored raw doubles ×
+    * stored coarse codebook, per-query LUT from stored raw slices ×
+    * stored PQ codebook, corpus contact = the cell-bucketed codes of
+    * the probed cells only. Shares the on-the-fly
+    * [[SimilarityOps.ivfPqTopKFrom]] tail, so results are bit-equal and
+    * the oracle unchanged.
+    */
+  def ivfPqTopK(
+      spark: SparkSession,
+      prefix: String,
+      blocks: Int,
+      subDim: Int,
+      nSeeds: Int,
+      nprobe: Int,
+      isQuery: Column,
+      k: Int,
+  ): DataFrame = {
+    val v = spark.table(s"${prefix}_vectors")
+    val coarse = spark.table(s"${prefix}_codebook")
+    val corpusCodes = SimilarityOps.explodeCodes(
+      spark.table(s"${prefix}_codes"), blocks, nSeeds, keep = Seq("vec_id", "cell"))
+    val cdist = aggregate(
+      zip_with(col("e"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, d) => acc + d,
+    )
+    val probeCells = broadcast(
+      v.filter(isQuery)
+        .crossJoin(broadcast(coarse.select(col("cid"), col("cv"))))
+        .select(col("vec_id"), col("cid"), cdist.as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(graft.expressions.TopKPairs.topK(col("dist"), col("cid"), nprobe, ascending = true).as("tk"))
+        .select(col("vec_id").as("query_id"), explode(col("tk.id")).as("cell")),
+    )
+    val blocksArr = array((0 until blocks).map(b => slice(col("e"), b * subDim + 1, subDim)): _*)
+    val qBlocks = v
+      .filter(isQuery)
+      .select(col("vec_id").as("query_id"), posexplode(blocksArr).as(Seq("blk", "qv")))
+    SimilarityOps.ivfPqTopKFrom(
+      corpusCodes, probeCells, qBlocks, spark.table(s"${prefix}_pq_codebook"), k)
   }
 
   /** Two-stage retrieval from the artifact — the complete production

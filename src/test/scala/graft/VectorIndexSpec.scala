@@ -110,7 +110,8 @@ class VectorIndexSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, Sf)
     val pqCb = SimilarityOps.trainCodebook(emb, blocks = 4, subDim = 16,
       isSeed = col("vec_id") < 8, iters = 2)
-    VectorIndexOps.writePqCodes(emb, pqCb, blocks = 4, subDim = 16, nSeeds = 8, prefix = Prefix)
+    VectorIndexOps.writePqCodes(
+      emb, pqCb, blocks = 4, subDim = 16, nSeeds = 8, buckets = 4, prefix = Prefix)
     val fromIndex = VectorIndexOps.adcTopK(
       spark, Prefix, blocks = 4, subDim = 16, nSeeds = 8, col("vec_id") < 10, k = 5)
     val onTheFly = SimilarityOps.pqAdcTopK(emb, blocks = 4, subDim = 16, codebook = pqCb,
@@ -133,6 +134,16 @@ class VectorIndexSpec extends SparkSpec {
       K)
     assert(same(rrIndex, rrFly),
       "index-served two-stage rerank must equal the on-the-fly composition")
+    // IVF-PQ composed from artifacts equals the on-the-fly composition
+    // over the same codebooks.
+    val coarseCb = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    assert(same(
+      VectorIndexOps.ivfPqTopK(spark, Prefix, blocks = 4, subDim = 16, nSeeds = 8,
+        nprobe = 2, col("vec_id") < 10, k = 5),
+      SimilarityOps.ivfPqTopK(emb, coarseCb, pqCb, blocks = 4, subDim = 16,
+        nSeeds = 8, nprobe = 2, isQuery = col("vec_id") < 10, k = 5),
+    ), "index-served IVF-PQ must equal the on-the-fly composition")
   }
 
   test("append assigns against the frozen stored codebook, never retrains") {
