@@ -75,24 +75,13 @@ object DedupQueries {
        |WHERE ${jaccard("a.sh", "b.sh")} >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** One-time temp-warehouse database for the persisted-index queries —
-    * keeps their bucketed tables out of the session's default warehouse
-    * (whose cwd the driver controls). BOTH the database name and its
-    * location carry the Spark applicationId: with only the location
-    * keyed, a persistent metastore would make CREATE DATABASE IF NOT
-    * EXISTS silently keep a PRIOR application's stale temp-dir location
-    * and this run's table writes would land under a path tmp-cleaning
-    * may have removed. (A fixed location alone also fails fresh
-    * sessions: LOCATION_ALREADY_EXISTS on the stale directory.) Returns
-    * the `db.table` prefix the LshIndexOps build/read calls share.
+  /** Temp-warehouse prefix for the LSH-index queries (shared helper:
+    * [[Tables.tempIndexDb]] — see its comment for the appId-keying
+    * rationale). These queries rebuild their tables per invocation, so
+    * the prefix needs no dataset key.
     */
-  private def indexDb(s: SparkSession, name: String): String = {
-    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val db = s"graft_lsh_idx_$app"
-    val loc = s"${System.getProperty("java.io.tmpdir")}/$db"
-    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-    s"$db.$name"
-  }
+  private def indexDb(s: SparkSession, name: String): String =
+    Tables.tempIndexDb(s, "lsh", name)
 
   val all: Seq[Q] = Seq(
     Q(

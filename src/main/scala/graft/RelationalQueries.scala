@@ -2650,7 +2650,11 @@ object RelationalQueries {
     // Spark's partition-order summation, so ranks are scaled integers
     // and the oracle unrolls the same three rounds with DuckDB's `//`.
     // One edge-list join + one dst-keyed sum per round — the canonical
-    // distributed PageRank; lineage truncated per round.
+    // distributed PageRank; lineage truncated per round. The oracle
+    // mirrors coOccurrenceEdges' ALWAYS-ON hub guard (groups with more
+    // than 1000 distinct members contribute no edges) so operator and
+    // oracle agree on any data, not just data where the cap never
+    // binds (orders cap at 7 lines, so it is dormant here).
     Q(
       "q_pagerank",
       (s, d) => {
@@ -2658,10 +2662,14 @@ object RelationalQueries {
         val edges = graft.operators.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_suppkey")
         graft.operators.GraphOps.pageRankInt(edges, iters = 3, scale = 1000000000000L)
       },
-      Some("""WITH e AS MATERIALIZED (
-             |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-             |  FROM lineitem a JOIN lineitem b
-             |    ON b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey),
+      Some("""WITH m AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS k FROM lineitem),
+             |gok AS MATERIALIZED (
+             |  SELECT g FROM m GROUP BY g HAVING count(*) <= 1000),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT a.k AS src, b.k AS dst
+             |  FROM m a JOIN m b ON b.g = a.g AND b.k <> a.k
+             |  WHERE a.g IN (SELECT g FROM gok)),
              |deg AS MATERIALIZED (
              |  SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
              |nn AS (SELECT count(*) AS n FROM deg),

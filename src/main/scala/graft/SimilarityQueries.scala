@@ -41,42 +41,47 @@ object SimilarityQueries {
       d: String,
       blocks: Int,
       subDim: Int,
-  ): org.apache.spark.sql.DataFrame =
+  ): org.apache.spark.sql.DataFrame = {
+    // Evict stopped sessions — their checkpointed frames died with the
+    // context, and a process that cycles sessions must not accrete them.
+    cbCache.keys.filter(_._1.sparkContext.isStopped).foreach(cbCache.remove)
     cbCache.getOrElseUpdate(
       (s, d, blocks, subDim),
       SimilarityOps.trainCodebook(
         embeddings(s, d), blocks, subDim, isSeed = col("vec_id") < 8, iters = 2),
     )
-
-  /** Temp-warehouse database for the persisted-vector-index queries —
-    * the appId-keyed naming discipline of DedupQueries.indexDb (see
-    * that comment for why both name and location carry the appId).
-    */
-  private def vecDb(s: org.apache.spark.sql.SparkSession, name: String): String = {
-    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val db = s"graft_vec_idx_$app"
-    val loc = s"${System.getProperty("java.io.tmpdir")}/$db"
-    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-    s"$db.$name"
   }
 
+  /** Temp-warehouse prefix for the vector-index queries (shared
+    * helper: [[Tables.tempIndexDb]]).
+    */
+  private def vecDb(s: org.apache.spark.sql.SparkSession, name: String): String =
+    Tables.tempIndexDb(s, "vec", name)
+
   /** Build the full-corpus vector index once per (session, dataset) —
-    * build-once read-many, the fullSearchIndex rationale. The
+    * build-once read-many, the fullSearchIndex rationale: the dataset
+    * is folded into the physical table prefix (the memo key alone
+    * can't stop two datasets in one session from overwriting each
+    * other), stopped sessions are evicted, and the coarse codebook
+    * comes from the shared trainedCb memo instead of retraining. The
     * incremental query builds its own (its build + append IS the test).
     */
   private val builtVecIdx = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
 
-  private def fullVectorIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private def fullVectorIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    builtVecIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtVecIdx.remove)
     builtVecIdx.getOrElseUpdate(
       (s, d), {
-        val pre = vecDb(s, "full")
+        val pre = vecDb(s, s"full_${Tables.datasetKey(d)}")
         graft.operators.VectorIndexOps.writeIndex(
           embeddings(s, d), dim = 64, isSeed = col("vec_id") < 8, iters = 2,
-          buckets = 8, prefix = pre)
+          buckets = 8, prefix = pre,
+          codebook = Some(trainedCb(s, d, blocks = 1, subDim = 64)))
         pre
       },
     )
+  }
 
   /** The PQ compression layer over the full vector index — built once
     * per (session, dataset), codebook from the shared trainedCb memo.
@@ -84,7 +89,8 @@ object SimilarityQueries {
   private val builtPqIdx = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
 
-  private def fullPqIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private def fullPqIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    builtPqIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtPqIdx.remove)
     builtPqIdx.getOrElseUpdate(
       (s, d), {
         val pre = fullVectorIndex(s, d)
@@ -94,6 +100,7 @@ object SimilarityQueries {
         pre
       },
     )
+  }
 
   /** Oracle for the PQ code table — shared by sim_pq_codes and (as the
     * code source) sim_pq_adc.
@@ -675,12 +682,12 @@ object SimilarityQueries {
     Q(
       "sim_index_incremental",
       (s, d) => {
-        val pre = vecDb(s, "incr")
+        val pre = vecDb(s, s"incr_${Tables.datasetKey(d)}")
         graft.operators.VectorIndexOps.writeIndex(
           embeddings(s, d).filter(col("vec_id") % 5 =!= 0), dim = 64,
           isSeed = col("vec_id") < 8, iters = 2, buckets = 8, prefix = pre)
         graft.operators.VectorIndexOps.appendVectors(
-          s, pre, embeddings(s, d).filter(col("vec_id") % 5 === 0), buckets = 8)
+          s, pre, embeddings(s, d).filter(col("vec_id") % 5 === 0))
         graft.operators.VectorIndexOps.ivfTopK(s, pre, col("vec_id") < 10, BucketK)
       },
       Some(ivfIndexIncrSql),

@@ -40,6 +40,33 @@ object Tables {
     }
   }
 
+  /** One-time temp-warehouse database for the persisted-index query
+    * families (LSH / search / vector) — keeps their bucketed tables out
+    * of the session's default warehouse (whose cwd the driver
+    * controls). BOTH the database name and its location carry the Spark
+    * applicationId: with only the location keyed, a persistent
+    * metastore would make CREATE DATABASE IF NOT EXISTS silently keep a
+    * PRIOR application's stale temp-dir location and this run's table
+    * writes would land under a path tmp-cleaning may have removed. (A
+    * fixed location alone also fails fresh sessions:
+    * LOCATION_ALREADY_EXISTS on the stale directory.) Returns the
+    * `db.table` prefix the index build/read calls share.
+    */
+  def tempIndexDb(s: SparkSession, family: String, name: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val db = s"graft_${family}_idx_$app"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/$db"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    s"$db.$name"
+  }
+
+  /** Sanitized dataset key for embedding an sfDir into a table-name
+    * prefix — memoized index builds MUST fold the dataset into the
+    * physical name, or two datasets in one session would silently serve
+    * each other's tables.
+    */
+  def datasetKey(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

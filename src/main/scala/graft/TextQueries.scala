@@ -12,38 +12,37 @@ object TextQueries {
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
 
-  /** One-time temp-warehouse database for the persisted-search-index
-    * queries — same appId-keyed naming discipline as DedupQueries'
-    * indexDb (see that comment for why BOTH name and location must
-    * carry the applicationId). Returns the `db.table` prefix.
+  /** Temp-warehouse prefix for the search-index queries (shared
+    * helper: [[Tables.tempIndexDb]]).
     */
-  private def searchDb(s: org.apache.spark.sql.SparkSession, name: String): String = {
-    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val db = s"graft_search_idx_$app"
-    val loc = s"${System.getProperty("java.io.tmpdir")}/$db"
-    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-    s"$db.$name"
-  }
+  private def searchDb(s: org.apache.spark.sql.SparkSession, name: String): String =
+    Tables.tempIndexDb(s, "search", name)
 
   /** Build the full-corpus search index once per (session, dataset) and
     * share it across every read-path query — the artifact IS build-once
     * read-many; re-paying the corpus explode per consumer would
     * misrepresent exactly the cost profile the persisted index exists
     * to fix (the trainedCb memoization rationale applied to storage).
-    * The incremental query deliberately does NOT use this: its build +
-    * append sequence is the thing under test.
+    * The DATASET is folded into the physical table prefix — the memo
+    * key alone can't keep two datasets in one session from overwriting
+    * each other's tables. The incremental query deliberately does NOT
+    * use this: its build + append sequence is the thing under test.
+    * Entries whose session has stopped are evicted (their checkpointed
+    * frames died with the context).
     */
   private val builtFullIdx = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
 
-  private def fullSearchIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private def fullSearchIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    builtFullIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtFullIdx.remove)
     builtFullIdx.getOrElseUpdate(
       (s, d), {
-        val pre = searchDb(s, "full")
+        val pre = searchDb(s, s"full_${Tables.datasetKey(d)}")
         graft.operators.SearchIndexOps.writeIndex(documents(s, d), buckets = 8, prefix = pre)
         pre
       },
     )
+  }
 
   /** Oracle of the conjunctive search — shared by tx_search_and (the
     * corpus-scan face) and tx_search_indexed (the persisted-index read
@@ -809,11 +808,11 @@ object TextQueries {
       "tx_search_incremental",
       (s, d) => {
         val docs = documents(s, d)
-        val pre = searchDb(s, "incr")
+        val pre = searchDb(s, s"incr_${Tables.datasetKey(d)}")
         graft.operators.SearchIndexOps.writeIndex(
           docs.filter(col("doc_id") % 5 =!= 0), buckets = 8, prefix = pre)
         graft.operators.SearchIndexOps.appendDocuments(
-          s, pre, docs.filter(col("doc_id") % 5 === 0), buckets = 8)
+          s, pre, docs.filter(col("doc_id") % 5 === 0))
         graft.operators.SearchIndexOps.searchRanked(s, pre, Seq("dup", "spark", "table"), 10)
       },
       Some(searchRankedSql),

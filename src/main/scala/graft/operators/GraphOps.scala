@@ -40,9 +40,11 @@ object GraphOps {
     * near-zero co-occurrence signal (every member "co-occurs" with
     * everything) and unbounded cost; dropping it bounds per-group work
     * at maxGroupSize² while leaving every sane group's edges untouched
-    * (GraphSpec pins both properties). The count is computed per group
-    * key in the same shuffle that distinct-reduces the members — no
-    * extra pass over `rows`.
+    * (GraphSpec pins both properties). Plan cost: the distinct
+    * exchanges on (g, k); the size window then exchanges on g — but
+    * that g-partitioning is exactly what the self-join requires, so the
+    * join itself adds no further exchange. Net: same exchange count as
+    * the unguarded form, plus one per-group sort.
     */
   def coOccurrenceEdges(
       rows: DataFrame,

@@ -73,15 +73,30 @@ object SearchIndexOps {
       .saveAsTable(s"${prefix}_meta")
   }
 
+  /** The stored tables' bucket count — appends MUST read it from the
+    * catalog rather than take it as a parameter: a hard-coded count
+    * goes stale the moment [[rebucket]] runs, and the next append then
+    * fails the bucket-spec match (killing a running [[streamingIndex]]
+    * stream, which survives a mid-stream rebucket precisely because of
+    * this lookup).
+    */
+  private def tableBuckets(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"$table has no bucket spec — not a graft index table"))
+
   /** Incremental append: index a new batch of documents (doc_ids
     * disjoint from the stored corpus) without touching existing data —
-    * one new file per bucket for postings/lexicon, one meta row. The
+    * one new file per bucket for postings/lexicon, one meta row, at
+    * whatever bucket count the stored tables currently have. The
     * explicit refresh matters: the session caches each table's file
     * listing on first read, and a stale cache would silently serve
     * pre-append results to the next query.
     */
-  def appendDocuments(spark: SparkSession, prefix: String, batch: DataFrame, buckets: Int): Unit = {
-    writeTables(batch, buckets, prefix, org.apache.spark.sql.SaveMode.Append)
+  def appendDocuments(spark: SparkSession, prefix: String, batch: DataFrame): Unit = {
+    writeTables(batch, tableBuckets(spark, s"${prefix}_postings"), prefix,
+      org.apache.spark.sql.SaveMode.Append)
     Seq("postings", "lexicon", "docs", "meta")
       .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
   }
@@ -100,14 +115,19 @@ object SearchIndexOps {
       .orderBy(col("n_postings").desc, col("term"))
       .limit(topN)
 
-  /** Index maintenance: rewrite the postings and lexicon tables at
-    * `newBuckets` physical buckets (same swap discipline as
-    * [[LshIndexOps.rebucket]] — temp table, drop, rename; readers see
-    * the old or the new index, never half of one). Needed for the same
-    * two reasons: every append adds one file per bucket, so reads
-    * degrade as files accumulate, and the bucket count chosen at build
-    * time caps the pruned read's parallelism forever. Content is
+  /** Index maintenance: rewrite the bucketed tables at `newBuckets`
+    * physical buckets (same swap discipline as
+    * [[LshIndexOps.rebucket]] — temp table, drop, rename). Needed for
+    * the same two reasons: every append adds one file per bucket, so
+    * reads degrade as files accumulate, and the bucket count chosen at
+    * build time caps the pruned read's parallelism forever. Content is
     * bit-preserved; only layout changes (SearchIndexSpec asserts).
+    * Appends survive a rebucket because they read the live bucket
+    * count from the catalog. CONCURRENCY CONTRACT: single maintainer,
+    * no concurrent readers mid-swap — drop+rename is not atomic (a
+    * reader racing the swap can hit a missing table or pair new
+    * postings with the old lexicon), and a crash between DROP and
+    * RENAME leaves the live name dangling until the swap is re-run.
     */
   def rebucket(spark: SparkSession, prefix: String, newBuckets: Int): Unit =
     Seq(
@@ -138,14 +158,13 @@ object SearchIndexOps {
       spark: SparkSession,
       prefix: String,
       docs: DataFrame,
-      buckets: Int,
       checkpoint: String,
   ): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendDocuments(spark, prefix, batch, buckets)
+        appendDocuments(spark, prefix, batch)
       }
       .start()
 

@@ -36,8 +36,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndexOps {
 
-  /** Train the coarse quantizer on `embeddings` and publish both
-    * tables (overwriting any previous index at `prefix`).
+  /** Train the coarse quantizer on `embeddings` (or take a
+    * caller-trained `codebook` — training is deterministic, so a
+    * caller holding a memoized frame should pass it rather than pay
+    * the Lloyd iterations again) and publish both tables (overwriting
+    * any previous index at `prefix`).
     */
   def writeIndex(
       embeddings: DataFrame,
@@ -46,8 +49,10 @@ object VectorIndexOps {
       iters: Int,
       buckets: Int,
       prefix: String,
+      codebook: Option[DataFrame] = None,
   ): Unit = {
-    val cb = SimilarityOps.trainCodebook(embeddings, blocks = 1, subDim = dim, isSeed, iters)
+    val cb = codebook.getOrElse(
+      SimilarityOps.trainCodebook(embeddings, blocks = 1, subDim = dim, isSeed, iters))
     cb.write.mode("overwrite").saveAsTable(s"${prefix}_codebook")
     embeddings
       .join(SimilarityOps.assignCells(embeddings, cb), "vec_id")
@@ -64,11 +69,18 @@ object VectorIndexOps {
 
   /** Incremental ingest: assign a new batch (vec_ids disjoint from the
     * stored corpus) against the STORED codebook and append — one new
-    * file per touched bucket, existing data untouched. The refresh
-    * matters for the same reason as in [[SearchIndexOps]]: a stale
-    * relation cache would silently serve pre-append search results.
+    * file per touched bucket, existing data untouched, at whatever
+    * bucket count the stored table currently has (read from the
+    * catalog, so an append never goes stale against a rebucketed
+    * table). The refresh matters for the same reason as in
+    * [[SearchIndexOps]]: a stale relation cache would silently serve
+    * pre-append search results.
     */
-  def appendVectors(spark: SparkSession, prefix: String, batch: DataFrame, buckets: Int): Unit = {
+  def appendVectors(spark: SparkSession, prefix: String, batch: DataFrame): Unit = {
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(s"${prefix}_vectors"))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"${prefix}_vectors has no bucket spec — not a graft index table"))
     val cb = spark.table(s"${prefix}_codebook")
     batch
       .join(SimilarityOps.assignCells(batch, cb), "vec_id")
@@ -304,14 +316,13 @@ object VectorIndexOps {
       spark: SparkSession,
       prefix: String,
       vectors: DataFrame,
-      buckets: Int,
       checkpoint: String,
   ): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendVectors(spark, prefix, batch, buckets)
+        appendVectors(spark, prefix, batch)
       }
       .start()
 

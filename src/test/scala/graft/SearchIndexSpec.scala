@@ -74,7 +74,7 @@ class SearchIndexSpec extends SparkSpec {
     Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
     val docs = Tables.documents(spark, Sf)
     SearchIndexOps.writeIndex(docs.filter(col("doc_id") % 5 =!= 0), buckets = 8, prefix = prefix)
-    SearchIndexOps.appendDocuments(spark, prefix, docs.filter(col("doc_id") % 5 === 0), buckets = 8)
+    SearchIndexOps.appendDocuments(spark, prefix, docs.filter(col("doc_id") % 5 === 0))
     // Ranked exercises df (lexicon partial sum) and N (meta partial
     // sum); a missed merge shifts every score.
     assert(same(
@@ -118,6 +118,14 @@ class SearchIndexSpec extends SparkSpec {
       .findAllMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
     assert(selected.nonEmpty && selected.forall { case (sel, total) => total == 16 && sel < total },
       s"pruning must hold at the new bucket count:\n$plan")
+    // Appends read the live bucket count from the catalog, so an
+    // append AFTER the rebucket must succeed (a hard-coded count would
+    // fail the bucket-spec match here and kill a running stream).
+    import spark.implicits._
+    SearchIndexOps.appendDocuments(spark, prefix,
+      Seq((900001L, "rebucket survivor doc")).toDF("doc_id", "text"))
+    assert(spark.table(s"${prefix}_docs").filter(col("doc_id") === 900001L).count() == 1,
+      "post-rebucket append must land")
   }
 
   test("streaming ingest grows the index per micro-batch; queries equal a full-corpus scan") {
@@ -134,7 +142,7 @@ class SearchIndexSpec extends SparkSpec {
     val in = MemoryStream[(Long, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("search_stream").toFile.getAbsolutePath
     val q = SearchIndexOps.streamingIndex(
-      spark, prefix, in.toDF().toDF("doc_id", "text"), buckets = 4, checkpoint = ckpt)
+      spark, prefix, in.toDF().toDF("doc_id", "text"), checkpoint = ckpt)
     val waves = streamed.grouped(streamed.length / 2 + 1).toSeq
     try waves.foreach { w => in.addData(w.toSeq); q.processAllAvailable() }
     finally q.stop()

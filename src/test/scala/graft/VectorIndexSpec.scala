@@ -87,7 +87,7 @@ class VectorIndexSpec extends SparkSpec {
     val in = MemoryStream[(Long, Array[Float])]
     val ckpt = java.nio.file.Files.createTempDirectory("vec_stream").toFile.getAbsolutePath
     val q = VectorIndexOps.streamingIngest(
-      spark, prefix, in.toDF().toDF("vec_id", "embedding"), buckets = 4, checkpoint = ckpt)
+      spark, prefix, in.toDF().toDF("vec_id", "embedding"), checkpoint = ckpt)
     val waves = streamed.grouped(streamed.length / 2 + 1).toSeq
     try waves.foreach { w => in.addData(w.toSeq); q.processAllAvailable() }
     finally q.stop()
@@ -153,7 +153,7 @@ class VectorIndexSpec extends SparkSpec {
     VectorIndexOps.writeIndex(
       emb.filter(col("vec_id") % 5 =!= 0), dim = 64, isSeed = col("vec_id") < 8,
       iters = 2, buckets = 4, prefix = prefix)
-    VectorIndexOps.appendVectors(spark, prefix, emb.filter(col("vec_id") % 5 === 0), buckets = 4)
+    VectorIndexOps.appendVectors(spark, prefix, emb.filter(col("vec_id") % 5 === 0))
     // Expected: quantizer trained on the subset only, assignment over
     // everything — the frozen-codebook contract stated independently
     // through the on-the-fly operators.
