@@ -73,19 +73,6 @@ object SearchIndexOps {
       .saveAsTable(s"${prefix}_meta")
   }
 
-  /** The stored tables' bucket count — appends MUST read it from the
-    * catalog rather than take it as a parameter: a hard-coded count
-    * goes stale the moment [[rebucket]] runs, and the next append then
-    * fails the bucket-spec match (killing a running [[streamingIndex]]
-    * stream, which survives a mid-stream rebucket precisely because of
-    * this lookup).
-    */
-  private def tableBuckets(spark: SparkSession, table: String): Int =
-    spark.sessionState.catalog
-      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
-      .getOrElse(sys.error(s"$table has no bucket spec — not a graft index table"))
-
   /** Incremental append: index a new batch of documents (doc_ids
     * disjoint from the stored corpus) without touching existing data —
     * one new file per bucket for postings/lexicon, one meta row, at
@@ -95,7 +82,7 @@ object SearchIndexOps {
     * pre-append results to the next query.
     */
   def appendDocuments(spark: SparkSession, prefix: String, batch: DataFrame): Unit = {
-    writeTables(batch, tableBuckets(spark, s"${prefix}_postings"), prefix,
+    writeTables(batch, IndexCatalog.tableBuckets(spark, s"${prefix}_postings"), prefix,
       org.apache.spark.sql.SaveMode.Append)
     Seq("postings", "lexicon", "docs", "meta")
       .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))

@@ -36,6 +36,51 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndexOps {
 
+  /** Per-row nearest-centroid projection — the ONLY corpus contact a
+    * build or append makes. The K-row codebook collapses to ONE
+    * broadcast row (an array of (cid, cv) structs), and each vector
+    * computes its argmin cell INLINE — a fold over that array, not a
+    * `groupBy(vec_id)` argmin joined back to the corpus: the join-back
+    * form ([[SimilarityOps.assignCells]], right for deriving a
+    * standalone assignment frame) costs a full shuffle join of the
+    * embeddings table plus a second corpus scan, which recurs PER
+    * MICRO-BATCH under [[streamingIngest]]. This form makes build and
+    * append scan → 1-row broadcast join → project → bucketed write,
+    * with no Exchange on the corpus side (VectorIndexSpec pins the
+    * plan).
+    *
+    * Arithmetic is bit-identical to assignCells: same
+    * Σ(x−y)² fold per centroid, and `array_min` over (dist, cid)
+    * structs is the same dist-then-cid tie order as its
+    * `min(struct(dist, cid))` — comparisons are exact, so the
+    * collect_list order never matters. Cells therefore match the
+    * on-the-fly face exactly and every sim_index_* oracle is unchanged.
+    */
+  private[graft] def assignedProjection(batch: DataFrame, codebook: DataFrame): DataFrame = {
+    val cbs = broadcast(codebook.agg(collect_list(struct(col("cid"), col("cv"))).as("cbs")))
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val best = array_min(transform(
+      col("cbs"),
+      c =>
+        struct(
+          aggregate(
+            zip_with(e, c.getField("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0),
+            (acc, d) => acc + d,
+          ).as("dist"),
+          c.getField("cid").as("cid"),
+        ),
+    ))
+    batch
+      .crossJoin(cbs)
+      .select(
+        col("vec_id"),
+        best.getField("cid").as("cell"),
+        SimilarityOps.unitNorm(col("embedding")).as("u"),
+        e.as("e"),
+      )
+  }
+
   /** Train the coarse quantizer on `embeddings` (or take a
     * caller-trained `codebook` — training is deterministic, so a
     * caller holding a memoized frame should pass it rather than pay
@@ -54,14 +99,7 @@ object VectorIndexOps {
     val cb = codebook.getOrElse(
       SimilarityOps.trainCodebook(embeddings, blocks = 1, subDim = dim, isSeed, iters))
     cb.write.mode("overwrite").saveAsTable(s"${prefix}_codebook")
-    embeddings
-      .join(SimilarityOps.assignCells(embeddings, cb), "vec_id")
-      .select(
-        col("vec_id"),
-        col("cell"),
-        SimilarityOps.unitNorm(col("embedding")).as("u"),
-        transform(col("embedding"), x => x.cast("double")).as("e"),
-      )
+    assignedProjection(embeddings, cb)
       .write.mode("overwrite")
       .bucketBy(buckets, "cell")
       .saveAsTable(s"${prefix}_vectors")
@@ -77,19 +115,8 @@ object VectorIndexOps {
     * pre-append search results.
     */
   def appendVectors(spark: SparkSession, prefix: String, batch: DataFrame): Unit = {
-    val buckets = spark.sessionState.catalog
-      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(s"${prefix}_vectors"))
-      .bucketSpec.map(_.numBuckets)
-      .getOrElse(sys.error(s"${prefix}_vectors has no bucket spec — not a graft index table"))
-    val cb = spark.table(s"${prefix}_codebook")
-    batch
-      .join(SimilarityOps.assignCells(batch, cb), "vec_id")
-      .select(
-        col("vec_id"),
-        col("cell"),
-        SimilarityOps.unitNorm(col("embedding")).as("u"),
-        transform(col("embedding"), x => x.cast("double")).as("e"),
-      )
+    val buckets = IndexCatalog.tableBuckets(spark, s"${prefix}_vectors")
+    assignedProjection(batch, spark.table(s"${prefix}_codebook"))
       .write.mode("append")
       .bucketBy(buckets, "cell")
       .saveAsTable(s"${prefix}_vectors")

@@ -60,6 +60,31 @@ class VectorIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", before)
   }
 
+  test("build/append projection assigns map-side: no Exchange, cells equal assignCells") {
+    val emb = Tables.embeddings(spark, Sf)
+    val cb = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val proj = VectorIndexOps.assignedProjection(emb, cb)
+    // The corpus side of a build/append is scan → 1-row broadcast join
+    // → project: no shuffle before the bucketed write (the round-8
+    // finding — the assignCells join-back form shuffled the whole
+    // corpus, and recurred per micro-batch under streaming ingest).
+    // The only Exchanges allowed are the K-row codebook's own collapse
+    // (SinglePartition collect + BroadcastExchange of one row); the
+    // corpus must never hash-shuffle and must be scanned exactly once
+    // (the join-back form shuffled it on vec_id AND scanned it twice).
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"build projection must not shuffle the corpus:\n$plan")
+    assert("embeddings\\.parquet".r.findAllIn(plan).size == 1,
+      s"build projection must scan the corpus exactly once:\n$plan")
+    // Same arithmetic, same tie order → identical cells.
+    assert(same(
+      proj.select(col("vec_id"), col("cell")),
+      SimilarityOps.assignCells(emb, cb),
+    ), "inline per-row argmin must agree with the assignCells face exactly")
+  }
+
   test("index-served multi-probe equals the on-the-fly trained path") {
     buildOnce()
     val emb = Tables.embeddings(spark, Sf)
