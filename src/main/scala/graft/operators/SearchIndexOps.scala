@@ -65,12 +65,16 @@ object SearchIndexOps {
     val dl = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
       .localCheckpoint()
-    dl.write.mode(mode)
-      .bucketBy(buckets, "doc_id")
-      .saveAsTable(s"${prefix}_docs")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
       .write.mode(mode)
       .saveAsTable(s"${prefix}_meta")
+    // The docs table is written LAST deliberately: it is the membership
+    // table [[indexBatch]]'s replay guard anti-joins against, so its
+    // commit is the batch's commit marker — a batch is filtered as
+    // already-applied only once every other table's append landed.
+    dl.write.mode(mode)
+      .bucketBy(buckets, "doc_id")
+      .saveAsTable(s"${prefix}_docs")
   }
 
   /** Incremental append: index a new batch of documents (doc_ids
@@ -130,16 +134,45 @@ object SearchIndexOps {
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     }
 
+  /** One replay-safe ingest step: drop the batch rows whose doc_ids the
+    * index already holds, then append the remainder. The guard is an
+    * anti-join against the stored docs table — the
+    * [[LshIndexOps.dedupBatchAndGrow]] discipline — and because that
+    * table is bucketed by doc_id the stored side contributes no
+    * exchange: only the (small) batch shuffles to the bucket layout. A
+    * replayed, fully-committed micro-batch therefore filters to empty
+    * and appends nothing — no double-counted tf/df, no duplicate meta
+    * partials (SearchIndexSpec replays a batch and asserts bit-equal
+    * search results). The batch materializes BEFORE the append mutates
+    * the tables the guard reads (the dedupBatchAndGrow ordering
+    * lesson).
+    *
+    * Remaining window, stated honestly: the four table appends are not
+    * atomic, and the docs table — written last, the commit marker — is
+    * what the guard consults. A crash AFTER postings/lexicon/meta
+    * landed but BEFORE the docs append commits makes the replay
+    * re-append all four (at-least-once within that window only; before
+    * this guard, EVERY replay double-counted). Closing it needs
+    * file-level transactional commits across tables — a table-format
+    * concern (Iceberg/Delta), not a query-engine one.
+    */
+  private[graft] def indexBatch(spark: SparkSession, prefix: String, batch: DataFrame): Unit = {
+    val fresh = batch
+      .join(spark.table(s"${prefix}_docs").select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) appendDocuments(spark, prefix, fresh)
+  }
+
   /** Continuous ingestion — the streaming face of the persisted index:
     * every micro-batch of the `docs` stream (doc_id, text) is appended
-    * via [[appendDocuments]]. The artifact is the stream's STATE stored
+    * via [[indexBatch]]. The artifact is the stream's STATE stored
     * in the warehouse (the [[LshIndexOps.streamingDedup]] discipline):
     * restarts recover it for free, batch consumers query it
     * concurrently, and state size scales with storage, not executor
-    * memory. Appends are at-least-once on replay — a replayed batch
-    * re-appends its postings, which double-counts tf/df for those docs;
-    * pair with an upstream exactly-once source or dedup batch doc_ids
-    * against the index before calling when replays are possible.
+    * memory. Replayed micro-batches are filtered out by indexBatch's
+    * anti-join guard, so the foreachBatch at-least-once contract does
+    * not double-count tf/df (modulo the narrow mid-append crash window
+    * indexBatch documents).
     */
   def streamingIndex(
       spark: SparkSession,
@@ -151,7 +184,7 @@ object SearchIndexOps {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendDocuments(spark, prefix, batch)
+        indexBatch(spark, prefix, batch)
       }
       .start()
 

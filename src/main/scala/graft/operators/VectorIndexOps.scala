@@ -331,13 +331,47 @@ object VectorIndexOps {
     SimilarityOps.rankTopK(scored, "cosine", ascending = false, k)
   }
 
+  /** One replay-safe ingest step: append the batch only if `batchId`
+    * has not been applied yet, then record it in the
+    * `<prefix>_batches` ledger (created lazily on first streaming
+    * use). The ledger — not an anti-join — is the right guard HERE:
+    * the vectors table is bucketed by `cell`, so an anti-join on
+    * vec_id would shuffle the stored corpus once per micro-batch,
+    * while the ledger membership check reads a table with one row per
+    * applied batch (metadata-scale, O(1) corpus contact).
+    * foreachBatch batch ids are stable across checkpoint replays, so a
+    * replayed committed batch is skipped wholesale and vec_ids stay
+    * unique (VectorIndexSpec replays a batch and asserts it).
+    *
+    * Remaining window, stated honestly: the ledger row commits AFTER
+    * the vectors append — a crash between the two re-appends that one
+    * batch on replay (at-least-once within that window only; before
+    * this guard, every replay duplicated). Closing it needs an atomic
+    * multi-table commit — a table-format concern (Iceberg/Delta).
+    */
+  private[graft] def ingestBatch(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      batchId: Long,
+  ): Unit = {
+    val ledger = s"${prefix}_batches"
+    if (!spark.catalog.tableExists(ledger))
+      spark.sql(s"CREATE TABLE $ledger (batch_id BIGINT) USING parquet")
+    if (spark.table(ledger).filter(col("batch_id") === batchId).isEmpty) {
+      appendVectors(spark, prefix, batch)
+      spark.sql(s"INSERT INTO $ledger VALUES ($batchId)")
+      spark.catalog.refreshTable(ledger)
+    }
+  }
+
   /** Continuous vector ingestion — the streaming face: every
     * micro-batch of the `vectors` stream (vec_id, embedding) is
     * assigned against the frozen stored codebook and appended
-    * ([[appendVectors]]). The artifact is the stream's state in the
-    * warehouse (the established index-as-state discipline); appends
-    * are at-least-once on replay, same caveat as
-    * [[SearchIndexOps.streamingIndex]].
+    * ([[appendVectors]]), guarded by [[ingestBatch]]'s batch-id ledger
+    * so checkpoint replays cannot duplicate vec_ids. The artifact is
+    * the stream's state in the warehouse (the established
+    * index-as-state discipline).
     */
   def streamingIngest(
       spark: SparkSession,
@@ -348,8 +382,8 @@ object VectorIndexOps {
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendVectors(spark, prefix, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, prefix, batch, batchId)
       }
       .start()
 

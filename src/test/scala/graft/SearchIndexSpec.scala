@@ -99,6 +99,41 @@ class SearchIndexSpec extends SparkSpec {
     assert(metaRows.sum == docs.count(), "meta partials must sum to the corpus size")
   }
 
+  test("replayed micro-batch is idempotent: the anti-join guard appends nothing twice") {
+    val prefix = "searchreplay"
+    Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val docs = Tables.documents(spark, Sf)
+    SearchIndexOps.writeIndex(docs.filter(col("doc_id") % 5 =!= 0), buckets = 4, prefix = prefix)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    SearchIndexOps.indexBatch(spark, prefix, batch)
+    val once = SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10).collect().toSeq
+    val postingsOnce = spark.table(s"${prefix}_postings").count()
+    val metaOnce = spark.table(s"${prefix}_meta").count()
+    // The replay: same batch again, as a restarted foreachBatch would
+    // deliver it after a crash-after-commit.
+    SearchIndexOps.indexBatch(spark, prefix, batch)
+    assert(spark.table(s"${prefix}_postings").count() == postingsOnce,
+      "a replayed committed batch must not re-append postings (tf/df would double)")
+    assert(spark.table(s"${prefix}_meta").count() == metaOnce,
+      "a replayed committed batch must not add meta partials (N would inflate)")
+    assert(SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10).collect().toSeq == once,
+      "index-served BM25 must be bit-identical after a replay")
+    // And a PARTIAL overlap (some new, some already-indexed docs) keeps
+    // only the new rows — the guard is per-document, not per-batch.
+    import spark.implicits._
+    val mixed = Seq((910001L, "replay guard fresh doc")).toDF("doc_id", "text")
+      .unionByName(batch.select("doc_id", "text").limit(3))
+    SearchIndexOps.indexBatch(spark, prefix, mixed)
+    assert(spark.table(s"${prefix}_docs").filter(col("doc_id") === 910001L).count() == 1,
+      "new docs in a partially-replayed batch must still land")
+    assert(same(
+      SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10),
+      SearchOps.searchBm25(docs.select("doc_id", "text")
+        .unionByName(Seq((910001L, "replay guard fresh doc")).toDF("doc_id", "text")),
+        RankTerms, 10),
+    ), "after the mixed append the index must equal a scan of exactly corpus + the one new doc")
+  }
+
   test("rebucket preserves results bit-for-bit and keeps bucket pruning at the new count") {
     val prefix = "searchrebkt"
     Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))

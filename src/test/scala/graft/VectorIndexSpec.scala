@@ -101,7 +101,7 @@ class VectorIndexSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prefix = "vecstream"
-    Seq("codebook", "vectors").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    Seq("codebook", "vectors", "batches").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
     val emb = Tables.embeddings(spark, Sf)
     val rows = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
     val cut = rows(rows.length / 2)._1
@@ -128,6 +128,36 @@ class VectorIndexSpec extends SparkSpec {
     ), "stream-grown index must equal frozen-codebook assignment over the full corpus")
     assert(spark.table(s"${prefix}_vectors").count() == rows.length.toLong,
       "every streamed vector must land exactly once")
+  }
+
+  test("replayed micro-batch is idempotent: the batch ledger skips applied ids") {
+    val prefix = "vecreplay"
+    Seq("codebook", "vectors", "batches").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val emb = Tables.embeddings(spark, Sf)
+    VectorIndexOps.writeIndex(
+      emb.filter(col("vec_id") % 5 =!= 0), dim = 64, isSeed = col("vec_id") < 8,
+      iters = 2, buckets = 4, prefix = prefix)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    VectorIndexOps.ingestBatch(spark, prefix, batch, batchId = 7L)
+    val once = VectorIndexOps.ivfTopK(spark, prefix, col("vec_id") < 10, K).collect().toSeq
+    val countOnce = spark.table(s"${prefix}_vectors").count()
+    // The replay: foreachBatch re-delivers the same (batch, batchId)
+    // after a crash-after-commit; the ledger must skip it wholesale.
+    VectorIndexOps.ingestBatch(spark, prefix, batch, batchId = 7L)
+    assert(spark.table(s"${prefix}_vectors").count() == countOnce,
+      "a replayed committed batch must not duplicate vectors")
+    assert(
+      spark.table(s"${prefix}_vectors").select("vec_id").distinct().count() == countOnce,
+      "vec_ids must stay unique after a replay")
+    assert(VectorIndexOps.ivfTopK(spark, prefix, col("vec_id") < 10, K).collect().toSeq == once,
+      "index-served search must be bit-identical after a replay")
+    // A genuinely new batch id still lands (the guard is per-batch-id,
+    // not a one-shot latch).
+    import spark.implicits._
+    val extra = Seq((910001L, Array.fill(64)(0.25f))).toDF("vec_id", "embedding")
+    VectorIndexOps.ingestBatch(spark, prefix, extra, batchId = 8L)
+    assert(spark.table(s"${prefix}_vectors").filter(col("vec_id") === 910001L).count() == 1,
+      "a new batch id must append normally")
   }
 
   test("ADC over stored codes equals the on-the-fly trained-ADC path") {
