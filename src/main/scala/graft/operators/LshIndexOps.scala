@@ -160,27 +160,39 @@ object LshIndexOps {
     * so the bucket count chosen at day one caps the join's parallelism
     * no matter how large the corpus has grown.
     *
-    * Each table is rewritten to a temp name, then swapped in with
-    * drop+rename — the artifact is a complete, consistently-bucketed
-    * index before and after (a reader mid-swap sees the old or the new
-    * table, never a half-written one). Streaming ingest into the index
-    * must be restarted with the new bucket count after a rebucket (an
-    * append with the old count would fail the bucket-spec match, not
-    * corrupt the table).
+    * Both replacement tables are STAGED before either live name moves
+    * ([[stageRebucket]]) — readers see the complete old index through
+    * the whole rewrite — then committed by
+    * [[IndexCatalog.swapStaged]]'s rename-first sequence (live →
+    * `_old`, staged → live, drop `_old`), so a crash mid-swap leaves a
+    * recovery copy rather than a dangling live name and the
+    * reader-visible hole is the rename instants only. Streaming ingest
+    * into the index must be restarted with the new bucket count after
+    * a rebucket (an append with the old count would fail the
+    * bucket-spec match, not corrupt the table).
     */
   def rebucket(spark: SparkSession, prefix: String, newBuckets: Int): Unit =
+    IndexCatalog.swapStaged(spark, stageRebucket(spark, prefix, newBuckets))
+
+  /** Phase 1 of [[rebucket]]: write both tables' replacements under
+    * staged names, touching nothing live.
+    */
+  private[graft] def stageRebucket(
+      spark: SparkSession,
+      prefix: String,
+      newBuckets: Int,
+  ): Seq[(String, String)] =
     Seq(
       (s"${prefix}_docs", Seq("doc_id"), true),
       (s"${prefix}_bands", Seq("band_idx", "band_key"), false),
-    ).foreach { case (table, keys, sorted) =>
+    ).map { case (table, keys, sorted) =>
       val tmp = s"${table}_rebucket"
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
       val w = spark.table(table)
         .write.mode("overwrite")
         .bucketBy(newBuckets, keys.head, keys.tail: _*)
       (if (sorted) w.sortBy("doc_id") else w).saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $table")
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      (table, tmp)
     }
 
   /** The compaction dial wired to the health stat the dd_index_stats

@@ -114,24 +114,37 @@ object SearchIndexOps {
     * build time caps the pruned read's parallelism forever. Content is
     * bit-preserved; only layout changes (SearchIndexSpec asserts).
     * Appends survive a rebucket because they read the live bucket
-    * count from the catalog. CONCURRENCY CONTRACT: single maintainer,
-    * no concurrent readers mid-swap — drop+rename is not atomic (a
-    * reader racing the swap can hit a missing table or pair new
-    * postings with the old lexicon), and a crash between DROP and
-    * RENAME leaves the live name dangling until the swap is re-run.
+    * count from the catalog. Swap discipline: ALL replacement tables
+    * are staged first ([[stageRebucket]]) — readers see the complete
+    * old index throughout the rewrite (SearchIndexSpec reads
+    * mid-stage) — then each is committed by
+    * [[IndexCatalog.swapStaged]]'s rename-first sequence, so a crash
+    * leaves a recovery copy, never a dangling live name. The
+    * reader-visible hole is the rename instants only; the
+    * single-maintainer contract covers them.
     */
   def rebucket(spark: SparkSession, prefix: String, newBuckets: Int): Unit =
+    IndexCatalog.swapStaged(spark, stageRebucket(spark, prefix, newBuckets))
+
+  /** Phase 1 of [[rebucket]]: write every table's replacement under a
+    * staged name, touching nothing live. Returns (live, staged) pairs
+    * for [[IndexCatalog.swapStaged]].
+    */
+  private[graft] def stageRebucket(
+      spark: SparkSession,
+      prefix: String,
+      newBuckets: Int,
+  ): Seq[(String, String)] =
     Seq(
       (s"${prefix}_postings", "term", true),
       (s"${prefix}_lexicon", "term", false),
       (s"${prefix}_docs", "doc_id", false),
-    ).foreach { case (table, key, sorted) =>
+    ).map { case (table, key, sorted) =>
       val tmp = s"${table}_rebucket"
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
       val w = spark.table(table).write.mode("overwrite").bucketBy(newBuckets, key)
       (if (sorted) w.sortBy("term", "doc_id", "pos") else w).saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $table")
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      (table, tmp)
     }
 
   /** One replay-safe ingest step: drop the batch rows whose doc_ids the

@@ -163,6 +163,32 @@ class SearchIndexSpec extends SparkSpec {
       "post-rebucket append must land")
   }
 
+  test("rebucket stages all tables first: reads during the rewrite serve the old index") {
+    val prefix = "searchswap"
+    Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    SearchIndexOps.writeIndex(Tables.documents(spark, Sf), buckets = 4, prefix = prefix)
+    val before = SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10).collect().toSeq
+    // Phase 1: the minutes-long part at scale. Every replacement table
+    // is staged under a _rebucket name; the live index is untouched, so
+    // a reader here — mid-maintenance — gets full, consistent answers.
+    val staged = SearchIndexOps.stageRebucket(spark, prefix, newBuckets = 16)
+    assert(SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10).collect().toSeq == before,
+      "reads during the staging rewrite must serve the old index bit-for-bit")
+    assert(staged.map(_._2).forall(spark.catalog.tableExists),
+      "all replacement tables must exist before any live name moves")
+    // Phase 2: rename-first commit. Afterward: same results, new
+    // layout, no staged or recovery tables left behind.
+    graft.operators.IndexCatalog.swapStaged(spark, staged)
+    assert(SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10).collect().toSeq == before,
+      "the swap must preserve results bit-for-bit")
+    staged.foreach { case (live, tmp) =>
+      assert(spark.catalog.tableExists(live), s"$live must be live after the swap")
+      assert(!spark.catalog.tableExists(tmp), s"$tmp must be gone after the swap")
+      assert(!spark.catalog.tableExists(s"${live}_old"), s"${live}_old must be dropped")
+    }
+    assert(graft.operators.IndexCatalog.tableBuckets(spark, s"${prefix}_postings") == 16)
+  }
+
   test("streaming ingest grows the index per micro-batch; queries equal a full-corpus scan") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
