@@ -227,6 +227,20 @@ object SearchIndexOps {
     * partials, N as the sum of the meta rows. Same arithmetic as the
     * corpus-scan face ([[SearchOps.rankedFrom]] is shared), so scores
     * are bit-equal — the oracle is unchanged.
+    *
+    * CONSISTENCY: this read touches multiple tables whose partials
+    * must be of the same generation (new postings scored against old
+    * df/meta mis-rank silently). The returned frame resolves every
+    * table's file listing when it is CONSTRUCTED — one synchronous
+    * call — and an analyzed frame keeps those listings even across a
+    * concurrent append's cache refresh, so one constructed read always
+    * serves one consistent snapshot no matter when it executes
+    * (SearchIndexSpec pins this: an append between construction and
+    * collect does not leak in). The un-pinnable window is construction
+    * itself — an append committing between the individual
+    * `spark.table` resolutions inside this method; the single-writer
+    * contract covers that instant (writers pause while readers
+    * construct, not while they run).
     */
   def searchRanked(spark: SparkSession, prefix: String, terms: Seq[String], k: Int): DataFrame = {
     val tf = SearchOps.tfFrom(spark.table(s"${prefix}_postings"), terms)
@@ -243,7 +257,10 @@ object SearchIndexOps {
     * pruned postings read, df from lexicon partials, (N, avgdl) from
     * meta partials, length norms from the stored docs table — the core
     * ([[SearchOps.bm25From]]) is shared with the corpus-scan face, so
-    * scores are bit-equal and the oracle unchanged.
+    * scores are bit-equal and the oracle unchanged. Cross-table
+    * consistency: [[searchRanked]]'s snapshot-at-construction contract
+    * applies identically (four tables, one construction, one
+    * generation).
     */
   def searchBm25(
       spark: SparkSession,

@@ -217,6 +217,34 @@ class SearchIndexSpec extends SparkSpec {
     assert(metaRows.sum == docs.length.toLong, "meta partials must sum to the corpus size")
   }
 
+  test("a constructed read pins its snapshot: appends land only in reads built after them") {
+    import spark.implicits._
+    val prefix = "searchsnap"
+    Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val docs = Tables.documents(spark, Sf)
+    SearchIndexOps.writeIndex(docs, buckets = 4, prefix = prefix)
+    // Construct (and thereby analyze) the read BEFORE the append: all
+    // four tables' file listings resolve here, in one synchronous call.
+    val pinned = SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10)
+    val before = pinned.collect().toSeq
+    // A concurrent append (with its cache refresh) lands between the
+    // read's construction and a later execution...
+    SearchIndexOps.appendDocuments(spark, prefix,
+      Seq((920001L, "dup spark table dup spark table dup spark table")).toDF("doc_id", "text"))
+    // ...and must NOT tear the pinned read: it still serves the exact
+    // pre-append snapshot — never new postings against old df/meta.
+    assert(pinned.collect().toSeq == before,
+      "a read constructed before an append must serve its own consistent snapshot")
+    // A read constructed AFTER the append sees the new generation in
+    // all four tables at once.
+    assert(same(
+      SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10),
+      SearchOps.searchBm25(docs.select("doc_id", "text").unionByName(
+        Seq((920001L, "dup spark table dup spark table dup spark table")).toDF("doc_id", "text")),
+        RankTerms, 10),
+    ), "a read constructed after the append must see it consistently everywhere")
+  }
+
   test("lexicon partial sums equal postings-derived document frequencies") {
     buildOnce()
     val fromLexicon = spark.table(s"${Prefix}_lexicon")
