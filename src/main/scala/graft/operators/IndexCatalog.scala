@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Catalog lookups shared by the persisted-index families
   * ([[LshIndexOps]], [[SearchIndexOps]], [[VectorIndexOps]]) — one
@@ -46,4 +47,102 @@ private[graft] object IndexCatalog {
       spark.sql(s"ALTER TABLE $staged RENAME TO $live")
       spark.sql(s"DROP TABLE $old")
     }
+
+  /** Write `table`'s replacement under a staged name at `buckets`
+    * physical buckets, touching nothing live — the phase-1 primitive
+    * behind every rebucket and compaction. The explicit
+    * `repartition(buckets, keys)` matters: Spark's bucketed WRITE
+    * never shuffles on its own, so each input task writes one file per
+    * bucket value it holds — a T-task rewrite would emit up to
+    * T × buckets files, re-creating the fragmentation a compaction
+    * exists to remove. repartition's hash is the bucket hash
+    * (pmod(murmur3(keys), buckets)), so after it each task holds
+    * exactly one bucket and the staged table lands at ONE file per
+    * bucket.
+    */
+  def stageTable(
+      spark: SparkSession,
+      table: String,
+      keys: Seq[String],
+      sortCols: Seq[String],
+      buckets: Int,
+  ): (String, String) = {
+    val tmp = s"${table}_rebucket"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // autoBucketedScan must be OFF for this read (saved/restored): with
+    // it on, Spark 4.1 first elides the repartition exchange because
+    // the bucketed scan promises HashPartitioning(keys, oldBuckets),
+    // then DisableUnnecessaryBucketedScan — seeing no remaining
+    // consumer of that partitioning — drops the bucketed layout, and
+    // the write receives raw file splits: every task spills files into
+    // every bucket, re-creating the fragmentation this rewrite exists
+    // to remove (measured; the readCells caveat's write-side twin).
+    // With it off, a same-count compaction reads one partition per
+    // bucket and writes one file per bucket with NO shuffle at all; a
+    // changed-count rebucket keeps the aligned repartition exchange.
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      val w = spark.table(table)
+        .repartition(buckets, keys.map(col): _*)
+        .write.mode("overwrite")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+        .saveAsTable(tmp)
+    } finally spark.conf.set(conf, saved)
+    (table, tmp)
+  }
+
+  /** The worst bucket's physical file count — the cost a pruned read
+    * actually pays (a probe of one bucket opens that bucket's files).
+    * Bucket ids are parsed from the bucketed-file naming scheme
+    * (`..._NNNNN.c000...`); driver-side metadata only (one array entry
+    * per file), never a data scan — the LayoutOps.compactionPlan
+    * argument applied to index tables.
+    */
+  def maxFilesPerBucket(spark: SparkSession, table: String): Int = {
+    val bucketOf = "_(\\d{5})\\.".r
+    val files = spark.table(table).inputFiles
+    if (files.isEmpty) 0
+    else
+      files
+        .groupBy(f => bucketOf.findFirstMatchIn(f.substring(f.lastIndexOf('/') + 1)).map(_.group(1)))
+        .values.map(_.length).max
+  }
+
+  /** Per-table physical layout stats for an index family — total file
+    * count and worst-bucket file count, the two dials appends degrade
+    * and [[compactBucketed]] restores. Surfaced as a DataFrame so
+    * operational consumers read it like any other health view.
+    */
+  def fileStats(spark: SparkSession, tables: Seq[String]): DataFrame = {
+    val rows = tables.filter(spark.catalog.tableExists).map { t =>
+      (t, spark.table(t).inputFiles.length.toLong, maxFilesPerBucket(spark, t).toLong)
+    }
+    spark.createDataFrame(rows).toDF("table", "n_files", "max_files_per_bucket")
+  }
+
+  /** Append compaction over a family's bucketed tables: rewrite ONLY
+    * the tables whose worst bucket exceeds `maxFilesPerBucket` (each
+    * append adds one file per touched bucket, so pruned reads open
+    * O(appends) files per probe until this runs), at their CURRENT
+    * bucket count, with the same stage-all-then-swap discipline as a
+    * rebucket — readers are served throughout. Returns the rewritten
+    * table names (empty = layout already within budget; the call did
+    * no data work, only driver-side file listings).
+    */
+  def compactBucketed(
+      spark: SparkSession,
+      specs: Seq[(String, Seq[String], Seq[String])],
+      maxPerBucket: Int,
+  ): Seq[String] = {
+    require(maxPerBucket >= 1, "maxFilesPerBucket must be at least 1")
+    val picked = specs.filter { case (t, _, _) => maxFilesPerBucket(spark, t) > maxPerBucket }
+    val staged = picked.map { case (t, keys, sortCols) =>
+      stageTable(spark, t, keys, sortCols, tableBuckets(spark, t))
+    }
+    swapStaged(spark, staged)
+    picked.map(_._1)
+  }
 }

@@ -177,23 +177,37 @@ object LshIndexOps {
   /** Phase 1 of [[rebucket]]: write both tables' replacements under
     * staged names, touching nothing live.
     */
+  private def bucketedTables(prefix: String): Seq[(String, Seq[String], Seq[String])] =
+    Seq(
+      (s"${prefix}_docs", Seq("doc_id"), Seq("doc_id")),
+      (s"${prefix}_bands", Seq("band_idx", "band_key"), Nil),
+    )
+
   private[graft] def stageRebucket(
       spark: SparkSession,
       prefix: String,
       newBuckets: Int,
   ): Seq[(String, String)] =
-    Seq(
-      (s"${prefix}_docs", Seq("doc_id"), true),
-      (s"${prefix}_bands", Seq("band_idx", "band_key"), false),
-    ).map { case (table, keys, sorted) =>
-      val tmp = s"${table}_rebucket"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      val w = spark.table(table)
-        .write.mode("overwrite")
-        .bucketBy(newBuckets, keys.head, keys.tail: _*)
-      (if (sorted) w.sortBy("doc_id") else w).saveAsTable(tmp)
-      (table, tmp)
+    bucketedTables(prefix).map { case (table, keys, sortCols) =>
+      IndexCatalog.stageTable(spark, table, keys, sortCols, newBuckets)
     }
+
+  /** Append compaction at the current bucket count — the cheap
+    * between-rebuckets maintenance: [[dedupBatchAndGrow]] adds one
+    * file per touched bucket per batch, and this rewrites only the
+    * tables whose worst bucket exceeds `maxFilesPerBucket`
+    * ([[IndexCatalog.compactBucketed]]; [[rebucketIfNeeded]] remains
+    * the dial for the candidate-cost problem, which needs a new bucket
+    * COUNT, not just fewer files). Returns the rewritten tables.
+    */
+  def compact(spark: SparkSession, prefix: String, maxFilesPerBucket: Int = 4): Seq[String] =
+    IndexCatalog.compactBucketed(spark, bucketedTables(prefix), maxFilesPerBucket)
+
+  /** Physical layout health — file counts per index table (operational
+    * metadata; no oracle).
+    */
+  def fileStats(spark: SparkSession, prefix: String): org.apache.spark.sql.DataFrame =
+    IndexCatalog.fileStats(spark, bucketedTables(prefix).map(_._1))
 
   /** The compaction dial wired to the health stat the dd_index_stats
     * view exposes: the candidate self-join's total cost is Σ s·(s−1)/2 over

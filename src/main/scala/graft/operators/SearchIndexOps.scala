@@ -126,6 +126,14 @@ object SearchIndexOps {
   def rebucket(spark: SparkSession, prefix: String, newBuckets: Int): Unit =
     IndexCatalog.swapStaged(spark, stageRebucket(spark, prefix, newBuckets))
 
+  /** The family's bucketed tables: (name, bucket keys, sort keys). */
+  private def bucketedTables(prefix: String): Seq[(String, Seq[String], Seq[String])] =
+    Seq(
+      (s"${prefix}_postings", Seq("term"), Seq("term", "doc_id", "pos")),
+      (s"${prefix}_lexicon", Seq("term"), Nil),
+      (s"${prefix}_docs", Seq("doc_id"), Nil),
+    )
+
   /** Phase 1 of [[rebucket]]: write every table's replacement under a
     * staged name, touching nothing live. Returns (live, staged) pairs
     * for [[IndexCatalog.swapStaged]].
@@ -135,17 +143,45 @@ object SearchIndexOps {
       prefix: String,
       newBuckets: Int,
   ): Seq[(String, String)] =
-    Seq(
-      (s"${prefix}_postings", "term", true),
-      (s"${prefix}_lexicon", "term", false),
-      (s"${prefix}_docs", "doc_id", false),
-    ).map { case (table, key, sorted) =>
-      val tmp = s"${table}_rebucket"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      val w = spark.table(table).write.mode("overwrite").bucketBy(newBuckets, key)
-      (if (sorted) w.sortBy("term", "doc_id", "pos") else w).saveAsTable(tmp)
-      (table, tmp)
+    bucketedTables(prefix).map { case (table, keys, sortCols) =>
+      IndexCatalog.stageTable(spark, table, keys, sortCols, newBuckets)
     }
+
+  /** Append compaction — the maintenance pass between rebuckets: every
+    * append adds one file per touched bucket, so after N appends a
+    * pruned per-term read opens O(N) files per probed bucket.
+    * Rewrites ONLY the tables whose worst bucket exceeds
+    * `maxFilesPerBucket` (staged + rename-first swap at the CURRENT
+    * bucket count — [[IndexCatalog.compactBucketed]]), plus the meta
+    * table when its one-row-file-per-append partials exceed the same
+    * threshold (coalesced to one file; the partial ROWS are preserved
+    * — readers sum them, so results stay bit-identical,
+    * SearchIndexSpec asserts). Returns the rewritten tables; empty
+    * means the layout was already within budget and no data moved.
+    */
+  def compact(spark: SparkSession, prefix: String, maxFilesPerBucket: Int = 4): Seq[String] = {
+    val rewritten =
+      IndexCatalog.compactBucketed(spark, bucketedTables(prefix), maxFilesPerBucket)
+    val meta = s"${prefix}_meta"
+    val metaDone =
+      if (spark.table(meta).inputFiles.length > maxFilesPerBucket) {
+        val rows = spark.table(meta).localCheckpoint()
+        val tmp = s"${meta}_rebucket"
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        rows.coalesce(1).write.mode("overwrite").saveAsTable(tmp)
+        IndexCatalog.swapStaged(spark, Seq((meta, tmp)))
+        Seq(meta)
+      } else Nil
+    rewritten ++ metaDone
+  }
+
+  /** Physical layout health — file counts per index table, the dial
+    * [[compact]] restores. Operational metadata (no oracle: file
+    * layout is execution-dependent), served driver-side from listings.
+    */
+  def fileStats(spark: SparkSession, prefix: String): DataFrame =
+    IndexCatalog.fileStats(
+      spark, bucketedTables(prefix).map(_._1) :+ s"${prefix}_meta")
 
   /** One replay-safe ingest step: drop the batch rows whose doc_ids the
     * index already holds, then append the remainder. The guard is an

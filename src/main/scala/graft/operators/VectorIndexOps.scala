@@ -387,6 +387,37 @@ object VectorIndexOps {
       }
       .start()
 
+  /** The family's bucketed tables (codes only once published). */
+  private def bucketedTables(
+      spark: SparkSession,
+      prefix: String,
+  ): Seq[(String, Seq[String], Seq[String])] =
+    Seq((s"${prefix}_vectors", Seq("cell"), Nil)) ++
+      (if (spark.catalog.tableExists(s"${prefix}_codes"))
+         Seq((s"${prefix}_codes", Seq("cell"), Nil))
+       else Nil)
+
+  /** Append compaction — every [[appendVectors]] (and every streaming
+    * micro-batch) adds one file per touched cell bucket, so probed-cell
+    * reads open O(appends) files per cell until this runs. Rewrites
+    * only the tables whose worst bucket exceeds `maxFilesPerBucket`,
+    * at the current bucket count, staged + rename-first swapped
+    * ([[IndexCatalog.compactBucketed]]) so reads are served
+    * throughout. Returns the rewritten tables.
+    */
+  def compact(spark: SparkSession, prefix: String, maxFilesPerBucket: Int = 4): Seq[String] =
+    IndexCatalog.compactBucketed(spark, bucketedTables(spark, prefix), maxFilesPerBucket)
+
+  /** Physical layout health — file counts per index table, the dial
+    * [[compact]] restores (operational metadata; no oracle).
+    */
+  def fileStats(spark: SparkSession, prefix: String): DataFrame =
+    IndexCatalog.fileStats(
+      spark,
+      bucketedTables(spark, prefix).map(_._1)
+        ++ Seq(s"${prefix}_codebook", s"${prefix}_pq_codebook", s"${prefix}_batches"),
+    )
+
   /** Literal-cell read — the serving-side primitive: a probe list of
     * cell ids reads ONLY those cells' buckets (static bucket pruning on
     * the `cell` isin predicate; VectorIndexSpec asserts

@@ -217,6 +217,42 @@ class SearchIndexSpec extends SparkSpec {
     assert(metaRows.sum == docs.length.toLong, "meta partials must sum to the corpus size")
   }
 
+  test("compaction bounds per-bucket files after appends and preserves results bit-for-bit") {
+    import graft.operators.IndexCatalog
+    val prefix = "searchcompact"
+    Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val docs = Tables.documents(spark, Sf)
+    SearchIndexOps.writeIndex(docs.filter(col("doc_id") % 5 === 0), buckets = 4, prefix = prefix)
+    // k appends — each adds one file per touched bucket, degrading
+    // every pruned read by k files per probe.
+    (1 to 4).foreach(r =>
+      SearchIndexOps.appendDocuments(spark, prefix, docs.filter(col("doc_id") % 5 === r)))
+    val before = SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10).collect().toSeq
+    assert(IndexCatalog.maxFilesPerBucket(spark, s"${prefix}_postings") > 2,
+      "appends must have fragmented the postings buckets (precondition)")
+    val rewritten = SearchIndexOps.compact(spark, prefix, maxFilesPerBucket = 2)
+    assert(rewritten.contains(s"${prefix}_postings"), s"postings must be compacted: $rewritten")
+    assert(rewritten.contains(s"${prefix}_meta"), s"meta partial files must be coalesced: $rewritten")
+    // Bounded: one file per bucket after the rewrite, bucket count kept.
+    assert(IndexCatalog.maxFilesPerBucket(spark, s"${prefix}_postings") == 1,
+      "compaction must collapse each bucket to one file")
+    assert(IndexCatalog.tableBuckets(spark, s"${prefix}_postings") == 4,
+      "compaction must keep the bucket count (rebucket is the other dial)")
+    assert(SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10).collect().toSeq == before,
+      "compaction must preserve results bit-for-bit")
+    // Within budget now: a second pass must touch nothing.
+    assert(SearchIndexOps.compact(spark, prefix, maxFilesPerBucket = 2).isEmpty,
+      "a compacted index must not be rewritten again")
+    // The health view reports every table with its physical counts.
+    val stats = SearchIndexOps.fileStats(spark, prefix).collect()
+    assert(stats.length == 4 && stats.forall(_.getLong(1) >= 1), stats.mkString(", "))
+    // Appends keep working against the compacted layout.
+    import spark.implicits._
+    SearchIndexOps.appendDocuments(spark, prefix,
+      Seq((930001L, "post compact doc")).toDF("doc_id", "text"))
+    assert(spark.table(s"${prefix}_docs").filter(col("doc_id") === 930001L).count() == 1)
+  }
+
   test("a constructed read pins its snapshot: appends land only in reads built after them") {
     import spark.implicits._
     val prefix = "searchsnap"

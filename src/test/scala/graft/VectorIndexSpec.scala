@@ -160,6 +160,29 @@ class VectorIndexSpec extends SparkSpec {
       "a new batch id must append normally")
   }
 
+  test("compaction after streaming appends bounds cell-bucket files, results unchanged") {
+    import graft.operators.IndexCatalog
+    val prefix = "veccompact"
+    Seq("codebook", "vectors", "batches").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val emb = Tables.embeddings(spark, Sf)
+    VectorIndexOps.writeIndex(
+      emb.filter(col("vec_id") % 5 === 0), dim = 64, isSeed = col("vec_id") < 8,
+      iters = 2, buckets = 4, prefix = prefix)
+    (1 to 4).foreach(r =>
+      VectorIndexOps.ingestBatch(spark, prefix, emb.filter(col("vec_id") % 5 === r), r.toLong))
+    val before = VectorIndexOps.ivfTopK(spark, prefix, col("vec_id") < 10, K).collect().toSeq
+    assert(IndexCatalog.maxFilesPerBucket(spark, s"${prefix}_vectors") > 2,
+      "ingest batches must have fragmented the cell buckets (precondition)")
+    val rewritten = VectorIndexOps.compact(spark, prefix, maxFilesPerBucket = 2)
+    assert(rewritten == Seq(s"${prefix}_vectors"), s"vectors must be compacted: $rewritten")
+    assert(IndexCatalog.maxFilesPerBucket(spark, s"${prefix}_vectors") == 1,
+      "compaction must collapse each cell bucket to one file")
+    assert(VectorIndexOps.ivfTopK(spark, prefix, col("vec_id") < 10, K).collect().toSeq == before,
+      "compaction must preserve search results bit-for-bit")
+    assert(VectorIndexOps.compact(spark, prefix, maxFilesPerBucket = 2).isEmpty,
+      "a compacted index must not be rewritten again")
+  }
+
   test("ADC over stored codes equals the on-the-fly trained-ADC path") {
     buildOnce()
     val emb = Tables.embeddings(spark, Sf)
