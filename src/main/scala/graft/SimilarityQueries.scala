@@ -231,6 +231,35 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Oracle of the tombstone-delete read: training, assignment, and
+    * the stored artifact are all FULL-corpus (deletes never move the
+    * frozen quantizer or other vectors' cells — that's the point of a
+    * tombstone), but the deleted ids are excluded from both sides of
+    * the search: everything is ivfTrainedSql except the `n` frame's
+    * exclusion predicate.
+    */
+  private val ivfDeleteSql: String =
+    s"""WITH ${trainedCbCtes(1, 64)},
+       |asgd AS (SELECT s.vec_id, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
+       |         FROM sv s JOIN cb2 c ON s.blk = c.blk),
+       |asg AS (SELECT vec_id, cid AS cell FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY dist, cid) AS rn FROM asgd)
+       |        WHERE rn = 1),
+       |n AS (SELECT v.vec_id, ${unitNorm("e")} AS u, a.cell
+       |      FROM v JOIN asg a ON a.vec_id = v.vec_id
+       |      WHERE v.vec_id % 7 <> 3),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        ${dot("q.u", "c.u")} AS cosine
+       |      FROM n q JOIN n c
+       |        ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND q.cell = c.cell)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM p)
+       |WHERE rank <= $BucketK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** nprobe for the multi-probe trained-IVF search (of 8 trained cells). */
   private val IvfNProbe = 2
 
@@ -691,6 +720,26 @@ object SimilarityQueries {
         graft.operators.VectorIndexOps.ivfTopK(s, pre, col("vec_id") < 10, BucketK)
       },
       Some(ivfIndexIncrSql),
+    ),
+    // Tombstone deletes over the stored artifact: the index is built
+    // on the full corpus, the vec_id % 7 = 3 rows are then DELETED
+    // (appended to the tombstone table every read face anti-joins out
+    // — broadcast, the corpus never shuffles for a delete), and search
+    // answers as if those vectors were never there while the frozen
+    // codebook and every other vector's stored cell stay untouched.
+    Q(
+      "sim_index_delete",
+      (s, d) => {
+        val pre = vecDb(s, s"del_${Tables.datasetKey(d)}")
+        graft.operators.VectorIndexOps.writeIndex(
+          embeddings(s, d), dim = 64, isSeed = col("vec_id") < 8, iters = 2,
+          buckets = 8, prefix = pre,
+          codebook = Some(trainedCb(s, d, blocks = 1, subDim = 64)))
+        graft.operators.VectorIndexOps.deleteVectors(
+          s, pre, embeddings(s, d).filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+        graft.operators.VectorIndexOps.ivfTopK(s, pre, col("vec_id") < 10, BucketK)
+      },
+      Some(ivfDeleteSql),
     ),
     // Multi-probe from the stored artifact: probe ranking reads the
     // STORED raw doubles (the `e` column — centroid geometry is not

@@ -66,6 +66,22 @@ private[graft] object IndexCatalog {
       keys: Seq[String],
       sortCols: Seq[String],
       buckets: Int,
+  ): (String, String) =
+    stageTableFrom(spark, table, spark.table(table), keys, sortCols, buckets)
+
+  /** [[stageTable]] with an explicit source frame — for maintenance
+    * rewrites that stage a FILTERED view of the live table (tombstone
+    * purges). The source must read `table` (the conf guard below is
+    * what makes its bucketed scan align with the write; planning
+    * happens at the write action, inside the guard).
+    */
+  def stageTableFrom(
+      spark: SparkSession,
+      table: String,
+      source: DataFrame,
+      keys: Seq[String],
+      sortCols: Seq[String],
+      buckets: Int,
   ): (String, String) = {
     val tmp = s"${table}_rebucket"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
@@ -84,7 +100,7 @@ private[graft] object IndexCatalog {
     val saved = spark.conf.get(conf)
     spark.conf.set(conf, "false")
     try {
-      val w = spark.table(table)
+      val w = source
         .repartition(buckets, keys.map(col): _*)
         .write.mode("overwrite")
         .bucketBy(buckets, keys.head, keys.tail: _*)

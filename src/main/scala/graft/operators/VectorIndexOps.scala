@@ -103,6 +103,49 @@ object VectorIndexOps {
       .write.mode("overwrite")
       .bucketBy(buckets, "cell")
       .saveAsTable(s"${prefix}_vectors")
+    // A rebuilt index is a fresh artifact: stale tombstones would
+    // silently hide corpus vectors, and a stale batch ledger would
+    // silently skip the new stream's early batch ids.
+    Seq(s"${prefix}_tombstones", s"${prefix}_batches")
+      .foreach(t => embeddings.sparkSession.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  /** Delete vectors from the index — the tombstone discipline (the
+    * [[EventOps]] q_delete_plan argument applied to the artifact):
+    * parquet can't delete in place, so deletes append `vec_id` rows to
+    * `<prefix>_tombstones` (created lazily) and every read face
+    * anti-joins them out. The tombstone set stays small by contract
+    * (deletes are targeted; bulk removal is a rebuild), so the
+    * anti-join broadcasts — the corpus is never shuffled by a delete.
+    * Idempotent: re-deleting an id adds a redundant row the anti-join
+    * ignores. [[appendVectors]] of a tombstoned id re-inserts it
+    * (purge-then-append, documented there); [[purgeTombstones]]
+    * physically reclaims the space.
+    */
+  def deleteVectors(spark: SparkSession, prefix: String, ids: DataFrame): Unit = {
+    val t = s"${prefix}_tombstones"
+    if (!spark.catalog.tableExists(t)) {
+      spark.sql(s"CREATE TABLE $t (vec_id BIGINT) USING parquet")
+      // The name may have existed before a rebuild dropped it; evict
+      // any stale file listing cached under the reused warehouse path.
+      spark.catalog.refreshTable(t)
+    }
+    ids.select(col("vec_id").cast("long")).write.mode("append").saveAsTable(t)
+    spark.catalog.refreshTable(t)
+  }
+
+  /** A read face's view of an index table: stored rows minus
+    * tombstones (broadcast anti-join; zero cost when the index never
+    * deleted — the table doesn't exist). Applied to vectors AND codes,
+    * so the ADC/IVF-PQ faces can't serve a deleted vector from its
+    * stale code row.
+    */
+  private def live(spark: SparkSession, prefix: String, table: String): DataFrame = {
+    val stored = spark.table(table)
+    val t = s"${prefix}_tombstones"
+    if (spark.catalog.tableExists(t))
+      stored.join(broadcast(spark.table(t)), Seq("vec_id"), "left_anti")
+    else stored
   }
 
   /** Incremental ingest: assign a new batch (vec_ids disjoint from the
@@ -115,12 +158,51 @@ object VectorIndexOps {
     * pre-append search results.
     */
   def appendVectors(spark: SparkSession, prefix: String, batch: DataFrame): Unit = {
+    // Re-insert after delete: a tombstoned id's OLD row is still
+    // physically present, so appending a new row and merely clearing
+    // the tombstone would resurrect BOTH (duplicate vec_ids). Purge
+    // first — old rows physically gone, tombstones cleared — then the
+    // appended row is the single live one. Normal appends (no overlap
+    // with tombstones) skip this entirely.
+    val tomb = s"${prefix}_tombstones"
+    if (spark.catalog.tableExists(tomb) &&
+        !batch.join(spark.table(tomb), Seq("vec_id"), "left_semi").isEmpty)
+      purgeTombstones(spark, prefix)
     val buckets = IndexCatalog.tableBuckets(spark, s"${prefix}_vectors")
     assignedProjection(batch, spark.table(s"${prefix}_codebook"))
       .write.mode("append")
       .bucketBy(buckets, "cell")
       .saveAsTable(s"${prefix}_vectors")
     spark.catalog.refreshTable(s"${prefix}_vectors")
+  }
+
+  /** Physically drop tombstoned rows: stage-rewrite vectors (and
+    * codes) WITHOUT them at the current bucket count — readers are
+    * served throughout, the swap is the rename-first commit — then
+    * drop the tombstone table. Deletes stay deleted (the rows are
+    * gone) and the tombstone table is TRUNCATED — kept, not dropped:
+    * truncation is the one catalog path that reliably evicts the
+    * file-listing caches for a name about to be reused (a
+    * drop-and-recreate cycle was measured serving the dropped files'
+    * listing to the next read). Run it when the tombstone set outgrows
+    * broadcast comfort, or implicitly on re-insert
+    * ([[appendVectors]]). Returns the rewritten tables (empty =
+    * nothing tombstoned).
+    */
+  def purgeTombstones(spark: SparkSession, prefix: String): Seq[String] = {
+    val tomb = s"${prefix}_tombstones"
+    if (!spark.catalog.tableExists(tomb) || spark.table(tomb).isEmpty) Nil
+    else {
+      val tables = bucketedTables(spark, prefix)
+      val staged = tables.map { case (table, keys, sortCols) =>
+        IndexCatalog.stageTableFrom(
+          spark, table, live(spark, prefix, table), keys, sortCols,
+          IndexCatalog.tableBuckets(spark, table))
+      }
+      IndexCatalog.swapStaged(spark, staged)
+      spark.sql(s"TRUNCATE TABLE $tomb")
+      tables.map(_._1)
+    }
   }
 
   /** IVF search over the stored artifact — same semantics (and tie
@@ -131,7 +213,7 @@ object VectorIndexOps {
     * the bucketed table, scores are dots of STORED unit vectors.
     */
   def ivfTopK(spark: SparkSession, prefix: String, isQuery: Column, k: Int): DataFrame = {
-    val v = spark.table(s"${prefix}_vectors")
+    val v = live(spark, prefix, s"${prefix}_vectors")
     val queries = broadcast(
       v.filter(isQuery).select(col("vec_id").as("query_id"), col("u").as("qu"), col("cell")),
     )
@@ -192,10 +274,9 @@ object VectorIndexOps {
       k: Int,
   ): DataFrame = {
     val corpusCodes = SimilarityOps.explodeCodes(
-      spark.table(s"${prefix}_codes"), blocks, nSeeds)
+      live(spark, prefix, s"${prefix}_codes"), blocks, nSeeds)
     val blocksArr = array((0 until blocks).map(b => slice(col("e"), b * subDim + 1, subDim)): _*)
-    val qBlocks = spark
-      .table(s"${prefix}_vectors")
+    val qBlocks = live(spark, prefix, s"${prefix}_vectors")
       .filter(isQuery)
       .select(col("vec_id").as("query_id"), posexplode(blocksArr).as(Seq("blk", "qv")))
     SimilarityOps.adcTopKFrom(qBlocks = qBlocks, corpusCodes = corpusCodes,
@@ -220,10 +301,10 @@ object VectorIndexOps {
       isQuery: Column,
       k: Int,
   ): DataFrame = {
-    val v = spark.table(s"${prefix}_vectors")
+    val v = live(spark, prefix, s"${prefix}_vectors")
     val coarse = spark.table(s"${prefix}_codebook")
     val corpusCodes = SimilarityOps.explodeCodes(
-      spark.table(s"${prefix}_codes"), blocks, nSeeds, keep = Seq("vec_id", "cell"))
+      live(spark, prefix, s"${prefix}_codes"), blocks, nSeeds, keep = Seq("vec_id", "cell"))
     val cdist = aggregate(
       zip_with(col("e"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0),
@@ -264,7 +345,7 @@ object VectorIndexOps {
       r: Int,
       k: Int,
   ): DataFrame = {
-    val v = spark.table(s"${prefix}_vectors")
+    val v = live(spark, prefix, s"${prefix}_vectors")
     val cand = broadcast(
       adcTopK(spark, prefix, blocks, subDim, nSeeds, isQuery, r)
         .select(col("query_id"), col("neighbor_id"))
@@ -301,7 +382,7 @@ object VectorIndexOps {
       isQuery: Column,
       k: Int,
   ): DataFrame = {
-    val v = spark.table(s"${prefix}_vectors")
+    val v = live(spark, prefix, s"${prefix}_vectors")
     val cb = spark.table(s"${prefix}_codebook")
     val dist = aggregate(
       zip_with(col("e"), col("cv"), (x, y) => (x - y) * (x - y)),
@@ -434,5 +515,5 @@ object VectorIndexOps {
     * `In` filter still applies either way.
     */
   def readCells(spark: SparkSession, prefix: String, cells: Seq[Long]): DataFrame =
-    spark.table(s"${prefix}_vectors").filter(col("cell").isin(cells: _*))
+    live(spark, prefix, s"${prefix}_vectors").filter(col("cell").isin(cells: _*))
 }

@@ -224,6 +224,64 @@ class VectorIndexSpec extends SparkSpec {
     ), "index-served IVF-PQ must equal the on-the-fly composition")
   }
 
+  test("tombstoned vectors vanish from every read face; purge and re-insert restore invariants") {
+    import spark.implicits._
+    val prefix = "vecdel"
+    Seq("codebook", "vectors", "batches", "tombstones", "codes", "pq_codebook")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val emb = Tables.embeddings(spark, Sf)
+    VectorIndexOps.writeIndex(
+      emb, dim = 64, isSeed = col("vec_id") < 8, iters = 2, buckets = 4, prefix = prefix)
+    val pqCb = SimilarityOps.trainCodebook(emb, blocks = 4, subDim = 16,
+      isSeed = col("vec_id") < 8, iters = 2)
+    VectorIndexOps.writePqCodes(
+      emb, pqCb, blocks = 4, subDim = 16, nSeeds = 8, buckets = 4, prefix = prefix)
+    val full = VectorIndexOps.ivfTopK(spark, prefix, col("vec_id") < 10, K).collect().toSeq
+    val delIds = Seq(3L, 12L)
+    VectorIndexOps.deleteVectors(spark, prefix, delIds.toDF("vec_id"))
+    // IVF face: deleted ids appear neither as queries nor as neighbors,
+    // and the result equals the on-the-fly face over the same frozen
+    // codebook with those vectors excluded after assignment.
+    val afterDel = VectorIndexOps.ivfTopK(spark, prefix, col("vec_id") < 10, K)
+    assert(afterDel.filter(
+      col("query_id").isin(delIds: _*) || col("neighbor_id").isin(delIds: _*)).isEmpty,
+      "deleted vectors must be absent from IVF results")
+    val cb = SimilarityOps.trainCodebook(emb, blocks = 1, subDim = 64,
+      isSeed = col("vec_id") < 8, iters = 2)
+    val expected = SimilarityOps.ivfTopK(
+      emb.join(SimilarityOps.assignCells(emb, cb), "vec_id")
+        .filter(!col("vec_id").isin(delIds: _*)),
+      col("vec_id") < 10, col("cell"), K)
+    assert(same(afterDel, expected),
+      "post-delete IVF must equal the corpus-scan face minus the deleted vectors")
+    // Materialize before the purge: the frame pins its file snapshot at
+    // construction, and the purge swap replaces those files.
+    val afterDelRows = afterDel.collect().toSeq
+    // ADC face: the stale code rows must not serve the deleted vectors.
+    assert(VectorIndexOps
+      .adcTopK(spark, prefix, blocks = 4, subDim = 16, nSeeds = 8, col("vec_id") < 10, k = 5)
+      .filter(col("query_id").isin(delIds: _*) || col("neighbor_id").isin(delIds: _*)).isEmpty,
+      "deleted vectors must be absent from ADC results too")
+    // Purge: physical rows gone, tombstone table gone, results
+    // unchanged (reads were already filtering).
+    val purged = VectorIndexOps.purgeTombstones(spark, prefix)
+    assert(purged.toSet == Set(s"${prefix}_vectors", s"${prefix}_codes"))
+    assert(spark.table(s"${prefix}_tombstones").isEmpty,
+      "purge must clear the tombstone set")
+    assert(spark.table(s"${prefix}_vectors").filter(col("vec_id").isin(delIds: _*)).isEmpty,
+      "purge must physically drop tombstoned rows")
+    assert(VectorIndexOps.ivfTopK(spark, prefix, col("vec_id") < 10, K).collect().toSeq
+      == afterDelRows, "purge must not change results")
+    // Re-insert after delete: append the deleted vectors back; the
+    // index returns to the full-corpus answer with unique vec_ids.
+    VectorIndexOps.deleteVectors(spark, prefix, delIds.toDF("vec_id"))
+    VectorIndexOps.appendVectors(spark, prefix, emb.filter(col("vec_id").isin(delIds: _*)))
+    assert(spark.table(s"${prefix}_vectors").filter(col("vec_id").isin(delIds: _*)).count() == 2,
+      "re-inserted vectors must be present exactly once")
+    assert(VectorIndexOps.ivfTopK(spark, prefix, col("vec_id") < 10, K).collect().toSeq == full,
+      "after re-insert the index must answer as if never deleted")
+  }
+
   test("append assigns against the frozen stored codebook, never retrains") {
     val prefix = "vecincr"
     Seq("codebook", "vectors").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
