@@ -42,7 +42,22 @@ object SearchOps {
     * or the persisted table): the term filter comes FIRST so it reaches
     * the scan — against the bucketed table it also prunes buckets.
     */
-  private[operators] def andFrom(postings: DataFrame, terms: Seq[String]): DataFrame =
+  /** A duplicated query term would silently corrupt every retrieval
+    * face: [[andFrom]] compares `countDistinct(term)` to `terms.size`
+    * (so `Seq("a","a","b")` could never match any document), and the
+    * fixed-order score sums in [[rankedFrom]]/[[bm25From]] would add
+    * the duplicated term's score twice. Dedup is the CALLER'S decision
+    * (dropping a term changes the query), so reject loudly instead.
+    */
+  private def requireDistinctTerms(terms: Seq[String]): Unit =
+    require(
+      terms.distinct.size == terms.size,
+      s"duplicate query terms ${terms.mkString("[", ",", "]")} — dedup before searching " +
+        "(AND could never match; ranked scores would double-count)",
+    )
+
+  private[operators] def andFrom(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    requireDistinctTerms(terms)
     postings
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"))
@@ -50,6 +65,7 @@ object SearchOps {
       .filter(col("n_matched") === terms.size)
       .select(col("doc_id"), col("total_tf"))
       .orderBy("doc_id")
+  }
 
   /** Conjunctive (AND) retrieval: documents containing EVERY query
     * term, with the total query-term frequency per document. Postings
@@ -113,7 +129,8 @@ object SearchOps {
       n: DataFrame,
       terms: Seq[String],
       k: Int,
-  ): DataFrame =
+  ): DataFrame = {
+    requireDistinctTerms(terms)
     fixedOrderTopK(
       tf.join(broadcast(df), "term")
         .crossJoin(broadcast(n))
@@ -125,6 +142,7 @@ object SearchOps {
       terms,
       k,
     )
+  }
 
   /** Shared ranked-retrieval tail: per-doc score = the per-term scores
     * `s` summed in the CALLER'S term order (each term selects at most
@@ -181,6 +199,7 @@ object SearchOps {
       k1: Double,
       b: Double,
   ): DataFrame = {
+    requireDistinctTerms(terms)
     val avgdl = col("total_dl").cast("double") / col("n")
     val idf = col("n").cast("double") / col("df")
     val norm = lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")

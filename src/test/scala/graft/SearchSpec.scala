@@ -23,6 +23,19 @@ class SearchSpec extends SparkSpec {
     assert(got == Seq(1L -> 3L, 3L -> 4L))
   }
 
+  test("duplicate query terms are rejected loudly on every retrieval face") {
+    val docs = docsOf(1L -> "a b c")
+    // AND would compare countDistinct to the duplicated size and never
+    // match; ranked/BM25 would double-count the duplicated term's score.
+    // Either is silent corruption, so the cores reject up front.
+    intercept[IllegalArgumentException](SearchOps.searchAnd(docs, Seq("a", "a", "b")))
+    intercept[IllegalArgumentException](SearchOps.searchRanked(docs, Seq("a", "a"), 5))
+    intercept[IllegalArgumentException](SearchOps.searchBm25(docs, Seq("a", "b", "a"), 5))
+    // A repeated word in a PHRASE is a legitimate query ("table table"):
+    // positional joins handle it, so no guard there.
+    assert(SearchOps.searchPhrase(docs, Seq("a", "a")).count() == 0L)
+  }
+
   test("searchPhrase counts OVERLAPPING occurrences and respects order") {
     val docs = docsOf(
       1L -> "a a a b a a",
