@@ -102,6 +102,14 @@ object SimilarityQueries {
     )
   }
 
+  /** Eagerly builds the shared vector index + its PQ layer for `d`
+    * (no-op when already built) — the TextQueries.prepareSharedArtifacts
+    * twin, called from Bench's un-timed setup phase.
+    */
+  def prepareSharedArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    fullPqIndex(s, d); ()
+  }
+
   /** Oracle for the PQ code table — shared by sim_pq_codes and (as the
     * code source) sim_pq_adc.
     */
@@ -470,6 +478,22 @@ object SimilarityQueries {
        |  FROM rr)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  private val RangeTau = 0.3
+
+  /** Oracle of the radius search — shared by sim_range_search (brute
+    * force) and sim_index_range (cell-pruned): same unit-norm + strict
+    * left-fold dot as every cosine oracle here, threshold instead of
+    * rank, ordered by the (query_id, neighbor_id) key.
+    */
+  private val rangeSearchSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, ${unitNorm("e")} AS u FROM v)
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${dot("q.u", "c.u")} AS cosine
+       |FROM n q JOIN n c ON q.$QueryPred AND q.vec_id <> c.vec_id
+       |WHERE ${dot("q.u", "c.u")} >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   private def topkSql(cellJoin: String, k: Int): String =
     s"""WITH v AS (SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, label, embedding, ${unitNorm("e")} AS u FROM v),
@@ -702,6 +726,26 @@ object SimilarityQueries {
         graft.operators.VectorIndexOps.ivfTopK(
           s, fullVectorIndex(s, d), col("vec_id") < 10, BucketK),
       Some(ivfTrainedSql),
+    ),
+    // Radius (range) search — every neighbor with cosine ≥ τ, not a
+    // fixed k: the data-dependent-answer-size probe a near-dup or
+    // contamination sweep asks. Two faces, one oracle: the brute-force
+    // corpus scan, and the index face that prunes whole cells by the
+    // triangle inequality over stored per-cell radius partials before
+    // scoring a single vector (the exact cosine filter decides
+    // membership either way, over the same unit-norm arithmetic —
+    // bit-equal by construction, VectorIndexSpec asserts it).
+    Q(
+      "sim_range_search",
+      (s, d) => SimilarityOps.rangeSearch(embeddings(s, d), col("vec_id") < 10, RangeTau),
+      Some(rangeSearchSql),
+    ),
+    Q(
+      "sim_index_range",
+      (s, d) =>
+        graft.operators.VectorIndexOps.ivfRangeSearch(
+          s, fullVectorIndex(s, d), col("vec_id") < 10, RangeTau),
+      Some(rangeSearchSql),
     ),
     // Incremental ingest against the FROZEN stored codebook: index
     // built on vec_id % 5 <> 0, the rest appended (assigned by the

@@ -44,6 +44,16 @@ object TextQueries {
     )
   }
 
+  /** Eagerly builds the shared full-corpus search index for `d` (no-op
+    * when already built). Bench calls this in its un-timed setup phase
+    * so the one-time build cost cannot land inside the first indexed
+    * query's timed region (first-iteration skew); queries themselves
+    * still build lazily when run standalone (Verify, tests).
+    */
+  def prepareSharedArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    fullSearchIndex(s, d); ()
+  }
+
   /** Oracle of the conjunctive search — shared by tx_search_and (the
     * corpus-scan face) and tx_search_indexed (the persisted-index read
     * path): the two faces are the same semantics over different
