@@ -110,6 +110,34 @@ object SimilarityOps {
     rankTopK(scored, "cosine", ascending = false, k)
   }
 
+  /** Radius (range) search — ALL neighbors with cosine ≥ `minCosine`,
+    * not a fixed k: the "everything semantically close to this
+    * document" probe a dedup or contamination sweep asks, where the
+    * answer size is data-dependent. Brute-force baseline face: query
+    * side broadcast, every (query, corpus) pair scored, the threshold
+    * filter applied on the exact cosine. Output ordered by
+    * (query_id, neighbor_id) — deterministic without a rank column.
+    * The scale path is [[VectorIndexOps.ivfRangeSearch]], which prunes
+    * whole cells by the triangle inequality before any vector is
+    * scored; its exact filter is THIS predicate over the same stored
+    * unit vectors, so the two faces are bit-equal and share an oracle.
+    */
+  def rangeSearch(embeddings: DataFrame, isQuery: Column, minCosine: Double): DataFrame = {
+    val v = embeddings.select(col("vec_id"), unitNorm(col("embedding")).as("u"))
+    val queries = broadcast(
+      v.filter(isQuery).select(col("vec_id").as("query_id"), col("u").as("qu")),
+    )
+    queries
+      .join(v, col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        dot(col("qu"), col("u")).as("cosine"),
+      )
+      .filter(col("cosine") >= minCosine)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Sign-LSH bucket id: one bit per probe dimension (axis-aligned
     * hyperplane at 0), folded MSB→LSB. Deterministic and portable — the
     * oracle derives identical buckets.

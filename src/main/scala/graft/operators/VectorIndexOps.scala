@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * the stored artifact — the corpus parquet is never re-read, vectors
   * are never re-normalized, the quantizer is never re-trained.
   *
-  * Two tables per index:
+  * Core tables per index (plus `<prefix>_cellstats(cell, r_max)` —
+  * mergeable per-batch angular-radius partials for
+  * [[ivfRangeSearch]]'s cell pruning — and, once published, the PQ
+  * layer's `_codes`):
   *   - `<prefix>_codebook(blk, cid, cv: array<double>)` — the trained
   *     coarse quantizer ([[SimilarityOps.trainCodebook]], blocks = 1),
   *     K rows; appended batches are assigned against it FROZEN, the
@@ -81,6 +84,40 @@ object VectorIndexOps {
       )
   }
 
+  /** The cell's fixed REFERENCE POINT for triangle-inequality bounds:
+    * the stored coarse centroid projected onto the unit sphere — near
+    * the cell's unit vectors, so radii stay tight. Any fixed point
+    * makes the bound sound; what matters is that build-time radii and
+    * read-time query distances derive it IDENTICALLY from the same
+    * stored `cv` doubles (this one shared expression), so the two
+    * sides' doubles agree bit-for-bit.
+    */
+  private def refPoint(cv: Column): Column = {
+    val n2 = aggregate(cv, lit(0.0), (acc, x) => acc + x * x)
+    transform(cv, x => x / sqrt(n2))
+  }
+
+  private def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d))
+
+  /** Per-cell angular-radius partials of one vector batch: (cell,
+    * r_max = max ‖u − p(cell)‖) — the geometry [[ivfRangeSearch]]
+    * prunes with. Stored as MERGEABLE partials (the lexicon-df
+    * discipline): each build/append batch appends its own K'-row max,
+    * readers take the max of maxes, so appends never rewrite history.
+    * Deletes/purges leave radii as sound OVERestimates (a too-large
+    * radius only widens the probe set, never drops a result).
+    */
+  private def radiusPartials(assigned: DataFrame, codebook: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), col("u"))
+      .join(
+        broadcast(codebook.select(col("cid").as("cell"), refPoint(col("cv")).as("p"))),
+        "cell",
+      )
+      .groupBy(col("cell"))
+      .agg(max(l2(col("u"), col("p"))).as("r_max"))
+
   /** Train the coarse quantizer on `embeddings` (or take a
     * caller-trained `codebook` — training is deterministic, so a
     * caller holding a memoized frame should pass it rather than pay
@@ -103,6 +140,11 @@ object VectorIndexOps {
       .write.mode("overwrite")
       .bucketBy(buckets, "cell")
       .saveAsTable(s"${prefix}_vectors")
+    // Radius partials from the JUST-WRITTEN table (one narrow (cell, u)
+    // scan of the stored artifact, map-side-combinable max → K rows) —
+    // the source corpus is still read exactly once per build.
+    radiusPartials(embeddings.sparkSession.table(s"${prefix}_vectors"), cb)
+      .write.mode("overwrite").saveAsTable(s"${prefix}_cellstats")
     // A rebuilt index is a fresh artifact: stale tombstones would
     // silently hide corpus vectors, and a stale batch ledger would
     // silently skip the new stream's early batch ids.
@@ -169,11 +211,25 @@ object VectorIndexOps {
         !batch.join(spark.table(tomb), Seq("vec_id"), "left_semi").isEmpty)
       purgeTombstones(spark, prefix)
     val buckets = IndexCatalog.tableBuckets(spark, s"${prefix}_vectors")
-    assignedProjection(batch, spark.table(s"${prefix}_codebook"))
+    val cb = spark.table(s"${prefix}_codebook")
+    assignedProjection(batch, cb)
       .write.mode("append")
       .bucketBy(buckets, "cell")
       .saveAsTable(s"${prefix}_vectors")
     spark.catalog.refreshTable(s"${prefix}_vectors")
+    // The batch's radius partials ride along as an APPEND (readers max
+    // over partials, so history is never rewritten). Costs a second
+    // scan of the batch source — micro-batch scale under streaming
+    // ingest; a bulk backfill that cares should checkpoint its batch.
+    // Guarded by the same ingest ledger as the vector append, so a
+    // replayed batch appends neither. Indexes built before cellstats
+    // existed simply lack the table ([[ivfRangeSearch]] then probes
+    // every cell — correct, unpruned).
+    if (spark.catalog.tableExists(s"${prefix}_cellstats")) {
+      radiusPartials(assignedProjection(batch, cb), cb)
+        .write.mode("append").saveAsTable(s"${prefix}_cellstats")
+      spark.catalog.refreshTable(s"${prefix}_cellstats")
+    }
   }
 
   /** Physically drop tombstoned rows: stage-rewrite vectors (and
@@ -226,6 +282,59 @@ object VectorIndexOps {
         SimilarityOps.dot(col("qu"), col("u")).as("cosine"),
       )
     SimilarityOps.rankTopK(scored, "cosine", ascending = false, k)
+  }
+
+  /** Radius (range) search over the stored artifact — every neighbor
+    * with cosine ≥ `minCosine`, with WHOLE CELLS pruned before any
+    * vector is scored: for unit vectors, cos(q,x) ≥ τ ⟺ ‖qu−u‖ ≤
+    * √(2−2τ), and the triangle inequality gives ‖qu−u‖ ≥ ‖qu−p(c)‖ −
+    * r_max(c) for every member of cell c — so a cell with ‖qu−p(c)‖ >
+    * r_max(c) + √(2−2τ) cannot contain a result and is never read.
+    * The bound only PRUNES (a hair of float slack keeps it
+    * conservative); membership is decided by the exact cosine filter —
+    * the same predicate over the same stored unit vectors as
+    * [[SimilarityOps.rangeSearch]], so the faces are bit-equal and
+    * share one oracle. Plan shape: K-row stats and query side
+    * broadcast, the corpus contact is the surviving cells' buckets via
+    * one cell equi-join. Indexes without a `_cellstats` table (built
+    * before it existed) fall back to probing every cell — correct,
+    * just unpruned.
+    */
+  def ivfRangeSearch(
+      spark: SparkSession,
+      prefix: String,
+      isQuery: Column,
+      minCosine: Double,
+  ): DataFrame = {
+    val v = live(spark, prefix, s"${prefix}_vectors")
+    val queries = broadcast(
+      v.filter(isQuery).select(col("vec_id").as("query_id"), col("u").as("qu")),
+    )
+    val candidates =
+      if (spark.catalog.tableExists(s"${prefix}_cellstats")) {
+        val cb = spark.table(s"${prefix}_codebook")
+        val cells = spark.table(s"${prefix}_cellstats")
+          .groupBy(col("cell")).agg(max(col("r_max")).as("r_max"))
+          .join(
+            broadcast(cb.select(col("cid").as("cell"), refPoint(col("cv")).as("p"))),
+            "cell",
+          )
+        val thresholdDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
+        val probe = queries
+          .crossJoin(broadcast(cells))
+          .filter(l2(col("qu"), col("p")) <= col("r_max") + lit(thresholdDist) + lit(1e-6))
+          .select(col("query_id"), col("qu"), col("cell"))
+        broadcast(probe).join(v, Seq("cell"))
+      } else queries.crossJoin(v)
+    candidates
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        SimilarityOps.dot(col("qu"), col("u")).as("cosine"),
+      )
+      .filter(col("cosine") >= minCosine)
+      .orderBy("query_id", "neighbor_id")
   }
 
   /** Publish the PQ compression layer over an existing index at

@@ -314,4 +314,43 @@ class VectorIndexSpec extends SparkSpec {
         "grown index must reflect the frozen codebook, not a retrain")
     }
   }
+
+  test("range search: cell-pruned index face bit-equals brute force, radii stay sound under append") {
+    val prefix = "vecrange"
+    Seq("codebook", "vectors", "cellstats").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val emb = Tables.embeddings(spark, Sf)
+    // Build on a subset, append the rest: the appended batch's radius
+    // partials must MERGE (max of maxes) or the bound could prune a
+    // cell holding an appended true result.
+    VectorIndexOps.writeIndex(
+      emb.filter(col("vec_id") % 5 =!= 0), dim = 64, isSeed = col("vec_id") < 8,
+      iters = 2, buckets = 4, prefix = prefix)
+    VectorIndexOps.appendVectors(spark, prefix, emb.filter(col("vec_id") % 5 === 0))
+    val brute = SimilarityOps.rangeSearch(emb, col("vec_id") < 10, 0.3)
+    val pruned = VectorIndexOps.ivfRangeSearch(spark, prefix, col("vec_id") < 10, 0.3)
+    assert(brute.count() > 0, "threshold must admit results for the equality to mean anything")
+    assert(same(pruned, brute),
+      "cell-pruned range search must equal the brute-force face bit-for-bit")
+    // Soundness of the stored geometry: every stored vector's distance
+    // to its cell's reference point is dominated by the cell's merged
+    // r_max (the triangle bound's premise). Recomputes refPoint's
+    // arithmetic independently.
+    val p = {
+      val n2 = aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)
+      transform(col("cv"), x => x / sqrt(n2))
+    }
+    val refs = spark.table(s"${prefix}_codebook").select(col("cid").as("cell"), p.as("p"))
+    val dist = sqrt(aggregate(
+      zip_with(col("u"), col("p"), (x, y) => (x - y) * (x - y)), lit(0.0), (a, d) => a + d))
+    val merged = spark.table(s"${prefix}_cellstats")
+      .groupBy("cell").agg(max(col("r_max")).as("r_max"))
+    val violations = spark.table(s"${prefix}_vectors")
+      .join(refs, "cell").join(merged, "cell")
+      .filter(dist > col("r_max") + lit(1e-12))
+      .count()
+    assert(violations == 0, "every member's distance must be within its cell's merged radius")
+    // Degenerate threshold: nothing qualifies, nothing throws.
+    assert(VectorIndexOps.ivfRangeSearch(spark, prefix, col("vec_id") < 10, 0.9999).isEmpty)
+  }
 }
