@@ -316,6 +316,53 @@ object NetflowQueries {
              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
              |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin),
     ),
+    // Bidirectional flow stitching — the BATCH twin of the stream-stream
+    // interval join (NetflowStreams.pairBidirectionalFlows; StreamingSpec
+    // covers the watermarked face). The events table has no flow tuple,
+    // so one is derived deterministically (the nf_cidr_filter discipline):
+    // small ip/port domains so reverse matches actually occur at gate SF.
+    // The oracle mirrors the derivation, the interval bound, and the
+    // equal-timestamp tie-break exactly.
+    Q(
+      "nf_flow_stitch",
+      (s, d) => {
+        val flows = events(s, d).select(
+          col("event_id").as("id"),
+          concat(lit("10.0.0."), (col("user_id") % 6).cast("string")).as("ip_src"),
+          concat(lit("10.0.0."), (col("event_id") % 6).cast("string")).as("ip_dst"),
+          (lit(8000) + col("event_id") % 3).cast("int").as("port_src"),
+          (lit(8000) + col("user_id") % 3).cast("int").as("port_dst"),
+          col("ts"),
+        )
+        NetflowOps
+          .stitchBidirectional(flows, "1 hour")
+          .select(
+            col("f_id"), col("r_id"),
+            col("f_ip_src"), col("f_ip_dst"), col("f_port_src"), col("f_port_dst"),
+            col("f_ts"), col("r_ts"),
+          )
+          .orderBy("f_id", "r_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT event_id AS id, ts,
+             |    '10.0.0.' || CAST(user_id % 6 AS VARCHAR) AS ip_src,
+             |    '10.0.0.' || CAST(event_id % 6 AS VARCHAR) AS ip_dst,
+             |    CAST(8000 + event_id % 3 AS INTEGER) AS port_src,
+             |    CAST(8000 + user_id % 3 AS INTEGER) AS port_dst
+             |  FROM events)
+             |SELECT a.id AS f_id, b.id AS r_id,
+             |  a.ip_src AS f_ip_src, a.ip_dst AS f_ip_dst,
+             |  a.port_src AS f_port_src, a.port_dst AS f_port_dst,
+             |  a.ts AS f_ts, b.ts AS r_ts
+             |FROM f a JOIN f b
+             |  ON b.ip_src = a.ip_dst AND b.ip_dst = a.ip_src
+             | AND b.port_src = a.port_dst AND b.port_dst = a.port_src
+             | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+             | AND (b.ts > a.ts OR (b.ts = a.ts
+             |      AND (a.ip_src < b.ip_src
+             |           OR (a.ip_src = b.ip_src AND a.port_src < b.port_src))))
+             |ORDER BY f_id, r_id""".stripMargin),
+    ),
     // P11 — the reference's (commented-out) BPF capture pre-filter as a
     // CIDR prefix match (README.md:58-59). The events table has no IP
     // column, so dotted-quad strings are derived deterministically from

@@ -176,4 +176,54 @@ object NetflowOps {
   def flowWindowAgg(df: DataFrame, tsCol: Column, flowKeys: Seq[Column]): DataFrame =
     df.groupBy((window(tsCol, "10 seconds") +: flowKeys): _*)
       .agg(sum("bytes").as("bytes"), sum("packets").as("packets"))
+
+  /** Bidirectional flow stitching — pair each flow A→B with the reverse
+    * flow B→A starting within `window` after it (the request/response
+    * matching a netflow analyzer needs; the reference's per-direction
+    * split at accessTrend.ts:30-41 is the degenerate per-host form of
+    * this). Pure transform shared by batch ([[graft.NetflowQueries]]
+    * `nf_flow_stitch`) and streaming
+    * ([[graft.streaming.NetflowStreams.pairBidirectionalFlows]]), which
+    * adds the watermark that bounds join state.
+    *
+    * Expects columns `ip_src, ip_dst, port_src, port_dst, ts` (plus any
+    * payload columns); EVERY input column comes back twice, prefixed
+    * `f_` (forward flow) and `r_` (reverse), so callers keep ids/bytes
+    * without the core knowing about them. The equi-part of the condition
+    * (the reversed 4-tuple) keys the shuffle; the time bound prunes
+    * state and, under streaming, drives eviction.
+    *
+    * Equal-timestamp exchanges would otherwise emit BOTH orientations
+    * (each side qualifying as "fwd"), and a degenerate loopback flow
+    * (src=dst, psrc=pdst) would pair with itself — the strict
+    * lexicographic tie-break at equal times emits exactly one row per
+    * exchange and nothing for self-matches. `joinType="left_outer"`
+    * emits unanswered forward flows with NULL reverse columns (under
+    * streaming: once the watermark passes their match window).
+    */
+  def stitchBidirectional(
+      flows: DataFrame,
+      window: String = "10 seconds",
+      joinType: String = "inner",
+  ): DataFrame = {
+    val cols = flows.columns.toSeq
+    def side(prefix: String) =
+      flows.select(cols.map(c => col(c).as(s"$prefix$c")): _*)
+    val fwd = side("f_")
+    val rev = side("r_")
+    val strictTieBreak =
+      col("r_ts") > col("f_ts") ||
+        (col("r_ts") === col("f_ts") &&
+          (col("f_ip_src") < col("r_ip_src") ||
+            (col("f_ip_src") === col("r_ip_src") && col("f_port_src") < col("r_port_src"))))
+    fwd.join(
+      rev,
+      col("f_ip_src") === col("r_ip_dst") && col("f_ip_dst") === col("r_ip_src") &&
+        col("f_port_src") === col("r_port_dst") && col("f_port_dst") === col("r_port_src") &&
+        col("r_ts") >= col("f_ts") &&
+        col("r_ts") <= col("f_ts") + expr(s"INTERVAL $window") &&
+        strictTieBreak,
+      joinType,
+    )
+  }
 }

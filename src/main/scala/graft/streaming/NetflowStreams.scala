@@ -179,38 +179,22 @@ object NetflowStreams {
       curated: DataFrame,
       window: String = "10 seconds",
       joinType: String = "inner",
-  ): DataFrame = {
-    val withTs = withEventTime(curated, window)
-    val fwd = withTs.select(
-      col("ip_src").as("f_src"), col("ip_dst").as("f_dst"),
-      col("port_src").as("f_psrc"), col("port_dst").as("f_pdst"),
-      col("bytes").as("f_bytes"), col("ts").as("f_ts"),
-    )
-    val rev = withTs.select(
-      col("ip_src").as("r_src"), col("ip_dst").as("r_dst"),
-      col("port_src").as("r_psrc"), col("port_dst").as("r_pdst"),
-      col("bytes").as("r_bytes"), col("ts").as("r_ts"),
-    )
-    // Equal-timestamp exchanges would otherwise emit BOTH orientations
-    // (each side qualifying as "fwd"), and a degenerate loopback flow
-    // (src=dst, psrc=pdst) would pair with itself — the strict
-    // lexicographic tie-break at equal times emits exactly one row per
-    // exchange and nothing for self-matches.
-    val strictTieBreak =
-      col("r_ts") > col("f_ts") ||
-        (col("r_ts") === col("f_ts") &&
-          (col("f_src") < col("r_src") ||
-            (col("f_src") === col("r_src") && col("f_psrc") < col("r_psrc"))))
-    fwd.join(
-      rev,
-      col("f_src") === col("r_dst") && col("f_dst") === col("r_src") &&
-        col("f_psrc") === col("r_pdst") && col("f_pdst") === col("r_psrc") &&
-        col("r_ts") >= col("f_ts") &&
-        col("r_ts") <= col("f_ts") + expr(s"INTERVAL $window") &&
-        strictTieBreak,
-      joinType,
-    )
-  }
+  ): DataFrame =
+    NetflowOps
+      .stitchBidirectional(
+        withEventTime(curated, window)
+          .select("ip_src", "ip_dst", "port_src", "port_dst", "bytes", "ts"),
+        window,
+        joinType,
+      )
+      .select(
+        col("f_ip_src").as("f_src"), col("f_ip_dst").as("f_dst"),
+        col("f_port_src").as("f_psrc"), col("f_port_dst").as("f_pdst"),
+        col("f_bytes"), col("f_ts"),
+        col("r_ip_src").as("r_src"), col("r_ip_dst").as("r_dst"),
+        col("r_port_src").as("r_psrc"), col("r_port_dst").as("r_pdst"),
+        col("r_bytes"), col("r_ts"),
+      )
 
   /** Streaming exact dedup with bounded state: duplicates of the key
     * columns arriving within the watermark delay are dropped; state for
