@@ -136,5 +136,23 @@ object MultimodalQueries {
               |      FROM ($mediaSql) WHERE media_type = 'video')
               |ORDER BY doc_id, frame_idx""".stripMargin),
     ),
+    // Binary content-hash dedup — the first pass every media pipeline
+    // runs before any decode: hash the raw payload BYTES (not a decoded
+    // form), one shuffle on the digest, keep the lowest doc_id per
+    // group. Payloads here are asMedia's UTF-8 stand-ins, so DuckDB's
+    // md5 over the text column hashes the identical byte string.
+    Q(
+      "mm_exact_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        MultimodalOps.asMedia(documents(s, d))
+          .groupBy(md5(col("payload")).as("payload_md5"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+          .orderBy("payload_md5")
+      },
+      Some("""SELECT md5(text) AS payload_md5, CAST(count(*) AS BIGINT) AS n_copies,
+             |  min(doc_id) AS keeper_doc_id
+             |FROM documents GROUP BY payload_md5 ORDER BY payload_md5""".stripMargin),
+    ),
   )
 }

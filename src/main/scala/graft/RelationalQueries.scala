@@ -2655,6 +2655,47 @@ object RelationalQueries {
     // than 1000 distinct members contribute no edges) so operator and
     // oracle agree on any data, not just data where the cap never
     // binds (orders cap at 7 lines, so it is dormant here).
+    // Per-node triangle counts by degree orientation (the O(√m)
+    // out-degree cap that makes the wedge join survive hubs — a naive
+    // 3-way self-join counts each triangle 6× and explodes on skew).
+    // The 'R' slice keeps the co-occurrence graph at a realistic
+    // density; the oracle mirrors the orientation rule, the wedge
+    // join, and the hub guard inherited from coOccurrenceEdges.
+    Q(
+      "q_triangles",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val edges = graft.operators.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_suppkey")
+        graft.operators.GraphOps.triangleCounts(edges)
+      },
+      Some("""WITH m AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS k FROM lineitem
+             |  WHERE l_returnflag = 'R'),
+             |gok AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING count(*) <= 1000),
+             |und AS MATERIALIZED (
+             |  SELECT DISTINCT a.k AS u, b.k AS v
+             |  FROM m a JOIN m b ON b.g = a.g AND a.k < b.k
+             |  WHERE a.g IN (SELECT g FROM gok)),
+             |deg AS MATERIALIZED (
+             |  SELECT node, count(*) AS d FROM (
+             |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+             |  GROUP BY node),
+             |ori AS MATERIALIZED (
+             |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v) THEN u ELSE v END AS a,
+             |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v) THEN v ELSE u END AS b
+             |  FROM und JOIN deg da ON da.node = und.u JOIN deg db ON db.node = und.v),
+             |tri AS MATERIALIZED (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM ori e1 JOIN ori e2 ON e2.a = e1.b
+             |  WHERE EXISTS (SELECT 1 FROM ori e3 WHERE e3.a = e1.a AND e3.b = e2.b))
+             |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+             |FROM (SELECT x AS node FROM tri
+             |      UNION ALL SELECT y FROM tri
+             |      UNION ALL SELECT z FROM tri)
+             |GROUP BY node ORDER BY node""".stripMargin),
+    ),
     Q(
       "q_pagerank",
       (s, d) => {

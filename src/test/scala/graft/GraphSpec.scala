@@ -69,4 +69,24 @@ class GraphSpec extends SparkSpec {
       assert(run1.map(_._3).distinct.size > 1,
         "irregular degrees must differentiate ranks")
   }
+
+  test("triangleCounts credits each triangle's three corners exactly once") {
+    // Two triangles sharing edge 2–3: (1,2,3) and (2,3,4), plus a
+    // pendant 4–5 (on no triangle) and a square 6-7-8-9 (cycles ≠
+    // triangles). Symmetric input per the contract.
+    val und = Seq(
+      1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L,
+      6L -> 7L, 7L -> 8L, 8L -> 9L, 9L -> 6L,
+    )
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.triangleCounts(edges).as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
+      "corner credits: shared-edge nodes 2 and 3 sit on both triangles; the square contributes none")
+    // A hub star (no closing edges) must produce zero triangles — the
+    // degree orientation caps its wedge work but the count is what is
+    // asserted here.
+    val star = (1 to 30).map(i => 0L -> i.toLong)
+    val starEdges = (star ++ star.map(_.swap)).toDF("src", "dst")
+    assert(GraphOps.triangleCounts(starEdges).isEmpty)
+  }
 }
