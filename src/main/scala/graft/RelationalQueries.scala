@@ -2696,6 +2696,48 @@ object RelationalQueries {
              |      UNION ALL SELECT z FROM tri)
              |GROUP BY node ORDER BY node""".stripMargin),
     ),
+    // Bounded-round k-core peeling over the part co-occurrence graph
+    // (quantity slice keeps it at realistic sparsity, avg degree ~5):
+    // three "drop degree < 4" rounds, each recomputing degrees within
+    // the shrinking subgraph. The oracle unrolls the three rounds as
+    // CTE stages — bit-identical peel order by construction since each
+    // round is a set operation.
+    Q(
+      "q_kcore",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .filter(col("l_quantity") <= 10)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val edges = graft.operators.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+        graft.operators.GraphOps.kCorePeel(edges, k = 4, rounds = 3)
+      },
+      Some("""WITH m AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS g, l_partkey AS k FROM lineitem
+             |  WHERE l_quantity <= 10),
+             |gok AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING count(*) <= 1000),
+             |und AS MATERIALIZED (
+             |  SELECT DISTINCT a.k AS u, b.k AS v
+             |  FROM m a JOIN m b ON b.g = a.g AND a.k < b.k
+             |  WHERE a.g IN (SELECT g FROM gok)),
+             |d1 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+             |  SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) GROUP BY node),
+             |a1 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= 4),
+             |e1 AS MATERIALIZED (SELECT u, v FROM und
+             |  WHERE u IN (SELECT node FROM a1) AND v IN (SELECT node FROM a1)),
+             |d2 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+             |  SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1) GROUP BY node),
+             |a2 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= 4),
+             |e2 AS MATERIALIZED (SELECT u, v FROM e1
+             |  WHERE u IN (SELECT node FROM a2) AND v IN (SELECT node FROM a2)),
+             |d3 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+             |  SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2) GROUP BY node),
+             |a3 AS MATERIALIZED (SELECT node FROM d3 WHERE d >= 4),
+             |e3 AS MATERIALIZED (SELECT u, v FROM e2
+             |  WHERE u IN (SELECT node FROM a3) AND v IN (SELECT node FROM a3))
+             |SELECT node, CAST(count(*) AS BIGINT) AS degree
+             |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
+             |GROUP BY node ORDER BY node""".stripMargin),
+    ),
     Q(
       "q_pagerank",
       (s, d) => {

@@ -126,6 +126,44 @@ object GraphOps {
     * Output: (node, n_triangles) for every node on ≥1 triangle,
     * ordered by node; each triangle credits all three corners.
     */
+  /** Bounded-round k-core peeling: `rounds` iterations of "drop every
+    * node whose degree in the CURRENT subgraph is < k" — the standard
+    * degeneracy/cohesion filter (a training-data pipeline uses it to
+    * keep only densely co-occurring entities). Bounded rounds, not a
+    * fixpoint, for the same reason [[pageRankInt]] fixes `iters`: a
+    * deterministic, oracle-checkable contract (full-core convergence
+    * is the rounds → ∞ limit; each round only shrinks the subgraph, so
+    * a converged graph is a fixpoint of further rounds).
+    *
+    * `edges` must be symmetric and distinct ([[coOccurrenceEdges]]'
+    * contract). Per round: one degree aggregation + two semi-joins on
+    * node keys — narrow-key shuffles whose input only shrinks;
+    * `localCheckpoint` truncates the iterative lineage. Output: (node,
+    * degree) within the subgraph surviving all `rounds` peels, ordered
+    * by node (nodes stripped of every edge drop out of the degree
+    * count and the output).
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    def degrees(und: DataFrame) =
+      und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("degree"))
+    var cur = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = degrees(cur).filter(col("degree") >= k).select(col("node")).localCheckpoint()
+      cur = cur
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    degrees(cur).orderBy("node")
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.filter(col("src") < col("dst")).select(col("src").as("u"), col("dst").as("v"))
     val deg = und.select(col("u").as("node"))

@@ -89,4 +89,37 @@ class GraphSpec extends SparkSpec {
     val starEdges = (star ++ star.map(_.swap)).toDF("src", "dst")
     assert(GraphOps.triangleCounts(starEdges).isEmpty)
   }
+
+  test("kCorePeel strips tails round by round and is a fixpoint once converged") {
+    // A 4-clique (1-4) with a pendant path 4–5–6. k=3: round 1 peels
+    // 5 and 6 (degrees 2 and 1); the clique (all degrees 3) survives
+    // any number of further rounds unchanged.
+    val und = Seq(
+      1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      4L -> 5L, 5L -> 6L,
+    )
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val one = GraphOps.kCorePeel(edges, k = 3, rounds = 1).as[(Long, Long)].collect().toSeq
+    assert(one == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "one round peels the pendant tail; clique degrees drop to in-clique counts")
+    val three = GraphOps.kCorePeel(edges, k = 3, rounds = 3).as[(Long, Long)].collect().toSeq
+    assert(three == one, "a converged subgraph is a fixpoint of further rounds")
+    // k above the clique's connectivity empties the graph without error.
+    assert(GraphOps.kCorePeel(edges, k = 5, rounds = 2).isEmpty)
+  }
+
+  test("graph plans stay equi-join shaped: no cartesian products anywhere") {
+    // The degree orientation / peel formulations exist to keep every
+    // join an equi-join (wedge join on the shared endpoint, closing
+    // check a semi-join, peel filters semi-joins) — a cartesian product
+    // appearing in any of these plans means the shape regressed.
+    val li = lineitem(spark, Sf)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_suppkey")
+    for (df <- Seq(GraphOps.triangleCounts(edges), GraphOps.kCorePeel(edges, 4, 2))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian product in graph plan:\n$plan")
+    }
+  }
 }
