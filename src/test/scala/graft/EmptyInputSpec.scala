@@ -97,4 +97,15 @@ class EmptyInputSpec extends SparkSpec {
     val stats = BloomOps.bloomSemiJoinStats(noKeyed, "ka", noKeyed, "kb", 1024L).collect()
     assert(stats.length == 1 && stats.head.getAs[Long]("n_probe") == 0L)
   }
+
+  test("round-9 operators on empty input") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.triangleCounts(noEdges).count() == 0)
+    assert(GraphOps.kCorePeel(noEdges, k = 3, rounds = 2).count() == 0)
+    val noFlows = Seq.empty[(Long, String, String, Int, Int, java.sql.Timestamp)]
+      .toDF("id", "ip_src", "ip_dst", "port_src", "port_dst", "ts")
+    assert(NetflowOps.stitchBidirectional(noFlows, "1 hour").count() == 0)
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(SimilarityOps.rangeSearch(noEmb, col("vec_id") < 10, 0.5).count() == 0)
+  }
 }
