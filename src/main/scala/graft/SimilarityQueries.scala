@@ -494,6 +494,55 @@ object SimilarityQueries {
        |WHERE ${dot("q.u", "c.u")} >= $RangeTau
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** Oracle of the MMR diversified top-k: candidate pool (top-8 by
+    * cosine, rankTopK tie order), candidate-pair cosines, then the four
+    * greedy rounds UNROLLED — each round scores unselected candidates
+    * as 0.75·rel − 0.25·max-sim-to-selected (round 1's diversity term
+    * is defined 0) and picks the (mmr DESC, neighbor_id) head. λ is
+    * dyadic so 1−λ is exact and both engines' score doubles agree.
+    */
+  private val mmrSql: String = {
+    def round(r: Int, sel: String): String =
+      s"""m$r AS (SELECT p.query_id, p.a_id, max(p.sim) AS maxsim FROM pairs p
+         |  JOIN $sel s ON s.query_id = p.query_id AND s.neighbor_id = p.b_id
+         |  GROUP BY p.query_id, p.a_id),
+         |s$r AS (SELECT c.query_id, c.neighbor_id, 0.75*c.rel - 0.25*m.maxsim AS mmr
+         |  FROM cand c JOIN m$r m ON m.query_id = c.query_id AND m.a_id = c.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $sel s
+         |                    WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)),
+         |p$r AS (SELECT query_id, neighbor_id, mmr, $r AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rn
+         |  FROM s$r) WHERE rn = 1)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, ${unitNorm("e")} AS u FROM v),
+       |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${dot("q.u", "c.u")} AS rel, c.u AS cu
+       |       FROM n q JOIN n c ON q.$QueryPred AND q.vec_id <> c.vec_id),
+       |cand AS (SELECT query_id, neighbor_id, rel, cu FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+       |  FROM sc) WHERE rn <= 8),
+       |pairs AS (SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+       |            ${dot("a.cu", "b.cu")} AS sim
+       |          FROM cand a JOIN cand b
+       |            ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id),
+       |s1 AS (SELECT query_id, neighbor_id, 0.75*rel - 0.25*0.0 AS mmr FROM cand),
+       |p1 AS (SELECT query_id, neighbor_id, mmr, 1 AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rn
+       |  FROM s1) WHERE rn = 1),
+       |sel2 AS (SELECT query_id, neighbor_id FROM p1),
+       |${round(2, "sel2")},
+       |sel3 AS (SELECT query_id, neighbor_id FROM sel2
+       |         UNION ALL SELECT query_id, neighbor_id FROM p2),
+       |${round(3, "sel3")},
+       |sel4 AS (SELECT query_id, neighbor_id FROM sel3
+       |         UNION ALL SELECT query_id, neighbor_id FROM p3),
+       |${round(4, "sel4")}
+       |SELECT query_id, rank, neighbor_id, mmr FROM (
+       |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+       |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def topkSql(cellJoin: String, k: Int): String =
     s"""WITH v AS (SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, label, embedding, ${unitNorm("e")} AS u FROM v),
@@ -746,6 +795,19 @@ object SimilarityQueries {
         graft.operators.VectorIndexOps.ivfRangeSearch(
           s, fullVectorIndex(s, d), col("vec_id") < 10, RangeTau),
       Some(rangeSearchSql),
+    ),
+    // MMR diversified top-k — greedy selection balancing relevance
+    // against similarity-to-already-selected, the fix for "top-k
+    // returns k near-copies". Candidate pool from the bounded-heap
+    // top-8, then four driver-coordinated rounds over the bounded
+    // candidate frame with pair cosines computed once; the oracle
+    // unrolls the rounds as CTE stages.
+    Q(
+      "sim_mmr",
+      (s, d) =>
+        SimilarityOps.mmrTopK(
+          embeddings(s, d), col("vec_id") < 10, candK = 8, k = 4, lambda = 0.75),
+      Some(mmrSql),
     ),
     // Incremental ingest against the FROZEN stored codebook: index
     // built on vec_id % 5 <> 0, the rest appended (assigned by the

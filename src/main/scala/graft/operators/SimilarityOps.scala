@@ -138,6 +138,85 @@ object SimilarityOps {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** MMR (Maximal Marginal Relevance) diversified top-k — the diverse
+    * retrieval a curation pipeline uses where plain top-k returns k
+    * near-copies of the same document. Two stages:
+    *
+    *   1. CANDIDATES: top-`candK` by cosine per query (bounded-heap,
+    *      the only corpus contact — swap in an index-served nominator
+    *      at scale);
+    *   2. GREEDY MMR over the bounded Q×candK candidate frame: `k`
+    *      driver-coordinated rounds, each scoring every unselected
+    *      candidate as λ·rel − (1−λ)·max_{s∈selected} cos(c, s) and
+    *      taking the per-query argmax (ties → lower neighbor_id, the
+    *      rankTopK order). Round 1 has no selected set; the diversity
+    *      term is defined 0 there.
+    *
+    * Candidate–candidate cosines are computed ONCE into a
+    * `localCheckpoint`ed pair frame (Q·candK² rows, bounded) and each
+    * round reuses it — rounds cost one semi/anti join + one bounded
+    * aggregate, never a re-scan. λ must be dyadic (0.75 here) so
+    * 1−λ is exact and both engines compute bit-identical scores.
+    * Output: (query_id, rank, neighbor_id, mmr) — rank is selection
+    * order, the whole point of the operator.
+    */
+  def mmrTopK(
+      embeddings: DataFrame,
+      isQuery: Column,
+      candK: Int,
+      k: Int,
+      lambda: Double,
+  ): DataFrame = {
+    require(k <= candK, "cannot select more than the candidate pool")
+    val v = embeddings.select(col("vec_id"), unitNorm(col("embedding")).as("u"))
+    val queries = broadcast(
+      v.filter(isQuery).select(col("vec_id").as("query_id"), col("u").as("qu")),
+    )
+    val scored = queries
+      .join(v, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), dot(col("qu"), col("u")).as("rel"))
+    val cand = rankTopK(scored, "rel", ascending = false, candK)
+      .select(col("query_id"), col("neighbor_id"), col("rel"))
+      .localCheckpoint()
+    val candU = cand.join(
+      v.select(col("vec_id").as("neighbor_id"), col("u")), "neighbor_id")
+    val pairSims = candU.select(col("query_id"), col("neighbor_id").as("a_id"), col("u").as("au"))
+      .join(candU.select(col("query_id"), col("neighbor_id").as("b_id"), col("u").as("bu")), "query_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"), dot(col("au"), col("bu")).as("sim"))
+      .localCheckpoint()
+    val mu = 1.0 - lambda
+    var selected: DataFrame = null
+    var out: DataFrame = null
+    for (r <- 1 to k) {
+      val remaining =
+        if (selected == null) cand
+        else cand.join(selected.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      val withScore =
+        if (selected == null)
+          remaining.select(col("query_id"), col("neighbor_id"),
+            (lit(lambda) * col("rel") - lit(mu) * lit(0.0)).as("mmr"))
+        else {
+          val maxsim = pairSims
+            .join(selected.select(col("query_id"), col("neighbor_id").as("b_id")),
+              Seq("query_id", "b_id"))
+            .groupBy(col("query_id"), col("a_id"))
+            .agg(max(col("sim")).as("maxsim"))
+            .withColumnRenamed("a_id", "neighbor_id")
+          remaining.join(maxsim, Seq("query_id", "neighbor_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              (lit(lambda) * col("rel") - lit(mu) * col("maxsim")).as("mmr"))
+        }
+      val pick = rankTopK(withScore, "mmr", ascending = false, 1)
+        .select(col("query_id"), lit(r).as("rank"), col("neighbor_id"), col("mmr"))
+        .localCheckpoint()
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      out = if (out == null) pick else out.unionByName(pick)
+    }
+    out.orderBy("query_id", "rank")
+  }
+
   /** Sign-LSH bucket id: one bit per probe dimension (axis-aligned
     * hyperplane at 0), folded MSB→LSB. Deterministic and portable — the
     * oracle derives identical buckets.

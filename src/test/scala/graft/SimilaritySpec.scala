@@ -457,4 +457,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rr.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
       "re-rank top-k must be the bounded-heap aggregate, not a window")
   }
+
+  test("mmrTopK demotes a near-copy of the first pick in favor of a diverse candidate") {
+    import spark.implicits._
+    // Query q = e1. b is the most relevant; a is b's near-copy (same
+    // e1+e2 quadrant, cosine ≈ 0.99995); c matches q equally well but
+    // from the OPPOSITE e2 half-plane (cosine to b ≈ 0.63). Plain
+    // top-3 ranks by relevance alone → (b, a, c). MMR picks b, then
+    // the 0.25·max-sim penalty (≈0.25 for the near-copy vs ≈0.157 for
+    // c) flips round 2 to the diverse c → (b, c, a).
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val emb = Seq(
+      0L -> vec(0 -> 1f), // the query
+      1L -> vec(0 -> 0.9f, 1 -> 0.436f), // a: b's near-copy
+      2L -> vec(0 -> 0.91f, 1 -> 0.43f), // b: most relevant
+      3L -> vec(0 -> 0.9f, 1 -> -0.436f), // c: as relevant as a, diverse from a/b
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.mmrTopK(emb, col("vec_id") === 0, candK = 3, k = 3, lambda = 0.75)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(2L, 3L, 1L),
+      s"MMR order must be most-relevant, then diverse, then the near-copy: $got")
+    // Sanity: plain top-3 puts the near-copy second — the behavior MMR exists to fix.
+    val plain = SimilarityOps.bruteForceTopK(emb, col("vec_id") === 0, 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(plain.map(_._2) == Seq(2L, 1L, 3L))
+  }
 }
