@@ -326,7 +326,13 @@ object NetflowQueries {
     Q(
       "nf_flow_stitch",
       (s, d) => {
-        val flows = events(s, d).select(
+        // The probe side of the stitch join inherits the scan's split
+        // count, and the single-file local testdata reads as ONE
+        // partition — the broadcast-hash probe (~30M interval checks at
+        // sf0.1) would run on one core (measured 79 s; 32-way ≈ 2.5 s).
+        // A real deployment's thousands of splits make this a no-op
+        // repartition; here it is the honest parallelism floor.
+        val flows = events(s, d).repartition(s.sparkContext.defaultParallelism).select(
           col("event_id").as("id"),
           concat(lit("10.0.0."), (col("user_id") % 6).cast("string")).as("ip_src"),
           concat(lit("10.0.0."), (col("event_id") % 6).cast("string")).as("ip_dst"),
