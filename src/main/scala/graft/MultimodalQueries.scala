@@ -154,5 +154,41 @@ object MultimodalQueries {
              |  min(doc_id) AS keeper_doc_id
              |FROM documents GROUP BY payload_md5 ORDER BY payload_md5""".stripMargin),
     ),
+    // Aspect-ratio / resolution bucketing — the batch-formation step of
+    // an image-training pipeline (pad each image up to the next 64-px
+    // multiple, batch images that share a padded shape): dims PARSED
+    // from the real container headers, snapped with integer arithmetic,
+    // one hash aggregation on the (bucket_w, bucket_h) key. `pad_waste`
+    // totals the padding pixels the bucketing costs — the quantity a
+    // pipeline tunes its bucket granularity by.
+    Q(
+      "mm_aspect_bucket",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        def snap(c: org.apache.spark.sql.Column) = floor((c + 63) / 64) * 64
+        MultimodalOps.decodeHeaderMeta(MultimodalOps.encodeMedia(documents(s, d)))
+          .filter(col("media_type") === "image")
+          .select(
+            snap(col("width")).as("bucket_w"),
+            snap(col("height")).as("bucket_h"),
+            col("width"), col("height"),
+          )
+          .groupBy(col("bucket_w"), col("bucket_h"))
+          .agg(
+            count(lit(1)).as("n_images"),
+            sum(col("bucket_w") * col("bucket_h") - col("width") * col("height"))
+              .as("pad_waste"),
+          )
+          .orderBy("bucket_w", "bucket_h")
+      },
+      Some(s"""SELECT bucket_w, bucket_h, count(*) AS n_images,
+              |  CAST(sum(bucket_w * bucket_h - width * height) AS BIGINT) AS pad_waste
+              |FROM (SELECT ((width + 63) // 64) * 64 AS bucket_w,
+              |             ((height + 63) // 64) * 64 AS bucket_h, width, height
+              |      FROM (SELECT 64 + n_bytes % 512 AS width,
+              |                   64 + (n_bytes * 31) % 512 AS height
+              |            FROM ($mediaSql) WHERE media_type = 'image'))
+              |GROUP BY bucket_w, bucket_h ORDER BY bucket_w, bucket_h""".stripMargin),
+    ),
   )
 }

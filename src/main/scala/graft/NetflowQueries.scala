@@ -369,6 +369,77 @@ object NetflowQueries {
              |           OR (a.ip_src = b.ip_src AND a.port_src < b.port_src))))
              |ORDER BY f_id, r_id""".stripMargin),
     ),
+    // Port-scan / fan-out detection — the security read a netflow
+    // pipeline runs right after the reference's traffic trend: distinct
+    // dst ports and hosts per (day, source), scan flag at >= 12 distinct
+    // ports. Flow tuples are derived deterministically (the
+    // nf_flow_stitch discipline); one narrow-key hash aggregation, no
+    // join, no window. The 12 threshold straddles the sf0.01 gate's
+    // distribution (median 8, max 20 ports per day-source), so both
+    // flag values are exercised where the driver checks hashes.
+    Q(
+      "nf_port_scan",
+      (s, d) => {
+        val flows = events(s, d).select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          concat(lit("10.0.0."), (col("user_id") % 40).cast("string")).as("ip_src"),
+          concat(lit("192.168.0."), (col("event_id") % 25).cast("string")).as("ip_dst"),
+          (col("event_id") % 997).cast("int").as("port_dst"),
+        )
+        NetflowOps.fanOutProfile(flows, scanThreshold = 12)
+      },
+      Some("""WITH f AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+             |    '10.0.0.' || CAST(user_id % 40 AS VARCHAR) AS ip_src,
+             |    '192.168.0.' || CAST(event_id % 25 AS VARCHAR) AS ip_dst,
+             |    CAST(event_id % 997 AS INTEGER) AS port_dst
+             |  FROM events)
+             |SELECT day, ip_src, count(*) AS n_flows,
+             |  count(DISTINCT port_dst) AS n_ports,
+             |  count(DISTINCT ip_dst) AS n_hosts,
+             |  count(DISTINCT port_dst) >= 12 AS is_scan
+             |FROM f GROUP BY day, ip_src ORDER BY day, ip_src""".stripMargin),
+    ),
+    // Beaconing (C2 call-home) profile: per flow pair, exact-integer
+    // gap moments (count/min/max/sum/sum-of-squares in whole seconds)
+    // plus a scale-free coefficient-of-variation flag — cv² ≤ 1/25,
+    // stated in cross-multiplied integer form so no float enters the
+    // pipeline. The synthetic events table has Poisson arrivals
+    // (cv ≈ 1), so no pair flags — the honest answer; the oracle still
+    // hash-checks the full arithmetic on every pair. Shuffle on the
+    // pair key + in-partition sort (the sessionize shape).
+    Q(
+      "nf_beacon",
+      (s, d) => {
+        val flows = events(s, d).select(
+          col("event_id").as("id"),
+          concat(lit("10.0.0."), (col("user_id") % 20).cast("string")).as("ip_src"),
+          concat(lit("172.16.0."), (col("event_id") % 5).cast("string")).as("ip_dst"),
+          col("ts"),
+        )
+        NetflowOps.beaconProfile(flows, minGaps = 5, cvInv = 5)
+      },
+      Some("""WITH f AS (
+             |  SELECT event_id AS id,
+             |    '10.0.0.' || CAST(user_id % 20 AS VARCHAR) AS ip_src,
+             |    '172.16.0.' || CAST(event_id % 5 AS VARCHAR) AS ip_dst, ts
+             |  FROM events),
+             |g AS (SELECT ip_src, ip_dst,
+             |        (epoch_us(ts) - lag(epoch_us(ts))
+             |           OVER (PARTITION BY ip_src, ip_dst ORDER BY ts, id)) // 1000000
+             |          AS gap_s
+             |      FROM f)
+             |SELECT ip_src, ip_dst, count(*) AS n_flows,
+             |  count(gap_s) AS n_gaps,
+             |  min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s,
+             |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+             |  CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap2_s,
+             |  count(gap_s) >= 5 AND
+             |    25 * (count(gap_s) * CAST(sum(gap_s * gap_s) AS BIGINT)
+             |          - CAST(sum(gap_s) AS BIGINT) * CAST(sum(gap_s) AS BIGINT))
+             |    <= CAST(sum(gap_s) AS BIGINT) * CAST(sum(gap_s) AS BIGINT) AS is_beacon
+             |FROM g GROUP BY ip_src, ip_dst ORDER BY ip_src, ip_dst""".stripMargin),
+    ),
     // P11 — the reference's (commented-out) BPF capture pre-filter as a
     // CIDR prefix match (README.md:58-59). The events table has no IP
     // column, so dotted-quad strings are derived deterministically from

@@ -380,6 +380,68 @@ object RelationalQueries {
              |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
              |ORDER BY l_orderkey, l_linenumber""".stripMargin),
     ),
+    // Winsorized (clipped) aggregation — the robust-statistics pass a
+    // metrics pipeline runs before averaging heavy-tailed values: clip
+    // each group's values to its EXACT p05/p95 order statistics
+    // (rank-selected, no interpolation — so both engines pick the
+    // identical element and the result hash-matches), then count the
+    // clipped tails and sum the clipped values. Plan: one sort per
+    // group key for the rank window, a 3-row bounds aggregate broadcast
+    // back over the scan, one final hash agg. Exactness costs the
+    // per-group sort; the sketch path at 100 TB is q_approx_percentile.
+    Q(
+      "q_winsorize",
+      (s, d) => {
+        val byFlag = Window.partitionBy("l_returnflag")
+        val w = byFlag.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val ranked = lineitem(s, d)
+          .select(
+            col("l_returnflag"), col("l_extendedprice"),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(byFlag).as("n"),
+          )
+        val bounds = ranked
+          .groupBy("l_returnflag")
+          .agg(
+            max(col("n")).as("n"),
+            max(when(col("rn") === floor((col("n") + 19) / 20), col("l_extendedprice")))
+              .as("v_lo"),
+            max(when(col("rn") === floor((col("n") * 19 + 19) / 20), col("l_extendedprice")))
+              .as("v_hi"),
+          )
+        val clipped = least(greatest(col("l_extendedprice"), col("v_lo")), col("v_hi"))
+        lineitem(s, d)
+          .join(broadcast(bounds), "l_returnflag")
+          .groupBy(col("l_returnflag"), col("n"), col("v_lo"), col("v_hi"))
+          .agg(
+            count(when(col("l_extendedprice") < col("v_lo"), 1)).as("n_clip_lo"),
+            count(when(col("l_extendedprice") > col("v_hi"), 1)).as("n_clip_hi"),
+            sum(dec(clipped)).cast("double").as("winsorized_sum"),
+          )
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH r AS (
+             |  SELECT l_returnflag, l_extendedprice,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT l_returnflag, max(n) AS n,
+             |    max(CASE WHEN rn = (n + 19) // 20 THEN l_extendedprice END) AS v_lo,
+             |    max(CASE WHEN rn = (19 * n + 19) // 20 THEN l_extendedprice END) AS v_hi
+             |  FROM r GROUP BY l_returnflag)
+             |SELECT l_returnflag, b.n, b.v_lo, b.v_hi,
+             |  CAST(count(CASE WHEN l.l_extendedprice < b.v_lo THEN 1 END) AS BIGINT)
+             |    AS n_clip_lo,
+             |  CAST(count(CASE WHEN l.l_extendedprice > b.v_hi THEN 1 END) AS BIGINT)
+             |    AS n_clip_hi,
+             |  CAST(sum(CAST(least(greatest(l.l_extendedprice, b.v_lo), b.v_hi)
+             |                AS DECIMAL(12,2))) AS DOUBLE) AS winsorized_sum
+             |FROM lineitem l JOIN b USING (l_returnflag)
+             |GROUP BY l_returnflag, b.n, b.v_lo, b.v_hi
+             |ORDER BY l_returnflag""".stripMargin),
+    ),
 
     // Pearson correlation the deterministic way: built-in corr()
     // accumulates doubles in partition order (non-reproducible across

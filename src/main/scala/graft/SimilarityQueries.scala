@@ -563,6 +563,35 @@ object SimilarityQueries {
       (s, d) => SimilarityOps.bruteForceTopK(embeddings(s, d), col("vec_id") < 10, TopK),
       Some(topkSql("", TopK)),
     ),
+    // k-NN majority-label classification over the exact top-k: the
+    // label-propagation read of the vector store (auto-labeling / label
+    // audits). Candidate stage is sim_topk_exact's; the vote argmax is
+    // a struct-max aggregate (ties → smallest label), not a window.
+    Q(
+      "sim_knn_classify",
+      (s, d) => SimilarityOps.knnClassify(embeddings(s, d), col("vec_id") < 10, TopK),
+      Some(
+        s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |n AS (SELECT vec_id, label, ${unitNorm("e")} AS u FROM v),
+           |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |        c.label AS n_label, ${dot("q.u", "c.u")} AS cosine
+           |      FROM n q JOIN n c ON q.$QueryPred AND q.vec_id <> c.vec_id),
+           |tk AS (SELECT query_id, n_label FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |              ORDER BY cosine DESC, neighbor_id) AS rn FROM p)
+           |  WHERE rn <= $TopK),
+           |vt AS (SELECT query_id, n_label AS label, count(*) AS n_votes
+           |       FROM tk GROUP BY query_id, n_label),
+           |pr AS (SELECT query_id, label AS predicted_label, n_votes FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |              ORDER BY n_votes DESC, label) AS rn FROM vt)
+           |  WHERE rn = 1)
+           |SELECT pr.query_id, e.label AS true_label, pr.predicted_label, pr.n_votes,
+           |  pr.predicted_label = e.label AS correct
+           |FROM pr JOIN embeddings e ON e.vec_id = pr.query_id
+           |ORDER BY query_id""".stripMargin,
+      ),
+    ),
     Q(
       "sim_lsh_bucket",
       (s, d) => SimilarityOps.lshBucketTopK(embeddings(s, d), col("vec_id") < 10, ProbeDims, BucketK),

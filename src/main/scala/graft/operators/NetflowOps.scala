@@ -201,6 +201,82 @@ object NetflowOps {
     * emits unanswered forward flows with NULL reverse columns (under
     * streaming: once the watermark passes their match window).
     */
+  /** Port-scan / fan-out profile — the classic netflow detection the
+    * reference's per-host trend (accessTrend.ts:30-41) stops short of:
+    * per (day, source) count the DISTINCT destination ports and hosts
+    * touched, and flag sources whose port fan-out reaches
+    * `scanThreshold`. A vertical scan lights up `n_ports`, a horizontal
+    * sweep lights up `n_hosts`; both fall out of one pass.
+    *
+    * Expects columns `day, ip_src, ip_dst, port_dst`. Plan shape: a
+    * single hash aggregation keyed on (day, ip_src) — the two
+    * count-distincts expand to one partial+final pair (shared Expand),
+    * so the only shuffle is on the narrow group key; no window, no
+    * join, no per-source state. At 100 TB the group-key cardinality is
+    * days × sources — small — and the distinct expansion is map-side
+    * partial, so this is scan-bound.
+    */
+  def fanOutProfile(flows: DataFrame, scanThreshold: Int): DataFrame =
+    flows
+      .groupBy(col("day"), col("ip_src"))
+      .agg(
+        count(lit(1)).as("n_flows"),
+        countDistinct(col("port_dst")).as("n_ports"),
+        countDistinct(col("ip_dst")).as("n_hosts"),
+      )
+      .withColumn("is_scan", col("n_ports") >= scanThreshold)
+      .orderBy("day", "ip_src")
+
+  /** Beaconing profile — C2-style regular call-home detection over flow
+    * inter-arrival times: per (src, dst) pair, the gap sequence between
+    * consecutive flows reduced to exact-integer moments (count, min,
+    * max, sum, sum-of-squares in whole seconds — enough for any
+    * downstream variance/CV test without a float in the pipeline) plus
+    * the coefficient-of-variation flag itself: at least `minGaps` gaps
+    * with cv² = (n·Σg² − (Σg)²)/(Σg)² at most 1/cvInv² — regular
+    * beacons have cv ≪ 1, Poisson traffic cv ≈ 1 — stated in
+    * cross-multiplied integer form, so results are bit-reproducible
+    * across engines. (The products wrap past 2⁶³ in Spark and throw in
+    * DuckDB — the documented overflow asymmetry; whole-second gap sums
+    * keep real corpora far below it.)
+    *
+    * Expects columns `ip_src, ip_dst, ts, id` (`id` breaks
+    * equal-timestamp ordering ties deterministically). Plan shape: one
+    * shuffle on the pair key, one in-partition sort for the lag, one
+    * hash aggregation — the sessionize shape ([[EventOps]]), which is
+    * the right one at scale: per-pair rows are contiguous after the
+    * exchange, and no state beyond the sort spill is held. Gap seconds
+    * are floor((µs-diff)/1e6) — floor and truncation agree for the
+    * non-negative diffs the sort guarantees.
+    */
+  def beaconProfile(flows: DataFrame, minGaps: Int, cvInv: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ip_src"), col("ip_dst")).orderBy(col("ts"), col("id"))
+    // NTZ-tolerant epoch micros: gaps are DIFFERENCES, so any fixed
+    // session-zone interpretation of an NTZ wall time cancels out.
+    val us = unix_micros(col("ts").cast("timestamp"))
+    flows
+      .withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("gap_s", floor((us - col("prev_us")) / lit(1000000L)))
+      .groupBy(col("ip_src"), col("ip_dst"))
+      .agg(
+        count(lit(1)).as("n_flows"),
+        count(col("gap_s")).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        sum(col("gap_s") * col("gap_s")).as("sum_gap2_s"),
+      )
+      .withColumn(
+        "is_beacon",
+        col("n_gaps") >= minGaps &&
+          lit(cvInv.toLong * cvInv) *
+          (col("n_gaps") * col("sum_gap2_s") - col("sum_gap_s") * col("sum_gap_s")) <=
+          col("sum_gap_s") * col("sum_gap_s"),
+      )
+      .orderBy("ip_src", "ip_dst")
+  }
+
   def stitchBidirectional(
       flows: DataFrame,
       window: String = "10 seconds",

@@ -110,6 +110,46 @@ object SimilarityOps {
     rankTopK(scored, "cosine", ascending = false, k)
   }
 
+  /** k-NN majority-label classification — the label-propagation use of
+    * a vector store (auto-labeling, weak supervision, label-noise
+    * audits): each query vector takes the majority label of its k
+    * nearest neighbors by exact cosine (ties → the smallest label, a
+    * total order). Composes [[bruteForceTopK]] — so any ANN face with
+    * the same output shape can be swapped in for the candidate stage —
+    * with one broadcast-candidate label join and a per-query argmax.
+    *
+    * Plan shape: the (queries × k)-row candidate set broadcasts into a
+    * single corpus scan for the label join (the corpus is never
+    * shuffled), and the argmax is `max(struct(votes, −label))` — a
+    * plain partial-aggregatable max, no window. Output:
+    * (query_id, true_label, predicted_label, n_votes, correct).
+    */
+  def knnClassify(embeddings: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val nn = bruteForceTopK(embeddings, isQuery, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val votes = labels
+      .join(broadcast(nn), col("vec_id") === col("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val preds = votes
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("n_votes"), (-col("label")).as("neg_label"))).as("w"))
+      .select(
+        col("query_id"),
+        (-col("w.neg_label")).cast("int").as("predicted_label"),
+        col("w.n_votes").as("n_votes"),
+      )
+    labels
+      .select(col("vec_id"), col("label").as("true_label"))
+      .join(broadcast(preds), col("vec_id") === col("query_id"))
+      .select(
+        col("query_id"), col("true_label"), col("predicted_label"), col("n_votes"),
+        (col("predicted_label") === col("true_label")).as("correct"),
+      )
+      .orderBy("query_id")
+  }
+
   /** Radius (range) search — ALL neighbors with cosine ≥ `minCosine`,
     * not a fixed k: the "everything semantically close to this
     * document" probe a dedup or contamination sweep asks, where the

@@ -131,6 +131,49 @@ class NetflowOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](NetflowOps.cidrMatch(col("ip"), "9.256.0.0/16"))
   }
 
+  test("fan-out profile: distinct-port scan flag fires at the threshold, not below") {
+    // scanner hits 4 distinct ports (one twice); quiet host hits 2.
+    val flows = Seq(
+      ("2024-01-01", "10.0.0.1", "h1", 80), ("2024-01-01", "10.0.0.1", "h2", 81),
+      ("2024-01-01", "10.0.0.1", "h1", 82), ("2024-01-01", "10.0.0.1", "h3", 83),
+      ("2024-01-01", "10.0.0.1", "h1", 80),
+      ("2024-01-01", "10.0.0.2", "h1", 80), ("2024-01-01", "10.0.0.2", "h1", 443),
+    ).toDF("day", "ip_src", "ip_dst", "port_dst")
+    val out = NetflowOps.fanOutProfile(flows, scanThreshold = 4).collect()
+    assert(out.length == 2)
+    val scanner = out.find(_.getAs[String]("ip_src") == "10.0.0.1").get
+    assert(scanner.getAs[Long]("n_flows") == 5L)
+    assert(scanner.getAs[Long]("n_ports") == 4L)
+    assert(scanner.getAs[Long]("n_hosts") == 3L)
+    assert(scanner.getAs[Boolean]("is_scan"))
+    val quiet = out.find(_.getAs[String]("ip_src") == "10.0.0.2").get
+    assert(quiet.getAs[Long]("n_ports") == 2L && !quiet.getAs[Boolean]("is_scan"))
+  }
+
+  test("beacon profile: regular gaps flag, jittered gaps don't, integer moments exact") {
+    def at(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    // beacon: exactly 10 s apart ×6 → 5 gaps, cv = 0. noisy: wildly
+    // irregular. single: one flow, no gaps → NULL moments, flag false.
+    val flows =
+      ((0 until 6).map(i => (i.toLong, "b", "c2", at(10 * i))) ++
+        Seq(0, 5, 300, 330, 2000, 2004).zipWithIndex.map { case (s, i) =>
+          (100L + i, "n", "c2", at(s))
+        } ++
+        Seq((200L, "s", "c2", at(0)))).toDF("id", "ip_src", "ip_dst", "ts")
+    val out = NetflowOps.beaconProfile(flows, minGaps = 5, cvInv = 5)
+      .collect().map(r => r.getAs[String]("ip_src") -> r).toMap
+    val b = out("b")
+    assert(b.getAs[Long]("n_gaps") == 5L)
+    assert(b.getAs[Long]("min_gap_s") == 10L && b.getAs[Long]("max_gap_s") == 10L)
+    assert(b.getAs[Long]("sum_gap_s") == 50L && b.getAs[Long]("sum_gap2_s") == 500L)
+    assert(b.getAs[Boolean]("is_beacon"))
+    assert(!out("n").getAs[Boolean]("is_beacon"))
+    val s = out("s")
+    assert(s.getAs[Long]("n_flows") == 1L && s.getAs[Long]("n_gaps") == 0L)
+    assert(s.isNullAt(s.fieldIndex("sum_gap_s")))
+    assert(!s.getAs[Boolean]("is_beacon"))
+  }
+
   test("P10+P9: heartbeat filter drops the literal topic name; tick projects {time, bytes}") {
     val msgs = Seq("realTimeChart", """{"x":1}""").toDF("value")
     assert(NetflowOps.heartbeatFilter(msgs, "realTimeChart").count() == 1)

@@ -484,4 +484,25 @@ class SimilaritySpec extends SparkSpec {
       .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
     assert(plain.map(_._2) == Seq(2L, 1L, 3L))
   }
+
+  test("knnClassify: majority vote wins, vote ties go to the smallest label") {
+    def vec(hot: Int) = Array.tabulate(4)(i => if (i == hot) 1f else 0.001f * (i + 1))
+    // Query 0 sits on axis 0; neighbors on axis 0 carry label 7 (two of
+    // them) vs label 3 (one) → majority 7. Query 10 sits on axis 1 with
+    // a 1-1 vote split between labels 5 and 2 → tie → smaller label 2.
+    val emb = Seq(
+      (0L, vec(0), 3), (1L, vec(0), 7), (2L, vec(0), 7), (3L, vec(0), 3),
+      (10L, vec(1), 2), (11L, vec(1), 5), (12L, vec(1), 2),
+    ).toDF("vec_id", "embedding", "label")
+    val k3 = SimilarityOps.knnClassify(emb, col("vec_id") === 0, k = 3)
+      .collect().head
+    assert(k3.getAs[Int]("predicted_label") == 7)
+    assert(k3.getAs[Long]("n_votes") == 2L)
+    assert(k3.getAs[Int]("true_label") == 3 && !k3.getAs[Boolean]("correct"))
+    val tied = SimilarityOps.knnClassify(emb, col("vec_id") === 10, k = 2)
+      .collect().head
+    assert(tied.getAs[Int]("predicted_label") == 2)
+    assert(tied.getAs[Long]("n_votes") == 1L)
+    assert(tied.getAs[Boolean]("correct"))
+  }
 }
