@@ -206,6 +206,36 @@ object NetflowStreams {
   def dedupStream(df: DataFrame, keys: Seq[String], eventTimeCol: String, delay: String): DataFrame =
     df.withWatermark(eventTimeCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming fan-out (port-scan) profile — the streaming twin of
+    * [[NetflowOps.fanOutProfile]]'s distinct-port count: chained
+    * stateful operators in append mode — per-day dedup of
+    * (day, ip_src, port_dst) within the watermark horizon, then a
+    * per-(day, ip_src) count of the survivors. Distinctness state and
+    * window state are both evicted past the watermark, so memory is
+    * bounded by the horizon, not the stream length; a re-delivered
+    * flow inside the horizon cannot double-count its port (the
+    * at-least-once upstream discipline of [[dedupStream]]). When the
+    * data is in-horizon — re-deliveries land within the delay, nothing
+    * arrives later than it — the emitted counts equal the batch
+    * profile's `n_ports` exactly (StreamingSpec pins it against
+    * [[NetflowOps.fanOutProfile]]); each day's row emits once the
+    * watermark passes the day's end.
+    *
+    * Expects `ip_src, port_dst, ts` (event time).
+    */
+  def fanOutStream(flows: DataFrame, watermark: String = "1 day"): DataFrame =
+    flows
+      .withWatermark("ts", watermark)
+      .withColumn("day", date_trunc("DAY", col("ts")))
+      .dropDuplicatesWithinWatermark(Seq("day", "ip_src", "port_dst"))
+      .groupBy(window(col("ts"), "1 day"), col("ip_src"))
+      .agg(count(lit(1)).as("n_ports"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("ip_src"),
+        col("n_ports"),
+      )
+
   /** P9/K4 — the realtime tick stream behind the websocket push:
     * heartbeat filter + {time, bytes} projection per record.
     */

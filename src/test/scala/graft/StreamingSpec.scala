@@ -114,6 +114,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_test").count() == 2) // 3 copies + 1 distinct → 2
   }
 
+  test("streaming fan-out profile matches the batch distinct-port counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Scanner s1 probes ports 80,81,81,82 on day 1 (81 re-delivered →
+    // must count once) and port 80 again on day 2 (new day → counts
+    // again); quiet host s2 touches one port. Late event beyond the
+    // final watermark would be dropped — all data here is in-horizon.
+    val rows = Seq(
+      ("s1", 80, "2024-01-01 10:00:00"), ("s1", 81, "2024-01-01 10:00:05"),
+      ("s1", 81, "2024-01-01 10:00:06"), ("s1", 82, "2024-01-01 10:00:07"),
+      ("s2", 443, "2024-01-01 11:00:00"),
+      ("s1", 80, "2024-01-02 09:00:00"),
+      // watermark pusher closing both day windows
+      ("zz", 1, "2024-01-03 12:00:00"),
+    ).map { case (s, p, t) => (s, p, Timestamp.valueOf(t)) }
+    val in = MemoryStream[(String, Int, Timestamp)]
+    in.addData(rows)
+    val flows = in.toDF().toDF("ip_src", "port_dst", "ts")
+    NetflowStreams.runToMemory(NetflowStreams.fanOutStream(flows, "1 hour"), "fanout_test")
+    val got = spark.table("fanout_test")
+      .select("day", "ip_src", "n_ports").as[(String, String, Long)].collect().toSet
+    assert(got.contains(("2024-01-01", "s1", 3L)))
+    assert(got.contains(("2024-01-01", "s2", 1L)))
+    assert(got.contains(("2024-01-02", "s1", 1L)))
+    // Batch parity: the streaming counts equal fanOutProfile's n_ports.
+    val batch = graft.operators.NetflowOps
+      .fanOutProfile(
+        rows.toDF("ip_src", "port_dst", "ts")
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("ip_src"), col("ip_src").as("ip_dst"), col("port_dst")),
+        scanThreshold = 3)
+      .select("day", "ip_src", "n_ports").as[(String, String, Long)].collect().toSet
+    // The pusher's own still-open day-3 window is the one batch row
+    // streaming can't have emitted yet.
+    assert(got == batch.filterNot(_._1 == "2024-01-03"))
+  }
+
   test("stream-static join enriches flows against a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
