@@ -107,5 +107,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(NetflowOps.stitchBidirectional(noFlows, "1 hour").count() == 0)
     val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(SimilarityOps.rangeSearch(noEmb, col("vec_id") < 10, 0.5).count() == 0)
+    val noLabeled = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(SimilarityOps.knnClassify(noLabeled, col("vec_id") < 10, k = 3).count() == 0)
+    val noFan = Seq.empty[(String, String, String, Int)]
+      .toDF("day", "ip_src", "ip_dst", "port_dst")
+    assert(NetflowOps.fanOutProfile(noFan, scanThreshold = 4).count() == 0)
+    val noBeacon = Seq.empty[(Long, String, String, java.sql.Timestamp)]
+      .toDF("id", "ip_src", "ip_dst", "ts")
+    assert(NetflowOps.beaconProfile(noBeacon, minGaps = 5, cvInv = 5).count() == 0)
   }
 }
