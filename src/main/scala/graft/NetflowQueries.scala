@@ -326,13 +326,13 @@ object NetflowQueries {
     Q(
       "nf_flow_stitch",
       (s, d) => {
-        // The probe side of the stitch join inherits the scan's split
-        // count, and the single-file local testdata reads as ONE
-        // partition — the broadcast-hash probe (~30M interval checks at
-        // sf0.1) would run on one core (measured 79 s; 32-way ≈ 2.5 s).
-        // A real deployment's thousands of splits make this a no-op
-        // repartition; here it is the honest parallelism floor.
-        val flows = events(s, d).repartition(s.sparkContext.defaultParallelism).select(
+        // binSeconds = the 1-hour match window: the derived flow-key
+        // domain is only 324 tuples, so the plain 4-tuple equi-join
+        // degenerates to quadratic per-key candidate sets (~30M interval
+        // checks at sf0.1); adding the time bin to the equi-key bounds
+        // candidates to hour cohorts and the bin shuffle spreads the work
+        // across all cores — no repartition needed.
+        val flows = events(s, d).select(
           col("event_id").as("id"),
           concat(lit("10.0.0."), (col("user_id") % 6).cast("string")).as("ip_src"),
           concat(lit("10.0.0."), (col("event_id") % 6).cast("string")).as("ip_dst"),
@@ -341,7 +341,7 @@ object NetflowQueries {
           col("ts"),
         )
         NetflowOps
-          .stitchBidirectional(flows, "1 hour")
+          .stitchBidirectional(flows, "1 hour", binSeconds = Some(3600L))
           .select(
             col("f_id"), col("r_id"),
             col("f_ip_src"), col("f_ip_dst"), col("f_port_src"), col("f_port_dst"),

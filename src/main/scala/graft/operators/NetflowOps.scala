@@ -281,25 +281,54 @@ object NetflowOps {
       flows: DataFrame,
       window: String = "10 seconds",
       joinType: String = "inner",
+      binSeconds: Option[Long] = None,
   ): DataFrame = {
+    // Binning only composes with inner joins: a left-outer over the
+    // exploded forward side would emit one NULL-extended row PER BIN
+    // COPY for each unanswered flow.
+    require(binSeconds.isEmpty || joinType == "inner",
+      "binSeconds requires joinType=inner")
     val cols = flows.columns.toSeq
     def side(prefix: String) =
       flows.select(cols.map(c => col(c).as(s"$prefix$c")): _*)
-    val fwd = side("f_")
-    val rev = side("r_")
     val strictTieBreak =
       col("r_ts") > col("f_ts") ||
         (col("r_ts") === col("f_ts") &&
           (col("f_ip_src") < col("r_ip_src") ||
             (col("f_ip_src") === col("r_ip_src") && col("f_port_src") < col("r_port_src"))))
-    fwd.join(
-      rev,
+    val cond =
       col("f_ip_src") === col("r_ip_dst") && col("f_ip_dst") === col("r_ip_src") &&
         col("f_port_src") === col("r_port_dst") && col("f_port_dst") === col("r_port_src") &&
         col("r_ts") >= col("f_ts") &&
         col("r_ts") <= col("f_ts") + expr(s"INTERVAL $window") &&
-        strictTieBreak,
-      joinType,
-    )
+        strictTieBreak
+    binSeconds match {
+      case None =>
+        side("f_").join(side("r_"), cond, joinType)
+      // The RangeJoinOp binning reformulation fused with the 4-tuple
+      // equi-key: when the flow-key domain is small relative to the data
+      // (test fixtures; DDoS-grade key concentration in production), the
+      // plain equi-join's per-key candidate sets grow quadratically and
+      // the interval predicate runs as an O(n²)-per-key residual. Adding
+      // the time bin to the equi-key bounds candidates to bin-width
+      // cohorts: the reverse row keeps its single bin, the forward row
+      // replicates into the window/binSeconds + 1 bins its match range
+      // overlaps, and a qualifying pair meets in EXACTLY the reverse
+      // row's bin — output identical to the plain join, row for row.
+      // Pick binSeconds ≈ the window span (fan-out 2).
+      case Some(bs) =>
+        require(bs > 0, s"bin width must be positive, got $bs")
+        val ntz = RangeJoinOp.isNtz(flows, col("ts"))
+        val fwd = side("f_").withColumn(
+          "__f_bin",
+          explode(sequence(
+            RangeJoinOp.binExpr(ntz, col("f_ts"), bs),
+            RangeJoinOp.binExpr(ntz, col("f_ts") + expr(s"INTERVAL $window"), bs),
+          )),
+        )
+        val rev = side("r_").withColumn("__r_bin", RangeJoinOp.binExpr(ntz, col("r_ts"), bs))
+        fwd.join(rev, cond && col("__f_bin") === col("__r_bin"), joinType)
+          .drop("__f_bin", "__r_bin")
+    }
   }
 }

@@ -52,22 +52,12 @@ object RangeJoinOp {
     // arithmetic from an NTZ epoch literal (NTZ cannot cast to BIGINT).
     // All three columns must agree on which family they are in, or the
     // two quantizations would disagree about the same wall-clock value.
-    val epochNtz = lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
-    def isNtz(df: DataFrame, c: Column): Boolean =
-      df.select(c).schema.head.dataType == org.apache.spark.sql.types.TimestampNTZType
     val ntz = isNtz(points, point)
     require(
       isNtz(intervals, lo) == ntz && isNtz(intervals, hi) == ntz,
       "point and interval bounds must all be TIMESTAMP or all TIMESTAMP_NTZ",
     )
-    def bin(c: Column): Column = {
-      val micros =
-        if (ntz) timestamp_diff("MICROSECOND", epochNtz, c)
-        else unix_micros(c.cast("timestamp"))
-      // Exact for |epoch micros| < 2^53 (≈ year 287396): long / long is
-      // double division in Spark, and floor of it matches integer floor.
-      floor(micros / (binSeconds * 1000000L))
-    }
+    def bin(c: Column): Column = binExpr(ntz, c, binSeconds)
     val p = points.withColumn("__p_bin", bin(point))
     // Inverted intervals (lo > hi) cannot contain any point, but
     // sequence(start, stop) DESCENDS when start > stop — a badly inverted
@@ -80,5 +70,24 @@ object RangeJoinOp {
       .withColumn("__i_bin", explode(sequence(bin(lo), bin(hi))))
     p.join(i, col("__p_bin") === col("__i_bin") && point >= lo && point <= hi)
       .drop("__p_bin", "__i_bin")
+  }
+
+  private[operators] def isNtz(df: DataFrame, c: Column): Boolean =
+    df.select(c).schema.head.dataType == org.apache.spark.sql.types.TimestampNTZType
+
+  /** The monotone time-bin quantization shared by every binned
+    * range/interval join (see the class doc for why instants bin on
+    * epoch micros and NTZ on zone-free wall-clock arithmetic — a
+    * DST-crossing wall-clock cast would be non-monotone and silently
+    * drop pairs). Exact for |epoch micros| < 2^53 (≈ year 287396):
+    * long / long is double division in Spark, and floor of it matches
+    * integer floor.
+    */
+  private[operators] def binExpr(ntz: Boolean, c: Column, binSeconds: Long): Column = {
+    val epochNtz = lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
+    val micros =
+      if (ntz) timestamp_diff("MICROSECOND", epochNtz, c)
+      else unix_micros(c.cast("timestamp"))
+    floor(micros / (binSeconds * 1000000L))
   }
 }

@@ -174,6 +174,36 @@ class NetflowOpsSpec extends SparkSpec {
     assert(!s.getAs[Boolean]("is_beacon"))
   }
 
+  test("binned flow stitch is row-identical to the plain interval join") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val flows = Seq(
+      // request/response pair inside the window, crossing a bin boundary
+      (1L, "a", "b", 10, 20, at("2024-01-01 00:59:30")),
+      (2L, "b", "a", 20, 10, at("2024-01-01 01:00:10")),
+      // response exactly AT the window bound (inclusive)
+      (3L, "c", "d", 1, 2, at("2024-01-01 02:00:00")),
+      (4L, "d", "c", 2, 1, at("2024-01-01 03:00:00")),
+      // response past the window — must not pair
+      (5L, "e", "f", 3, 4, at("2024-01-01 04:00:00")),
+      (6L, "f", "e", 4, 3, at("2024-01-01 05:00:01")),
+      // equal-timestamp exchange — exactly one orientation survives
+      (7L, "g", "h", 5, 6, at("2024-01-01 06:00:00")),
+      (8L, "h", "g", 6, 5, at("2024-01-01 06:00:00")),
+      // loopback flow — must not self-pair
+      (9L, "i", "i", 7, 7, at("2024-01-01 07:00:00")),
+    ).toDF("id", "ip_src", "ip_dst", "port_src", "port_dst", "ts")
+    def pairs(binned: Option[Long]) = NetflowOps
+      .stitchBidirectional(flows, "1 hour", binSeconds = binned)
+      .select("f_id", "r_id").as[(Long, Long)].collect().toSet
+    val plain = pairs(None)
+    assert(plain == Set((1L, 2L), (3L, 4L), (7L, 8L)))
+    assert(pairs(Some(3600L)) == plain)
+    // A narrower-than-window bin (wider fan-out) must change nothing.
+    assert(pairs(Some(600L)) == plain)
+    intercept[IllegalArgumentException](
+      NetflowOps.stitchBidirectional(flows, "1 hour", "left_outer", Some(3600L)))
+  }
+
   test("P10+P9: heartbeat filter drops the literal topic name; tick projects {time, bytes}") {
     val msgs = Seq("realTimeChart", """{"x":1}""").toDF("value")
     assert(NetflowOps.heartbeatFilter(msgs, "realTimeChart").count() == 1)
