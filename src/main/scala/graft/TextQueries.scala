@@ -82,6 +82,25 @@ object TextQueries {
       |WHERE a.tok = 'table' AND b.tok = 'table'
       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
+  /** Oracle of the proximity search — shared by tx_search_near and
+    * tx_search_near_indexed (same covering-anchor semantics over
+    * corpus-derived vs stored postings): anchor position p covers the
+    * query iff every term occurs in [p, p+slop]; a doc reports its
+    * covering-anchor count and earliest covering anchor.
+    */
+  private val searchNearSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |            generate_subscripts(string_split(text, ' '), 1) AS pos
+      |          FROM documents),
+      |q AS (SELECT doc_id, tok, pos FROM t WHERE tok IN ('spark', 'window')),
+      |cov AS (SELECT a.doc_id, a.pos AS apos, count(DISTINCT b.tok) AS k
+      |        FROM q a JOIN q b
+      |          ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + 4
+      |        GROUP BY a.doc_id, a.pos)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |  CAST(min(apos) AS INTEGER) AS first_pos
+      |FROM cov WHERE k = 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Oracle of the BM25 search — shared by tx_search_bm25 (corpus
     * scan) and tx_search_bm25_indexed (served from the stored
     * postings/lexicon/docs/meta artifact). Mirrors
@@ -739,6 +758,16 @@ object TextQueries {
       (s, d) => graft.operators.SearchOps.searchPhrase(documents(s, d), Seq("table", "table")),
       Some(searchPhraseSql),
     ),
+    // Proximity (NEAR/4) retrieval — AND's any-position and phrase's
+    // exact-order have this between them: all terms within a 4-position
+    // window, any order, counted by covering anchors (one range join
+    // over term-filtered postings, not a k-way position product).
+    Q(
+      "tx_search_near",
+      (s, d) =>
+        graft.operators.SearchOps.searchNear(documents(s, d), Seq("spark", "window"), slop = 4),
+      Some(searchNearSql),
+    ),
     // Ranked retrieval, log-free TF-IDF (score = Σ tf·N/df in fixed
     // term order — ln() is non-portable across engines, the
     // tx_unigram_rarity precedent): 'dup' is ~34× rarer than the other
@@ -771,6 +800,15 @@ object TextQueries {
         graft.operators.SearchIndexOps.searchPhrase(
           s, fullSearchIndex(s, d), Seq("table", "table")),
       Some(searchPhraseSql),
+    ),
+    // Proximity search served from the stored postings — the term
+    // filter prunes buckets; shares tx_search_near's core and oracle.
+    Q(
+      "tx_search_near_indexed",
+      (s, d) =>
+        graft.operators.SearchIndexOps.searchNear(
+          s, fullSearchIndex(s, d), Seq("spark", "window"), slop = 4),
+      Some(searchNearSql),
     ),
     // BM25 ranked retrieval (log-free idf): the textbook tf-saturation
     // + document-length normalization on top of the exact N/df weight —

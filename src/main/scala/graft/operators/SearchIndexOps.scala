@@ -245,6 +245,14 @@ object SearchIndexOps {
   def searchAnd(spark: SparkSession, prefix: String, terms: Seq[String]): DataFrame =
     SearchOps.andFrom(spark.table(s"${prefix}_postings"), terms)
 
+  /** Proximity (NEAR/slop) search from the stored postings — identical
+    * core to [[SearchOps.searchNear]]; the term filter prunes buckets
+    * of the persisted table, so the range join sees only the query
+    * terms' posting lists.
+    */
+  def searchNear(spark: SparkSession, prefix: String, terms: Seq[String], slop: Int): DataFrame =
+    SearchOps.nearFrom(spark.table(s"${prefix}_postings"), terms, slop)
+
   /** Exact phrase match from the stored positional postings — each
     * phrase term contributes one pruned per-term read.
     */

@@ -111,6 +111,49 @@ object SearchOps {
       phrase,
     )
 
+  /** Proximity (NEAR/slop) core — between AND (any positions) and
+    * phrase (exact consecutive order): a document matches when all
+    * query terms occur within a window of `slop` positions, in ANY
+    * order. Stated via covering anchors — a position p of any query
+    * term such that every term has an occurrence in [p, p+slop] — which
+    * is equivalent to ∃ one position per term with max−min ≤ slop (the
+    * minimum of any qualifying set is itself a covering anchor), but
+    * needs one range join instead of a k-way position product. Output:
+    * (doc_id, n_windows = covering-anchor count, first_pos = earliest
+    * covering anchor), deterministic integers.
+    *
+    * Plan shape: postings are term-filtered FIRST (scan predicate /
+    * bucket pruning on the index face), so the anchor×occurrence join
+    * is an equi-join on doc_id between per-term posting lists with the
+    * position window as residual — per-doc work bounded by the query
+    * terms' in-document frequencies, never the corpus.
+    */
+  private[operators] def nearFrom(postings: DataFrame, terms: Seq[String], slop: Int): DataFrame = {
+    requireDistinctTerms(terms)
+    require(terms.size >= 2, "a proximity query needs at least two terms")
+    require(slop >= 0, s"slop must be non-negative, got $slop")
+    val tp = postings
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("pos"))
+    val anchors = tp.select(col("doc_id"), col("pos").as("apos"))
+    anchors
+      .join(tp, Seq("doc_id"))
+      .filter(col("pos") >= col("apos") && col("pos") <= col("apos") + slop)
+      .groupBy(col("doc_id"), col("apos"))
+      .agg(countDistinct(col("term")).as("n_matched"))
+      .filter(col("n_matched") === terms.size)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), min(col("apos")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Proximity search over corpus-derived postings (the on-the-fly
+    * face; [[SearchIndexOps.searchNear]] serves the same core from the
+    * stored term-bucketed postings).
+    */
+  def searchNear(docs: DataFrame, terms: Seq[String], slop: Int): DataFrame =
+    nearFrom(postings(docs), terms, slop)
+
   /** Ranked-retrieval core: `tf` is (doc_id, term, tf) over the query
     * terms only, `df` is (term, df), `n` a one-row (n) frame — the three
     * inputs a persisted index serves from its postings/lexicon/meta

@@ -92,4 +92,24 @@ class SearchSpec extends SparkSpec {
       assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2), "rank order must be (score desc, doc_id)")
     }
   }
+
+  test("proximity search: any order inside the slop window, bound is inclusive") {
+    val docs = Seq(
+      (1L, "a x x b"), // span 3, b after a
+      (2L, "b x x a"), // span 3, a after b — order must not matter
+      (3L, "a x x x b"), // span 4 — outside slop 3
+      (4L, "a b a x b"), // anchors: pos1(a),2(b),3(a) cover; pos5(b) lacks an a after it
+      (5L, "a a a"), // missing b entirely
+    ).toDF("doc_id", "text")
+    val got = SearchOps.searchNear(docs, Seq("a", "b"), slop = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1), (2L, 1L, 1), (4L, 3L, 1)))
+    // Slop 4 admits doc 3; exact-phrase adjacency is slop-1 with order,
+    // which proximity deliberately drops (doc 2 matches, "a b" phrase wouldn't).
+    assert(SearchOps.searchNear(docs, Seq("a", "b"), slop = 4)
+      .filter(col("doc_id") === 3).count() == 1)
+    intercept[IllegalArgumentException](SearchOps.searchNear(docs, Seq("a", "a"), 3))
+    intercept[IllegalArgumentException](SearchOps.searchNear(docs, Seq("a"), 3))
+    intercept[IllegalArgumentException](SearchOps.searchNear(docs, Seq("a", "b"), -1))
+  }
 }
