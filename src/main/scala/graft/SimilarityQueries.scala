@@ -185,8 +185,12 @@ object SimilarityQueries {
     SimilarityOps.ivfTopK(withCell, col("vec_id") < 10, col("cell"), BucketK)
   }
 
-  private val ivfTrainedSql: String =
-    s"""WITH ${trainedCbCtes(1, 64)},
+  /** The trained-IVF candidate chain (train → assign → unit-norm →
+    * same-cell scored pairs `p`) — the shared prefix of the
+    * index-served top-k and kNN-classify oracles.
+    */
+  private val ivfTrainedCandCtes: String =
+    s"""${trainedCbCtes(1, 64)},
        |asgd AS (SELECT s.vec_id, c.cid, ${l2sq("s.sv", "c.cv")} AS dist
        |         FROM sv s JOIN cb2 c ON s.blk = c.blk),
        |asg AS (SELECT vec_id, cid AS cell FROM (
@@ -198,7 +202,10 @@ object SimilarityQueries {
        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |        ${dot("q.u", "c.u")} AS cosine
        |      FROM n q JOIN n c
-       |        ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND q.cell = c.cell)
+       |        ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND q.cell = c.cell)""".stripMargin
+
+  private val ivfTrainedSql: String =
+    s"""WITH $ivfTrainedCandCtes
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
@@ -804,6 +811,38 @@ object SimilarityQueries {
         graft.operators.VectorIndexOps.ivfTopK(
           s, fullVectorIndex(s, d), col("vec_id") < 10, BucketK),
       Some(ivfTrainedSql),
+    ),
+    // kNN classification served from the stored index: candidates from
+    // the single-probe IVF read (stored cells, stored unit vectors),
+    // labels joined from the corpus table, the same struct-max vote
+    // tail as sim_knn_classify — the production "label this vector"
+    // serving path, ANN candidates instead of a corpus scan.
+    Q(
+      "sim_index_knn",
+      (s, d) =>
+        SimilarityOps.knnClassifyFrom(
+          graft.operators.VectorIndexOps.ivfTopK(
+            s, fullVectorIndex(s, d), col("vec_id") < 10, BucketK),
+          embeddings(s, d).select(col("vec_id"), col("label")),
+        ),
+      Some(
+        s"""WITH $ivfTrainedCandCtes,
+           |tk AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |              ORDER BY cosine DESC, neighbor_id) AS rn FROM p)
+           |  WHERE rn <= $BucketK),
+           |vt AS (SELECT t.query_id, e.label, count(*) AS n_votes
+           |       FROM tk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+           |       GROUP BY t.query_id, e.label),
+           |pr AS (SELECT query_id, label AS predicted_label, n_votes FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |              ORDER BY n_votes DESC, label) AS rn FROM vt)
+           |  WHERE rn = 1)
+           |SELECT pr.query_id, e.label AS true_label, pr.predicted_label, pr.n_votes,
+           |  pr.predicted_label = e.label AS correct
+           |FROM pr JOIN embeddings e ON e.vec_id = pr.query_id
+           |ORDER BY query_id""".stripMargin,
+      ),
     ),
     // Radius (range) search — every neighbor with cosine ≥ τ, not a
     // fixed k: the data-dependent-answer-size probe a near-dup or

@@ -124,10 +124,20 @@ object SimilarityOps {
     * plain partial-aggregatable max, no window. Output:
     * (query_id, true_label, predicted_label, n_votes, correct).
     */
-  def knnClassify(embeddings: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val labels = embeddings.select(col("vec_id"), col("label"))
-    val nn = bruteForceTopK(embeddings, isQuery, k)
-      .select(col("query_id"), col("neighbor_id"))
+  def knnClassify(embeddings: DataFrame, isQuery: Column, k: Int): DataFrame =
+    knnClassifyFrom(
+      bruteForceTopK(embeddings, isQuery, k),
+      embeddings.select(col("vec_id"), col("label")),
+    )
+
+  /** The vote/argmax tail of [[knnClassify]] over an ARBITRARY
+    * candidate stage — any face producing (query_id, neighbor_id) rows
+    * (brute force, IVF, the persisted index) plugs in, so the
+    * classification semantics stay identical while the candidate
+    * generation scales down from exact to ANN.
+    */
+  def knnClassifyFrom(candidates: DataFrame, labels: DataFrame): DataFrame = {
+    val nn = candidates.select(col("query_id"), col("neighbor_id"))
     val votes = labels
       .join(broadcast(nn), col("vec_id") === col("neighbor_id"))
       .groupBy(col("query_id"), col("label"))

@@ -348,6 +348,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming beacon profile converges to the batch operator field-for-field") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{BeaconEvent, BeaconStream}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    def us(s: Long) = s * 1000000L
+    // beacon pair: 10 s cadence split ACROSS the two batches (state must
+    // carry the prev timestamp over); noisy pair: irregular; single: one
+    // flow, NULL moments.
+    val batch1 = Seq(
+      BeaconEvent("b", "c2", 1L, us(0)), BeaconEvent("b", "c2", 2L, us(10)),
+      BeaconEvent("b", "c2", 3L, us(20)),
+      BeaconEvent("n", "c2", 10L, us(0)), BeaconEvent("n", "c2", 11L, us(5)),
+      BeaconEvent("s", "c2", 20L, us(7)),
+    )
+    val batch2 = Seq(
+      BeaconEvent("b", "c2", 4L, us(30)), BeaconEvent("b", "c2", 5L, us(40)),
+      BeaconEvent("b", "c2", 6L, us(50)),
+      BeaconEvent("n", "c2", 12L, us(300)), BeaconEvent("n", "c2", 13L, us(330)),
+      BeaconEvent("n", "c2", 14L, us(2000)), BeaconEvent("n", "c2", 15L, us(2004)),
+    )
+    val in = MemoryStream[BeaconEvent]
+    val q = BeaconStream.profile(in.toDS(), minGaps = 5, cvInv = 5).toDF()
+      .writeStream
+      .format("memory").queryName("beacon_stream").outputMode("update")
+      .option(
+        "checkpointLocation",
+        Files.createTempDirectory("beacon_ckpt").toFile.getAbsolutePath,
+      )
+      .start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      // Last emitted row per pair (update mode re-emits as state grows).
+      val rows = spark.table("beacon_stream").collect()
+      val last = rows.zipWithIndex
+        .groupBy(r => (r._1.getString(0), r._1.getString(1)))
+        .map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .map(r => Seq.tabulate(r.length)(i => if (r.isNullAt(i)) null else r.get(i)))
+        .toSet
+      val batch = graft.operators.NetflowOps
+        .beaconProfile(
+          (batch1 ++ batch2)
+            .map(e => (e.id, e.ipSrc, e.ipDst, new java.sql.Timestamp(e.tsMicros / 1000)))
+            .toDF("id", "ip_src", "ip_dst", "ts"),
+          minGaps = 5, cvInv = 5)
+        .collect()
+        .map(r => Seq.tabulate(r.length)(i => if (r.isNullAt(i)) null else r.get(i)))
+        .toSet
+      assert(last == batch, s"stream $last\nvs batch $batch")
+      // And the beacon actually flags: the regular pair is the only one.
+      assert(rows.exists(r => r.getString(0) == "b" && r.getBoolean(8)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState keeps running per-host totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
