@@ -546,5 +546,54 @@ object NetflowQueries {
              |       * 1000000) AS BIGINT) AS ts_us
              |FROM events ORDER BY ts_us""".stripMargin),
     ),
+    // Per-user integer EWMA baseline + spike count — the online anomaly
+    // recursion in portable fixed-point arithmetic (cents, α = 1/8
+    // floor division); the oracle's recursive CTE replays the identical
+    // in-order fold, so every intermediate matches bit-for-bit.
+    Q(
+      "nf_ewma",
+      (s, d) => EventOps.ewmaSpikes(events(s, d)),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT user_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, rn, cents AS ewma, CAST(0 AS BIGINT) AS spikes
+             |  FROM e WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.rn,
+             |         CAST(floor(CAST(e.cents + 7*r.ewma AS DOUBLE) / 8.0) AS BIGINT),
+             |         r.spikes + CASE WHEN e.cents > 2*r.ewma THEN 1 ELSE 0 END
+             |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+             |lst AS (SELECT user_id, max(rn) AS mx FROM e GROUP BY user_id)
+             |SELECT r.user_id, CAST(l.mx AS BIGINT) AS n_events,
+             |       r.ewma AS ewma_cents, r.spikes AS n_spikes
+             |FROM r JOIN lst l ON r.user_id = l.user_id AND r.rn = l.mx
+             |ORDER BY r.user_id""".stripMargin),
+    ),
+    // Peak concurrent flows per type — sweep-line max of the running
+    // open-interval count over composite-integer endpoint keys (ends
+    // close before starts at the same instant; RANGE frame makes the
+    // running sum tie-deterministic). The oracle casts the final max
+    // back to BIGINT (DuckDB window sums widen to HUGEINT).
+    Q(
+      "nf_concurrency",
+      (s, d) => EventOps.maxConcurrent(events(s, d)),
+      Some("""WITH pts AS (
+             |  SELECT event_type, 2*epoch_us(ts) + 1 AS k, CAST(1 AS BIGINT) AS delta
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_type,
+             |         2*(epoch_us(ts) + (CAST(floor(value) AS BIGINT) + 1) * 1000000) AS k,
+             |         CAST(-1 AS BIGINT) AS delta
+             |  FROM events),
+             |run AS (
+             |  SELECT event_type,
+             |         sum(delta) OVER (PARTITION BY event_type ORDER BY k
+             |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+             |  FROM pts)
+             |SELECT event_type, CAST(max(open) AS BIGINT) AS max_concurrent
+             |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
   )
 }

@@ -2848,5 +2848,73 @@ object RelationalQueries {
              |FROM deg d JOIN p3 p ON p.node = d.node
              |ORDER BY d.node""".stripMargin),
     ),
+    // Privacy audit: k-anonymity over the quasi-identifier
+    // (event_type, day, hour) — per type, how many QI groups exist, how
+    // many fall under k = 20 members, and how many rows those small
+    // groups expose (the suppression/generalization work list a release
+    // pipeline must clear before publishing). Two cheap aggregations on
+    // the same key; no joins, no windows.
+    Q(
+      "q_k_anonymity",
+      (s, d) =>
+        events(s, d)
+          .groupBy(
+            col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            hour(col("ts")).as("hr"),
+          )
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum(when(col("n") < 20, 1L).otherwise(0L)).as("n_violating"),
+            sum(when(col("n") < 20, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+          )
+          .orderBy("event_type"),
+      Some("""WITH g AS (
+             |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |         extract(hour FROM ts) AS hr, count(*) AS n
+             |  FROM events GROUP BY event_type, day, hr)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN n < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             |  CAST(sum(CASE WHEN n < 20 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+             |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+    // Sketch set-INTERSECTION estimate by inclusion-exclusion over
+    // three mergeable HLL sketches (|A| + |B| − |A∪B|) vs the exact
+    // intersection — the q_hll_union discipline pointed at overlap
+    // estimation (audience/cohort overlap without a pairwise key join).
+    // Error compounds across three sketches, so the tolerance is wider
+    // than a single sketch's 5% (verified at both SFs).
+    Q(
+      "q_hll_intersect",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey"))
+        val b = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+        val exact = a.intersect(b).agg(count(lit(1)).as("exact_intersect"))
+        val est = li
+          .filter(col("l_returnflag").isin("A", "R"))
+          .agg(
+            approx_count_distinct(when(col("l_returnflag") === "A", col("l_partkey")), 0.01)
+              .as("ea"),
+            approx_count_distinct(when(col("l_returnflag") === "R", col("l_partkey")), 0.01)
+              .as("eb"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("eu"),
+          )
+          .select((col("ea") + col("eb") - col("eu")).as("est"))
+        exact
+          .crossJoin(est)
+          .select(
+            col("exact_intersect"),
+            (abs(col("est") - col("exact_intersect")).cast("double") /
+              col("exact_intersect") <= lit(0.1)).as("within_bound"),
+          )
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS exact_intersect, true AS within_bound
+             |FROM (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+             |      INTERSECT
+             |      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin),
+    ),
   )
 }

@@ -277,6 +277,26 @@ object TextQueries {
               |       WHEN lang = 'zh' THEN 1 ELSE 0 END
               |GROUP BY lang ORDER BY lang""".stripMargin),
     ),
+    // Deterministic WEIGHTED sampling: per-source top-5 by the
+    // hash-priority u/w rule (w = n_chars) — reproducible
+    // weight-biased selection with no RNG state; priority is one IEEE
+    // division of two exact integers, so doubles and tie order match
+    // the oracle bit-for-bit.
+    Q(
+      "tx_weighted_sample",
+      (s, d) => TextOps.weightedSample(documents(s, d), k = 5),
+      Some(s"""WITH t AS (
+              |  SELECT source, doc_id,
+              |         CAST(${OracleSnippets.indexedHash("0", "doc_id")} AS DOUBLE)
+              |           / CAST(n_chars AS DOUBLE) AS priority
+              |  FROM documents),
+              |r AS (SELECT source, doc_id, priority,
+              |        row_number() OVER (PARTITION BY source
+              |                           ORDER BY priority, doc_id) AS rn
+              |      FROM t)
+              |SELECT source, doc_id, priority FROM r WHERE rn <= 5
+              |ORDER BY source, priority, doc_id""".stripMargin),
+    ),
     Q(
       "tx_curation_pipeline",
       (s, d) => TextOps.curationPipeline(documents(s, d)),
@@ -594,6 +614,69 @@ object TextQueries {
               |SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS pair_count
               |FROM p GROUP BY tok_a, tok_b
               |ORDER BY pair_count DESC, tok_a, tok_b LIMIT 20""".stripMargin),
+    ),
+    // BPE ENCODE: apply the 20 trained merges (tx_bpe_merge's output,
+    // collected as vocabulary metadata — a 20-row aggregate folded into
+    // the plan as literals, the broadcast-scale move, not a driver loop
+    // over data) to every document in training-rank order. The oracle
+    // replays the identical bracket-serialized replace chain via a
+    // recursive CTE stepping through the ranked merges.
+    Q(
+      "tx_bpe_encode",
+      (s, d) => {
+        val merges = TextOps
+          .bpeMergeStep(documents(s, d), k = 20)
+          .collect()
+          .toSeq
+          .map(r => (r.getString(0), r.getString(1)))
+        TextOps.bpeEncode(documents(s, d), merges)
+      },
+      Some(s"""WITH RECURSIVE t AS (
+              |  SELECT doc_id, regexp_extract_all(text, '${TextOps.BpePattern}') AS tk
+              |  FROM documents),
+              |m AS (
+              |  SELECT tok_a, tok_b,
+              |         row_number() OVER (ORDER BY pair_count DESC, tok_a, tok_b) AS rnk
+              |  FROM (
+              |    SELECT tk[bi] AS tok_a, tk[bi+1] AS tok_b, count(*) AS pair_count
+              |    FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS bi FROM t)
+              |    GROUP BY tok_a, tok_b
+              |    ORDER BY pair_count DESC, tok_a, tok_b LIMIT 20)),
+              |base AS (
+              |  SELECT doc_id, len(tk) AS n_before,
+              |         array_to_string(list_transform(tk, bex -> '[' || bex || ']'), '') AS s
+              |  FROM t),
+              |r AS (
+              |  SELECT doc_id, n_before, 0 AS step, s FROM base
+              |  UNION ALL
+              |  SELECT r.doc_id, r.n_before, r.step + 1,
+              |         replace(r.s, '[' || m.tok_a || '][' || m.tok_b || ']',
+              |                      '[' || m.tok_a || m.tok_b || ']')
+              |  FROM r JOIN m ON m.rnk = r.step + 1)
+              |SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+              |       CAST(length(s) - length(replace(s, '[', '')) AS BIGINT) AS n_after,
+              |       substr(s, 1, 60) AS head
+              |FROM r WHERE step = 20 ORDER BY doc_id""".stripMargin),
+    ),
+    // Bigram-LM next-token serving table: for the 20 most frequent
+    // bigram-starting unigrams, the argmax continuation and its exact
+    // conditional probability (one double division of exact counts).
+    Q(
+      "tx_lm_next",
+      (s, d) => TextOps.lmNextToken(documents(s, d), k = 20),
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |p AS (SELECT w[i] AS w1, w[i+1] AS w2
+             |      FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i FROM t)),
+             |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM p GROUP BY w1, w2),
+             |top AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1
+             |        FROM c2 GROUP BY w1 ORDER BY cnt1 DESC, w1 LIMIT 20),
+             |best AS (
+             |  SELECT c2.w1, cnt1, w2, cnt2,
+             |         row_number() OVER (PARTITION BY c2.w1 ORDER BY cnt2 DESC, w2) AS rn
+             |  FROM c2 JOIN top ON c2.w1 = top.w1)
+             |SELECT w1, w2 AS next_tok, CAST(cnt2 AS BIGINT) AS n_pair,
+             |       CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE) AS p_next
+             |FROM best WHERE rn = 1 ORDER BY w1""".stripMargin),
     ),
     // Unigram-LM perplexity proxy: corpus-trained token probabilities,
     // per-doc mean and max INVERSE probability (log-free — ln() is not

@@ -197,4 +197,84 @@ object EventOps {
       )
       .orderBy("event_type")
   }
+
+  /** Per-user integer EWMA with spike flags — the classic online
+    * baseline/anomaly recursion EWMA' = (x + 7·EWMA)/8 (α = 1/8), run
+    * over each user's event sequence in (ts, event_id) order. The
+    * recursion is ORDER-DEPENDENT, so it is computed as one in-order
+    * fold per key — exactly the shape the streaming twin keeps as
+    * per-key state — in pure integer arithmetic: values scale to cents
+    * once (floor(x·100 + 0.5), IEEE-deterministic) and the update is a
+    * floor division, so the oracle's recursive CTE reproduces every
+    * intermediate bit-for-bit (no bit-unportable ln/pow decay forms).
+    * A spike is a value more than double the running baseline.
+    *
+    * Scale: one shuffle on user_id; per-key state is that key's events
+    * (bounded by per-user activity, not corpus size). The division by 8
+    * routes through IEEE doubles (exact: operands ≪ 2^53).
+    */
+  def ewmaSpikes(events: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val step = (x: Column, e: Column) => floor((x + e * 7).cast("double") / 8.0).cast("long")
+    events
+      .select(col("user_id"), struct(col("ts"), col("event_id"), cents.as("cents")).as("r"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        aggregate(
+          transform(array_sort(collect_list(col("r"))), r => r.getField("cents")),
+          struct(lit(-1L).as("ewma"), lit(0L).as("spikes")),
+          (acc, x) =>
+            struct(
+              when(acc.getField("ewma") < 0, x)
+                .otherwise(step(x, acc.getField("ewma")))
+                .as("ewma"),
+              (acc.getField("spikes") +
+                when(acc.getField("ewma") >= 0 && x > acc.getField("ewma") * 2, 1L)
+                  .otherwise(0L)).as("spikes"),
+            ),
+        ).as("s"),
+      )
+      .select(
+        col("user_id"),
+        col("n_events"),
+        col("s.ewma").as("ewma_cents"),
+        col("s.spikes").as("n_spikes"),
+      )
+      .orderBy("user_id")
+  }
+
+  /** Peak concurrency per event type — the max-simultaneous-flows gauge
+    * (capacity planning / connection-table sizing): each event holds an
+    * interval [ts, ts + (1+⌊value⌋) s), and the answer is the sweep-line
+    * maximum of the running open-interval count. Endpoints become
+    * (+1 start, −1 end) deltas keyed by a single composite integer
+    * 2·µs + isStart, so ends at an instant close BEFORE starts at the
+    * same instant open (half-open interval semantics) and a RANGE
+    * running sum is deterministic under ties — peers enter wholesale,
+    * no ROWS-frame order sensitivity.
+    *
+    * Scale: the sweep is one shuffle on the (low-cardinality) type key;
+    * at 100 TB the same sweep runs per (type, coarse time bucket) with
+    * a per-bucket carry-in, an associative two-level composition.
+    */
+  def maxConcurrent(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    val durUs = (floor(col("value")).cast("long") + 1L) * 1000000L
+    val points = events
+      .select(col("event_type"), (us * 2 + 1).as("k"), lit(1L).as("delta"))
+      .unionAll(
+        events.select(col("event_type"), ((us + durUs) * 2).as("k"), lit(-1L).as("delta")),
+      )
+    val running = Window
+      .partitionBy("event_type")
+      .orderBy("k")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    points
+      .withColumn("open", sum(col("delta")).over(running))
+      .groupBy(col("event_type"))
+      .agg(max(col("open")).as("max_concurrent"))
+      .orderBy("event_type")
+  }
 }

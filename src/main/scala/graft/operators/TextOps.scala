@@ -803,4 +803,114 @@ object TextOps {
       )
       .orderBy("doc_id")
   }
+
+  /** Apply a trained BPE merge table to every document — the ENCODE half
+    * of the tokenizer whose training step is [[bpeMergeStep]]: each
+    * merge (a, b) → ab is applied corpus-wide in training-rank order,
+    * one greedy left-to-right pass per merge (the single-epoch encoder;
+    * a later merge CAN consume a token an earlier merge produced, which
+    * is exactly how multi-character vocabulary entries grow).
+    *
+    * The token stream is serialized as `[tok][tok]…` and each merge is
+    * ONE literal `replace`: string replace is leftmost non-overlapping
+    * in Spark and ANSI SQL alike, and the bracket delimiters make every
+    * match consume whole tokens, so two candidate matches can never
+    * share a boundary — the greedy pass is well-defined and
+    * engine-portable (requires a bracket-free token alphabet, asserted).
+    *
+    * Scale: per-document work is |text| × |merges| column algebra with
+    * zero joins and zero shuffles; the merge table rides into the plan
+    * as literals (vocabulary metadata — tens of rows by contract, the
+    * file every production tokenizer ships).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    require(
+      merges.forall { case (a, b) => !s"$a$b".exists(c => c == '[' || c == ']') },
+      "bracket-delimited BPE encoding requires a bracket-free token alphabet",
+    )
+    val t = bpeTokens(col("text"))
+    val wrapped = array_join(transform(t, tk => concat(lit("["), tk, lit("]"))), "")
+    val encoded = merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      replace(s, lit(s"[$a][$b]"), lit(s"[$a$b]"))
+    }
+    docs.select(
+      col("doc_id"),
+      size(t).cast("long").as("n_before"),
+      (length(encoded) - length(replace(encoded, lit("[")))).cast("long").as("n_after"),
+      substring(encoded, 1, 60).as("head"),
+    ).orderBy("doc_id")
+  }
+
+  /** Bigram next-token table — the serving view of a corpus-trained
+    * bigram LM: for the `k` unigrams that most often START a bigram,
+    * the argmax continuation (ties → lexicographically smallest) and
+    * its exact conditional probability cnt(w1,w2)/cnt(w1·) as ONE
+    * double division of two exact integers (the log-free discipline of
+    * [[bigramRarity]], so the oracle doubles match bit-for-bit).
+    *
+    * Shape: one corpus explode → (w1,w2) count shuffle → per-w1 partial
+    * sums; the top-k head is a TakeOrdered, the argmax a min-struct
+    * aggregate (no row_number window), and the k-row head broadcasts
+    * back onto the distributed bigram table.
+    */
+  def lmNextToken(docs: DataFrame, k: Int): DataFrame = {
+    val w = tokens(col("text"))
+    val pairs = docs
+      .select(
+        explode(
+          zip_with(
+            slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+            slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+            (a, b) => struct(a.as("w1"), b.as("w2")),
+          ),
+        ).as("p"),
+      )
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+    val top = c2
+      .groupBy(col("w1"))
+      .agg(sum(col("cnt2")).as("cnt1"))
+      .orderBy(col("cnt1").desc, col("w1"))
+      .limit(k)
+    c2.join(broadcast(top), "w1")
+      .groupBy(col("w1"), col("cnt1"))
+      .agg(min(struct((-col("cnt2")).as("neg"), col("w2").as("w2"))).as("b"))
+      .select(
+        col("w1"),
+        col("b.w2").as("next_tok"),
+        (-col("b.neg")).as("n_pair"),
+        ((-col("b.neg")).cast("double") / col("cnt1").cast("double")).as("p_next"),
+      )
+      .orderBy("w1")
+  }
+
+  /** Deterministic weighted sampling — per-source top-`k` documents
+    * under the hash-priority rule priority = u/w (u = portable
+    * [[HashOps.indexedHash]] of doc_id, w = n_chars): larger documents
+    * get smaller priorities more often, so selection probability grows
+    * with weight, yet the draw is a pure function of the key —
+    * re-runnable, subset-stable, no RNG state (the seeded-sample
+    * discipline of [[hashSample]] extended with weights). The division
+    * is ONE IEEE op on two exact integers, so the oracle's doubles and
+    * tie-order match bit-for-bit.
+    *
+    * Shape: scan → per-source bounded-heap top-k
+    * ([[graft.expressions.TopKPairs]], map-side combining — the
+    * shuffle carries O(partitions × sources × k) rows, never the
+    * corpus; no row_number window).
+    */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val u = HashOps.indexedHash(lit(0), col("doc_id"))
+    docs
+      .select(
+        col("source"),
+        col("doc_id"),
+        (u.cast("double") / col("n_chars").cast("double")).as("priority"),
+      )
+      .groupBy(col("source"))
+      .agg(graft.expressions.TopKPairs.topK(col("priority"), col("doc_id"), k, ascending = true).as("tk"))
+      .select(col("source"), explode(col("tk")).as("e"))
+      .select(col("source"), col("e.id").as("doc_id"), col("e.score").as("priority"))
+      .orderBy("source", "priority", "doc_id")
+  }
 }

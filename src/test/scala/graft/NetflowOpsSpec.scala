@@ -213,4 +213,37 @@ class NetflowOpsSpec extends SparkSpec {
     assert(tick.getString(0) == "06:18:00")
     assert(tick.getLong(1) == 168L)
   }
+
+  test("ewmaSpikes: integer α=1/8 recursion in event order, spike = value > 2×baseline") {
+    import graft.operators.EventOps
+    val events = Seq(
+      // user 7 in ts order: 1.00, 1.00, 50.00, 1.00
+      (1L, "2024-01-01 00:00:01", 7L, 1.00),
+      (2L, "2024-01-01 00:00:02", 7L, 1.00),
+      (3L, "2024-01-01 00:00:03", 7L, 50.00),
+      (4L, "2024-01-01 00:00:04", 7L, 1.00),
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val r = EventOps.ewmaSpikes(events).as[(Long, Long, Long, Long)].collect().toSeq
+    // cents: 100, 100, 5000, 100. ewma: 100 → (100+700)/8=100 →
+    // (5000+700)/8=712 → (100+712*7)/8=635. Spikes: 5000 > 2*100 only.
+    assert(r == Seq((7L, 4L, 635L, 1L)))
+  }
+
+  test("maxConcurrent: sweep-line peak; touching intervals do not overlap (half-open)") {
+    import graft.operators.EventOps
+    val events = Seq(
+      // type A: [0,3), [1,4), [2,5) → peak 3 open at t=2.
+      (1L, "2024-01-01 00:00:00", 1L, "A", 2.0),
+      (2L, "2024-01-01 00:00:01", 1L, "A", 2.0),
+      (3L, "2024-01-01 00:00:02", 1L, "A", 2.0),
+      // type B: [0,1) then [1,2): end at t=1 closes before the start
+      // at t=1 opens → peak stays 1.
+      (4L, "2024-01-01 00:00:00", 2L, "B", 0.0),
+      (5L, "2024-01-01 00:00:01", 2L, "B", 0.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val r = EventOps.maxConcurrent(events).as[(String, Long)].collect().toSeq
+    assert(r == Seq(("A", 3L), ("B", 1L)))
+  }
 }

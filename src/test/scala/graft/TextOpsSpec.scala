@@ -229,4 +229,36 @@ class TextOpsSpec extends SparkSpec {
       (2L, 2L, (2.5 + 5.0) / 2, 5.0),
     ))
   }
+
+  test("bpeEncode applies merges greedily left-to-right, in rank order, with cascade") {
+    // "a a a a" under merge (a,a): greedy non-overlapping pass →
+    // [aa][aa] (2 tokens, NOT 3 — the first match consumes both a's).
+    // Then merge (aa,aa) cascades onto the previous merge's output.
+    val docs = Seq((1L, "a a a a"), (2L, "a a a")).toDF("doc_id", "text")
+    val out = TextOps
+      .bpeEncode(docs, Seq(("a", "a"), ("aa", "aa")))
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .toSeq
+    assert(out == Seq(
+      (1L, 4L, 1L, "[aaaa]"), // [a][a][a][a] → [aa][aa] → [aaaa]
+      (2L, 3L, 2L, "[aa][a]"), // greedy leftmost: third a survives
+    ))
+    // Merges containing brackets are rejected up front.
+    intercept[IllegalArgumentException] {
+      TextOps.bpeEncode(docs, Seq(("[", "a")))
+    }
+  }
+
+  test("lmNextToken returns the argmax continuation with deterministic ties") {
+    // Bigrams: (a,b)×2, (a,c)×2 → tie broken to smaller w2 = b;
+    // denominator is a's count as bigram START (4), so p = 2/4.
+    val docs = Seq((1L, "a b a c"), (2L, "a b a c x")).toDF("doc_id", "text")
+    val out = TextOps
+      .lmNextToken(docs, k = 1)
+      .as[(String, String, Long, Double)]
+      .collect()
+      .toSeq
+    assert(out == Seq(("a", "b", 2L, 0.5)))
+  }
 }
