@@ -601,6 +601,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("EWMA stream over two batches is bit-identical to the nf_ewma batch query") {
+    // Same exact-integer-state contract as the z-score twin: the
+    // processor's (n, ewma, spikes) longs replay EventOps.ewmaSpikes'
+    // ordered fold, so the final per-key rows must match EXACTLY.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    // Cents via the SAME Spark expression as the batch operator
+    // (floor(value*100 + 0.5)); global (ts, event_id) order split into
+    // two sequential batches.
+    val rows = Tables.events(spark, Sf)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+      )
+      .orderBy("ts_us", "event_id")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    val (batch1, batch2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = graft.streaming.EwmaStream
+      .baseline(in.toDS())
+      .toDF("user_id", "n_events", "ewma_cents", "n_spikes")
+      .writeStream
+      .format("memory").queryName("ewma_stream").outputMode("update")
+      .option(
+        "checkpointLocation",
+        Files.createTempDirectory("ewma_ckpt").toFile.getAbsolutePath,
+      )
+      .start()
+    try {
+      in.addData(batch1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(batch2.toIndexedSeq)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      // Update mode appends one row per key per touched batch; the
+      // current baseline is the row with the largest n_events (n is
+      // strictly increasing per key).
+      val streamed = spark.table("ewma_stream")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      val batch = Registry.queries("nf_ewma")(spark, Sf)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(streamed.size == batch.size, s"${streamed.size} streamed vs ${batch.size} batch")
+      batch.foreach { case (k, b) =>
+        assert(streamed(k) == b, s"user $k: stream=${streamed(k)} batch=$b")
+      }
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("an event far behind the watermark is dropped without killing the query") {
     // Spark 4's flatMapGroupsWithState drops input rows older than the
     // watermark before they reach the state function (verified against
