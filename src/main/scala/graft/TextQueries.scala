@@ -69,6 +69,21 @@ object TextQueries {
       |  AND len(list_filter(w, t -> t = 'window')) > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Oracle of the boolean MUST/MUST_NOT search — shared by
+    * tx_search_not (corpus-scan face) and tx_search_not_indexed (the
+    * persisted-index read path): same semantics, two postings sources,
+    * one SQL.
+    */
+  private val searchNotSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(w, t -> t IN ('spark', 'window'))) AS BIGINT)
+      |    AS total_tf
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |WHERE len(list_filter(w, t -> t = 'spark')) > 0
+      |  AND len(list_filter(w, t -> t = 'window')) > 0
+      |  AND len(list_filter(w, t -> t = 'slow')) = 0
+      |ORDER BY doc_id""".stripMargin
+
   /** Oracle of the phrase search — shared by tx_search_phrase and
     * tx_search_indexed_phrase (same positional-join semantics over
     * corpus-derived vs stored postings).
@@ -833,6 +848,16 @@ object TextQueries {
       (s, d) => graft.operators.SearchOps.searchAnd(documents(s, d), Seq("dup", "spark", "window")),
       Some(searchAndSql),
     ),
+    // Boolean MUST/MUST_NOT retrieval: spark AND window AND NOT slow —
+    // the Lucene negated-clause query as ONE posting-list aggregate
+    // (exclusion is a conditional count, not an anti-join).
+    Q(
+      "tx_search_not",
+      (s, d) =>
+        graft.operators.SearchOps
+          .searchNot(documents(s, d), Seq("spark", "window"), Seq("slow")),
+      Some(searchNotSql),
+    ),
     // Exact phrase match ("table table") over positional postings,
     // counting OVERLAPPING occurrences — the oracle mirrors the
     // positional join (a substring regex would undercount "a a a").
@@ -873,6 +898,16 @@ object TextQueries {
         graft.operators.SearchIndexOps.searchAnd(
           s, fullSearchIndex(s, d), Seq("dup", "spark", "window")),
       Some(searchAndSql),
+    ),
+    // Boolean MUST/MUST_NOT retrieval served from the stored postings —
+    // bucket pruning covers the union of both clause lists; shares
+    // tx_search_not's oracle.
+    Q(
+      "tx_search_not_indexed",
+      (s, d) =>
+        graft.operators.SearchIndexOps.searchNot(
+          s, fullSearchIndex(s, d), Seq("spark", "window"), Seq("slow")),
+      Some(searchNotSql),
     ),
     // Phrase match served from the stored positional postings — each
     // phrase term is one pruned per-term read; shares tx_search_phrase's

@@ -253,6 +253,20 @@ object SearchIndexOps {
   def searchNear(spark: SparkSession, prefix: String, terms: Seq[String], slop: Int): DataFrame =
     SearchOps.nearFrom(spark.table(s"${prefix}_postings"), terms, slop)
 
+  /** Negated conjunctive retrieval (MUST/MUST_NOT) from the stored
+    * postings — identical core to [[SearchOps.searchNot]]; the combined
+    * term filter prunes buckets to the union of both clause lists, and
+    * the exclusion stays a conditional count (no anti-join, no second
+    * index contact).
+    */
+  def searchNot(
+      spark: SparkSession,
+      prefix: String,
+      must: Seq[String],
+      mustNot: Seq[String],
+  ): DataFrame =
+    SearchOps.notFrom(spark.table(s"${prefix}_postings"), must, mustNot)
+
   /** Exact phrase match from the stored positional postings — each
     * phrase term contributes one pruned per-term read.
     */

@@ -78,6 +78,41 @@ object SearchOps {
   def searchAnd(docs: DataFrame, terms: Seq[String]): DataFrame =
     andFrom(postings(docs), terms)
 
+  /** Boolean-filter core (MUST/MUST_NOT) over an arbitrary postings
+    * source: documents containing every `must` term and none of the
+    * `mustNot` terms. ONE pruned read of all |must|+|mustNot| posting
+    * lists feeds one aggregate — the exclusion is a conditional count
+    * inside the same groupBy, not an anti-join (no second corpus
+    * contact, no extra shuffle); `total_tf` counts must-term
+    * occurrences only, matching [[andFrom]]'s contract.
+    */
+  private[operators] def notFrom(
+      postings: DataFrame,
+      must: Seq[String],
+      mustNot: Seq[String],
+  ): DataFrame = {
+    requireDistinctTerms(must ++ mustNot)
+    require(must.nonEmpty, "MUST_NOT alone would scan the corpus complement")
+    postings
+      .filter(col("term").isin(must ++ mustNot: _*))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(when(col("term").isin(must: _*), col("term"))).as("n_must"),
+        count(when(col("term").isin(mustNot: _*), 1)).as("n_not"),
+        count(when(col("term").isin(must: _*), 1)).as("total_tf"),
+      )
+      .filter(col("n_must") === must.size && col("n_not") === 0)
+      .select(col("doc_id"), col("total_tf"))
+      .orderBy("doc_id")
+  }
+
+  /** Negated conjunctive retrieval (AND NOT): every `must` term
+    * present, every `mustNot` term absent — the Lucene boolean-query
+    * MUST/MUST_NOT clause pair as one posting-list aggregate.
+    */
+  def searchNot(docs: DataFrame, must: Seq[String], mustNot: Seq[String]): DataFrame =
+    notFrom(postings(docs), must, mustNot)
+
   /** Phrase-match core: `termList` supplies one PRE-FILTERED positional
     * posting list (doc_id, pos) per term; the join chain advances the
     * position by one per term, so every join is an equi-join on

@@ -112,4 +112,20 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](SearchOps.searchNear(docs, Seq("a"), 3))
     intercept[IllegalArgumentException](SearchOps.searchNear(docs, Seq("a", "b"), -1))
   }
+
+  test("searchNot: every MUST present, any MUST_NOT excludes; tf counts must terms only") {
+    val docs = Seq(
+      (1L, "a b a"), // both musts, no bad → kept, tf = 3
+      (2L, "a b bad"), // excluded by MUST_NOT
+      (3L, "a a a"), // missing must b
+      (4L, "b a b bad bad"), // excluded (multiplicity irrelevant)
+    ).toDF("doc_id", "text")
+    val got = SearchOps.searchNot(docs, Seq("a", "b"), Seq("bad"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L)))
+    // Cross-clause duplicates are duplicates too; MUST_NOT alone is
+    // rejected (it would mean scanning the corpus complement).
+    intercept[IllegalArgumentException](SearchOps.searchNot(docs, Seq("a"), Seq("a")))
+    intercept[IllegalArgumentException](SearchOps.searchNot(docs, Nil, Seq("bad")))
+  }
 }
