@@ -694,6 +694,38 @@ object SimilarityQueries {
              |      FROM embeddings)
              |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
     ),
+    // Linear probe: nearest-class-mean binary classifier (labels 0 vs
+    // 1) — fixed-point class means, midpoint-threshold scoring, per
+    // class the correct-classification count and fixed-point mean
+    // margin. The oracle replays train-then-score end to end with the
+    // same ordered-fold dot products.
+    Q(
+      "sim_linear_probe",
+      (s, d) => SimilarityOps.linearProbe(embeddings(s, d), a = 0L, b = 1L),
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed
+             |  FROM embeddings WHERE label IN (0, 1)),
+             |c AS (SELECT label, dim, ${fpMeanAgg("xd")} AS c
+             |      FROM (SELECT label, unnest(ed) AS xd,
+             |              generate_subscripts(ed, 1) AS dim FROM e)
+             |      GROUP BY label, dim),
+             |arr AS (SELECT label, list(c ORDER BY dim) AS ca FROM c GROUP BY label),
+             |wm AS (SELECT
+             |    list_transform(generate_series(1, len(pa.ca)),
+             |                   wi -> pa.ca[wi] - pb.ca[wi]) AS w,
+             |    list_transform(generate_series(1, len(pa.ca)),
+             |                   mi -> (pa.ca[mi] + pb.ca[mi]) / 2.0) AS m
+             |  FROM (SELECT ca FROM arr WHERE label = 0) pa,
+             |       (SELECT ca FROM arr WHERE label = 1) pb),
+             |wb AS (SELECT w, -(${OracleSnippets.dot("w", "m")}) AS bias FROM wm),
+             |sc AS (SELECT label, ${OracleSnippets.dot("w", "ed")} + bias AS score
+             |       FROM e CROSS JOIN wb)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN (score > 0) = (label = 0) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct,
+             |  ${fpMeanAgg("score")} AS mean_margin
+             |FROM sc GROUP BY label ORDER BY label""".stripMargin),
+    ),
 
     // Product quantization: 4 blocks × 16 dims, 8-entry codebook per
     // block (the seed vectors' sub-vectors), codes packed base-8 into

@@ -328,6 +328,68 @@ object SimilarityOps {
       )
       .orderBy("label", "dim")
 
+  /** Linear-probe (nearest-class-mean) binary classifier over labeled
+    * embeddings — the cheapest supervised read an embedding store
+    * serves, and the standard representation-quality probe: for labels
+    * `a` vs `b`, w = µ_a − µ_b with the decision threshold at the
+    * class-midpoint hyperplane (score = w·x − w·(µ_a+µ_b)/2; score > 0
+    * → class a, ties → b). Reports per-class counts, correct
+    * classifications, and the fixed-point mean margin.
+    *
+    * Every emitted double is bit-reproducible: class means are the
+    * fixed-point mergeable mean (deterministic under partitioning),
+    * w/midpoint/score are ordered-fold array arithmetic over those
+    * means, and the mean margin is itself fixed-point — so the oracle
+    * replays the full train-then-score pipeline exactly.
+    *
+    * Shape: one (label, dim) centroid shuffle over the two classes'
+    * rows, then the 1-row (w, bias) frame broadcasts into a single
+    * scoring scan + per-label aggregate. The model never touches the
+    * driver and scoring contacts the corpus once.
+    */
+  def linearProbe(embeddings: DataFrame, a: Long, b: Long): DataFrame = {
+    val sub = embeddings.filter(col("label").isin(a, b))
+    val arrs = centroids(sub, col("label"))
+      .groupBy(col("label"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          s => s.getField("centroid"),
+        ).as("c"),
+      )
+    val model = arrs
+      .agg(
+        min(when(col("label") === a, col("c"))).as("ca"),
+        min(when(col("label") === b, col("c"))).as("cb"),
+      )
+      .select(
+        zip_with(col("ca"), col("cb"), (x, y) => x - y).as("w"),
+        zip_with(col("ca"), col("cb"), (x, y) => (x + y) / 2.0).as("m"),
+      )
+      .select(col("w"), (-dot(col("w"), col("m"))).as("bias"))
+    sub
+      .select(
+        col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("ed"),
+      )
+      .crossJoin(broadcast(model))
+      .select(col("label"), (dot(col("w"), col("ed")) + col("bias")).as("score"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when((col("score") > 0) === (col("label") === a), 1L).otherwise(0L))
+          .as("n_correct"),
+        fpSum(col("score")).as("s"),
+      )
+      .select(
+        col("label"),
+        col("n"),
+        col("n_correct"),
+        fpMean(col("s"), col("n")).as("mean_margin"),
+      )
+      .orderBy("label")
+  }
+
   /** [[centroids]] with a numerical-adjudication column: alongside the
     * exact fixed-point mean, compute the raw-double `sum()/n` mean (the
     * naive mergeable form, whose exact value floats with partition

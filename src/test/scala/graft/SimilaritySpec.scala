@@ -505,4 +505,21 @@ class SimilaritySpec extends SparkSpec {
     assert(tied.getAs[Long]("n_votes") == 1L)
     assert(tied.getAs[Boolean]("correct"))
   }
+
+  test("linearProbe: separable classes classify perfectly with opposite-sign margins") {
+    // Class 0 clusters near (+1, 0), class 1 near (−1, 0) — linearly
+    // separable, so the midpoint-threshold rule gets every row right
+    // and the mean margins are symmetric-ish and opposite in sign.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.1f), 0L),
+      (2L, Seq(0.9f, -0.1f), 0L),
+      (3L, Seq(-1.0f, 0.2f), 1L),
+      (4L, Seq(-0.8f, 0.0f), 1L),
+      (5L, Seq(9.9f, 9.9f), 2L), // other labels are excluded from the probe
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.linearProbe(emb, a = 0L, b = 1L)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((0L, 2L, 2L), (1L, 2L, 2L)))
+    assert(out(0)._4 > 0 && out(1)._4 < 0)
+  }
 }
