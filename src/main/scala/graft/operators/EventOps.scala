@@ -260,7 +260,13 @@ object EventOps {
     */
   def maxConcurrent(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val us = expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    // NTZ-epoch micros via an NTZ literal (the Tables.events discipline):
+    // an SQL TIMESTAMP literal would coerce through the session zone.
+    val us = timestamp_diff(
+      "MICROSECOND",
+      lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)),
+      col("ts"),
+    )
     val durUs = (floor(col("value")).cast("long") + 1L) * 1000000L
     val points = events
       .select(col("event_type"), (us * 2 + 1).as("k"), lit(1L).as("delta"))
