@@ -595,5 +595,35 @@ object NetflowQueries {
              |SELECT event_type, CAST(max(open) AS BIGINT) AS max_concurrent
              |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+    // Robust outliers per type: EXACT lower-median + median absolute
+    // deviation by order-statistic SELECTION (a datum, not engine-
+    // specific interpolation), outlier = dev > 3·MAD. Complements the
+    // mean/σ z-score detector, which outliers themselves inflate.
+    Q(
+      "nf_mad",
+      (s, d) => EventOps.madOutliers(events(s, d)),
+      Some("""WITH e AS (SELECT event_type, event_id, value FROM events),
+             |m AS (SELECT event_type, value AS med FROM (
+             |        SELECT event_type, value,
+             |          row_number() OVER (PARTITION BY event_type
+             |                             ORDER BY value, event_id) AS rn,
+             |          count(*) OVER (PARTITION BY event_type) AS n
+             |        FROM e) WHERE rn = floor((n+1) / 2)),
+             |d AS (SELECT e.event_type, e.event_id, e.value, m.med,
+             |             abs(e.value - m.med) AS dev
+             |      FROM e JOIN m USING (event_type)),
+             |md AS (SELECT event_type, dev AS mad FROM (
+             |        SELECT event_type, dev, event_id,
+             |          row_number() OVER (PARTITION BY event_type
+             |                             ORDER BY dev, event_id) AS rn,
+             |          count(*) OVER (PARTITION BY event_type) AS n
+             |        FROM d) WHERE rn = floor((n+1) / 2))
+             |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+             |  min(d.med) AS median_value, min(md.mad) AS mad,
+             |  CAST(sum(CASE WHEN d.dev > md.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers
+             |FROM d JOIN md USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+    ),
   )
 }

@@ -244,6 +244,51 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Robust outlier counts per event type via the median absolute
+    * deviation — the detector that, unlike mean/σ z-scores (`nf_anomaly`)
+    * or trimmed bounds (`q_winsorize`), does not let the outliers
+    * themselves inflate the threshold. Medians are EXACT order
+    * statistics by selection (the LOWER median: the row at position
+    * ⌊(n+1)/2⌋ under (value, event_id) order — selection, not
+    * interpolation, so the value is a datum both engines agree on
+    * bit-for-bit; interpolated quantile arithmetic differs across
+    * engines). An outlier is dev > 3·MAD.
+    *
+    * Shape: two per-type sorted selections (row_number windows — the
+    * price of EXACT medians; the approximate path at 100 TB is
+    * `q_approx_percentile`'s mergeable sketch, and the honest exact
+    * path is this one run per coarse partition), a 5-row broadcast of
+    * each median back onto the scan, one final aggregate.
+    */
+  def madOutliers(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Window.partitionBy("event_type")
+    def lowerMedian(df: DataFrame, c: String, out: String): DataFrame =
+      df.withColumn(
+          "rn",
+          row_number().over(Window.partitionBy("event_type").orderBy(c, "event_id")),
+        )
+        .withColumn("n", count(lit(1)).over(cnt))
+        .filter(col("rn") === floor((col("n") + 1) / lit(2)))
+        .select(col("event_type"), col(c).as(out))
+    val e = events.select(col("event_type"), col("event_id"), col("value"))
+    val med = lowerMedian(e, "value", "med")
+    val dev = e
+      .join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("med")).as("median_value"),
+        min(col("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"),
+      )
+      .orderBy("event_type")
+  }
+
   /** Peak concurrency per event type — the max-simultaneous-flows gauge
     * (capacity planning / connection-table sizing): each event holds an
     * interval [ts, ts + (1+⌊value⌋) s), and the answer is the sweep-line

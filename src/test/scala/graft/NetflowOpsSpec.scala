@@ -246,4 +246,18 @@ class NetflowOpsSpec extends SparkSpec {
     val r = EventOps.maxConcurrent(events).as[(String, Long)].collect().toSeq
     assert(r == Seq(("A", 3L), ("B", 1L)))
   }
+
+  test("madOutliers: lower-median selection, MAD threshold immune to the outlier itself") {
+    import graft.operators.EventOps
+    // values 1,2,3,4,1000: lower median = 3 (position ⌊6/2⌋ = 3 of 5).
+    // devs = 2,1,0,1,997 → sorted 0,1,1,2,997 → MAD = 1 (position 3).
+    // Outliers: dev > 3 → only 1000 (the z-score path would have its σ
+    // blown up by the same point).
+    val events = (1L to 5L)
+      .map(i => (i, "2024-01-01 00:00:0" + i, 1L, "A", if (i == 5) 1000.0 else i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val r = EventOps.madOutliers(events).as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(r == Seq(("A", 5L, 3.0, 1.0, 1L)))
+  }
 }
