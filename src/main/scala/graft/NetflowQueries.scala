@@ -595,6 +595,60 @@ object NetflowQueries {
              |SELECT event_type, CAST(max(open) AS BIGINT) AS max_concurrent
              |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+    // Rolling 7-day active users (the DAU/WAU gauge): sliding windows
+    // via one Expand ×7 + ONE distinct-count shuffle — the exact path;
+    // the sketch path for wider windows at 100 TB is q_hll_union's
+    // re-aggregatable per-day HLLs.
+    Q(
+      "nf_sliding_distinct",
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "7 days", "1 day"))
+          .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
+            col("n_users"),
+            col("n_events"),
+          )
+          .orderBy("win_start"),
+      Some("""SELECT strftime(win_start, '%Y-%m-%d') AS win_start,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  count(*) AS n_events
+             |FROM (SELECT user_id,
+             |        date_trunc('day', ts) - to_days(CAST(k AS INT)) AS win_start
+             |      FROM events, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(k))
+             |GROUP BY win_start ORDER BY win_start""".stripMargin),
+    ),
+    // Daily top talkers via the bounded-heap TopKPairs aggregate — the
+    // per-window top-k shape that scales: the day×user rollup
+    // partial-aggregates, then the per-day heap carries 3 rows per
+    // partition into the exchange (no row_number window over the full
+    // rollup). Ties → smaller user_id, the window ordering it replaces.
+    Q(
+      "nf_top_talkers_daily",
+      (s, d) =>
+        events(s, d)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .groupBy(col("day"))
+          .agg(
+            graft.expressions.TopKPairs
+              .topK(col("total_value"), col("user_id"), 3, ascending = false)
+              .as("tk"),
+          )
+          .select(col("day"), explode(col("tk")).as("e"))
+          .select(col("day"), col("e.id").as("user_id"), col("e.score").as("total_value"))
+          .orderBy(col("day"), col("total_value").desc, col("user_id")),
+      Some("""WITH t AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+             |            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |          FROM events GROUP BY day, user_id),
+             |r AS (SELECT day, user_id, total_value,
+             |        row_number() OVER (PARTITION BY day
+             |                           ORDER BY total_value DESC, user_id) AS rn
+             |      FROM t)
+             |SELECT day, user_id, total_value FROM r WHERE rn <= 3
+             |ORDER BY day, total_value DESC, user_id""".stripMargin),
+    ),
     // Robust outliers per type: EXACT lower-median + median absolute
     // deviation by order-statistic SELECTION (a datum, not engine-
     // specific interpolation), outlier = dev > 3·MAD. Complements the

@@ -694,6 +694,26 @@ object SimilarityQueries {
              |      FROM embeddings)
              |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
     ),
+    // Class-separation report: pairwise cosine between per-label
+    // fixed-point centroids (K·(K−1)/2 rows) — collapsed classes show
+    // as near-1 cosines before a probe or classifier is trusted.
+    Q(
+      "sim_centroid_sim",
+      (s, d) => SimilarityOps.centroidSimilarity(embeddings(s, d)),
+      Some(s"""WITH c AS (SELECT label, dim, ${fpMeanAgg("xd")} AS c
+             |      FROM (SELECT label,
+             |              unnest(CAST(embedding AS DOUBLE[])) AS xd,
+             |              generate_subscripts(embedding, 1) AS dim
+             |            FROM embeddings)
+             |      GROUP BY label, dim),
+             |arr AS (SELECT label, list(c ORDER BY dim) AS ca FROM c GROUP BY label)
+             |SELECT pa.label AS label_a, pb.label AS label_b,
+             |  ${OracleSnippets.dot("pa.ca", "pb.ca")} /
+             |    (sqrt(${OracleSnippets.dot("pa.ca", "pa.ca")}) *
+             |     sqrt(${OracleSnippets.dot("pb.ca", "pb.ca")})) AS cosine
+             |FROM arr pa JOIN arr pb ON pa.label < pb.label
+             |ORDER BY label_a, label_b""".stripMargin),
+    ),
     // Linear probe: nearest-class-mean binary classifier (labels 0 vs
     // 1) — fixed-point class means, midpoint-threshold scoring, per
     // class the correct-classification count and fixed-point mean

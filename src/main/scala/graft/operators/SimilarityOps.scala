@@ -328,6 +328,36 @@ object SimilarityOps {
       )
       .orderBy("label", "dim")
 
+  /** Class-separation report: pairwise cosine between every two
+    * labels' fixed-point centroids — the embedding-space health view a
+    * pipeline owner reads before trusting labels or probes (collapsed
+    * classes show as near-1 cosines). The centroid aggregate is the
+    * only corpus contact; the K-row centroid frame then self-joins
+    * under a broadcast, so the output is K·(K−1)/2 rows of
+    * deterministic ordered-fold arithmetic (dot, sqrt, one division —
+    * all correctly-rounded IEEE ops the oracle replays exactly).
+    */
+  def centroidSimilarity(embeddings: DataFrame): DataFrame = {
+    val arrs = centroids(embeddings, col("label"))
+      .groupBy(col("label"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          s => s.getField("centroid"),
+        ).as("c"),
+      )
+    val a = arrs.select(col("label").as("label_a"), col("c").as("ca"))
+    val b = arrs.select(col("label").as("label_b"), col("c").as("cb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(
+        col("label_a"),
+        col("label_b"),
+        (dot(col("ca"), col("cb")) /
+          (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb"))))).as("cosine"),
+      )
+      .orderBy("label_a", "label_b")
+  }
+
   /** Linear-probe (nearest-class-mean) binary classifier over labeled
     * embeddings — the cheapest supervised read an embedding store
     * serves, and the standard representation-quality probe: for labels
