@@ -116,4 +116,20 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("id", "ip_src", "ip_dst", "ts")
     assert(NetflowOps.beaconProfile(noBeacon, minGaps = 5, cvInv = 5).count() == 0)
   }
+
+  test("late round-9 operators on empty input") {
+    assert(TextOps.bpeEncode(noDocs, Seq(("a", "b"))).count() == 0)
+    assert(TextOps.lmNextToken(noDocs, k = 5).count() == 0)
+    val noSourced = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    assert(TextOps.weightedSample(noSourced, k = 5).count() == 0)
+    assert(SearchOps.searchNot(noDocs, Seq("a"), Seq("b")).count() == 0)
+    val noTyped = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventOps.ewmaSpikes(noTyped).count() == 0)
+    assert(EventOps.maxConcurrent(noTyped).count() == 0)
+    assert(EventOps.madOutliers(noTyped).count() == 0)
+    val noLabeled = Seq.empty[(Long, Array[Float], Long)].toDF("vec_id", "embedding", "label")
+    assert(SimilarityOps.linearProbe(noLabeled, 0L, 1L).count() == 0)
+    assert(SimilarityOps.centroidSimilarity(noLabeled).count() == 0)
+  }
 }
