@@ -452,4 +452,129 @@ object EngineProps extends Properties("graft") {
       got == expected
     }
   }
+
+  /** bpeEncode equals a straight-line greedy encoder: one leftmost
+    * non-overlapping pass per merge, in rank order, over each doc's
+    * token list (the replace-chain's contract, checked against an
+    * independent list-recursion implementation).
+    */
+  property("bpeEncode equals straight-line greedy merge application") = {
+    import spark.implicits._
+    val genDoc = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "ab")).map(_.mkString(" "))
+    val genMerge = for {
+      x <- Gen.oneOf("a", "b", "c", "ab", "aa")
+      y <- Gen.oneOf("a", "b", "c", "ab")
+    } yield (x, y)
+    def applyMerge(toks: List[String], a: String, b: String): List[String] = toks match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: applyMerge(rest, a, b)
+      case x :: rest => x :: applyMerge(rest, a, b)
+      case Nil => Nil
+    }
+    Prop.forAll(Gen.nonEmptyListOf(genDoc), Gen.listOfN(3, genMerge)) { (texts, merges0) =>
+      val merges = merges0.distinct
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.TextOps
+        .bpeEncode(docs.toDF("doc_id", "text"), merges)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      docs.forall { case (id, t) =>
+        val toks = graft.operators.TextOps.BpePattern.r.findAllIn(t).toList
+        val enc = merges.foldLeft(toks) { case (ts, (a, b)) => applyMerge(ts, a, b) }
+        got(id) == ((toks.size.toLong, enc.size.toLong,
+          enc.map(x => s"[$x]").mkString.take(60)))
+      }
+    }
+  }
+
+  /** maxConcurrent equals the closed-form sweep reference: the peak is
+    * attained immediately after some start, where the open count is
+    * #{j : s_j <= s_i < e_j} (half-open intervals, ends-before-starts
+    * at equal instants).
+    */
+  property("maxConcurrent equals brute-force interval stabbing maximum") = {
+    import spark.implicits._
+    val genEvent = for {
+      typ <- Gen.oneOf("A", "B")
+      sec <- Gen.chooseNum(0, 40)
+      dur <- Gen.chooseNum(0, 9)
+    } yield (typ, sec, dur.toDouble + 0.25)
+    Prop.forAll(Gen.nonEmptyListOf(genEvent)) { evs =>
+      val rows = evs.zipWithIndex.map { case ((typ, sec, v), i) =>
+        (i.toLong, f"2024-01-01 00:00:$sec%02d", 1L, typ, v)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val got = EventOps.maxConcurrent(df).as[(String, Long)].collect().toMap
+      val ivals = evs.map { case (typ, sec, v) => (typ, sec.toLong, sec.toLong + v.toLong + 1) }
+      val expected = ivals.groupBy(_._1).map { case (typ, is) =>
+        typ -> is.map { case (_, s, _) =>
+          is.count { case (_, s2, e2) => s2 <= s && s < e2 }.toLong
+        }.max
+      }
+      got == expected
+    }
+  }
+
+  /** ewmaSpikes equals a straight-line integer fold per user in
+    * (ts, event_id) order.
+    */
+  property("ewmaSpikes equals straight-line integer fold") = {
+    import spark.implicits._
+    val genEvent = for {
+      user <- Gen.chooseNum(0L, 3L)
+      sec <- Gen.chooseNum(0, 50)
+      cents <- Gen.chooseNum(1, 50000)
+    } yield (user, sec, cents)
+    Prop.forAll(Gen.nonEmptyListOf(genEvent)) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, sec, c), i) =>
+        (i.toLong, f"2024-01-01 00:00:$sec%02d", u, c / 100.0)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "value")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val got = EventOps.ewmaSpikes(df).as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val expected = rows
+        .map { case (id, ts, u, v) => (u, ts, id, math.floor(v * 100 + 0.5).toLong) }
+        .groupBy(_._1)
+        .map { case (u, rs) =>
+          val ordered = rs.sortBy(r => (r._2, r._3)).map(_._4)
+          val (ewma, spikes) = ordered.foldLeft((-1L, 0L)) { case ((e, sp), x) =>
+            val sp2 = if (e >= 0 && x > 2 * e) sp + 1 else sp
+            val e2 = if (e < 0) x else math.floor((x + 7 * e).toDouble / 8.0).toLong
+            (e2, sp2)
+          }
+          u -> ((ordered.size.toLong, ewma, spikes))
+        }
+      got == expected
+    }
+  }
+
+  /** madOutliers equals a straight-line lower-median/MAD reference. */
+  property("madOutliers equals straight-line median/MAD reference") = {
+    import spark.implicits._
+    val genEvent = for {
+      typ <- Gen.oneOf("A", "B")
+      cents <- Gen.chooseNum(1, 9999)
+    } yield (typ, cents / 100.0)
+    Prop.forAll(Gen.nonEmptyListOf(genEvent)) { evs =>
+      val rows = evs.zipWithIndex.map { case ((typ, v), i) =>
+        (i.toLong, "2024-01-01 00:00:01", 1L, typ, v)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val got = EventOps.madOutliers(df).as[(String, Long, Double, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      def lowerMedian(xs: Seq[(Double, Long)]): Double = {
+        val sorted = xs.sortBy(identity)
+        sorted(((sorted.size + 1) / 2) - 1)._1
+      }
+      val expected = rows.groupBy(_._4).map { case (typ, rs) =>
+        val med = lowerMedian(rs.map(r => (r._5, r._1)))
+        val devs = rs.map(r => (math.abs(r._5 - med), r._1))
+        val mad = lowerMedian(devs)
+        typ -> ((rs.size.toLong, med, mad, devs.count(_._1 > 3 * mad).toLong))
+      }
+      got == expected
+    }
+  }
 }
