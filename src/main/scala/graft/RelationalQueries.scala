@@ -2848,6 +2848,38 @@ object RelationalQueries {
              |FROM deg d JOIN p3 p ON p.node = d.node
              |ORDER BY d.node""".stripMargin),
     ),
+    // Correlated LATERAL subquery — the dependent-join SQL surface:
+    // each nation pairs with its own top supplier by revenue (aggregate
+    // + ORDER BY + LIMIT inside the lateral body, referencing the outer
+    // row). Spark decorrelates this into a join-over-domain plan; the
+    // oracle runs the identical ANSI text.
+    Q(
+      "q_lateral_topk",
+      (s, d) => {
+        nation(s, d).createOrReplaceTempView("nation_lat")
+        supplier(s, d).createOrReplaceTempView("supplier_lat")
+        lineitem(s, d).createOrReplaceTempView("lineitem_lat")
+        s.sql("""SELECT n.n_name, t.s_name, t.total
+                |FROM nation_lat n, LATERAL (
+                |  SELECT s.s_name,
+                |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |  FROM supplier_lat s JOIN lineitem_lat l ON l.l_suppkey = s.s_suppkey
+                |  WHERE s.s_nationkey = n.n_nationkey
+                |  GROUP BY s.s_name
+                |  ORDER BY total DESC, s.s_name LIMIT 1
+                |) t
+                |ORDER BY n.n_name""".stripMargin)
+      },
+      Some("""SELECT n.n_name, t.s_name, t.total
+             |FROM nation n, LATERAL (
+             |  SELECT s.s_name,
+             |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+             |  WHERE s.s_nationkey = n.n_nationkey
+             |  GROUP BY s.s_name
+             |  ORDER BY total DESC, s.s_name LIMIT 1) t
+             |ORDER BY n.n_name""".stripMargin),
+    ),
     // Privacy audit: k-anonymity over the quasi-identifier
     // (event_type, day, hour) — per type, how many QI groups exist, how
     // many fall under k = 20 members, and how many rows those small

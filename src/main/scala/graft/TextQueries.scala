@@ -312,6 +312,30 @@ object TextQueries {
               |SELECT source, doc_id, priority FROM r WHERE rn <= 5
               |ORDER BY source, priority, doc_id""".stripMargin),
     ),
+    // Rejection-reason breakdown of the quality filter: each document
+    // charged to the FIRST failing rule in a fixed order, so reasons
+    // partition the corpus (counts sum to the row count) and the
+    // breakdown shares its rule expressions with the keep predicate.
+    Q(
+      "tx_reject_reasons",
+      (s, d) => TextOps.rejectReasons(documents(s, d)),
+      Some(s"""WITH t AS (
+              |  SELECT len(w) AS n_tok,
+              |    CAST(len(list_filter(w, rr -> rr IN ($stopList))) AS DOUBLE) / len(w)
+              |      AS stop_ratio,
+              |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
+              |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+              |r AS (SELECT n_tok,
+              |        CASE WHEN n_tok < 20 THEN 'too_short'
+              |             WHEN n_tok > 200 THEN 'too_long'
+              |             WHEN stop_ratio > 0.3 THEN 'stop_ratio'
+              |             WHEN ttr < 0.1 THEN 'ttr'
+              |             ELSE 'kept' END AS reason
+              |      FROM t)
+              |SELECT reason, count(*) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              |FROM r GROUP BY reason ORDER BY reason""".stripMargin),
+    ),
     Q(
       "tx_curation_pipeline",
       (s, d) => TextOps.curationPipeline(documents(s, d)),

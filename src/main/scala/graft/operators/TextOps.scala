@@ -884,6 +884,27 @@ object TextOps {
       .orderBy("w1")
   }
 
+  /** Rejection-reason breakdown of the quality filter — the
+    * explainability view a curation pipeline publishes next to its keep
+    * rate: every document is charged to the FIRST failing rule in a
+    * fixed adjudication order (too_short, too_long, stop_ratio, ttr,
+    * else kept), so the reasons partition the corpus and the counts sum
+    * to the row count. Same rule expressions as [[curationPipeline]]'s
+    * keep predicate — the breakdown can never drift from the filter it
+    * explains. One scan + one tiny aggregate.
+    */
+  def rejectReasons(docs: DataFrame): DataFrame = {
+    val reason = when(qNTok < 20, "too_short")
+      .when(qNTok > 200, "too_long")
+      .when(qStopRatio > 0.3, "stop_ratio")
+      .when(qTtr < 0.1, "ttr")
+      .otherwise("kept")
+    docs
+      .groupBy(reason.as("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(qNTok.cast("long")).as("n_tokens"))
+      .orderBy("reason")
+  }
+
   /** Deterministic weighted sampling — per-source top-`k` documents
     * under the hash-priority rule priority = u/w (u = portable
     * [[HashOps.indexedHash]] of doc_id, w = n_chars): larger documents
