@@ -319,6 +319,37 @@ object DedupQueries {
               |FROM nodes n JOIN reach r ON r.u = n.id
               |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
+    // Cluster-size histogram — the dedup health report (how much of
+    // the corpus is duplicated, and in how big clumps): component sizes
+    // from the same label-propagation fixpoint, rolled into (size →
+    // n_clusters). Two tiny aggregates on top of the cluster frame.
+    Q(
+      "dd_cluster_stats",
+      (s, d) =>
+        DedupOps
+          .connectedComponents(
+            DedupOps.minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold),
+          )
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size"),
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges),
+              |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+              |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+              |       FROM comp GROUP BY component)
+              |SELECT cluster_size, count(*) AS n_clusters
+              |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+    ),
     // The dedup ACTION step: clusters → per-document keep/drop verdict
     // (keeper = the component minimum; unclustered docs keep
     // themselves). This is the list a curation pipeline actually

@@ -2848,6 +2848,70 @@ object RelationalQueries {
              |FROM deg d JOIN p3 p ON p.node = d.node
              |ORDER BY d.node""".stripMargin),
     ),
+    // Week-over-week growth: ISO-week revenue rollup per type with the
+    // previous week's total and the relative change (one subtraction +
+    // one division of the decimal-exact weekly doubles). First week per
+    // type carries NULLs — the honest answer, and both engines agree.
+    Q(
+      "q_wow",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("week")
+        events(s, d)
+          .groupBy(
+            col("event_type"),
+            date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+          )
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .withColumn("prev", lag(col("total"), 1).over(w))
+          .select(
+            col("event_type"),
+            col("week"),
+            col("total"),
+            ((col("total") - col("prev")) / col("prev")).as("wow"),
+          )
+          .orderBy("event_type", "week")
+      },
+      Some("""WITH w AS (
+             |  SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM events GROUP BY event_type, week)
+             |SELECT event_type, week, total,
+             |  (total - lag(total) OVER (PARTITION BY event_type ORDER BY week)) /
+             |    lag(total) OVER (PARTITION BY event_type ORDER BY week) AS wow
+             |FROM w ORDER BY event_type, week""".stripMargin),
+    ),
+    // New-vs-returning user growth: per day, active users, first-seen
+    // (new) users, returning = active − new, and the cumulative
+    // distinct-user count as a running sum of news — the growth curve
+    // WITHOUT re-scanning history per day (first-seen is one min per
+    // user; cumulative distinct falls out as Σ new).
+    Q(
+      "q_user_growth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val day = date_format(col("ts"), "yyyy-MM-dd")
+        val e = events(s, d).select(day.as("day"), col("user_id"))
+        val firstSeen = e.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        val newPerDay = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+        val active = e.groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_active"))
+        active
+          .join(newPerDay, Seq("day"), "left")
+          .select(col("day"), col("n_active"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("n_returning", col("n_active") - col("n_new"))
+          .withColumn("cum_users", sum(col("n_new")).over(Window.orderBy("day")))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+             |f AS (SELECT user_id, min(day) AS day FROM e GROUP BY user_id),
+             |n AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY day),
+             |a AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+             |      FROM e GROUP BY day)
+             |SELECT a.day, a.n_active, coalesce(n.n_new, 0) AS n_new,
+             |  a.n_active - coalesce(n.n_new, 0) AS n_returning,
+             |  CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day) AS BIGINT) AS cum_users
+             |FROM a LEFT JOIN n ON a.day = n.day ORDER BY a.day""".stripMargin),
+    ),
     // Correlated LATERAL subquery — the dependent-join SQL surface:
     // each nation pairs with its own top supplier by revenue (aggregate
     // + ORDER BY + LIMIT inside the lateral body, referencing the outer

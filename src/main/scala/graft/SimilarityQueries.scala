@@ -694,6 +694,21 @@ object SimilarityQueries {
              |      FROM embeddings)
              |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
     ),
+    // Per-dimension feature health: fixed-point mean/variance plus
+    // exact min/max for every embedding dimension — the drift/collapse
+    // dashboard (dead dimension → variance ≈ 0).
+    Q(
+      "sim_dim_stats",
+      (s, d) => SimilarityOps.dimStats(embeddings(s, d)),
+      Some(s"""SELECT dim, ${fpMeanAgg("xd")} AS mean,
+             |  (${fpMeanAgg("xd*xd")}) - (${fpMeanAgg("xd")}) * (${fpMeanAgg("xd")})
+             |    AS variance,
+             |  min(xd) AS min_x, max(xd) AS max_x
+             |FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS xd,
+             |        generate_subscripts(embedding, 1) AS dim
+             |      FROM embeddings)
+             |GROUP BY dim ORDER BY dim""".stripMargin),
+    ),
     // Class-separation report: pairwise cosine between per-label
     // fixed-point centroids (K·(K−1)/2 rows) — collapsed classes show
     // as near-1 cosines before a probe or classifier is trusted.

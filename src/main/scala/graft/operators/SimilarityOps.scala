@@ -328,6 +328,38 @@ object SimilarityOps {
       )
       .orderBy("label", "dim")
 
+  /** Per-dimension feature-health report over the embedding corpus:
+    * mean, variance, min, max for every dimension — the drift/collapse
+    * dashboard (a dead dimension shows variance ≈ 0; a scale bug shows
+    * in min/max). Mean and mean-of-squares are the fixed-point
+    * mergeable aggregates (deterministic under partitioning), variance
+    * the closed form m₂ − m², min/max exact — every double
+    * bit-reproducible by the oracle. One (dim) shuffle of O(1)
+    * partials; output rows = dimensionality.
+    */
+  def dimStats(embeddings: DataFrame): DataFrame = {
+    val m = fpMean(col("s"), col("n"))
+    embeddings
+      .select(posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("pos", "xd")))
+      .select((col("pos") + 1).as("dim"), col("xd"))
+      .groupBy(col("dim"))
+      .agg(
+        fpSum(col("xd")).as("s"),
+        fpSum(col("xd") * col("xd")).as("s2"),
+        count(lit(1)).as("n"),
+        min(col("xd")).as("min_x"),
+        max(col("xd")).as("max_x"),
+      )
+      .select(
+        col("dim"),
+        m.as("mean"),
+        (fpMean(col("s2"), col("n")) - m * m).as("variance"),
+        col("min_x"),
+        col("max_x"),
+      )
+      .orderBy("dim")
+  }
+
   /** Class-separation report: pairwise cosine between every two
     * labels' fixed-point centroids — the embedding-space health view a
     * pipeline owner reads before trusting labels or probes (collapsed
