@@ -18,6 +18,30 @@ object RelationalQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
 
+  /** One recursive-CTE text for BOTH engines (q_reachability): the
+    * co-occurrence edge build (distinct members, fat-group guard,
+    * symmetric distinct pairs — the coOccurrenceEdges contract in SQL),
+    * the max-degree seed, and a hop-bounded UNION ALL BFS whose
+    * duplicate paths collapse under min(hops).
+    */
+  private def reachabilitySql(tbl: String): String =
+    s"""WITH RECURSIVE
+       |m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS k
+       |      FROM $tbl WHERE l_quantity = 1),
+       |gok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 1000),
+       |e AS (SELECT DISTINCT a.k AS src, b.k AS dst
+       |      FROM m a JOIN m b ON b.g = a.g AND b.k <> a.k
+       |      WHERE a.g IN (SELECT g FROM gok)),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |seed AS (SELECT src FROM deg ORDER BY d DESC, src LIMIT 1),
+       |r(node, hops) AS (
+       |  SELECT src, 0 FROM seed
+       |  UNION ALL
+       |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+       |  WHERE r.hops < 3)
+       |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+       |FROM r GROUP BY node ORDER BY node""".stripMargin
+
   /** Shared WITH-chain for the hilbert/zorder layout oracles: rank-scale
     * (l_partkey, l_suppkey) to 8 bits, replay the Hilbert quadrant walk
     * as one chained CTE per bit level (MATERIALIZED — inlining would
@@ -2847,6 +2871,21 @@ object RelationalQueries {
              |SELECT d.node, d.out_deg, CAST(p.pr AS BIGINT) AS pr
              |FROM deg d JOIN p3 p ON p.node = d.node
              |ORDER BY d.node""".stripMargin),
+    ),
+    // Recursive CTE (Spark 4's WITH RECURSIVE): bounded-hop BFS
+    // reachability from the highest-degree node of a sparse
+    // co-occurrence graph — ONE SQL text executed verbatim by BOTH
+    // engines (reachabilitySql builds it; only the table name differs),
+    // so the SQL surface itself is what's being checked. UNION ALL
+    // recursion is bounded by the hop predicate; min(hops) collapses
+    // duplicate paths into BFS distance.
+    Q(
+      "q_reachability",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_rec")
+        s.sql(reachabilitySql("lineitem_rec"))
+      },
+      Some(reachabilitySql("lineitem")),
     ),
     // Week-over-week growth: ISO-week revenue rollup per type with the
     // previous week's total and the relative change (one subtraction +
