@@ -97,6 +97,32 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSameRows(sql, Registry.queries("nf_top_talkers")(spark, Sf))
   }
 
+  test("correlated LATERAL decorrelates to a group-limit + hash join (no nested loop)") {
+    val df = Registry.queries("q_lateral_topk")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // The lateral body (aggregate + ORDER BY + LIMIT referencing the
+    // outer row) must NOT plan as a per-row nested loop: Catalyst
+    // decorrelates it into a per-key WindowGroupLimit (map-side top-1)
+    // joined back to the outer side.
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("WITH RECURSIVE BFS terminates on the hop bound and yields BFS distances") {
+    val rows = Registry.queries("q_reachability")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // Seed at distance 0, everything else within the hop bound, and
+    // distances form contiguous BFS levels (a node at hop h implies
+    // some node at h-1 — its predecessor on the shortest path).
+    assert(rows.count(_._2 == 0L) == 1)
+    assert(rows.forall(_._2 <= 3L))
+    val hops = rows.map(_._2).toSet
+    assert((0L to hops.max).forall(hops.contains))
+  }
+
   test("LSH near-dup and ANN top-k run as pure SQL text via the registered engine functions") {
     // minhash_sig / shingle_hashes / sorted_intersect_count / unit_norm /
     // array_dot bind through spark.sql.extensions — a STATIC conf, so
@@ -159,4 +185,5 @@ class SqlSurfaceSpec extends SparkSpec {
       SparkSession.clearDefaultSession()
     }
   }
+
 }
