@@ -250,6 +250,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("rejectReasons partitions the corpus by the FIRST failing rule") {
+    val kept = (1 to 30).map(i => s"w$i").mkString(" ") // 30 unique tokens
+    val short = "a b c"
+    // 10 stopwords out of 25 → stop_ratio 0.4 fails BEFORE ttr (0.64 ok)
+    val stoppy = (Seq.fill(10)("the") ++ (1 to 15).map(i => s"u$i")).mkString(" ")
+    // all-stopword doc fails stop_ratio AND ttr → charged to stop_ratio
+    val both = Seq.fill(25)("the").mkString(" ")
+    val docs = Seq((1L, kept), (2L, short), (3L, stoppy), (4L, both))
+      .toDF("doc_id", "text")
+    val out = TextOps.rejectReasons(docs).as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("kept", 1L, 30L), ("stop_ratio", 2L, 50L), ("too_short", 1L, 3L)))
+    assert(out.map(_._2).sum == 4L) // reasons partition the corpus
+  }
+
+  test("weightedSample selects the k smallest hash-priority u/w per source") {
+    val docs = Seq(
+      (1L, "s", 100L),
+      (2L, "s", 1L),
+      (3L, "s", 1000L),
+    ).toDF("doc_id", "source", "n_chars")
+    val P = 2147483647L
+    def u(id: Long) = ((2654435761L % P) * id + 2245366891L % P) % P
+    def pr(id: Long, w: Long) = u(id).toDouble / w.toDouble
+    val expected = Seq(1L, 2L, 3L).map(i => (i, pr(i, Map(1L -> 100L, 2L -> 1L, 3L -> 1000L)(i))))
+      .sortBy(_._2).take(2)
+    val got = TextOps.weightedSample(docs, k = 2)
+      .as[(String, Long, Double)].collect().toSeq.map(r => (r._2, r._3))
+    assert(got == expected)
+  }
+
   test("lmNextToken returns the argmax continuation with deterministic ties") {
     // Bigrams: (a,b)×2, (a,c)×2 → tie broken to smaller w2 = b;
     // denominator is a's count as bigram START (4), so p = 2/4.
