@@ -2872,6 +2872,57 @@ object RelationalQueries {
              |FROM deg d JOIN p3 p ON p.node = d.node
              |ORDER BY d.node""".stripMargin),
     ),
+    // Equi-DEPTH histogram (the optimizer-statistics shape: equal COUNT
+    // per bucket, data-dependent boundaries — the complement of
+    // q_histogram's fixed-width buckets): ntile(10) over a totally
+    // ordered sort. Identical full rows are interchangeable across the
+    // tile boundary, so per-tile aggregates stay deterministic even
+    // where the tiebreak keys collide.
+    Q(
+      "q_histogram_equidepth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        lineitem(s, d)
+          .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("bucket", ntile(10).over(w))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"),
+          )
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (
+             |  SELECT l_extendedprice,
+             |         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+             |                         l_linenumber) AS bucket
+             |  FROM lineitem)
+             |SELECT bucket, count(*) AS n,
+             |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+             |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin),
+    ),
+    // Hour-of-day seasonal baseline per type — the profile an anomaly
+    // detector normalizes against: exact decimal mean per (type, hour).
+    Q(
+      "q_hourly_profile",
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            (sum(col("value").cast("decimal(18,2)")).cast("double") /
+              count(lit(1))).as("avg_value"),
+          )
+          .orderBy("event_type", "hr"),
+      Some("""SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+             |FROM events GROUP BY event_type, hr
+             |ORDER BY event_type, hr""".stripMargin),
+    ),
     // Recursive CTE (Spark 4's WITH RECURSIVE): bounded-hop BFS
     // reachability from the highest-degree node of a sparse
     // co-occurrence graph — ONE SQL text executed verbatim by BOTH

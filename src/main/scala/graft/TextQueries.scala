@@ -312,6 +312,27 @@ object TextQueries {
               |SELECT source, doc_id, priority FROM r WHERE rn <= 5
               |ORDER BY source, priority, doc_id""".stripMargin),
     ),
+    // Per-source length profile with EXACT selection percentiles
+    // (lower median, ceil(0.9n)-th order statistic) — the corpus-card
+    // distribution snapshot; selection, not interpolation, so the
+    // values are data both engines agree on.
+    Q(
+      "tx_len_percentiles",
+      (s, d) => TextOps.lengthPercentiles(documents(s, d)),
+      Some("""WITH t AS (SELECT source, doc_id,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |          FROM documents),
+             |r AS (SELECT source, n_tok,
+             |        row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY source) AS n
+             |      FROM t)
+             |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(n_tok) AS min_tok,
+             |  max(CASE WHEN rn = floor((n+1)/2) THEN n_tok END) AS p50_tok,
+             |  max(CASE WHEN rn = floor((n*9+9)/10) THEN n_tok END) AS p90_tok,
+             |  max(n_tok) AS max_tok
+             |FROM r GROUP BY source ORDER BY source""".stripMargin),
+    ),
     // Rejection-reason breakdown of the quality filter: each document
     // charged to the FIRST failing rule in a fixed order, so reasons
     // partition the corpus (counts sum to the row count) and the

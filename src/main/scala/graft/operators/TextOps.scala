@@ -905,6 +905,35 @@ object TextOps {
       .orderBy("reason")
   }
 
+  /** Per-source document-length profile with EXACT order-statistic
+    * percentiles: lower median (position ⌊(n+1)/2⌋) and p90 (position
+    * ⌈0.9·n⌉, computed as the integer (9n+9) div 10) of the token
+    * count, by selection — a datum both engines agree on, not
+    * interpolated quantile arithmetic. The distribution snapshot a
+    * corpus card publishes per source; the scale path for wider
+    * percentile sets is the mergeable sketch (`q_approx_percentile`).
+    */
+  def lengthPercentiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    val cnt = Window.partitionBy("source")
+    val ranked = docs
+      .select(col("source"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("rn", row_number().over(byLen))
+      .withColumn("n", count(lit(1)).over(cnt))
+    ranked
+      .groupBy(col("source"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("n_tok")).as("min_tok"),
+        max(when(col("rn") === floor((col("n") + 1) / lit(2)), col("n_tok"))).as("p50_tok"),
+        max(when(col("rn") === floor((col("n") * 9 + 9) / lit(10)), col("n_tok"))).as("p90_tok"),
+        max(col("n_tok")).as("max_tok"),
+      )
+      .orderBy("source")
+  }
+
   /** Deterministic weighted sampling — per-source top-`k` documents
     * under the hash-priority rule priority = u/w (u = portable
     * [[HashOps.indexedHash]] of doc_id, w = n_chars): larger documents
