@@ -319,6 +319,40 @@ object DedupQueries {
               |FROM nodes n JOIN reach r ON r.u = n.id
               |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
+    // Cross-source near-dup leakage matrix: the LSH pair set rolled up
+    // by unordered source pair — where duplication crosses source
+    // boundaries (inter-source contamination) vs stays within one
+    // source (crawl self-duplication). Two broadcast-scale joins of the
+    // pair list back to (doc_id, source); at 100 TB the pair list is
+    // the LSH output, never all-pairs, so the matrix costs two
+    // narrow-key probes over it.
+    Q(
+      "dd_cross_source",
+      (s, d) => {
+        val pairs = DedupOps
+          .minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold)
+          .select(col("doc_a"), col("doc_b"))
+        val src = documents(s, d).select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .select(
+            org.apache.spark.sql.functions.least(col("sa"), col("sb")).as("src_a"),
+            org.apache.spark.sql.functions.greatest(col("sa"), col("sb")).as("src_b"),
+          )
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH p AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+              |s AS (SELECT doc_id, source FROM documents)
+              |SELECT least(a.source, b.source) AS src_a,
+              |       greatest(a.source, b.source) AS src_b,
+              |       count(*) AS n_pairs
+              |FROM p JOIN s a ON a.doc_id = p.doc_a
+              |       JOIN s b ON b.doc_id = p.doc_b
+              |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin),
+    ),
     // Cluster-size histogram — the dedup health report (how much of
     // the corpus is duplicated, and in how big clumps): component sizes
     // from the same label-propagation fixpoint, rolled into (size →

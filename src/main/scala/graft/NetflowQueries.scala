@@ -649,6 +649,45 @@ object NetflowQueries {
              |SELECT day, user_id, total_value FROM r WHERE rn <= 3
              |ORDER BY day, total_value DESC, user_id""".stripMargin),
     ),
+    // Seasonal-adjusted anomalies: each event scored against ITS OWN
+    // (type, hour-of-day) baseline — the profile join-back pattern (the
+    // 120-row baseline broadcasts onto the scan; a global threshold
+    // would flag every nightly batch run). Anomaly = value > 3× the
+    // exact decimal baseline mean for that slot.
+    Q(
+      "nf_seasonal_anomaly",
+      (s, d) => {
+        val base = events(s, d)
+          .groupBy(col("event_type").as("bt"), hour(col("ts")).cast("long").as("bh"))
+          .agg(
+            (sum(col("value").cast("decimal(18,2)")).cast("double") /
+              count(lit(1))).as("avg_value"),
+          )
+        events(s, d)
+          .join(
+            broadcast(base),
+            col("event_type") === col("bt") && hour(col("ts")).cast("long") === col("bh"),
+          )
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("value") > col("avg_value") * 3, 1L).otherwise(0L))
+              .as("n_anomalies"),
+          )
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, extract(hour FROM ts) AS hr,
+             |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             |           AS avg_value
+             |  FROM events GROUP BY event_type, hr)
+             |SELECT e.event_type, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN e.value > b.avg_value * 3 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_anomalies
+             |FROM events e JOIN b
+             |  ON b.event_type = e.event_type AND b.hr = extract(hour FROM e.ts)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
+    ),
     // Robust outliers per type: EXACT lower-median + median absolute
     // deviation by order-statistic SELECTION (a datum, not engine-
     // specific interpolation), outlier = dev > 3·MAD. Complements the

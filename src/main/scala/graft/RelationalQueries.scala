@@ -2877,7 +2877,12 @@ object RelationalQueries {
     // q_histogram's fixed-width buckets): ntile(10) over a totally
     // ordered sort. Identical full rows are interchangeable across the
     // tile boundary, so per-tile aggregates stay deterministic even
-    // where the tiebreak keys collide.
+    // where the tiebreak keys collide. SCALE caveat, stated honestly:
+    // an unpartitioned ntile is a single-partition window sort — the
+    // EXACT form for stats-sized inputs; at 100 TB equi-depth
+    // boundaries come from the mergeable percentile sketch
+    // (q_approx_percentile) with one count-per-range pass, trading
+    // exactness for distribution.
     Q(
       "q_histogram_equidepth",
       (s, d) => {
