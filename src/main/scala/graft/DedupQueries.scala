@@ -319,6 +319,44 @@ object DedupQueries {
               |FROM nodes n JOIN reach r ON r.u = n.id
               |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
+    // Fuzzy decontamination: two-table LSH join — corpus docs
+    // near-duplicate to any benchmark doc (doc_id % 10 = 0 stands in
+    // for the eval set). Catches paraphrase-level leakage the exact
+    // n-gram filter (tx_contamination) misses; verdict is total over
+    // the corpus side.
+    Q(
+      "dd_contamination_lsh",
+      (s, d) =>
+        DedupOps.lshContamination(
+          documents(s, d), col("doc_id") % 10 === 0, N, K, Bands, JaccardThreshold),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, ${shingleHashes("w")} AS sh
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+              |sg AS (SELECT doc_id, sh, ${minhashSig("sh", K)} AS sig FROM sh),
+              |bx AS (SELECT doc_id, sig,
+              |         unnest(generate_series(0, ${Bands - 1})) AS band_idx FROM sg),
+              |bk AS (SELECT doc_id, band_idx,
+              |         array_to_string(sig[band_idx*$RowsPerBand+1 : band_idx*$RowsPerBand+$RowsPerBand], '_') AS band_key
+              |       FROM bx),
+              |cand AS (SELECT DISTINCT x.doc_id, y.doc_id AS bench_id
+              |         FROM bk x JOIN bk y
+              |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |         WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0),
+              |ver AS (SELECT c.doc_id, ${jaccard("a.sh", "b.sh")} AS jac
+              |        FROM cand c
+              |        JOIN sh a ON a.doc_id = c.doc_id
+              |        JOIN sh b ON b.doc_id = c.bench_id
+              |        WHERE ${jaccard("a.sh", "b.sh")} >= $JaccardThreshold),
+              |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+              |                max(jac) AS max_jaccard
+              |         FROM ver GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(h.n_bench_matches, 0) AS n_bench_matches,
+              |  coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+              |  coalesce(h.n_bench_matches, 0) > 0 AS contaminated
+              |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+              |WHERE d.doc_id % 10 <> 0
+              |ORDER BY d.doc_id""".stripMargin),
+    ),
     // Cross-source near-dup leakage matrix: the LSH pair set rolled up
     // by unordered source pair — where duplication crosses source
     // boundaries (inter-source contamination) vs stays within one

@@ -186,6 +186,75 @@ object DedupOps {
     (sets, candidates)
   }
 
+  /** Fuzzy benchmark decontamination — the TWO-TABLE LSH join: corpus
+    * documents near-duplicate (Jaccard ≥ threshold) to ANY benchmark
+    * document. Exact n-gram contamination
+    * ([[TextOps.contamination]]) catches verbatim leakage; this
+    * catches paraphrase-level leakage — a benchmark item lightly
+    * rewritten into the training corpus — that exact overlap misses.
+    *
+    * Shape: one shingle/signature/band pass over the WHOLE table, then
+    * the band frame splits on `isBench` (a doc_id predicate by
+    * contract — it is re-evaluated on derived frames): the benchmark
+    * side is eval-set-sized and BROADCASTS, so the candidate join
+    * never shuffles the corpus, and the exact-Jaccard verify touches
+    * only band collisions. Output covers every non-benchmark document
+    * (clean rows carry zeros — the decontamination verdict is total).
+    */
+  def lshContamination(
+      docs: DataFrame,
+      isBench: Column,
+      n: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val rowsPerBand = k / bands
+    val sets = shingleSets(docs, n)
+      .select(col("doc_id"), col("sh"), col("sz"), HashOps.minhashSignature(col("sh"), k).as("sig"))
+      .select(
+        col("doc_id"),
+        col("sh"),
+        col("sz"),
+        HashOps.bandKeys(col("sig"), bands, rowsPerBand).as("bk"),
+      )
+      .localCheckpoint()
+    val bandsDf = sets.select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
+    val benchBands = bandsDf
+      .filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("band_idx"), col("band_key"))
+    val cand = bandsDf
+      .filter(!isBench)
+      .join(broadcast(benchBands), Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    val hits = cand
+      .join(sets.select(col("doc_id"), col("sh").as("sh_a"), col("sz").as("sz_a")), "doc_id")
+      .join(
+        sets.select(col("doc_id").as("bench_id"), col("sh").as("sh_b"), col("sz").as("sz_b")),
+        "bench_id",
+      )
+      .select(
+        col("doc_id"),
+        (c.cast("double") / (col("sz_a") + col("sz_b") - c)).as("jaccard"),
+      )
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matches"), max(col("jaccard")).as("max_jaccard"))
+    docs
+      .filter(!isBench)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        (coalesce(col("n_bench_matches"), lit(0L)) > 0).as("contaminated"),
+      )
+      .orderBy("doc_id")
+  }
+
   /** Winnowing-fingerprint pairs — the MOSS detector: document pairs
     * ranked by how many winnowing fingerprints they SHARE. Winnowing
     * guarantees any common run of ≥ w+k−1 tokens yields a shared
