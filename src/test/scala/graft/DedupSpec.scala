@@ -233,6 +233,21 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 
+  test("lshContamination flags corpus near-dups of benchmark docs, verdict total") {
+    val benchText = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, benchText), // benchmark (doc_id % 10 == 0)
+      (11L, benchText), // corpus copy of a benchmark item → contaminated
+      (12L, (1 to 25).map(i => s"z$i").mkString(" ")), // unrelated → clean
+    ).toDF("doc_id", "text")
+    val out = DedupOps
+      .lshContamination(docs, col("doc_id") % 10 === 0, n = 3, k = 32, bands = 8, 0.8)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    // Verdict covers every NON-benchmark doc; the copy matches with
+    // jaccard 1.0, the unrelated doc carries zeros.
+    assert(out == Seq((11L, 1L, 1.0, true), (12L, 0L, 0.0, false)))
+  }
+
   implicit private class Tup4Map(rows: Array[(Long, Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Long, Double)] =
       rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
