@@ -694,6 +694,40 @@ object SimilarityQueries {
              |      FROM embeddings)
              |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
     ),
+    // Sampled pairwise-distance histogram — the embedding-space shape
+    // probe (a collapsed space piles every pair into the top cosine
+    // buckets): exact cosines over all pairs of a 50-vector
+    // deterministic sample, bucketed at width 0.2. The sample side is
+    // broadcast twice; the full corpus never materializes all-pairs —
+    // at 100 TB the sample IS the contract, and this histogram is its
+    // exact summary.
+    Q(
+      "sim_dist_hist",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val v = embeddings(s, d)
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id"), SimilarityOps.unitNorm(col("embedding")).as("u"))
+        val cos = SimilarityOps.dot(col("ua"), col("ub"))
+        v.select(col("vec_id").as("va"), col("u").as("ua"))
+          .join(
+            broadcast(v.select(col("vec_id").as("vb"), col("u").as("ub"))),
+            col("va") < col("vb"),
+          )
+          .select(least(floor((cos + 1) * 5).cast("long"), lit(9L)).as("bucket"), cos.as("c"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_pairs"), min(col("c")).as("min_cos"), max(col("c")).as("max_cos"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH v AS (
+             |  SELECT vec_id, ${OracleSnippets.unitNorm("CAST(embedding AS DOUBLE[])")} AS u
+             |  FROM embeddings WHERE vec_id < 50),
+             |p AS (SELECT ${OracleSnippets.dot("a.u", "b.u")} AS c
+             |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+             |SELECT least(CAST(floor((c + 1) * 5) AS BIGINT), 9) AS bucket,
+             |  count(*) AS n_pairs, min(c) AS min_cos, max(c) AS max_cos
+             |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin),
+    ),
     // Per-dimension feature health: fixed-point mean/variance plus
     // exact min/max for every embedding dimension — the drift/collapse
     // dashboard (dead dimension → variance ≈ 0).

@@ -312,6 +312,48 @@ object TextQueries {
               |SELECT source, doc_id, priority FROM r WHERE rn <= 5
               |ORDER BY source, priority, doc_id""".stripMargin),
     ),
+    // Lang × source independence table: per cell the observed count,
+    // the independence expectation E = rowTotal·colTotal/total (one
+    // exact-integer product, one division), and its chi-square
+    // contribution (O−E)²/E — per-CELL rows, deliberately no global
+    // chi-square sum (a double sum over cells would be
+    // accumulation-order dependent; the per-cell doubles are
+    // deterministic scalar chains both engines reproduce bit-for-bit).
+    Q(
+      "tx_lang_source_expected",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val o = documents(s, d).groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_obs"))
+        val rl = o.groupBy(col("lang")).agg(sum(col("n_obs")).as("row_total"))
+        val cs = o.groupBy(col("source")).agg(sum(col("n_obs")).as("col_total"))
+        val tot = o.agg(sum(col("n_obs")).as("total"))
+        val e = (col("row_total") * col("col_total")).cast("double") / col("total").cast("double")
+        o.join(broadcast(rl), "lang")
+          .join(broadcast(cs), "source")
+          .crossJoin(broadcast(tot))
+          .select(
+            col("lang"),
+            col("source"),
+            col("n_obs"),
+            e.as("expected"),
+            ((col("n_obs") - e) * (col("n_obs") - e) / e).as("chi2_contrib"),
+          )
+          .orderBy("lang", "source")
+      },
+      Some("""WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_obs
+             |          FROM documents GROUP BY lang, source),
+             |rl AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS row_total FROM o GROUP BY lang),
+             |cs AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS col_total FROM o GROUP BY source),
+             |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM o)
+             |SELECT o.lang, o.source, o.n_obs,
+             |  CAST(row_total * col_total AS DOUBLE) / CAST(total AS DOUBLE) AS expected,
+             |  (o.n_obs - CAST(row_total * col_total AS DOUBLE) / CAST(total AS DOUBLE))
+             |    * (o.n_obs - CAST(row_total * col_total AS DOUBLE) / CAST(total AS DOUBLE))
+             |    / (CAST(row_total * col_total AS DOUBLE) / CAST(total AS DOUBLE)) AS chi2_contrib
+             |FROM o JOIN rl ON rl.lang = o.lang JOIN cs ON cs.source = o.source
+             |CROSS JOIN tot
+             |ORDER BY o.lang, o.source""".stripMargin),
+    ),
     // Per-source length profile with EXACT selection percentiles
     // (lower median, ceil(0.9n)-th order statistic) — the corpus-card
     // distribution snapshot; selection, not interpolation, so the
