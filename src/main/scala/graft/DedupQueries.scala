@@ -319,6 +319,40 @@ object DedupQueries {
               |FROM nodes n JOIN reach r ON r.u = n.id
               |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
+    // Dedup savings report: per source, corpus size before/after EXACT
+    // dedup (keeper = min doc_id per text, charged to the keeper's own
+    // source — a cross-source duplicate's savings land where its copies
+    // were dropped). One text-key shuffle + a keeper flag join; the
+    // "how much does dedup buy" number a pipeline owner reads first.
+    Q(
+      "dd_effective_size",
+      (s, d) => {
+        val docs = documents(s, d)
+        val keepers = docs
+          .groupBy(col("text"))
+          .agg(expr("min(doc_id)").as("doc_id"))
+          .select(col("doc_id"), lit(true).as("kept"))
+        docs
+          .join(keepers, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(expr("CASE WHEN kept THEN 1 ELSE 0 END")).as("n_kept"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(expr("CASE WHEN kept THEN n_chars ELSE 0 END")).as("chars_kept"),
+          )
+          .orderBy("source")
+      },
+      Some("""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+             |SELECT d.source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+             |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END)
+             |       AS BIGINT) AS chars_kept
+             |FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id
+             |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    ),
     // Fuzzy decontamination: two-table LSH join — corpus docs
     // near-duplicate to any benchmark doc (doc_id % 10 = 0 stands in
     // for the eval set). Catches paraphrase-level leakage the exact
