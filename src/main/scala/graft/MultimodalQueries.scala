@@ -38,6 +38,83 @@ object MultimodalQueries {
        |FROM ($mediaSql)""".stripMargin
 
   val all: Seq[Q] = Seq(
+    // Modality mix report: per media type, row count, total payload
+    // bytes, and byte share (one division against the broadcast 1-row
+    // total) — the dataset-card table a multimodal corpus publishes.
+    Q(
+      "mm_type_mix",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val m = MultimodalOps
+          .asMedia(documents(s, d))
+          .groupBy(col("media_type"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(octet_length(col("payload")).cast("long")).as("n_bytes"),
+          )
+        m.crossJoin(broadcast(m.agg(sum(col("n_bytes")).as("total"))))
+          .select(
+            col("media_type"),
+            col("n_items"),
+            col("n_bytes"),
+            (col("n_bytes").cast("double") / col("total").cast("double")).as("byte_share"),
+          )
+          .orderBy("media_type")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT media_type, count(*) AS n_items,
+              |         CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+              |  FROM ($mediaSql) GROUP BY media_type),
+              |t AS (SELECT CAST(sum(n_bytes) AS BIGINT) AS total FROM m)
+              |SELECT media_type, n_items, n_bytes,
+              |  CAST(n_bytes AS DOUBLE) / CAST(total AS DOUBLE) AS byte_share
+              |FROM m CROSS JOIN t ORDER BY media_type""".stripMargin),
+    ),
+    // WebDataset-style shard planning: within each modality stream, lay
+    // payloads end to end in doc_id order and cut 64 KiB shards — a
+    // shard is where a payload's FIRST byte lands (concat-then-split,
+    // the tx_pack discipline on bytes: a running sum, not a bin-packing
+    // solver). Pure integer arithmetic; one per-modality window.
+    Q(
+      "mm_shard_pack",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy("media_type")
+          .orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        MultimodalOps
+          .asMedia(documents(s, d))
+          .select(
+            col("media_type"),
+            col("doc_id"),
+            octet_length(col("payload")).cast("long").as("n_bytes"),
+          )
+          .withColumn("cum_before", sum(col("n_bytes")).over(w) - col("n_bytes"))
+          .withColumn("shard_id", expr("cum_before div 65536L"))
+          .groupBy(col("media_type"), col("shard_id"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("n_bytes")).as("shard_bytes"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+          )
+          .orderBy("media_type", "shard_id")
+      },
+      Some(s"""WITH m AS (SELECT media_type, doc_id, CAST(n_bytes AS BIGINT) AS n_bytes
+              |          FROM ($mediaSql)),
+              |c AS (SELECT media_type, doc_id, n_bytes,
+              |        sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+              |          AS cum_before
+              |      FROM m)
+              |SELECT media_type, CAST(cum_before AS BIGINT) // 65536 AS shard_id,
+              |  count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              |FROM c GROUP BY media_type, shard_id
+              |ORDER BY media_type, shard_id""".stripMargin),
+    ),
     Q(
       "mm_binary_meta",
       (s, d) => {
