@@ -2872,6 +2872,63 @@ object RelationalQueries {
              |FROM deg d JOIN p3 p ON p.node = d.node
              |ORDER BY d.node""".stripMargin),
     ),
+    // Column profiler (the ANALYZE/dataset-card view): per column, null
+    // count, exact NDV, and min/max — ONE wide pass over the scan (a
+    // single partial+final aggregate computes every column's stats;
+    // per-column passes would scan the table k times), then `stack`
+    // unpivots the 1-row result to per-column rows. Profiled columns
+    // are integer/string/timestamp (double min/max would hit
+    // engine-specific shortest-round-trip string rendering).
+    Q(
+      "q_column_profile",
+      (s, d) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+        val aggs = cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_ndv"),
+            min(col(c)).cast("string").as(s"${c}_min"),
+            max(col(c)).cast("string").as(s"${c}_max"),
+          )
+        } ++ Seq(
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("l_shipdate_nulls"),
+          countDistinct(col("l_shipdate")).as("l_shipdate_ndv"),
+          date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("l_shipdate_min"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("l_shipdate_max"),
+        )
+        val stackArgs = (cols :+ "l_shipdate")
+          .map(c => s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max")
+          .mkString(", ")
+        lineitem(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(5, $stackArgs) AS (column_name, n_nulls, ndv, vmin, vmax)"))
+          .orderBy("column_name")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'l_orderkey' AS column_name,
+             |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+             |    CAST(min(l_orderkey) AS VARCHAR) AS vmin, CAST(max(l_orderkey) AS VARCHAR) AS vmax
+             |  FROM lineitem
+             |  UNION ALL SELECT 'l_partkey',
+             |    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT l_partkey) AS BIGINT),
+             |    CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR) FROM lineitem
+             |  UNION ALL SELECT 'l_suppkey',
+             |    CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT l_suppkey) AS BIGINT),
+             |    CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
+             |  UNION ALL SELECT 'l_returnflag',
+             |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+             |    min(l_returnflag), max(l_returnflag) FROM lineitem
+             |  UNION ALL SELECT 'l_shipdate',
+             |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT l_shipdate) AS BIGINT),
+             |    strftime(min(l_shipdate), '%Y-%m-%d'), strftime(max(l_shipdate), '%Y-%m-%d')
+             |  FROM lineitem)
+             |ORDER BY column_name""".stripMargin),
+    ),
     // Equi-DEPTH histogram (the optimizer-statistics shape: equal COUNT
     // per bucket, data-dependent boundaries — the complement of
     // q_histogram's fixed-width buckets): ntile(10) over a totally
