@@ -2873,12 +2873,17 @@ object RelationalQueries {
              |ORDER BY d.node""".stripMargin),
     ),
     // Column profiler (the ANALYZE/dataset-card view): per column, null
-    // count, exact NDV, and min/max — ONE wide pass over the scan (a
-    // single partial+final aggregate computes every column's stats;
-    // per-column passes would scan the table k times), then `stack`
-    // unpivots the 1-row result to per-column rows. Profiled columns
-    // are integer/string/timestamp (double min/max would hit
-    // engine-specific shortest-round-trip string rendering).
+    // count, exact NDV, and min/max. Nulls/min/max share ONE wide pass
+    // (a single partial+final aggregate over the 5-column scan),
+    // `stack`-unpivoted to per-column rows; the NDVs deliberately do
+    // NOT join that pass — k exact countDistincts in one aggregate plan
+    // an Expand ×(k+1), replicating the whole scan output into the
+    // shuffle (measured: 6.7 s vs sub-second split), so each NDV is its
+    // own single-column two-phase aggregate over a pruned scan, unioned
+    // and joined back to the 5-row stats frame. Profiled columns are
+    // integer/string/timestamp (double min/max would hit
+    // engine-specific shortest-round-trip string rendering); the sketch
+    // path for wide NDV sets is q_approx_distinct's HLL.
     Q(
       "q_column_profile",
       (s, d) => {
@@ -2886,22 +2891,28 @@ object RelationalQueries {
         val aggs = cols.flatMap { c =>
           Seq(
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-            countDistinct(col(c)).as(s"${c}_ndv"),
             min(col(c)).cast("string").as(s"${c}_min"),
             max(col(c)).cast("string").as(s"${c}_max"),
           )
         } ++ Seq(
           sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("l_shipdate_nulls"),
-          countDistinct(col("l_shipdate")).as("l_shipdate_ndv"),
           date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("l_shipdate_min"),
           date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("l_shipdate_max"),
         )
         val stackArgs = (cols :+ "l_shipdate")
-          .map(c => s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max")
+          .map(c => s"'$c', ${c}_nulls, ${c}_min, ${c}_max")
           .mkString(", ")
-        lineitem(s, d)
+        val stats = lineitem(s, d)
           .agg(aggs.head, aggs.tail: _*)
-          .select(expr(s"stack(5, $stackArgs) AS (column_name, n_nulls, ndv, vmin, vmax)"))
+          .select(expr(s"stack(5, $stackArgs) AS (column_name, n_nulls, vmin, vmax)"))
+        val ndvs = (cols :+ "l_shipdate")
+          .map(c =>
+            lineitem(s, d).agg(lit(c).as("column_name"), countDistinct(col(c)).as("ndv")),
+          )
+          .reduce(_.unionAll(_))
+        stats
+          .join(broadcast(ndvs), "column_name")
+          .select(col("column_name"), col("n_nulls"), col("ndv"), col("vmin"), col("vmax"))
           .orderBy("column_name")
       },
       Some("""SELECT * FROM (
