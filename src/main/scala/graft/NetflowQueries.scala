@@ -649,6 +649,46 @@ object NetflowQueries {
              |SELECT day, user_id, total_value FROM r WHERE rn <= 3
              |ORDER BY day, total_value DESC, user_id""".stripMargin),
     ),
+    // Burst detection (rate-limiter sizing): each user's PEAK event
+    // count over any aligned 60-second window sliding by 10 s, plus
+    // the earliest window achieving it. The slide enumeration is the
+    // nf_window_sliding discipline in pure integer seconds (6 aligned
+    // starts per event — Expand ×6, one count shuffle); the peak pick
+    // is max + an equi-join back, never a row_number over raw events.
+    Q(
+      "nf_burst",
+      (s, d) => {
+        val epoch = lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
+        val g = events(s, d)
+          .select(
+            col("user_id"),
+            timestamp_diff("SECOND", epoch, col("ts")).as("sec"),
+          )
+          .select(col("user_id"), expr("sec div 10 * 10").as("base"),
+            explode(sequence(lit(0), lit(5))).as("k"))
+          .select(col("user_id"), (col("base") - col("k") * 10).as("ws"))
+          .groupBy(col("user_id"), col("ws"))
+          .agg(count(lit(1)).as("n"))
+        val m = g
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("peak_events"))
+        g.join(m, "user_id")
+          .filter(col("n") === col("peak_events"))
+          .groupBy(col("user_id"), col("peak_events"))
+          .agg(min(col("ws")).as("at_ws"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |            CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM events),
+             |w AS (SELECT user_id, (sec // 10) * 10 - 10*k AS ws
+             |      FROM e, unnest([0, 1, 2, 3, 4, 5]) AS t(k)),
+             |g AS (SELECT user_id, ws, count(*) AS n FROM w GROUP BY user_id, ws),
+             |m AS (SELECT user_id, CAST(max(n) AS BIGINT) AS peak_events
+             |      FROM g GROUP BY user_id)
+             |SELECT g.user_id, m.peak_events, CAST(min(g.ws) AS BIGINT) AS at_ws
+             |FROM g JOIN m ON m.user_id = g.user_id AND g.n = m.peak_events
+             |GROUP BY g.user_id, m.peak_events ORDER BY g.user_id""".stripMargin),
+    ),
     // Seasonal-adjusted anomalies: each event scored against ITS OWN
     // (type, hour-of-day) baseline — the profile join-back pattern (the
     // 120-row baseline broadcasts onto the scan; a global threshold
