@@ -649,6 +649,34 @@ object NetflowQueries {
              |SELECT day, user_id, total_value FROM r WHERE rn <= 3
              |ORDER BY day, total_value DESC, user_id""".stripMargin),
     ),
+    // Liveness monitoring: each user's LONGEST silence (max
+    // inter-arrival gap, exact micros — NTZ-to-NTZ diff, no second
+    // truncation ambiguity) — the heartbeat-timeout sizing view and
+    // nf_burst's complement. Single-event users carry a NULL gap, the
+    // honest answer both engines agree on.
+    Q(
+      "nf_idle_gap",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy("ts", "event_id")
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            max(expr("timestampdiff(MICROSECOND, prev, ts)")).as("max_gap_us"),
+          )
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+             |l AS (SELECT user_id,
+             |        us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+             |      FROM e)
+             |SELECT user_id, count(*) AS n_events, CAST(max(gap) AS BIGINT) AS max_gap_us
+             |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
     // Burst detection (rate-limiter sizing): each user's PEAK event
     // count over any aligned 60-second window sliding by 10 s, plus
     // the earliest window achieving it. The slide enumeration is the
