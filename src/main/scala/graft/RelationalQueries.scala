@@ -3031,7 +3031,9 @@ object RelationalQueries {
             col("event_type"),
             col("week"),
             col("total"),
-            ((col("total") - col("prev")) / col("prev")).as("wow"),
+            // nullif pins the zero-denominator case to NULL in BOTH
+            // engines (DuckDB's ieee default would yield ±inf).
+            ((col("total") - col("prev")) / nullif(col("prev"), lit(0.0))).as("wow"),
           )
           .orderBy("event_type", "week")
       },
@@ -3041,7 +3043,8 @@ object RelationalQueries {
              |  FROM events GROUP BY event_type, week)
              |SELECT event_type, week, total,
              |  (total - lag(total) OVER (PARTITION BY event_type ORDER BY week)) /
-             |    lag(total) OVER (PARTITION BY event_type ORDER BY week) AS wow
+             |    nullif(lag(total) OVER (PARTITION BY event_type ORDER BY week), 0)
+             |    AS wow
              |FROM w ORDER BY event_type, week""".stripMargin),
     ),
     // New-vs-returning user growth: per day, active users, first-seen

@@ -223,14 +223,17 @@ object EventOps {
         count(lit(1)).as("n_events"),
         aggregate(
           transform(array_sort(collect_list(col("r"))), r => r.getField("cents")),
-          struct(lit(-1L).as("ewma"), lit(0L).as("spikes")),
+          // Explicit init flag, NOT a value sentinel: a negative first
+          // value recurses correctly (the oracle CTE has no sentinel).
+          struct(lit(false).as("init"), lit(0L).as("ewma"), lit(0L).as("spikes")),
           (acc, x) =>
             struct(
-              when(acc.getField("ewma") < 0, x)
+              lit(true).as("init"),
+              when(!acc.getField("init"), x)
                 .otherwise(step(x, acc.getField("ewma")))
                 .as("ewma"),
               (acc.getField("spikes") +
-                when(acc.getField("ewma") >= 0 && x > acc.getField("ewma") * 2, 1L)
+                when(acc.getField("init") && x > acc.getField("ewma") * 2, 1L)
                   .otherwise(0L)).as("spikes"),
             ),
         ).as("s"),

@@ -19,7 +19,13 @@ object TextOps {
   /** BPE-ish regex token stream: letter runs, digit runs, or single
     * non-space symbols — the classic pre-tokenizer shape.
     */
-  val BpePattern = "[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]"
+  // Brackets are EXCLUDED from the symbol class: bpeEncode serializes
+  // token streams with [tok] delimiters, so the bracket-free-alphabet
+  // assumption must hold by construction, not by data luck. The same
+  // pattern string is interpolated into every DuckDB oracle, so both
+  // engines tokenize identically (Java regex and RE2 agree on this
+  // class syntax).
+  val BpePattern = "[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 \\[\\]]"
   def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
 
   /** Function-word set used by quality scoring / language-id. */

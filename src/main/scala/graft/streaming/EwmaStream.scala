@@ -45,12 +45,14 @@ class EwmaProcessor
       rows: Iterator[(Long, Long, Long, Long)],
       timerValues: TimerValues,
   ): Iterator[(Long, Long, Long, Long)] = {
-    // ewma = -1 sentinel: no baseline yet (cents are ≥ 0 by contract).
-    var (n, ewma, spikes) = if (state.exists()) state.get() else (0L, -1L, 0L)
+    // n == 0 ⇔ no baseline yet — an explicit initialization test, not a
+    // value sentinel, so negative cents values recurse correctly too
+    // (matching the oracle CTE, which has no sentinel).
+    var (n, ewma, spikes) = if (state.exists()) state.get() else (0L, 0L, 0L)
     for ((_, _, _, cents) <- rows.toArray.sortBy(r => (r._3, r._2))) {
-      if (ewma >= 0 && cents > ewma * 2) spikes += 1
+      if (n > 0 && cents > ewma * 2) spikes += 1
       ewma =
-        if (ewma < 0) cents
+        if (n == 0) cents
         else math.floor(Math.addExact(cents, Math.multiplyExact(ewma, 7L)).toDouble / 8.0).toLong
       n += 1
     }

@@ -560,7 +560,13 @@ class StreamingSpec extends SparkSpec {
       .select(
         col("user_id"),
         col("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        // NTZ-literal epoch-diff idiom (EventOps.maxConcurrent): casting
+        // ts to TIMESTAMP would coerce through the session timezone.
+        timestamp_diff(
+          "MICROSECOND",
+          lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)),
+          col("ts"),
+        ).as("ts_us"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
       )
       .orderBy("ts_us", "event_id")
@@ -619,7 +625,12 @@ class StreamingSpec extends SparkSpec {
       .select(
         col("user_id"),
         col("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        // Same NTZ-literal epoch-diff idiom as the z-score twin above.
+        timestamp_diff(
+          "MICROSECOND",
+          lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)),
+          col("ts"),
+        ).as("ts_us"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"),
       )
       .orderBy("ts_us", "event_id")
