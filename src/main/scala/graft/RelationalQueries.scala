@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.PrefixOps
 import Tables._
 
 /** Relational breadth over the TPC-H-ish tables (SURVEY.md §7.2 M2): the
@@ -2942,24 +2943,38 @@ object RelationalQueries {
     ),
     // Equi-DEPTH histogram (the optimizer-statistics shape: equal COUNT
     // per bucket, data-dependent boundaries — the complement of
-    // q_histogram's fixed-width buckets): ntile(10) over a totally
-    // ordered sort. Identical full rows are interchangeable across the
-    // tile boundary, so per-tile aggregates stay deterministic even
-    // where the tiebreak keys collide. SCALE caveat, stated honestly:
-    // an unpartitioned ntile is a single-partition window sort — the
-    // EXACT form for stats-sized inputs; at 100 TB equi-depth
-    // boundaries come from the mergeable percentile sketch
-    // (q_approx_percentile) with one count-per-range pass, trading
-    // exactness for distribution.
+    // q_histogram's fixed-width buckets), EXACT but with no
+    // single-partition stage: the unpartitioned ntile window of rounds
+    // ≤9 sorted the whole table through one task; this form gets each
+    // row's global rank from `PrefixOps.globalRank` (range shuffle +
+    // local row numbers + broadcast per-partition offsets — full
+    // parallelism at any scale) and replays ntile(10)'s bucket
+    // arithmetic on the rank: q=n div 10 and r=n mod 10, first r
+    // buckets q+1 rows, rest q (the CASE is lazy, so the q=0 branch
+    // never divides by zero). (l_extendedprice, l_orderkey,
+    // l_linenumber) is a unique total order, so ranks — and therefore
+    // buckets — are deterministic. HistogramEquidepthSpec pins
+    // bit-equality against the literal ntile window form.
     Q(
       "q_histogram_equidepth",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(
-          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        lineitem(s, d)
+        val keys =
+          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val base = lineitem(s, d)
           .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-          .withColumn("bucket", ntile(10).over(w))
+        val n = base.agg(count(lit(1)).as("_n"))
+        PrefixOps.globalRank(base, keys, "rn")
+          .crossJoin(broadcast(n))
+          .withColumn(
+            "bucket",
+            expr("""CAST(CASE
+                   |  WHEN rn <= ((_n div 10) + 1) * (_n % 10)
+                   |    THEN (rn - 1) div ((_n div 10) + 1) + 1
+                   |  ELSE (_n % 10)
+                   |    + (rn - 1 - ((_n div 10) + 1) * (_n % 10)) div (_n div 10)
+                   |    + 1
+                   |END AS INT)""".stripMargin),
+          )
           .groupBy(col("bucket"))
           .agg(
             count(lit(1)).as("n"),

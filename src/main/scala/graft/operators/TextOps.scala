@@ -420,14 +420,14 @@ object TextOps {
     * how many never-before-seen terms it contributes, plus running
     * token/vocabulary totals. "First seen" is a min(doc_id) aggregate
     * per term — one term-keyed shuffle, no quadratic history scan. The
-    * two running sums use a global ordered window, which is fine HERE
-    * because its input is one row per document (already aggregated) —
-    * the curve itself is inherently sequential; at 100 TB the per-doc
-    * rollup still parallelizes and only the final tiny cumulative pass
-    * is single-stream.
+    * running totals are the two-pass distributed prefix sum
+    * (PrefixOps.runningSums): doc-cardinality IS corpus cardinality for
+    * this curve, so the round-≤9 unpartitioned cumulative window would
+    * have pushed billions of rows through one task at 100 TB — here the
+    * only global stage is the #partitions-row offset table, and every
+    * data-sized pass is range-parallel.
     */
   def vocabGrowth(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val firstSeen = tok
       .groupBy(col("term"))
@@ -435,12 +435,16 @@ object TextOps {
       .groupBy(col("first_doc").as("doc_id"))
       .agg(count(lit(1)).as("new_terms"))
     val perDoc = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perDoc
+    val joined = perDoc
       .join(firstSeen, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"), coalesce(col("new_terms"), lit(0L)).as("new_terms"))
-      .withColumn("tokens_cum", sum(col("n_tok")).over(w))
-      .withColumn("vocab_cum", sum(col("new_terms")).over(w))
+    PrefixOps
+      .runningSums(
+        joined,
+        Seq(col("doc_id")),
+        Seq("tokens_cum" -> col("n_tok"), "vocab_cum" -> col("new_terms")),
+      )
+      .select(col("doc_id"), col("n_tok"), col("new_terms"), col("tokens_cum"), col("vocab_cum"))
       .orderBy("doc_id")
   }
 
