@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Sum of "shuffle bytes written" over every ShuffleExchange in an
+    * EXECUTED plan — the SQLMetric accumulators are final once the
+    * action completes. The walk unwraps AQE roots and query stages
+    * (both hide their physical plan off the child list) and does NOT
+    * descend into ReusedExchangeExec (the original exchange appears —
+    * and is counted — elsewhere in the tree).
+    */
+  private def shuffleBytesOf(qe: org.apache.spark.sql.execution.QueryExecution): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _: ReusedExchangeExec => Seq.empty
+        case o => o.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    try
+      walk(qe.executedPlan)
+        .collect { case e: ShuffleExchangeLike => e }
+        .map(e => e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L))
+        .sum
+    catch { case _: Throwable => 0L }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,21 +83,58 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     val load0 = loadavg()
     var loadMax = load0
+    // Per-query shuffle bytes (directive: distinguish "slower because
+    // loaded" from "slower because a plan grew an Exchange" round over
+    // round): a QueryExecutionListener adds up shuffleBytesWritten over
+    // EVERY action a query runs (some queries localCheckpoint or build
+    // artifacts — multiple QEs per rep). The listener bus is async, so
+    // each rep waits for a short event-quiescence window AFTER its
+    // timing stops — the wait never enters the measured seconds.
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val qeGen = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long,
+      ): Unit = { shufBytes.addAndGet(shuffleBytesOf(qe)); qeGen.incrementAndGet() }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception,
+      ): Unit = qeGen.incrementAndGet()
+    })
+    def quiesce(maxMs: Int = 500): Unit = {
+      var last = qeGen.get; var quietMs = 0; var waitedMs = 0
+      while (quietMs < 20 && waitedMs < maxMs) {
+        Thread.sleep(5); waitedMs += 5
+        val g = qeGen.get
+        if (g == last) quietMs += 5 else { last = g; quietMs = 0 }
+      }
+    }
     // One rep: sentinel -1 on failure — a failing query must never
-    // produce a plausible-looking benchmark number.
-    def rep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // produce a plausible-looking benchmark number. Returns
+    // (seconds, shuffle MB).
+    def rep(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+    ): (Double, Long) = {
+      quiesce() // drain the PREVIOUS query's stragglers off this rep's ledger
+      val b0 = shufBytes.get
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
       val sec = (System.nanoTime() - t0) / 1e9
       loadMax = math.max(loadMax, loadavg())
-      if (ok) sec else -1.0
+      quiesce()
+      val mb = (shufBytes.get - b0) >> 20
+      (if (ok) sec else -1.0, mb)
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val firstPass = ordered.map { case (name, fn) => (name, fn, (1 to reps).map(_ => rep(name, fn))) }
     val goodMins = firstPass.flatMap { case (_, _, ts) =>
-      val g = ts.filter(_ >= 0); if (g.nonEmpty) Some(g.min) else None
+      val g = ts.map(_._1).filter(_ >= 0); if (g.nonEmpty) Some(g.min) else None
     }.sorted
     val median = if (goodMins.nonEmpty) goodMins(goodMins.size / 2) else 0.0
     val outlierCut = math.max(10 * median, 2.0)
@@ -79,24 +145,27 @@ object Bench {
     val results = firstPass.map { case (name, fn, times0) =>
       var times = times0
       var extra = 0
-      def goodMin = { val g = times.filter(_ >= 0); if (g.nonEmpty) g.min else -1.0 }
+      def goodMin = { val g = times.map(_._1).filter(_ >= 0); if (g.nonEmpty) g.min else -1.0 }
       while (extra < 2 && goodMin > outlierCut && extraBudget > 0) {
         System.err.println(
           f"[bench] $name%-22s min $goodMin%.2f s > ${outlierCut}%.2f s cut — re-measuring (load ${loadavg()}%.2f)",
         )
         val t = rep(name, fn)
-        extraBudget -= math.abs(t)
+        extraBudget -= math.abs(t._1)
         times = times :+ t
         extra += 1
       }
       if (extra > 0) remeasured += 1
-      val good = times.filter(_ >= 0)
+      val good = times.map(_._1).filter(_ >= 0)
       val sec = if (good.nonEmpty) good.min else -1.0
       val secMax = if (good.nonEmpty) good.max else -1.0
+      // Shuffle volume is deterministic per query; max across reps is
+      // robust to event-boundary slippage between back-to-back reps.
+      val shufMb = times.map(_._2).max
       System.err.println(
-        f"[bench] $name%-22s $sec%8.2f s  (min of ${times.map(t => f"$t%.2f").mkString("/")})",
+        f"[bench] $name%-22s $sec%8.2f s  $shufMb%6d MB shuffled  (min of ${times.map(t => f"${t._1}%.2f").mkString("/")})",
       )
-      (name, sec, secMax)
+      (name, sec, secMax, shufMb)
     }
     val loadEnd = loadavg()
     // Stateful-streaming throughput smoke: FlowGen AvailableNow →
@@ -114,7 +183,7 @@ object Bench {
     // the top offenders, and the total. The total always covers every
     // query regardless of what is shown.
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Per-family subtotals (nf/q/dd/sim/tx/mm; TPC-H q1..q22 fold into
@@ -125,25 +194,35 @@ object Bench {
       val p = name.takeWhile(_ != '_')
       if (p.matches("q\\d+")) "q" else p
     }
-    val families = results.filter(_._2 >= 0).groupBy { case (n, _, _) => familyOf(n) }
+    val families = results.filter(_._2 >= 0).groupBy { case (n, _, _, _) => familyOf(n) }
       .toSeq.sortBy(_._1)
       .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    val bySlowest = results.sortBy { case (_, v, _) => -v }
+    // Family shuffle volume (MB, every query) + per-query shuffle MB for
+    // the shown list: the round-over-round tiebreaker between "loaded
+    // host" and "plan regressed to an extra Exchange".
+    val famShuf = results.filter(_._2 >= 0).groupBy { case (n, _, _, _) => familyOf(n) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + rs.map(_._4).sum }
+      .mkString("{", ",", "}")
+    val bySlowest = results.sortBy { case (_, v, _, _) => -v }
     // Spread covers EVERY shown query (not just the slowest 8) so the
     // round-over-round comparison can separate noise from regression
     // per query; "load" is the [start, max, end] 1-min loadavg evidence.
-    def line(shown: Seq[(String, Double, Double)], omitted: Int): String = {
-      val qs = shown.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    def line(shown: Seq[(String, Double, Double, Long)], omitted: Int): String = {
+      val qs = shown.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      val spread = shown.sortBy { case (_, v, _) => -v }.map { case (k, lo, hi) =>
+      val spread = shown.sortBy { case (_, v, _, _) => -v }.map { case (k, lo, hi, _) =>
         "\"" + k + "\":[" + r3(lo) + "," + r3(hi) + "]"
+      }.mkString("{", ",", "}")
+      val shuf = shown.sortBy { case (_, v, _, _) => -v }.map { case (k, _, _, mb) =>
+        "\"" + k + "\":" + mb
       }.mkString("{", ",", "}")
       val load = s"[${r3(load0)},${r3(loadMax)},${r3(loadEnd)}]"
       val stream = streamRates.map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.0f")
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"omitted":$omitted,"failed":$failed,"spread":$spread,"load":$load,"remeasured":$remeasured,"families":$families,"stream":$stream,"value":${r3(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"omitted":$omitted,"failed":$failed,"spread":$spread,"shuffle_mb":$shuf,"families_shuffle_mb":$famShuf,"load":$load,"remeasured":$remeasured,"families":$families,"stream":$stream,"value":${r3(total)}}"""
     }
     val budget = 1800 // bytes; leaves room for sbt's banner + [success] lines
     var keep = math.min(40, results.size)
