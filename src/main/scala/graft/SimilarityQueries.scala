@@ -34,7 +34,10 @@ object SimilarityQueries {
     * RDDs died with its context) can never serve a stale frame.
     */
   private val cbCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), org.apache.spark.sql.DataFrame]
+    .empty[
+      (org.apache.spark.sql.SparkSession, String, Int, Int),
+      org.apache.spark.sql.DataFrame,
+    ]
 
   private def trainedCb(
       s: org.apache.spark.sql.SparkSession,
@@ -49,6 +52,28 @@ object SimilarityQueries {
       (s, d, blocks, subDim),
       SimilarityOps.trainCodebook(
         embeddings(s, d), blocks, subDim, isSeed = col("vec_id") < 8, iters = 2),
+    )
+  }
+
+  /** The 4/5-subset codebook sim_index_incremental builds on — memoized
+    * under the same discipline as [[trainedCb]] (training is
+    * deterministic and the writeIndex contract says a caller holding a
+    * memoized frame should pass it rather than re-pay the Lloyd
+    * iterations; what the incremental query TESTS is the build + append
+    * + frozen-assignment path, not k-means convergence). The "#mod5"
+    * dataset-key suffix keeps it from colliding with the full-corpus
+    * frame.
+    */
+  private def trainedCbMod5(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
+    cbCache.keys.filter(_._1.sparkContext.isStopped).foreach(cbCache.remove)
+    cbCache.getOrElseUpdate(
+      (s, s"$d#mod5", 1, 64),
+      SimilarityOps.trainCodebook(
+        embeddings(s, d).filter(col("vec_id") % 5 =!= 0),
+        blocks = 1, subDim = 64, isSeed = col("vec_id") < 8, iters = 2),
     )
   }
 
@@ -989,7 +1014,8 @@ object SimilarityQueries {
         val pre = vecDb(s, s"incr_${Tables.datasetKey(d)}")
         graft.operators.VectorIndexOps.writeIndex(
           embeddings(s, d).filter(col("vec_id") % 5 =!= 0), dim = 64,
-          isSeed = col("vec_id") < 8, iters = 2, buckets = 8, prefix = pre)
+          isSeed = col("vec_id") < 8, iters = 2, buckets = 8, prefix = pre,
+          codebook = Some(trainedCbMod5(s, d)))
         graft.operators.VectorIndexOps.appendVectors(
           s, pre, embeddings(s, d).filter(col("vec_id") % 5 === 0))
         graft.operators.VectorIndexOps.ivfTopK(s, pre, col("vec_id") < 10, BucketK)

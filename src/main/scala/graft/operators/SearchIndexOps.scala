@@ -205,10 +205,45 @@ object SearchIndexOps {
     * file-level transactional commits across tables — a table-format
     * concern (Iceberg/Delta), not a query-engine one.
     */
+  /** Micro-batches with at most this many distinct doc_ids push their
+    * id list into the stored-docs scan as an IN filter (bounded driver
+    * collect — metadata-scale like the BPE vocabulary fold, never
+    * corpus-scale); larger batches fall back to the full bucketed
+    * anti-join.
+    */
+  private[graft] val GuardIdCap = 100000
+
+  /** The replay guard's surviving rows: batch minus already-indexed
+    * doc_ids. Guard cost is O(batch), not O(index): the anti-join only
+    * needs the stored ids that could COLLIDE with this batch, so the
+    * batch's (bounded) id list is pushed into the stored scan, where
+    * it prunes buckets (doc_id is the bucket key) and parquet row
+    * groups — at 100 TB the guard reads the touched buckets' matching
+    * rows, not the billion-row membership table. The pruned guard side
+    * is then at most batch-sized, so it broadcasts. SearchIndexSpec
+    * pins the bucket pruning on the stored scan. `b` should be
+    * materialized by the caller (it is scanned twice: id list + join).
+    */
+  private[graft] def replayGuardFresh(
+      spark: SparkSession,
+      prefix: String,
+      b: DataFrame,
+  ): DataFrame = {
+    val stored = spark.table(s"${prefix}_docs").select(col("doc_id"))
+    val ids = b
+      .select(col("doc_id")).distinct().limit(GuardIdCap + 1)
+      .collect().map(_.getLong(0)).toSeq
+    if (ids.length <= GuardIdCap)
+      b.join(
+        broadcast(stored.filter(col("doc_id").isin(ids: _*))),
+        Seq("doc_id"),
+        "left_anti",
+      )
+    else b.join(stored, Seq("doc_id"), "left_anti")
+  }
+
   private[graft] def indexBatch(spark: SparkSession, prefix: String, batch: DataFrame): Unit = {
-    val fresh = batch
-      .join(spark.table(s"${prefix}_docs").select("doc_id"), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val fresh = replayGuardFresh(spark, prefix, batch.localCheckpoint()).localCheckpoint()
     if (!fresh.isEmpty) appendDocuments(spark, prefix, fresh)
   }
 

@@ -207,26 +207,33 @@ object VectorIndexOps {
     // appended row is the single live one. Normal appends (no overlap
     // with tombstones) skip this entirely.
     val tomb = s"${prefix}_tombstones"
-    if (spark.catalog.tableExists(tomb) &&
-        !batch.join(spark.table(tomb), Seq("vec_id"), "left_semi").isEmpty)
+    // Short-circuit on the tiny tombstone table FIRST so the common
+    // no-deletes append never runs a batch-side job for this check.
+    if (spark.catalog.tableExists(tomb) && !spark.table(tomb).isEmpty &&
+        !batch.join(broadcast(spark.table(tomb)), Seq("vec_id"), "left_semi").isEmpty)
       purgeTombstones(spark, prefix)
     val buckets = IndexCatalog.tableBuckets(spark, s"${prefix}_vectors")
     val cb = spark.table(s"${prefix}_codebook")
-    assignedProjection(batch, cb)
+    // Assign ONCE and materialize: the projection feeds two appends
+    // (vectors + radius partials), and the batch source should be
+    // scanned — and the codebook argmin broadcast-joined — once per
+    // append, not once per output table. The checkpoint is
+    // batch-sized; the stored corpus is never touched by an append
+    // (VectorIndexSpec pins the plan).
+    val assigned = assignedProjection(batch, cb).localCheckpoint()
+    assigned
       .write.mode("append")
       .bucketBy(buckets, "cell")
       .saveAsTable(s"${prefix}_vectors")
     spark.catalog.refreshTable(s"${prefix}_vectors")
     // The batch's radius partials ride along as an APPEND (readers max
-    // over partials, so history is never rewritten). Costs a second
-    // scan of the batch source — micro-batch scale under streaming
-    // ingest; a bulk backfill that cares should checkpoint its batch.
-    // Guarded by the same ingest ledger as the vector append, so a
-    // replayed batch appends neither. Indexes built before cellstats
-    // existed simply lack the table ([[ivfRangeSearch]] then probes
-    // every cell — correct, unpruned).
+    // over partials, so history is never rewritten). Guarded by the
+    // same ingest ledger as the vector append, so a replayed batch
+    // appends neither. Indexes built before cellstats existed simply
+    // lack the table ([[ivfRangeSearch]] then probes every cell —
+    // correct, unpruned).
     if (spark.catalog.tableExists(s"${prefix}_cellstats")) {
-      radiusPartials(assignedProjection(batch, cb), cb)
+      radiusPartials(assigned, cb)
         .write.mode("append").saveAsTable(s"${prefix}_cellstats")
       spark.catalog.refreshTable(s"${prefix}_cellstats")
     }

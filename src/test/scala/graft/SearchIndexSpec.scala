@@ -134,6 +134,46 @@ class SearchIndexSpec extends SparkSpec {
     ), "after the mixed append the index must equal a scan of exactly corpus + the one new doc")
   }
 
+  test("replay guard cost is batch-proportional: stored docs scan prunes to the batch's buckets") {
+    val prefix = "searchguard"
+    Seq("postings", "lexicon", "docs", "meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val docs = Tables.documents(spark, Sf)
+    SearchIndexOps.writeIndex(docs, buckets = 8, prefix = prefix)
+    // A two-id batch: its IN-list must prune the stored docs scan to at
+    // most two of the eight doc_id buckets (the readCells caveat
+    // applies — bare guard plans need autoBucketedScan off to SHOW the
+    // pruning; parquet row-group skipping on the pushed In holds
+    // either way).
+    import spark.implicits._
+    // One already-indexed id (40 — must be filtered) and one fresh id
+    // (900061 — must survive), so the equality check below is
+    // non-trivial in both directions.
+    val batch = Seq((40L, "guard probe a"), (900061L, "guard probe b"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val before = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val guard = SearchIndexOps.replayGuardFresh(spark, prefix, batch)
+      val plan = guard.queryExecution.executedPlan.toString
+      val selected = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      assert(selected.nonEmpty, s"expected bucket pruning at the stored docs scan:\n$plan")
+      selected.foreach { case (sel, total) =>
+        assert(sel <= 2 && sel < total,
+          s"guard must read only the batch's buckets ($sel of $total):\n$plan")
+      }
+      assert(plan.contains("BroadcastExchange"),
+        s"the pruned guard side must broadcast, not shuffle the batch:\n$plan")
+      // And the pruned guard is semantically the full anti-join.
+      val expected = batch
+        .join(spark.table(s"${prefix}_docs").select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val got = guard.select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == expected, "pruned guard must equal the unpruned anti-join")
+    } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", before)
+  }
+
   test("rebucket preserves results bit-for-bit and keeps bucket pruning at the new count") {
     val prefix = "searchrebkt"
     Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
