@@ -159,9 +159,13 @@ object Bench {
       val good = times.map(_._1).filter(_ >= 0)
       val sec = if (good.nonEmpty) good.min else -1.0
       val secMax = if (good.nonEmpty) good.max else -1.0
-      // Shuffle volume is deterministic per query; max across reps is
-      // robust to event-boundary slippage between back-to-back reps.
-      val shufMb = times.map(_._2).max
+      // Shuffle volume is deterministic per query; MIN across successful
+      // reps is the robust pick — the known slippage mode is a prior
+      // rep's listener events draining past the 500 ms quiesce cap INTO
+      // the next rep's delta, which inflates (never deflates) it, so max
+      // would report the contaminated rep.
+      val okShuf = times.filter(_._1 >= 0).map(_._2)
+      val shufMb = if (okShuf.nonEmpty) okShuf.min else times.map(_._2).max
       System.err.println(
         f"[bench] $name%-22s $sec%8.2f s  $shufMb%6d MB shuffled  (min of ${times.map(t => f"${t._1}%.2f").mkString("/")})",
       )

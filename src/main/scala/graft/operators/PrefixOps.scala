@@ -35,6 +35,16 @@ object PrefixOps {
     * MUST read one materialized partitioning or their offsets could
     * disagree.
     */
+  /** The scratch columns this machinery attaches with plain withColumn.
+    * A caller whose frame already carries one of these names would have
+    * it silently overwritten — wrong ranks/sums with no error — so both
+    * entry points reject the collision up front.
+    */
+  private def requireFreeNames(df: DataFrame, reserved: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"PrefixOps reserved/output column(s) already present: ${clash.mkString(", ")}")
+  }
+
   private def rangeNumbered(df: DataFrame, sortCols: Seq[Column]): DataFrame =
     df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -64,6 +74,7 @@ object PrefixOps {
     * count aggregate, one broadcast join — no single-partition stage.
     */
   def globalRank(df: DataFrame, sortCols: Seq[Column], rankName: String): DataFrame = {
+    requireFreeNames(df, Seq("_mid", "_pid", "_lrn", "_o_n", rankName))
     val numbered = rangeNumbered(df, sortCols)
     val counts = numbered.groupBy(col("_pid")).agg(count(lit(1)).as("_s_n"))
     numbered
@@ -86,6 +97,9 @@ object PrefixOps {
       sums: Seq[(String, Column)],
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFreeNames(
+      df,
+      Seq("_mid", "_pid", "_lrn") ++ sums.flatMap { case (n, _) => Seq(n, s"_v_$n", s"_o_$n") })
     val withVals = sums.foldLeft(df) { case (d, (n, c)) => d.withColumn(s"_v_$n", c) }
     val numbered = rangeNumbered(withVals, sortCols)
     val subAggs = sums.map { case (n, _) => sum(col(s"_v_$n")).as(s"_s_$n") }

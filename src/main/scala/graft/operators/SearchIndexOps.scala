@@ -221,14 +221,18 @@ object SearchIndexOps {
     * groups — at 100 TB the guard reads the touched buckets' matching
     * rows, not the billion-row membership table. The pruned guard side
     * is then at most batch-sized, so it broadcasts. SearchIndexSpec
-    * pins the bucket pruning on the stored scan. `b` should be
-    * materialized by the caller (it is scanned twice: id list + join).
+    * pins the bucket pruning on the stored scan. The batch is
+    * materialized HERE (it is scanned twice — id list + join — and a
+    * nondeterministic input evaluated twice could produce an id list
+    * that disagrees with the join side, letting already-indexed rows
+    * slip past the guard); callers need not pre-checkpoint.
     */
   private[graft] def replayGuardFresh(
       spark: SparkSession,
       prefix: String,
-      b: DataFrame,
+      batch: DataFrame,
   ): DataFrame = {
+    val b = batch.localCheckpoint()
     val stored = spark.table(s"${prefix}_docs").select(col("doc_id"))
     val ids = b
       .select(col("doc_id")).distinct().limit(GuardIdCap + 1)
@@ -243,7 +247,7 @@ object SearchIndexOps {
   }
 
   private[graft] def indexBatch(spark: SparkSession, prefix: String, batch: DataFrame): Unit = {
-    val fresh = replayGuardFresh(spark, prefix, batch.localCheckpoint()).localCheckpoint()
+    val fresh = replayGuardFresh(spark, prefix, batch).localCheckpoint()
     if (!fresh.isEmpty) appendDocuments(spark, prefix, fresh)
   }
 
