@@ -231,6 +231,56 @@ object MultimodalQueries {
              |  min(doc_id) AS keeper_doc_id
              |FROM documents GROUP BY payload_md5 ORDER BY payload_md5""".stripMargin),
     ),
+    // Perceptual near-dup image dedup — what mm_exact_dedup cannot
+    // catch: re-encoded copies (same image, different container) and
+    // lightly-edited copies differ in payload BYTES but their decoded
+    // content streams are identical/close, so their dHash gradient
+    // fingerprints (48-bit, DHash expression over the content parsed
+    // out of the real PNG/JPEG headers) sit within hamming ≤ 5.
+    // Candidates by exact pigeonhole banding (6 chunks × 8 bits —
+    // equi-join, never all-pairs). The oracle predicts the decoded
+    // content independently (= the raw text for image rows) and
+    // replays the region-sum/gradient arithmetic verbatim, so a
+    // header-length misread of even one byte hash-mismatches.
+    Q(
+      "mm_near_dedup",
+      (s, d) => MultimodalOps.nearDupPairs(
+        MultimodalOps.encodeMedia(documents(s, d)),
+        regions = 49, blockBands = 6, maxHamming = 5),
+      Some("""WITH c AS (SELECT doc_id, text AS content, length(text) AS L
+             |           FROM documents WHERE doc_id % 3 = 0),
+             |pos AS (SELECT doc_id, content, L,
+             |               unnest(generate_series(1, L)) AS j FROM c),
+             |ch AS (SELECT doc_id, ((j-1) * 49) // L AS region,
+             |              unicode(substr(content, j, 1)) AS code FROM pos),
+             |gs AS (SELECT doc_id, region, CAST(sum(code) AS BIGINT) AS s
+             |       FROM ch GROUP BY doc_id, region),
+             |allr AS (SELECT doc_id, unnest(generate_series(0, 48)) AS region FROM c),
+             |rs AS (SELECT a.doc_id, a.region, coalesce(g.s, 0) AS s
+             |       FROM allr a LEFT JOIN gs g
+             |         ON g.doc_id = a.doc_id AND g.region = a.region),
+             |gr AS (SELECT doc_id, region, s,
+             |              lead(s) OVER (PARTITION BY doc_id ORDER BY region) AS s2
+             |       FROM rs),
+             |fp AS (SELECT doc_id,
+             |         CAST(sum(CASE WHEN s > s2
+             |                       THEN CAST(power(2, 47 - region) AS BIGINT)
+             |                       ELSE 0 END) AS BIGINT) AS dhash
+             |       FROM gr WHERE region < 48 GROUP BY doc_id),
+             |ck AS (SELECT doc_id, dhash,
+             |              unnest(generate_series(0, 5)) AS chunk_idx FROM fp),
+             |cb AS (SELECT doc_id, dhash, chunk_idx,
+             |              CAST(floor(dhash / power(2, chunk_idx*8)) AS BIGINT) % 256
+             |                AS chunk_bits FROM ck)
+             |SELECT doc_a, doc_b, hamming FROM (
+             |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             |    bit_count(xor(x.dhash, y.dhash)) AS hamming
+             |  FROM cb x JOIN cb y
+             |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
+             |   AND x.doc_id < y.doc_id)
+             |WHERE hamming <= 5
+             |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
     // Aspect-ratio / resolution bucketing — the batch-formation step of
     // an image-training pipeline (pad each image up to the next 64-px
     // multiple, batch images that share a padded shape): dims PARSED

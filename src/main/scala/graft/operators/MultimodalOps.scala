@@ -363,6 +363,108 @@ object MultimodalOps {
     )
   }
 
+  /** The decode stage's CONTENT face: strip each payload's real
+    * container wrapping (parsed from the bytes — PNG signature → the
+    * 33-byte signature+IHDR header, JFIF SOI/APP0/SOF0 → 39 bytes,
+    * GIF89a → 14 bytes of header/LSD/trailer plus 22 per counted frame
+    * block) and return the decoded stream that remains, as a string
+    * column. Container-less payloads pass through whole. This is what
+    * a codec's output feeds downstream: two copies of the same media
+    * re-encoded into different containers yield IDENTICAL content
+    * here, which is exactly the invariance [[nearDupPairs]] builds on.
+    * A header length misread by even one byte shifts every content
+    * character and scrambles the fingerprint — so the oracle's
+    * independent content prediction hash-checks the parse.
+    */
+  def decodeContent(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val isPng = octet_length(p) >= 33 && substring(p, 1, 8) === unhex(lit("89504E470D0A1A0A"))
+    val isJfif = octet_length(p) >= 39 && substring(p, 1, 4) === unhex(lit("FFD8FFE0")) &&
+      substring(p, 21, 2) === unhex(lit("FFC0"))
+    val isGif = octet_length(p) >= 14 && substring(p, 1, 6) === unhex(lit("474946383961"))
+    // Frame count read from the real frame blocks — the
+    // [[decodeHeaderMeta]] counting idiom over the same byte layout.
+    val hx = hex(p)
+    val gifFrameHex = concat(
+      lit("21F904000A000000"), lit("2C00000000"),
+      hex(substring(p, 7, 2)), hex(substring(p, 9, 2)), lit("0008010000"))
+    val gifFrames =
+      ((length(hx) - length(replace(hx, gifFrameHex, lit("")))) / length(gifFrameHex)).cast("int")
+    val hdrLen = when(isPng, lit(33))
+      .when(isJfif, lit(39))
+      .when(isGif, lit(14) + gifFrames * 22)
+      .otherwise(lit(0))
+    media.select(
+      col("doc_id"),
+      col("media_type"),
+      p.substr(hdrLen + 1, octet_length(p) - hdrLen).cast("string").as("content"),
+    )
+  }
+
+  /** Perceptual (near-dup) image dedup — the pass [[MultimodalOps]]'
+    * exact content-hash dedup cannot do: re-encoded copies (same image,
+    * different container) and lightly-edited copies hash to DIFFERENT
+    * payload bytes, but their decoded content streams are identical or
+    * close, so their [[graft.expressions.DHash]] gradient fingerprints
+    * sit within a small hamming distance. Candidate generation is
+    * exact pigeonhole banding (the SimHash-pairs discipline): the
+    * `regions−1`-bit fingerprint splits into `blockBands` chunks, and
+    * any pair within `maxHamming` bit flips must agree on ≥1 whole
+    * chunk (requires blockBands > maxHamming) — so candidates come
+    * from a pure equi-join on (chunk_idx, chunk_bits), never an
+    * all-pairs comparison, at any corpus scale. Returns the verified
+    * pairs (doc_a, doc_b, hamming ≤ maxHamming) over image rows.
+    */
+  def nearDupPairs(
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+  ): DataFrame = {
+    val bits = regions - 1
+    require(blockBands > maxHamming, "pigeonhole blocking needs bands > maxHamming")
+    require(bits <= 52, s"chunk extraction is exact only for bits <= 52 (got $bits)")
+    require(bits % blockBands == 0, s"blockBands ($blockBands) must divide bits ($bits)")
+    val chunkBits = bits / blockBands
+    // Fingerprints are computed ONCE (decode + one content pass per
+    // row) and materialized; the chunk self-join reads stored
+    // fingerprints instead of re-decoding the corpus twice.
+    val fp = decodeContent(media)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), graft.expressions.DHash(col("content"), regions).as("dhash"))
+      .localCheckpoint()
+    // chunk c = floor(dhash / 2^(c*chunkBits)) mod 2^chunkBits —
+    // floor-division form so the oracle mirrors it; exact in doubles
+    // because dhash < 2^bits ≤ 2^52.
+    val chunks = fp.select(
+      col("doc_id"),
+      col("dhash"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(blockBands - 1)),
+          c => floor(col("dhash") / pow(lit(2.0), c * chunkBits)).cast("long") %
+            (1L << chunkBits),
+        ),
+      ).as(Seq("chunk_idx", "chunk_bits")),
+    )
+    chunks
+      .as("x")
+      .join(
+        chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_bits") === col("y.chunk_bits") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Resize planning: aspect-preserving fit of each decoded image into
     * a `target`×`target` box, never upscaling. The geometry (scale
     * factor, output dims) is the real pipeline logic; the pixel

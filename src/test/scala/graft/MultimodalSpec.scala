@@ -130,6 +130,51 @@ class MultimodalSpec extends SparkSpec {
     frames.foreach { case (n, f) => assert(n == (f + 3) / 4) }
   }
 
+  test("decodeContent recovers the exact pre-wrap text through every container type") {
+    import spark.implicits._
+    val media = MultimodalOps.encodeMedia(documents(spark, Sf))
+    val roundTrip = MultimodalOps.decodeContent(media)
+      .join(documents(spark, Sf), "doc_id")
+      .select($"media_type", ($"content" === $"text").as("ok"))
+      .groupBy("media_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.when(!org.apache.spark.sql.functions.col("ok"), 1)).as("bad"))
+      .as[(String, Long)].collect().toMap
+    // All three container families present, every row recovered exactly.
+    assert(roundTrip.keySet == Set("image", "audio", "video"))
+    assert(roundTrip.values.forall(_ == 0L), roundTrip.toString)
+  }
+
+  test("perceptual near-dup catches re-encoded and lightly-edited copies via a banded equi-join") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running " * 4
+    val edited = base.updated(40, 'x') // same length, one char → ≤2 gradient bits
+    val docs = Seq(
+      0L -> base, // image, PNG container (doc_id/3 even)
+      3L -> base, // image, JPEG container — a RE-ENCODED copy of doc 0
+      6L -> edited, // image, PNG — a lightly-edited copy
+      9L -> "completely unrelated payload with different words entirely and no shared phrasing at all",
+      1L -> base, // audio — identical content but not an image: excluded
+      2L -> base, // video — excluded
+    ).toDF("doc_id", "text")
+    val pairs = MultimodalOps.nearDupPairs(
+      MultimodalOps.encodeMedia(docs), regions = 49, blockBands = 6, maxHamming = 5)
+    val got = pairs.as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    // The re-encoded copy: different container bytes, identical content
+    // → hamming 0 (mm_exact_dedup would MISS it — payload md5 differs).
+    assert(got.get((0L, 3L)).contains(0), got.toString)
+    // The edited copy sits within the hamming budget of both originals.
+    assert(got.contains((0L, 6L)) && got((0L, 6L)) <= 5, got.toString)
+    assert(got.contains((3L, 6L)), got.toString)
+    // The unrelated document matches nothing; non-image rows never pair.
+    assert(got.keys.forall { case (a, b) => !Set(a, b).exists(Set(1L, 2L, 9L)) }, got.toString)
+    // Candidate generation is the pigeonhole equi-join — never a
+    // cartesian/nested-loop pass over the corpus.
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   implicit private class Tup3Map(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
