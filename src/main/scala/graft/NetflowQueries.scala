@@ -683,29 +683,12 @@ object NetflowQueries {
     // nf_window_sliding discipline in pure integer seconds (6 aligned
     // starts per event — Expand ×6, one count shuffle); the peak pick
     // is max + an equi-join back, never a row_number over raw events.
+    // Core shared with the streaming twin (BurstStream — bit-identical,
+    // StreamingSpec asserts over a two-batch split).
     Q(
       "nf_burst",
-      (s, d) => {
-        val epoch = lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
-        val g = events(s, d)
-          .select(
-            col("user_id"),
-            timestamp_diff("SECOND", epoch, col("ts")).as("sec"),
-          )
-          .select(col("user_id"), expr("sec div 10 * 10").as("base"),
-            explode(sequence(lit(0), lit(5))).as("k"))
-          .select(col("user_id"), (col("base") - col("k") * 10).as("ws"))
-          .groupBy(col("user_id"), col("ws"))
-          .agg(count(lit(1)).as("n"))
-        val m = g
-          .groupBy(col("user_id"))
-          .agg(max(col("n")).as("peak_events"))
-        g.join(m, "user_id")
-          .filter(col("n") === col("peak_events"))
-          .groupBy(col("user_id"), col("peak_events"))
-          .agg(min(col("ws")).as("at_ws"))
-          .orderBy("user_id")
-      },
+      (s, d) => graft.operators.NetflowOps.burstPeak(
+        events(s, d).select(col("user_id"), col("ts"))),
       Some("""WITH e AS (SELECT user_id,
              |            CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM events),
              |w AS (SELECT user_id, (sec // 10) * 10 - 10*k AS ws

@@ -177,6 +177,36 @@ object NetflowOps {
     df.groupBy((window(tsCol, "10 seconds") +: flowKeys): _*)
       .agg(sum("bytes").as("bytes"), sum("packets").as("packets"))
 
+  /** Burst detection core (rate-limiter sizing): each user's PEAK event
+    * count over any aligned 60-second window sliding by 10 s, plus the
+    * earliest window start achieving it. Input: (user_id, ts) with ts
+    * TIMESTAMP_NTZ. The slide enumeration is pure integer seconds — 6
+    * aligned starts per event (Expand ×6, one count shuffle); the peak
+    * pick is max + an equi-join back, never a row_number over raw
+    * events. Shared verbatim by the batch registry query (`nf_burst`)
+    * and the streaming twin ([[graft.streaming.BurstStream]]), whose
+    * O(1)-state processor replays exactly this arithmetic and is
+    * asserted bit-identical in StreamingSpec.
+    */
+  def burstPeak(events: DataFrame): DataFrame = {
+    val epoch = lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
+    val g = events
+      .select(col("user_id"), timestamp_diff("SECOND", epoch, col("ts")).as("sec"))
+      .select(col("user_id"), expr("sec div 10 * 10").as("base"),
+        explode(sequence(lit(0), lit(5))).as("k"))
+      .select(col("user_id"), (col("base") - col("k") * 10).as("ws"))
+      .groupBy(col("user_id"), col("ws"))
+      .agg(count(lit(1)).as("n"))
+    val m = g
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("peak_events"))
+    g.join(m, "user_id")
+      .filter(col("n") === col("peak_events"))
+      .groupBy(col("user_id"), col("peak_events"))
+      .agg(min(col("ws")).as("at_ws"))
+      .orderBy("user_id")
+  }
+
   /** Bidirectional flow stitching — pair each flow A→B with the reverse
     * flow B→A starting within `window` after it (the request/response
     * matching a netflow analyzer needs; the reference's per-direction

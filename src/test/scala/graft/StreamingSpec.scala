@@ -414,6 +414,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming burst peak converges to the batch nf_burst core over a two-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{BurstEvent, BurstStream}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    def us(s: Long) = s * 1000000L
+    // user 1: early burst, then a straggler far later (the late event
+    // must NOT reopen finalized windows); user 2: one 60-s window's
+    // events split ACROSS the batch boundary (open-window counts must
+    // carry over); user 3: single event, peak 1.
+    val batch1 = Seq(
+      BurstEvent(1L, 1L, us(0)), BurstEvent(1L, 2L, us(2)), BurstEvent(1L, 3L, us(4)),
+      BurstEvent(1L, 4L, us(6)), BurstEvent(1L, 5L, us(8)),
+      BurstEvent(2L, 10L, us(55)), BurstEvent(2L, 11L, us(58)),
+      BurstEvent(3L, 20L, us(33)),
+    )
+    val batch2 = Seq(
+      BurstEvent(1L, 6L, us(11)), BurstEvent(1L, 7L, us(13)), BurstEvent(1L, 8L, us(262)),
+      BurstEvent(2L, 12L, us(61)), BurstEvent(2L, 13L, us(64)),
+    )
+    val in = MemoryStream[BurstEvent]
+    val q = BurstStream.peaks(in.toDS()).toDF()
+      .writeStream
+      .format("memory").queryName("burst_stream").outputMode("update")
+      .option(
+        "checkpointLocation",
+        Files.createTempDirectory("burst_ckpt").toFile.getAbsolutePath,
+      )
+      .start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val rows = spark.table("burst_stream").collect()
+      val last = rows.zipWithIndex
+        .groupBy(_._1.getLong(0))
+        .map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val batch = graft.operators.NetflowOps
+        .burstPeak(
+          (batch1 ++ batch2)
+            .map(e => (e.userId, java.time.LocalDateTime.ofEpochSecond(
+              e.tsMicros / 1000000L, ((e.tsMicros % 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)))
+            .toDF("user_id", "ts"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(last == batch, s"stream $last\nvs batch $batch")
+      // And the split window actually counted across the boundary:
+      // user 2's four events share the aligned window starting at 10 s.
+      assert(batch.contains((2L, 4L, 10L)), batch.toString)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState keeps running per-host totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
