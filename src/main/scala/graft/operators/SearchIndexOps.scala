@@ -37,11 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object SearchIndexOps {
 
-  /** Builds and publishes the three index tables (overwriting any
-    * previous index at `prefix`).
+  /** Builds and publishes the index tables (overwriting any previous
+    * index at `prefix`). A stale ingest ledger from a previous index
+    * generation would make [[indexBatch]] skip legitimate batches of
+    * the rebuilt index, so it is dropped with the data it described.
     */
-  def writeIndex(docs: DataFrame, buckets: Int, prefix: String): Unit =
+  def writeIndex(docs: DataFrame, buckets: Int, prefix: String): Unit = {
+    docs.sparkSession.sql(s"DROP TABLE IF EXISTS ${prefix}_batches")
     writeTables(docs, buckets, prefix, org.apache.spark.sql.SaveMode.Overwrite)
+  }
 
   private def writeTables(
       docs: DataFrame,
@@ -49,32 +53,73 @@ object SearchIndexOps {
       prefix: String,
       mode: org.apache.spark.sql.SaveMode,
   ): Unit = {
-    // Materialize once — postings feed two table writes (each its own
-    // action), and the corpus explode should run once per build.
-    val p = SearchOps.postings(docs).localCheckpoint()
-    p.write.mode(mode)
-      .bucketBy(buckets, "term").sortBy("term", "doc_id", "pos")
-      .saveAsTable(s"${prefix}_postings")
-    p.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .write.mode(mode)
-      .bucketBy(buckets, "term")
-      .saveAsTable(s"${prefix}_lexicon")
+    val bk = batchKeyOf(docs)
+    tableAppends(docs, buckets, prefix, mode, bk).foreach { case (t, run) =>
+      run()
+      docs.sparkSession.catalog.refreshTable(s"${prefix}_$t")
+    }
+  }
+
+  /** The batch's deterministic identity: its minimum doc_id. Batches
+    * carry disjoint doc_id sets (the incremental contract), so the
+    * minimum is unique per batch AND reproducible on a checkpoint
+    * replay of the same batch — which is what lets the per-batch
+    * lexicon/df and meta partials be attributed to their batch, and
+    * the ingest ledger recognize a replay, without any external id.
+    */
+  private def batchKeyOf(docs: DataFrame): Long = {
+    val r = docs.agg(min(col("doc_id"))).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0) // empty batch → inert key
+  }
+
+  /** The four table writes in commit order — docs LAST, because it is
+    * the membership table [[replayGuardFresh]] anti-joins against, so
+    * its append is the batch's doc-level commit marker. Each write is
+    * a thunk so [[indexBatch]]'s crash repair can re-run exactly the
+    * missing suffix; the shared inputs are lazy and materialized once
+    * (the corpus explode feeds two tables and must run once per
+    * build). Lexicon and meta partial rows are tagged with the batch
+    * key: per-batch partials are summed by readers anyway, and the tag
+    * is what makes a crashed partial append DETECTABLE afterwards
+    * (postings/docs rows carry their doc_ids; without the tag, df/meta
+    * partials from a half-landed batch would be indistinguishable from
+    * history).
+    */
+  private def tableAppends(
+      docs: DataFrame,
+      buckets: Int,
+      prefix: String,
+      mode: org.apache.spark.sql.SaveMode,
+      batchKey: Long,
+  ): Seq[(String, () => Unit)] = {
+    lazy val p = SearchOps.postings(docs).localCheckpoint()
     // Length norms from one narrow projection of the batch (no second
     // explode — size(split) is row-local).
-    val dl = docs
+    lazy val dl = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
       .localCheckpoint()
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
-      .write.mode(mode)
-      .saveAsTable(s"${prefix}_meta")
-    // The docs table is written LAST deliberately: it is the membership
-    // table [[indexBatch]]'s replay guard anti-joins against, so its
-    // commit is the batch's commit marker — a batch is filtered as
-    // already-applied only once every other table's append landed.
-    dl.write.mode(mode)
-      .bucketBy(buckets, "doc_id")
-      .saveAsTable(s"${prefix}_docs")
+    Seq(
+      ("postings", () =>
+        p.write.mode(mode)
+          .bucketBy(buckets, "term").sortBy("term", "doc_id", "pos")
+          .saveAsTable(s"${prefix}_postings")),
+      ("lexicon", () =>
+        p.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .withColumn("batch_key", lit(batchKey))
+          .write.mode(mode)
+          .bucketBy(buckets, "term")
+          .saveAsTable(s"${prefix}_lexicon")),
+      ("meta", () =>
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+          .withColumn("batch_key", lit(batchKey))
+          .write.mode(mode)
+          .saveAsTable(s"${prefix}_meta")),
+      ("docs", () =>
+        dl.write.mode(mode)
+          .bucketBy(buckets, "doc_id")
+          .saveAsTable(s"${prefix}_docs")),
+    )
   }
 
   /** Incremental append: index a new batch of documents (doc_ids
@@ -85,12 +130,9 @@ object SearchIndexOps {
     * listing on first read, and a stale cache would silently serve
     * pre-append results to the next query.
     */
-  def appendDocuments(spark: SparkSession, prefix: String, batch: DataFrame): Unit = {
+  def appendDocuments(spark: SparkSession, prefix: String, batch: DataFrame): Unit =
     writeTables(batch, IndexCatalog.tableBuckets(spark, s"${prefix}_postings"), prefix,
       org.apache.spark.sql.SaveMode.Append)
-    Seq("postings", "lexicon", "docs", "meta")
-      .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
-  }
 
   /** Index health stats — the operational view of the stored postings:
     * per term-bucket file count proxy isn't observable from SQL, but
@@ -181,30 +223,9 @@ object SearchIndexOps {
     */
   def fileStats(spark: SparkSession, prefix: String): DataFrame =
     IndexCatalog.fileStats(
-      spark, bucketedTables(prefix).map(_._1) :+ s"${prefix}_meta")
+      spark,
+      bucketedTables(prefix).map(_._1) ++ Seq(s"${prefix}_meta", s"${prefix}_batches"))
 
-  /** One replay-safe ingest step: drop the batch rows whose doc_ids the
-    * index already holds, then append the remainder. The guard is an
-    * anti-join against the stored docs table — the
-    * [[LshIndexOps.dedupBatchAndGrow]] discipline — and because that
-    * table is bucketed by doc_id the stored side contributes no
-    * exchange: only the (small) batch shuffles to the bucket layout. A
-    * replayed, fully-committed micro-batch therefore filters to empty
-    * and appends nothing — no double-counted tf/df, no duplicate meta
-    * partials (SearchIndexSpec replays a batch and asserts bit-equal
-    * search results). The batch materializes BEFORE the append mutates
-    * the tables the guard reads (the dedupBatchAndGrow ordering
-    * lesson).
-    *
-    * Remaining window, stated honestly: the four table appends are not
-    * atomic, and the docs table — written last, the commit marker — is
-    * what the guard consults. A crash AFTER postings/lexicon/meta
-    * landed but BEFORE the docs append commits makes the replay
-    * re-append all four (at-least-once within that window only; before
-    * this guard, EVERY replay double-counted). Closing it needs
-    * file-level transactional commits across tables — a table-format
-    * concern (Iceberg/Delta), not a query-engine one.
-    */
   /** Micro-batches with at most this many distinct doc_ids push their
     * id list into the stored-docs scan as an IN filter (bounded driver
     * collect — metadata-scale like the BPE vocabulary fold, never
@@ -246,9 +267,100 @@ object SearchIndexOps {
     else b.join(stored, Seq("doc_id"), "left_anti")
   }
 
-  private[graft] def indexBatch(spark: SparkSession, prefix: String, batch: DataFrame): Unit = {
+  /** Does `<prefix>_<table>` already hold THIS batch's rows? Presence
+    * of any row implies the whole batch landed in that table (each
+    * table's append is one atomic job commit). Postings/docs rows are
+    * located by the batch's bounded doc_id list (the [[GuardIdCap]]
+    * pushdown — bucket-pruned on docs, file-skipped via parquet
+    * row-group doc_id stats on postings, where every append's files
+    * hold only that batch's ids; semi-join fallback above the cap);
+    * lexicon/meta partials by their batch-key tag. Only the RARE
+    * crash-repair path pays these probes — the fresh-batch fast path
+    * never runs them.
+    */
+  private def batchPresent(
+      spark: SparkSession,
+      prefix: String,
+      table: String,
+      fresh: DataFrame,
+      batchKey: Long,
+  ): Boolean = {
+    spark.catalog.refreshTable(s"${prefix}_$table")
+    val t = spark.table(s"${prefix}_$table")
+    table match {
+      case "lexicon" | "meta" =>
+        !t.filter(col("batch_key") === batchKey).limit(1).isEmpty
+      case _ =>
+        val ids = fresh
+          .select(col("doc_id")).distinct().limit(GuardIdCap + 1)
+          .collect().map(_.getLong(0)).toSeq
+        if (ids.length <= GuardIdCap)
+          !t.filter(col("doc_id").isin(ids: _*)).limit(1).isEmpty
+        else
+          !t.join(fresh.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+            .limit(1).isEmpty
+    }
+  }
+
+  /** One replay-safe, crash-repairable ingest step.
+    *
+    * Layer 1 — doc-level guard: [[replayGuardFresh]] drops the batch
+    * rows whose doc_ids the stored docs table (the membership table,
+    * written last) already holds, so a fully-committed batch replays
+    * to a no-op and a mixed batch keeps only its new docs.
+    *
+    * Layer 2 — the `<prefix>_batches` ingest ledger (the
+    * [[VectorIndexOps.ingestBatch]] discipline, extended with an
+    * intent phase): a batch is identified by [[batchKeyOf]] (its min
+    * doc_id — reproducible across checkpoint replays). The fast path
+    * appends an `intent` row, runs the four table appends (docs last),
+    * then appends a `commit` row — two single-row writes around the
+    * work. On a replay that finds `intent` without `commit` — the
+    * crash-in-the-middle case that used to double-count tf/df — every
+    * table append is individually guarded by [[batchPresent]], so
+    * exactly the missing suffix of the four appends is re-run and
+    * nothing lands twice (SearchIndexSpec kills the sequence between
+    * postings and docs and asserts the replayed index is bit-equal).
+    * The residual exposure is therefore a single table append's own
+    * job-commit atomicity — the engine-level floor; crossing it needs
+    * a transactional table format (Iceberg/Delta).
+    *
+    * `crashAfter` is the spec's fault-injection seam: throw right
+    * after the named table's append, simulating a kill mid-sequence.
+    */
+  private[graft] def indexBatch(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      crashAfter: String = "",
+  ): Unit = {
     val fresh = replayGuardFresh(spark, prefix, batch).localCheckpoint()
-    if (!fresh.isEmpty) appendDocuments(spark, prefix, fresh)
+    if (fresh.isEmpty) return
+    val bk = batchKeyOf(fresh)
+    val ledger = s"${prefix}_batches"
+    if (!spark.catalog.tableExists(ledger))
+      spark.sql(s"CREATE TABLE $ledger (batch_key BIGINT, phase STRING) USING parquet")
+    val phases = spark.table(ledger)
+      .filter(col("batch_key") === bk)
+      .select(col("phase")).collect().map(_.getString(0)).toSet
+    if (phases.contains("commit")) return
+    val repairing = phases.contains("intent")
+    if (!repairing) {
+      spark.sql(s"INSERT INTO $ledger VALUES ($bk, 'intent')")
+      spark.catalog.refreshTable(ledger)
+    }
+    val buckets = IndexCatalog.tableBuckets(spark, s"${prefix}_postings")
+    tableAppends(fresh, buckets, prefix, org.apache.spark.sql.SaveMode.Append, bk)
+      .foreach { case (t, run) =>
+        if (!repairing || !batchPresent(spark, prefix, t, fresh, bk)) {
+          run()
+          spark.catalog.refreshTable(s"${prefix}_$t")
+        }
+        if (crashAfter == t)
+          throw new IllegalStateException(s"injected crash after $t append")
+      }
+    spark.sql(s"INSERT INTO $ledger VALUES ($bk, 'commit')")
+    spark.catalog.refreshTable(ledger)
   }
 
   /** Continuous ingestion — the streaming face of the persisted index:
@@ -257,10 +369,11 @@ object SearchIndexOps {
     * in the warehouse (the [[LshIndexOps.streamingDedup]] discipline):
     * restarts recover it for free, batch consumers query it
     * concurrently, and state size scales with storage, not executor
-    * memory. Replayed micro-batches are filtered out by indexBatch's
-    * anti-join guard, so the foreachBatch at-least-once contract does
-    * not double-count tf/df (modulo the narrow mid-append crash window
-    * indexBatch documents).
+    * memory. Replayed micro-batches are recognized by indexBatch's
+    * ingest ledger and doc-level guard, and a batch killed mid-append
+    * is repaired table-by-table on replay, so the foreachBatch
+    * at-least-once contract does not double-count tf/df down to the
+    * single-table-append atomicity floor indexBatch documents.
     */
   def streamingIndex(
       spark: SparkSession,

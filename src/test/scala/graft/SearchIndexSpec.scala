@@ -99,6 +99,69 @@ class SearchIndexSpec extends SparkSpec {
     assert(metaRows.sum == docs.count(), "meta partials must sum to the corpus size")
   }
 
+  test("crash between postings and docs appends is repaired on replay without double-counting") {
+    val prefix = "searchcrash"
+    Seq("postings", "lexicon", "docs", "meta", "batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val docs = Tables.documents(spark, Sf)
+    SearchIndexOps.writeIndex(docs.filter(col("doc_id") % 5 =!= 0), buckets = 4, prefix = prefix)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    // The kill: the postings (and only the postings) append lands —
+    // lexicon/meta/docs and the ledger commit never happen. This is the
+    // window that previously double-counted tf/df on replay, because
+    // the docs-table guard could not see the half-landed batch.
+    intercept[IllegalStateException] {
+      SearchIndexOps.indexBatch(spark, prefix, batch, crashAfter = "postings")
+    }
+    assert(spark.table(s"${prefix}_batches").filter(col("phase") === "commit").isEmpty,
+      "no commit row may exist after the crash")
+    val postingsAfterCrash = spark.table(s"${prefix}_postings").count()
+    // The replay, as a restarted foreachBatch would deliver it: the
+    // ledger shows intent-without-commit, so each table append is
+    // presence-guarded — postings must NOT land twice, the other three
+    // must land exactly once.
+    SearchIndexOps.indexBatch(spark, prefix, batch)
+    assert(spark.table(s"${prefix}_postings").count() == postingsAfterCrash,
+      "repair must not re-append the postings that survived the crash (tf/df would double)")
+    assert(spark.table(s"${prefix}_meta").count() == 2, "exactly one meta partial per build/batch")
+    import spark.implicits._
+    assert(spark.table(s"${prefix}_meta").select("n_docs").as[Long].collect().sum == docs.count(),
+      "meta partials must sum to the corpus size")
+    // The repaired index answers bit-identically to a clean full build.
+    assert(same(
+      SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10),
+      SearchOps.searchBm25(docs.select("doc_id", "text"), RankTerms, 10),
+    ), "post-repair BM25 must equal the corpus scan")
+    // And replaying the now-committed batch once more is a no-op.
+    val metaDone = spark.table(s"${prefix}_meta").count()
+    SearchIndexOps.indexBatch(spark, prefix, batch)
+    assert(spark.table(s"${prefix}_meta").count() == metaDone)
+  }
+
+  test("crash after the docs append (before the ledger commit) replays to a no-op") {
+    val prefix = "searchcrash2"
+    Seq("postings", "lexicon", "docs", "meta", "batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val docs = Tables.documents(spark, Sf)
+    SearchIndexOps.writeIndex(docs.filter(col("doc_id") % 5 =!= 0), buckets = 4, prefix = prefix)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    // All four tables land; only the commit row is lost.
+    intercept[IllegalStateException] {
+      SearchIndexOps.indexBatch(spark, prefix, batch, crashAfter = "docs")
+    }
+    val postings = spark.table(s"${prefix}_postings").count()
+    val meta = spark.table(s"${prefix}_meta").count()
+    // Replay: the doc-level guard filters the batch to empty (docs —
+    // the membership table — committed), so nothing is appended.
+    SearchIndexOps.indexBatch(spark, prefix, batch)
+    assert(spark.table(s"${prefix}_postings").count() == postings)
+    assert(spark.table(s"${prefix}_meta").count() == meta)
+    assert(same(
+      SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10),
+      SearchOps.searchBm25(docs.select("doc_id", "text"), RankTerms, 10),
+    ))
+  }
+
   test("replayed micro-batch is idempotent: the anti-join guard appends nothing twice") {
     val prefix = "searchreplay"
     Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
