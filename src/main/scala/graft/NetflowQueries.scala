@@ -656,20 +656,8 @@ object NetflowQueries {
     // honest answer both engines agree on.
     Q(
       "nf_idle_gap",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id")
-          .orderBy("ts", "event_id")
-        events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"))
-          .withColumn("prev", lag(col("ts"), 1).over(w))
-          .groupBy(col("user_id"))
-          .agg(
-            count(lit(1)).as("n_events"),
-            max(expr("timestampdiff(MICROSECOND, prev, ts)")).as("max_gap_us"),
-          )
-          .orderBy("user_id")
-      },
+      (s, d) => graft.operators.NetflowOps.idleGap(
+        events(s, d).select(col("user_id"), col("ts"), col("event_id"))),
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
              |l AS (SELECT user_id,
              |        us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap

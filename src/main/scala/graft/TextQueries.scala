@@ -1057,6 +1057,14 @@ object TextQueries {
     // the ranked TF-IDF search exactly as a full-corpus scan — ranked
     // is the read path that exercises the partial-sum merge of BOTH
     // lexicon (df) and meta (N), so it shares tx_search_ranked's oracle.
+    //
+    // Bench-cost breakdown (profiled warm at sf0.1, local[8], round 11):
+    // writeIndex of the 4/5 corpus ~2.1 s + append of the 1/5 batch
+    // ~1.4 s + the ranked read itself ~0.55 s. The deliberate per-query
+    // REBUILD is ~85% of the measured time — the query exists to pin
+    // correctness of the grow-then-read path, so the rebuild stays in
+    // scope; the replay guard contributes nothing here (this path uses
+    // appendDocuments directly, no guard probes).
     Q(
       "tx_search_incremental",
       (s, d) => {

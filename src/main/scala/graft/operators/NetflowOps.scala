@@ -177,6 +177,31 @@ object NetflowOps {
     df.groupBy((window(tsCol, "10 seconds") +: flowKeys): _*)
       .agg(sum("bytes").as("bytes"), sum("packets").as("packets"))
 
+  /** Liveness-monitoring core: each user's LONGEST silence — the max
+    * inter-arrival gap in exact microseconds (NTZ-to-NTZ diff, no
+    * second-truncation ambiguity) plus the event count; single-event
+    * users carry a NULL gap, the honest answer. Input: (user_id, ts,
+    * event_id) with ts TIMESTAMP_NTZ. One lag window partitioned per
+    * user + one aggregate — fully parallel at any scale. Shared by the
+    * batch registry query (`nf_idle_gap`) and the streaming twin
+    * ([[graft.streaming.BurstStream.idleGaps]], bit-identical —
+    * StreamingSpec asserts).
+    */
+  def idleGap(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(expr("timestampdiff(MICROSECOND, prev, ts)")).as("max_gap_us"),
+      )
+      .orderBy("user_id")
+  }
+
   /** Burst detection core (rate-limiter sizing): each user's PEAK event
     * count over any aligned 60-second window sliding by 10 s, plus the
     * earliest window start achieving it. Input: (user_id, ts) with ts

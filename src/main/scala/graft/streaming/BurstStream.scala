@@ -94,6 +94,57 @@ class BurstProcessor extends StatefulProcessor[Long, BurstEvent, BurstPeak] {
   }
 }
 
+/** O(1) per-user idle state: last event time, event count, and the
+  * running max inter-arrival gap (sentinel −1 = no gap yet).
+  */
+case class IdleGapState(prevUs: Long, nEvents: Long, maxGapUs: Long)
+
+/** The emitted per-user liveness row — field-for-field the batch
+  * [[graft.operators.NetflowOps.idleGap]] row (None where the batch
+  * max over zero gaps is NULL).
+  */
+case class IdleGapRow(user_id: Long, n_events: Long, max_gap_us: Option[Long])
+
+/** Streaming twin of the batch longest-silence query (`nf_idle_gap`):
+  * each micro-batch extends every user's running max inter-arrival
+  * gap — exact integer microseconds, the batch operator's NTZ-diff
+  * arithmetic — and re-emits the user's current row (update mode),
+  * the live heartbeat-timeout dashboard. Single-event users carry
+  * None exactly where the batch aggregate is NULL. Same ordering
+  * contract and O(1)-state discipline as [[BurstProcessor]]; once the
+  * stream drains, the last emitted row per user is field-identical to
+  * the batch query (StreamingSpec asserts over a two-batch split with
+  * the longest gap SPANNING the boundary — state carries the previous
+  * timestamp across).
+  */
+class IdleGapProcessor extends StatefulProcessor[Long, BurstEvent, IdleGapRow] {
+
+  @transient private var st: ValueState[IdleGapState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[IdleGapState](
+      "idle",
+      Encoders.product[IdleGapState],
+      TTLConfig.NONE,
+    )
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[BurstEvent],
+      timerValues: TimerValues,
+  ): Iterator[IdleGapRow] = {
+    var s = if (st.exists()) st.get() else IdleGapState(0L, 0L, -1L)
+    for (e <- rows.toArray.sortBy(r => (r.tsMicros, r.id))) {
+      if (s.nEvents > 0L)
+        s = s.copy(maxGapUs = math.max(s.maxGapUs, e.tsMicros - s.prevUs))
+      s = s.copy(prevUs = e.tsMicros, nEvents = s.nEvents + 1L)
+    }
+    st.update(s)
+    Iterator.single(IdleGapRow(
+      key, s.nEvents, if (s.maxGapUs >= 0L) Some(s.maxGapUs) else None))
+  }
+}
+
 object BurstStream {
 
   /** Event stream → live per-user burst peaks (update mode). Requires
@@ -105,5 +156,13 @@ object BurstStream {
     events
       .groupByKey(_.userId)
       .transformWithState(new BurstProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Event stream → live per-user longest-silence rows (update mode). */
+  def idleGaps(events: Dataset[BurstEvent]): Dataset[IdleGapRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new IdleGapProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

@@ -478,6 +478,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming idle gap converges to the batch nf_idle_gap core over a two-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{BurstEvent, BurstStream}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    def us(s: Long) = s * 1000000L
+    // user 1's LONGEST silence spans the batch boundary (8 s → 300 s);
+    // user 2 has sub-second gaps (exact micros matter); user 3 is a
+    // single event — NULL gap, the case the stream must emit as None.
+    val batch1 = Seq(
+      BurstEvent(1L, 1L, us(0)), BurstEvent(1L, 2L, us(8)),
+      BurstEvent(2L, 10L, us(1) + 250000L), BurstEvent(2L, 11L, us(1) + 900001L),
+      BurstEvent(3L, 20L, us(42)),
+    )
+    val batch2 = Seq(
+      BurstEvent(1L, 3L, us(300)), BurstEvent(1L, 4L, us(301)),
+      BurstEvent(2L, 12L, us(2) + 100000L),
+    )
+    val in = MemoryStream[BurstEvent]
+    val q = BurstStream.idleGaps(in.toDS()).toDF()
+      .writeStream
+      .format("memory").queryName("idle_stream").outputMode("update")
+      .option(
+        "checkpointLocation",
+        Files.createTempDirectory("idle_ckpt").toFile.getAbsolutePath,
+      )
+      .start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val rows = spark.table("idle_stream").collect()
+      val last = rows.zipWithIndex
+        .groupBy(_._1.getLong(0))
+        .map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))
+        .toSet
+      val batch = graft.operators.NetflowOps
+        .idleGap(
+          (batch1 ++ batch2)
+            .map(e => (e.userId, java.time.LocalDateTime.ofEpochSecond(
+              e.tsMicros / 1000000L, ((e.tsMicros % 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC), e.id))
+            .toDF("user_id", "ts", "event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))
+        .toSet
+      assert(last == batch, s"stream $last\nvs batch $batch")
+      // The boundary-spanning silence is the max, in exact micros.
+      assert(batch.contains((1L, 4L, us(292))), batch.toString)
+      assert(batch.contains((3L, 1L, null)), batch.toString)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState keeps running per-host totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
