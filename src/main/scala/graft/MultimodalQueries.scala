@@ -37,6 +37,47 @@ object MultimodalQueries {
        |  n_bytes AS content_bytes
        |FROM ($mediaSql)""".stripMargin
 
+  /** The dHash near-dup pair derivation (mirror of
+    * `MultimodalOps.nearDupPairs` over encodeMedia payloads): decoded
+    * content = the raw text for image rows; 49 proportional region
+    * sums → 48 gradient bits → 6×8-bit pigeonhole chunks → equi-join
+    * candidates → hamming ≤ 5. Shared by the pairs query and the
+    * clusters query built on top of it.
+    */
+  private val nearDupPairsSql =
+    """WITH c AS (SELECT doc_id, text AS content, length(text) AS L
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |pos AS (SELECT doc_id, content, L,
+      |               unnest(generate_series(1, L)) AS j FROM c),
+      |ch AS (SELECT doc_id, ((j-1) * 49) // L AS region,
+      |              unicode(substr(content, j, 1)) AS code FROM pos),
+      |gs AS (SELECT doc_id, region, CAST(sum(code) AS BIGINT) AS s
+      |       FROM ch GROUP BY doc_id, region),
+      |allr AS (SELECT doc_id, unnest(generate_series(0, 48)) AS region FROM c),
+      |rs AS (SELECT a.doc_id, a.region, coalesce(g.s, 0) AS s
+      |       FROM allr a LEFT JOIN gs g
+      |         ON g.doc_id = a.doc_id AND g.region = a.region),
+      |gr AS (SELECT doc_id, region, s,
+      |              lead(s) OVER (PARTITION BY doc_id ORDER BY region) AS s2
+      |       FROM rs),
+      |fp AS (SELECT doc_id,
+      |         CAST(sum(CASE WHEN s > s2
+      |                       THEN CAST(power(2, 47 - region) AS BIGINT)
+      |                       ELSE 0 END) AS BIGINT) AS dhash
+      |       FROM gr WHERE region < 48 GROUP BY doc_id),
+      |ck AS (SELECT doc_id, dhash,
+      |              unnest(generate_series(0, 5)) AS chunk_idx FROM fp),
+      |cb AS (SELECT doc_id, dhash, chunk_idx,
+      |              CAST(floor(dhash / power(2, chunk_idx*8)) AS BIGINT) % 256
+      |                AS chunk_bits FROM ck)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    bit_count(xor(x.dhash, y.dhash)) AS hamming
+      |  FROM cb x JOIN cb y
+      |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
+      |   AND x.doc_id < y.doc_id)
+      |WHERE hamming <= 5""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Modality mix report: per media type, row count, total payload
     // bytes, and byte share (one division against the broadcast 1-row
@@ -247,39 +288,31 @@ object MultimodalQueries {
       (s, d) => MultimodalOps.nearDupPairs(
         MultimodalOps.encodeMedia(documents(s, d)),
         regions = 49, blockBands = 6, maxHamming = 5),
-      Some("""WITH c AS (SELECT doc_id, text AS content, length(text) AS L
-             |           FROM documents WHERE doc_id % 3 = 0),
-             |pos AS (SELECT doc_id, content, L,
-             |               unnest(generate_series(1, L)) AS j FROM c),
-             |ch AS (SELECT doc_id, ((j-1) * 49) // L AS region,
-             |              unicode(substr(content, j, 1)) AS code FROM pos),
-             |gs AS (SELECT doc_id, region, CAST(sum(code) AS BIGINT) AS s
-             |       FROM ch GROUP BY doc_id, region),
-             |allr AS (SELECT doc_id, unnest(generate_series(0, 48)) AS region FROM c),
-             |rs AS (SELECT a.doc_id, a.region, coalesce(g.s, 0) AS s
-             |       FROM allr a LEFT JOIN gs g
-             |         ON g.doc_id = a.doc_id AND g.region = a.region),
-             |gr AS (SELECT doc_id, region, s,
-             |              lead(s) OVER (PARTITION BY doc_id ORDER BY region) AS s2
-             |       FROM rs),
-             |fp AS (SELECT doc_id,
-             |         CAST(sum(CASE WHEN s > s2
-             |                       THEN CAST(power(2, 47 - region) AS BIGINT)
-             |                       ELSE 0 END) AS BIGINT) AS dhash
-             |       FROM gr WHERE region < 48 GROUP BY doc_id),
-             |ck AS (SELECT doc_id, dhash,
-             |              unnest(generate_series(0, 5)) AS chunk_idx FROM fp),
-             |cb AS (SELECT doc_id, dhash, chunk_idx,
-             |              CAST(floor(dhash / power(2, chunk_idx*8)) AS BIGINT) % 256
-             |                AS chunk_bits FROM ck)
-             |SELECT doc_a, doc_b, hamming FROM (
-             |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-             |    bit_count(xor(x.dhash, y.dhash)) AS hamming
-             |  FROM cb x JOIN cb y
-             |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
-             |   AND x.doc_id < y.doc_id)
-             |WHERE hamming <= 5
-             |ORDER BY doc_a, doc_b""".stripMargin),
+      Some(s"$nearDupPairsSql\nORDER BY doc_a, doc_b"),
+    ),
+    // The pairs turned into dedup CLUSTERS: connected components over
+    // the near-dup graph (label propagation to the fixpoint — the
+    // dd_dedup_clusters machinery applied to the perceptual pairs);
+    // component id = min doc_id of the cluster, i.e. the keeper an
+    // image pipeline retains. The oracle states the same fixpoint as a
+    // recursive transitive closure over the shared pair derivation.
+    Q(
+      "mm_near_dedup_clusters",
+      (s, d) => graft.operators.DedupOps.connectedComponents(
+        MultimodalOps.nearDupPairs(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, maxHamming = 5)),
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($nearDupPairsSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges)
+              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |FROM nodes n JOIN reach r ON r.u = n.id
+              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
     // Aspect-ratio / resolution bucketing — the batch-formation step of
     // an image-training pipeline (pad each image up to the next 64-px
