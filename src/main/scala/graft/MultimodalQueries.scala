@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.MultimodalOps
 import Tables.documents
+import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries (SURVEY.md §7.2 M4): binary payloads with
   * typed metadata, a REAL image-header decode stage (PNG IHDR / JPEG
@@ -37,15 +38,16 @@ object MultimodalQueries {
        |  n_bytes AS content_bytes
        |FROM ($mediaSql)""".stripMargin
 
-  /** The dHash near-dup pair derivation (mirror of
-    * `MultimodalOps.nearDupPairs` over encodeMedia payloads): decoded
-    * content = the raw text for image rows; 49 proportional region
-    * sums → 48 gradient bits → 6×8-bit pigeonhole chunks → equi-join
-    * candidates → hamming ≤ 5. Shared by the pairs query and the
-    * clusters query built on top of it.
+  /** The dHash fingerprint/chunk derivation as DuckDB CTEs (mirror of
+    * `MultimodalOps.nearDupPairs` / `MediaIndexOps.fpFrame` over
+    * encodeMedia payloads): decoded content = the raw text for image
+    * rows; 49 proportional region sums → 48 gradient bits → 6×8-bit
+    * pigeonhole chunks. `fp(doc_id, dhash)` and
+    * `cb(doc_id, dhash, chunk_idx, chunk_bits)` are the reusable
+    * outputs; the pair/cluster/index oracles all build on them.
     */
-  private val nearDupPairsSql =
-    """WITH c AS (SELECT doc_id, text AS content, length(text) AS L
+  private val dhashCtes =
+    """c AS (SELECT doc_id, text AS content, length(text) AS L
       |           FROM documents WHERE doc_id % 3 = 0),
       |pos AS (SELECT doc_id, content, L,
       |               unnest(generate_series(1, L)) AS j FROM c),
@@ -69,14 +71,21 @@ object MultimodalQueries {
       |              unnest(generate_series(0, 5)) AS chunk_idx FROM fp),
       |cb AS (SELECT doc_id, dhash, chunk_idx,
       |              CAST(floor(dhash / power(2, chunk_idx*8)) AS BIGINT) % 256
-      |                AS chunk_bits FROM ck)
-      |SELECT doc_a, doc_b, hamming FROM (
-      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-      |    bit_count(xor(x.dhash, y.dhash)) AS hamming
-      |  FROM cb x JOIN cb y
-      |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
-      |   AND x.doc_id < y.doc_id)
-      |WHERE hamming <= 5""".stripMargin
+      |                AS chunk_bits FROM ck)""".stripMargin
+
+  /** Verified near-dup pairs over the chunk CTEs — shared by the
+    * operator-face and index-face pairs queries and embedded by the
+    * clusters oracle.
+    */
+  private val nearDupPairsSql =
+    s"""WITH $dhashCtes
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.dhash, y.dhash)) AS hamming
+       |  FROM cb x JOIN cb y
+       |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
+       |   AND x.doc_id < y.doc_id)
+       |WHERE hamming <= 5""".stripMargin
 
   val all: Seq[Q] = Seq(
     // Modality mix report: per media type, row count, total payload
@@ -313,6 +322,82 @@ object MultimodalQueries {
               |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
               |FROM nodes n JOIN reach r ON r.u = n.id
               |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+    ),
+    // The PERSISTED perceptual-fingerprint index (MediaIndexOps): build
+    // the bucketed fingerprint/chunk tables, then answer entirely from
+    // the stored artifact — the exchange-free candidate self-join
+    // MediaIndexSpec pins, hamming verified inline from the fingerprint
+    // each chunk row carries. Pairs are identical to mm_near_dedup's,
+    // so they share its oracle.
+    Q(
+      "mm_index_pairs",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "pairs")
+        graft.operators.MediaIndexOps.writeIndex(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, buckets = 8, prefix = pre)
+        graft.operators.MediaIndexOps.nearDupPairs(s, pre, maxHamming = 5)
+      },
+      Some(s"$nearDupPairsSql\nORDER BY doc_a, doc_b"),
+    ),
+    // Incremental dedup against the stored fingerprint index — the
+    // upload-time "is this a copy of anything we hold?" check: images
+    // with doc_id % 5 == 0 arrive as the new batch (their own decode,
+    // one pass), the rest are the indexed corpus; batch chunks join the
+    // STORED chunk table (bucketed side never shuffles), stored
+    // payloads never re-read. The oracle reuses the symmetric pair
+    // derivation and keeps exactly the cross (batch, stored) pairs,
+    // oriented new→stored.
+    Q(
+      "mm_index_incremental",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "incr")
+        val media = MultimodalOps.encodeMedia(documents(s, d))
+        graft.operators.MediaIndexOps.writeIndex(
+          media.filter(col("doc_id") % 5 =!= 0),
+          regions = 49, blockBands = 6, buckets = 8, prefix = pre)
+        graft.operators.MediaIndexOps.dedupAgainstIndex(
+          s, pre, media.filter(col("doc_id") % 5 === 0),
+          regions = 49, blockBands = 6, maxHamming = 5)
+      },
+      Some(s"""SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS new_doc_id,
+              |       CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS dup_of,
+              |       hamming
+              |FROM ($nearDupPairsSql)
+              |WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+              |ORDER BY new_doc_id, dup_of""".stripMargin),
+    ),
+    // Fingerprint-index health stats — the operational view of the
+    // stored chunk table: per chunk position, bucket count, hottest
+    // bucket, and the EXACT candidate-pair cost Σ s·(s−1)/2 the
+    // self-join pays — the dial that says when the banding needs a
+    // skew stop-key. All integer arithmetic, fully portable.
+    Q(
+      "mm_index_stats",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "stats")
+        graft.operators.MediaIndexOps.writeIndex(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, buckets = 8, prefix = pre)
+        s.table(s"${pre}_chunks")
+          .groupBy(col("chunk_idx"), col("chunk_bits"))
+          .agg(count(lit(1)).as("bucket_size"))
+          .groupBy(col("chunk_idx"))
+          .agg(
+            count(lit(1)).as("n_buckets"),
+            max(col("bucket_size")).as("max_bucket"),
+            sum(expr("bucket_size * (bucket_size - 1) DIV 2")).as("candidate_pairs"),
+          )
+          .orderBy("chunk_idx")
+      },
+      Some(s"""WITH $dhashCtes,
+              |b AS (SELECT chunk_idx, chunk_bits, count(*) AS s
+              |      FROM cb GROUP BY chunk_idx, chunk_bits)
+              |SELECT chunk_idx,
+              |  CAST(count(*) AS BIGINT) AS n_buckets,
+              |  CAST(max(s) AS BIGINT) AS max_bucket,
+              |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
+              |FROM b GROUP BY chunk_idx ORDER BY chunk_idx""".stripMargin),
     ),
     // Aspect-ratio / resolution bucketing — the batch-formation step of
     // an image-training pipeline (pad each image up to the next 64-px

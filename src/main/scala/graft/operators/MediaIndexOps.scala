@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED perceptual-fingerprint index — the storage-side face
+  * of [[MultimodalOps.nearDupPairs]], the [[LshIndexOps]] discipline
+  * applied to image dHash fingerprints: a media pipeline decodes and
+  * fingerprints its images ONCE, publishes the fingerprints as
+  * bucketed tables, and every consumer (near-dup pair generation,
+  * incremental "is this upload a copy of anything we hold?",
+  * continuous ingestion dedup) joins against the stored artifact
+  * instead of re-decoding payload bytes.
+  *
+  * Two tables per index:
+  *   - `<prefix>_fps(doc_id, dhash)` bucketed+sorted on doc_id — the
+  *     authoritative fingerprint store and the membership table the
+  *     ingest replay guard anti-joins (no stored-side exchange);
+  *   - `<prefix>_chunks(doc_id, dhash, chunk_idx, chunk_bits)`
+  *     bucketed on `(chunk_idx, chunk_bits)` — exactly the candidate
+  *     self-join's keys, so pair generation needs NO shuffle below the
+  *     join (MediaIndexSpec pins the exchange-free plan). Unlike the
+  *     text LSH index, the verify artifact (the 48-bit fingerprint)
+  *     is ONE long, so it rides IN the chunk rows and candidates
+  *     verify inline — no second join against stored sets at all.
+  *
+  * At 100 TB this converts per-query corpus decode + fingerprint +
+  * shuffle into a one-time build plus exchange-free bucketed reads.
+  */
+object MediaIndexOps {
+
+  /** Fingerprint frame over the IMAGE rows of a media frame:
+    * (doc_id, dhash, chunks) — decode content from the real container
+    * bytes, one [[graft.expressions.DHash]] pass, pigeonhole chunks by
+    * the floor-division extraction [[MultimodalOps.nearDupPairs]]
+    * documents (bits = regions−1 ≤ 52 keeps it exact in doubles).
+    */
+  private def fpFrame(media: DataFrame, regions: Int, blockBands: Int): DataFrame = {
+    val bits = regions - 1
+    require(bits <= 52 && bits % blockBands == 0, "chunk layout must tile the fingerprint")
+    val chunkBits = bits / blockBands
+    MultimodalOps.decodeContent(media)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), graft.expressions.DHash(col("content"), regions).as("dhash"))
+      .select(
+        col("doc_id"),
+        col("dhash"),
+        transform(
+          sequence(lit(0), lit(blockBands - 1)),
+          c => floor(col("dhash") / pow(lit(2.0), c * chunkBits)).cast("long") %
+            (1L << chunkBits),
+        ).as("chunks"),
+      )
+  }
+
+  private def chunkRows(fp: DataFrame): DataFrame =
+    fp.select(
+      col("doc_id"),
+      col("dhash"),
+      posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_bits")),
+    )
+
+  /** Builds and publishes the two index tables (overwriting any
+    * previous index at `prefix`).
+    */
+  def writeIndex(
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      buckets: Int,
+      prefix: String,
+  ): Unit = {
+    // Materialize before the two table writes — each saveAsTable is
+    // its own action, and the decode+fingerprint pass must run once.
+    val fp = fpFrame(media, regions, blockBands).localCheckpoint()
+    fp.select(col("doc_id"), col("dhash"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_fps")
+    chunkRows(fp)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "chunk_idx", "chunk_bits")
+      .saveAsTable(s"${prefix}_chunks")
+  }
+
+  /** Verified near-dup pairs from the stored index: the chunk
+    * self-equi-join reads the bucketed artifact on both sides (no
+    * exchange, no re-decode) and verifies hamming inline from the
+    * fingerprints the chunk rows carry. Output is identical to
+    * `MultimodalOps.nearDupPairs` on the corpus the index was built
+    * from (MediaIndexSpec asserts equality; the registry query shares
+    * the pairs oracle).
+    */
+  def nearDupPairs(spark: SparkSession, prefix: String, maxHamming: Int): DataFrame = {
+    val ch = spark.table(s"${prefix}_chunks")
+    ch.as("x")
+      .join(
+        ch.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_bits") === col("y.chunk_bits") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental dedup — the upload-time check a media pipeline runs:
+    * fingerprint the new batch (its OWN decode, one pass), join its
+    * chunks against the STORED chunk table (bucketed side never
+    * shuffles), verify hamming inline. Stored payloads are never
+    * re-read. Returns (new_doc_id, dup_of, hamming ≤ maxHamming) for
+    * batch images that near-duplicate an indexed image.
+    */
+  def dedupAgainstIndex(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+  ): DataFrame = {
+    val idx = fpFrame(batch, regions, blockBands).localCheckpoint()
+    chunkRows(idx).as("x")
+      .join(
+        spark.table(s"${prefix}_chunks").as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_bits") === col("y.chunk_bits"),
+      )
+      .select(
+        col("x.doc_id").as("new_doc_id"),
+        col("y.doc_id").as("dup_of"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("new_doc_id", "dup_of")
+  }
+
+  /** One micro-batch of the STREAMING image dedup: returns the batch's
+    * near-dup rows `(new_doc_id, dup_of, hamming)` and GROWS the index
+    * with the batch's kept (non-dup, not-already-indexed) images — the
+    * [[LshIndexOps.dedupBatchAndGrow]] greedy-keeper discipline on
+    * fingerprints. A batch image is a dup if its chunks collide (and
+    * hamming verifies) with (a) any INDEXED image — the self-collision
+    * guard keeps a replayed batch's own keepers from flagging
+    * themselves — or (b) any lower-doc_id image of the SAME batch.
+    * Kept rows are anti-joined against the stored fps table before the
+    * append (replay-safe on the index); the dup frame materializes
+    * BEFORE the append mutates the tables it reads.
+    */
+  def dedupBatchAndGrow(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      buckets: Int,
+      maxHamming: Int,
+  ): DataFrame = {
+    val idx = fpFrame(batch, regions, blockBands).localCheckpoint()
+    val batchChunks = chunkRows(idx)
+    def verified(x: DataFrame, y: DataFrame, extra: org.apache.spark.sql.Column) =
+      x.as("x")
+        .join(
+          y.as("y"),
+          col("x.chunk_idx") === col("y.chunk_idx") &&
+            col("x.chunk_bits") === col("y.chunk_bits") && extra,
+        )
+        .select(
+          col("x.doc_id").as("new_doc_id"),
+          col("y.doc_id").as("dup_of"),
+          bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
+        )
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+    val vsIndex = verified(
+      batchChunks,
+      spark.table(s"${prefix}_chunks"),
+      col("x.doc_id") =!= col("y.doc_id"),
+    )
+    val withinBatch = verified(batchChunks, batchChunks, col("y.doc_id") < col("x.doc_id"))
+    val dups = vsIndex.unionByName(withinBatch).localCheckpoint()
+    val kept = idx
+      .join(dups.select(col("new_doc_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .join(spark.table(s"${prefix}_fps").select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    kept.select(col("doc_id"), col("dhash"))
+      .write.mode("append")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_fps")
+    chunkRows(kept)
+      .write.mode("append")
+      .bucketBy(buckets, "chunk_idx", "chunk_bits")
+      .saveAsTable(s"${prefix}_chunks")
+    // Without the refresh the next batch's candidate join would read
+    // the pre-append file listing and miss every cross-batch duplicate.
+    spark.catalog.refreshTable(s"${prefix}_fps")
+    spark.catalog.refreshTable(s"${prefix}_chunks")
+    dups
+  }
+
+  /** Continuous ingestion dedup — the streaming face: every
+    * micro-batch of the `media` stream (doc_id, media_type, payload)
+    * is deduped by [[dedupBatchAndGrow]] and its near-dup rows handed
+    * to `onDups`. The index artifact is the stream's STATE stored as
+    * bucketed tables (the established index-as-state discipline).
+    */
+  def streamingDedup(
+      spark: SparkSession,
+      prefix: String,
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      buckets: Int,
+      maxHamming: Int,
+      checkpoint: String,
+      onDups: (DataFrame, Long) => Unit,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onDups(
+          dedupBatchAndGrow(spark, prefix, batch, regions, blockBands, buckets, maxHamming),
+          batchId)
+      }
+      .start()
+
+  /** Index maintenance at the current bucket count: rewrite only the
+    * tables whose worst bucket exceeds the file budget (every append
+    * adds one file per touched bucket). Content bit-preserved.
+    */
+  def compact(spark: SparkSession, prefix: String, maxFilesPerBucket: Int = 4): Seq[String] =
+    IndexCatalog.compactBucketed(spark, bucketedTables(prefix), maxFilesPerBucket)
+
+  /** Rewrite both tables at `newBuckets` with the staged rename-first
+    * swap ([[IndexCatalog.swapStaged]]): readers see the complete old
+    * index throughout, a crash leaves a recovery copy.
+    */
+  def rebucket(spark: SparkSession, prefix: String, newBuckets: Int): Unit =
+    IndexCatalog.swapStaged(
+      spark,
+      bucketedTables(prefix).map { case (t, keys, sortCols) =>
+        IndexCatalog.stageTable(spark, t, keys, sortCols, newBuckets)
+      })
+
+  private def bucketedTables(prefix: String): Seq[(String, Seq[String], Seq[String])] =
+    Seq(
+      (s"${prefix}_fps", Seq("doc_id"), Seq("doc_id")),
+      (s"${prefix}_chunks", Seq("chunk_idx", "chunk_bits"), Nil),
+    )
+
+  /** Physical layout health — file counts per table (operational
+    * metadata; no oracle).
+    */
+  def fileStats(spark: SparkSession, prefix: String): DataFrame =
+    IndexCatalog.fileStats(spark, bucketedTables(prefix).map(_._1))
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MediaIndexOps, MultimodalOps}
+
+/** The persisted perceptual-fingerprint index (MediaIndexOps): pairs
+  * served from the stored artifact must equal the single-pass operator
+  * bit-for-bit, the chunk self-join must read the bucketed tables
+  * without any exchange, and the streaming ingest must implement the
+  * greedy-keeper match rule replay-safely.
+  */
+class MediaIndexSpec extends SparkSpec {
+
+  private val Regions = 49
+  private val Bands = 6
+  private val MaxHamming = 5
+  private val Prefix = "mediaix"
+
+  private def media() = MultimodalOps.encodeMedia(Tables.documents(spark, Sf))
+
+  private def buildOnce(): Unit =
+    if (!spark.catalog.tableExists(s"${Prefix}_chunks")) {
+      MediaIndexOps.writeIndex(media(), Regions, Bands, buckets = 4, prefix = Prefix)
+    }
+
+  test("near-dup pairs from the stored index equal the single-pass operator's") {
+    buildOnce()
+    val fromIndex = MediaIndexOps.nearDupPairs(spark, Prefix, MaxHamming)
+    val direct = MultimodalOps.nearDupPairs(media(), Regions, Bands, MaxHamming)
+    assert(fromIndex.count() > 0)
+    assert(fromIndex.exceptAll(direct).isEmpty && direct.exceptAll(fromIndex).isEmpty)
+  }
+
+  test("the candidate self-join over the bucketed chunk table is exchange-free") {
+    buildOnce()
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Exchange elision is a static EnsureRequirements property; AQE off
+    // so executedPlan is the final physical tree, not an adaptive shell.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ch = spark.table(s"${Prefix}_chunks")
+      val joined = ch.as("x").join(
+        ch.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_bits") === col("y.chunk_bits") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(
+        plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled join over the chunk table:\n$plan",
+      )
+      assert(!plan.contains("Exchange"), s"bucketed chunk self-join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
+  }
+
+  test("streaming dedup flags dups against index + earlier arrivals and grows the index with keepers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val prefix = "mediastream"
+    Seq(s"${prefix}_fps", s"${prefix}_chunks").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val rows = media().select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])].collect().sortBy(_._1)
+    val images = rows.filter(_._2 == "image").map(_._1)
+    val cut = images(images.length / 2)
+    val (seedRows, streamRows) = rows.partition(_._1 < cut)
+    MediaIndexOps.writeIndex(
+      seedRows.toSeq.toDF("doc_id", "media_type", "payload"),
+      Regions, Bands, buckets = 4, prefix = prefix)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Array[Byte])]
+    val collected = scala.collection.mutable.Buffer[(Long, Long, Int)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("media_stream").toFile.getAbsolutePath
+    val q = MediaIndexOps.streamingDedup(
+      spark, prefix, in.toDF().toDF("doc_id", "media_type", "payload"),
+      Regions, Bands, buckets = 4, maxHamming = MaxHamming, checkpoint = ckpt,
+      onDups = (d, _) => collected ++= d.as[(Long, Long, Int)].collect(),
+    )
+    // Three arrival waves, ascending doc_id (so every cross-wave match
+    // has the new doc as the higher id).
+    val waves = streamRows.grouped(streamRows.length / 3 + 1).toSeq
+    try waves.foreach { w => in.addData(w.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // Independent expectation: greedy simulation of the documented
+    // match rule over the single-pass operator's pair set (itself
+    // pinned by its DuckDB oracle).
+    val pairs = MultimodalOps.nearDupPairs(media(), Regions, Bands, MaxHamming)
+      .as[(Long, Long, Int)].collect() // doc_a < doc_b
+    val streamedImages = streamRows.filter(_._2 == "image").map(_._1)
+    val wave = streamedImages
+      .map(id => id -> waves.indexWhere(_.exists(_._1 == id))).toMap
+    val kept = scala.collection.mutable.Set(seedRows.filter(_._2 == "image").map(_._1): _*)
+    val expected = scala.collection.mutable.Buffer[(Long, Long, Int)]()
+    streamedImages.foreach { x =>
+      val hits = pairs.collect {
+        case (a, b, h) if b == x && (wave.get(a) match {
+              case None => kept.contains(a) // seed corpus: keepers only
+              case Some(wa) if wa < wave(x) => kept.contains(a) // earlier wave: keepers only
+              case Some(wa) => wa == wave(x) // same wave: any lower id
+            }) => (x, a, h)
+      }
+      if (hits.isEmpty) kept += x else expected ++= hits
+    }
+    assert(collected.nonEmpty, "stream should observe near-dup images")
+    assert(collected.toSet == expected.toSet,
+      s"stream dups mismatch:\n got ${collected.sorted.mkString(", ")}\n exp ${expected.sorted.mkString(", ")}")
+    val storedIds = spark.table(s"${prefix}_fps").select("doc_id").as[Long].collect().toSet
+    assert(storedIds == kept.toSet, "index must contain exactly the keepers")
+    // Replay safety: re-running a committed batch flags no self-dups
+    // and inserts no keeper twice.
+    val before = spark.table(s"${prefix}_fps").count()
+    val replayDups = MediaIndexOps.dedupBatchAndGrow(
+      spark, prefix, waves.last.toSeq.toDF("doc_id", "media_type", "payload"),
+      Regions, Bands, buckets = 4, maxHamming = MaxHamming)
+      .as[(Long, Long, Int)].collect()
+    assert(!replayDups.exists(r => r._1 == r._2), "replayed keepers must not flag themselves")
+    assert(spark.table(s"${prefix}_fps").count() == before,
+      "a replayed batch must not grow the index")
+  }
+}
