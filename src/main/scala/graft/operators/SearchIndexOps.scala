@@ -325,6 +325,13 @@ object SearchIndexOps {
     * job-commit atomicity — the engine-level floor; crossing it needs
     * a transactional table format (Iceberg/Delta).
     *
+    * One benign residue: a crash AFTER the docs append but BEFORE the
+    * commit row leaves that batch's `intent` row dangling forever —
+    * its replay filters to empty at the doc-level guard and returns
+    * before reaching the ledger. Dangling intents are inert (batch
+    * keys are unique, so no later batch ever matches them) and cost
+    * one ledger row.
+    *
     * `crashAfter` is the spec's fault-injection seam: throw right
     * after the named table's append, simulating a kill mid-sequence.
     */
