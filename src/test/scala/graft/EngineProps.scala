@@ -577,4 +577,77 @@ object EngineProps extends Properties("graft") {
       got == expected
     }
   }
+
+  /** The codegen'd DHash fingerprint equals a straight-line reference:
+    * region of code-point j (0-based) is ⌊j·R/L⌋, per-region sums,
+    * gradient bits folded MSB→LSB.
+    */
+  property("DHash equals straight-line region-gradient reference") = {
+    import spark.implicits._
+    val genStr = Gen.listOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
+    Prop.forAll(genStr) { s =>
+      val regions = 49
+      val got = Seq(s).toDF("s")
+        .select(graft.expressions.DHash(col("s"), regions))
+        .as[Long].head()
+      val cps = s.codePoints().toArray
+      val sums = new Array[Long](regions)
+      cps.zipWithIndex.foreach { case (cp, j) =>
+        sums((j.toLong * regions / cps.length).toInt) += cp
+      }
+      val expected = (0 until regions - 1)
+        .foldLeft(0L)((acc, k) => acc * 2 + (if (sums(k) > sums(k + 1)) 1L else 0L))
+      got == expected
+    }
+  }
+
+  /** The perceptual-locality guarantee the near-dup banding relies on:
+    * a single same-length character substitution changes exactly one
+    * region's sum, so at most the two adjacent gradient comparisons
+    * flip — hamming ≤ 2, always within the mm_near_dedup budget of 5.
+    */
+  property("single char substitution flips at most 2 DHash gradient bits") = {
+    import spark.implicits._
+    val gen = for {
+      s <- Gen.listOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
+      pos <- Gen.chooseNum(0, s.length - 1)
+      c <- Gen.alphaNumChar
+    } yield (s, s.updated(pos, c))
+    Prop.forAll(gen) { case (a, b) =>
+      val Seq(ha, hb) = Seq(a, b).toDF("s")
+        .select(graft.expressions.DHash(col("s"), 49))
+        .as[Long].collect().toSeq
+      java.lang.Long.bitCount(ha ^ hb) <= 2
+    }
+  }
+
+  /** burstPeak (the core shared with the streaming twin) equals a
+    * brute-force scan of every aligned 60 s/10 s window.
+    */
+  property("burstPeak equals brute-force aligned-window maximum") = {
+    import spark.implicits._
+    val genEvent = for {
+      user <- Gen.chooseNum(0L, 3L)
+      sec <- Gen.chooseNum(0L, 300L)
+    } yield (user, sec)
+    Prop.forAll(Gen.nonEmptyListOf(genEvent)) { evs =>
+      val df = evs.toDF("user_id", "sec")
+        .select(
+          col("user_id"),
+          timestamp_add("SECOND", col("sec"),
+            lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))).as("ts"),
+        )
+      val got = graft.operators.NetflowOps.burstPeak(df)
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = evs.groupBy(_._1).map { case (u, rs) =>
+        val counts = rs.flatMap { case (_, sec) =>
+          val base = sec / 10 * 10
+          (0 to 5).map(k => base - 10L * k)
+        }.groupBy(identity).map { case (ws, hits) => ws -> hits.size.toLong }
+        val peak = counts.values.max
+        (u, peak, counts.collect { case (ws, n) if n == peak => ws }.min)
+      }.toSet
+      got == expected
+    }
+  }
 }
