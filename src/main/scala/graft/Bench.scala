@@ -304,6 +304,38 @@ object Bench {
       }
     }
 
+    timed("burst_peaks") { n =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      )
+      try {
+        val ckpt = java.nio.file.Files.createTempDirectory("bench_burst").toFile.getAbsolutePath
+        val in = graft.operators.NetflowOps.parseRawNetflow(flowGen("json", n))
+          .select(
+            xxhash64(col("ip_src")).as("userId"),
+            col("bytes").cast("long").as("id"),
+            unix_micros(to_timestamp(col("timestamp"))).as("tsMicros"),
+          ).as[graft.streaming.BurstEvent]
+        val q = graft.streaming.BurstStream.peaks(in)
+          .toDF()
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+
     timed("session_window") { n =>
       import org.apache.spark.sql.functions._
       val ckpt = java.nio.file.Files.createTempDirectory("bench_sess").toFile.getAbsolutePath

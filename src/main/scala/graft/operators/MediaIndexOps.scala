@@ -250,6 +250,40 @@ object MediaIndexOps {
         IndexCatalog.stageTable(spark, t, keys, sortCols, newBuckets)
       })
 
+  /** The compaction dial wired to the stat `mm_index_stats` exposes:
+    * candidate cost is Σ s·(s−1)/2 over chunk buckets, one task per
+    * physical bucket — when the per-task share exceeds the budget,
+    * rewrite with enough buckets to bring it back under (the
+    * [[LshIndexOps.rebucketIfNeeded]] policy on the chunk table).
+    * Returns the new bucket count, or None when within budget.
+    */
+  def rebucketIfNeeded(
+      spark: SparkSession,
+      prefix: String,
+      candidatesPerBucketBudget: Long,
+      maxBuckets: Int = 4096,
+  ): Option[Int] = {
+    require(candidatesPerBucketBudget > 0, "budget must be positive")
+    val totalCandidates = spark
+      .table(s"${prefix}_chunks")
+      .groupBy(col("chunk_idx"), col("chunk_bits"))
+      .agg(count(lit(1)).as("s"))
+      .agg(coalesce(sum(expr("s * (s - 1) DIV 2")), lit(0L)))
+      .head()
+      .getLong(0)
+    val current = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(s"${prefix}_chunks"))
+      .bucketSpec.map(_.numBuckets).getOrElse(1)
+    val needed = math.min(
+      maxBuckets.toLong,
+      (totalCandidates + candidatesPerBucketBudget - 1) / candidatesPerBucketBudget,
+    ).toInt
+    if (needed > current) {
+      rebucket(spark, prefix, needed)
+      Some(needed)
+    } else None
+  }
+
   private def bucketedTables(prefix: String): Seq[(String, Seq[String], Seq[String])] =
     Seq(
       (s"${prefix}_fps", Seq("doc_id"), Seq("doc_id")),

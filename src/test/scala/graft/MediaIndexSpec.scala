@@ -60,6 +60,20 @@ class MediaIndexSpec extends SparkSpec {
     }
   }
 
+  test("rebucketIfNeeded rewrites an over-budget chunk layout and preserves pairs bit-for-bit") {
+    val prefix = "mediarebucket"
+    Seq(s"${prefix}_fps", s"${prefix}_chunks").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    MediaIndexOps.writeIndex(media(), Regions, Bands, buckets = 2, prefix = prefix)
+    val before = MediaIndexOps.nearDupPairs(spark, prefix, MaxHamming).collect().toSeq
+    // A 1-candidate-per-bucket budget is always exceeded → must rewrite.
+    val grown = MediaIndexOps.rebucketIfNeeded(spark, prefix, candidatesPerBucketBudget = 1L)
+    assert(grown.exists(_ > 2), s"expected a bucket-count increase, got $grown")
+    assert(MediaIndexOps.nearDupPairs(spark, prefix, MaxHamming).collect().toSeq == before,
+      "rebucketing is physical only — pairs must be bit-identical")
+    // Within budget afterwards at a generous budget: no further rewrite.
+    assert(MediaIndexOps.rebucketIfNeeded(spark, prefix, candidatesPerBucketBudget = 1000000L).isEmpty)
+  }
+
   test("streaming dedup flags dups against index + earlier arrivals and grows the index with keepers") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
