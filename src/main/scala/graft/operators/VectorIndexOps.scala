@@ -143,7 +143,9 @@ object VectorIndexOps {
     // Radius partials from the JUST-WRITTEN table (one narrow (cell, u)
     // scan of the stored artifact, map-side-combinable max → K rows) —
     // the source corpus is still read exactly once per build.
-    radiusPartials(embeddings.sparkSession.table(s"${prefix}_vectors"), cb)
+    val stored = embeddings.sparkSession.table(s"${prefix}_vectors")
+    radiusPartials(stored, cb)
+      .withColumn("batch_key", lit(batchKeyOf(stored)))
       .write.mode("overwrite").saveAsTable(s"${prefix}_cellstats")
     // A rebuilt index is a fresh artifact: stale tombstones would
     // silently hide corpus vectors, and a stale batch ledger would
@@ -199,7 +201,44 @@ object VectorIndexOps {
     * [[SearchIndexOps]]: a stale relation cache would silently serve
     * pre-append search results.
     */
-  def appendVectors(spark: SparkSession, prefix: String, batch: DataFrame): Unit = {
+  def appendVectors(spark: SparkSession, prefix: String, batch: DataFrame): Unit =
+    appendVectorsGuarded(spark, prefix, batch, repairing = false)
+
+  /** Micro-batches with at most this many distinct vec_ids use a
+    * driver-side id list for the rare repair-path presence probe
+    * (bounded collect — metadata-scale); larger batches fall back to a
+    * distributed semi-join probe.
+    */
+  private[graft] val ProbeIdCap = 100000
+
+  /** The batch's reproducible identity — its min vec_id (batches carry
+    * disjoint vec_id sets, so the minimum is unique AND stable across
+    * checkpoint replays); tags the cellstats partials so a crashed
+    * partial append is attributable afterwards.
+    */
+  private def batchKeyOf(assigned: DataFrame): Long = {
+    val r = assigned.agg(min(col("vec_id"))).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0) // empty batch → inert key
+  }
+
+  /** The append, with the crash-repair seam [[ingestBatch]] drives:
+    * when `repairing` (a replay found an intent-without-commit ledger
+    * row), each of the two appends is individually guarded by a
+    * presence probe — vectors by the batch's bounded vec_id list
+    * (file-skipped via parquet row-group stats: every append's files
+    * hold only that batch's ids), cellstats by the batch-key tag its
+    * partial rows carry — so exactly the missing appends re-run and
+    * nothing lands twice. The fresh-batch fast path never probes.
+    * `crashAfter` is the spec's fault injection: throw right after the
+    * named table's append.
+    */
+  private[graft] def appendVectorsGuarded(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      repairing: Boolean,
+      crashAfter: String = "",
+  ): Unit = {
     // Re-insert after delete: a tombstoned id's OLD row is still
     // physically present, so appending a new row and merely clearing
     // the tombstone would resurrect BOTH (duplicate vec_ids). Purge
@@ -221,21 +260,46 @@ object VectorIndexOps {
     // batch-sized; the stored corpus is never touched by an append
     // (VectorIndexSpec pins the plan).
     val assigned = assignedProjection(batch, cb).localCheckpoint()
-    assigned
-      .write.mode("append")
-      .bucketBy(buckets, "cell")
-      .saveAsTable(s"${prefix}_vectors")
-    spark.catalog.refreshTable(s"${prefix}_vectors")
+    val bk = batchKeyOf(assigned)
+    def vectorsPresent: Boolean = {
+      spark.catalog.refreshTable(s"${prefix}_vectors")
+      val t = spark.table(s"${prefix}_vectors")
+      val ids = assigned.select(col("vec_id")).distinct().limit(ProbeIdCap + 1)
+        .collect().map(_.getLong(0)).toSeq
+      if (ids.length <= ProbeIdCap)
+        !t.filter(col("vec_id").isin(ids: _*)).limit(1).isEmpty
+      else
+        !t.join(assigned.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+          .limit(1).isEmpty
+    }
+    if (!repairing || !vectorsPresent) {
+      assigned
+        .write.mode("append")
+        .bucketBy(buckets, "cell")
+        .saveAsTable(s"${prefix}_vectors")
+      spark.catalog.refreshTable(s"${prefix}_vectors")
+    }
+    if (crashAfter == "vectors")
+      throw new IllegalStateException("injected crash after vectors append")
     // The batch's radius partials ride along as an APPEND (readers max
-    // over partials, so history is never rewritten). Guarded by the
-    // same ingest ledger as the vector append, so a replayed batch
-    // appends neither. Indexes built before cellstats existed simply
-    // lack the table ([[ivfRangeSearch]] then probes every cell —
-    // correct, unpruned).
+    // over partials, so history is never rewritten), tagged with the
+    // batch key. Indexes built before cellstats existed simply lack
+    // the table ([[ivfRangeSearch]] then probes every cell — correct,
+    // unpruned).
     if (spark.catalog.tableExists(s"${prefix}_cellstats")) {
-      radiusPartials(assigned, cb)
-        .write.mode("append").saveAsTable(s"${prefix}_cellstats")
-      spark.catalog.refreshTable(s"${prefix}_cellstats")
+      def cellstatsPresent: Boolean = {
+        spark.catalog.refreshTable(s"${prefix}_cellstats")
+        !spark.table(s"${prefix}_cellstats")
+          .filter(col("batch_key") === bk).limit(1).isEmpty
+      }
+      if (!repairing || !cellstatsPresent) {
+        radiusPartials(assigned, cb)
+          .withColumn("batch_key", lit(bk))
+          .write.mode("append").saveAsTable(s"${prefix}_cellstats")
+        spark.catalog.refreshTable(s"${prefix}_cellstats")
+      }
+      if (crashAfter == "cellstats")
+        throw new IllegalStateException("injected crash after cellstats append")
     }
   }
 
@@ -528,38 +592,51 @@ object VectorIndexOps {
     SimilarityOps.rankTopK(scored, "cosine", ascending = false, k)
   }
 
-  /** One replay-safe ingest step: append the batch only if `batchId`
-    * has not been applied yet, then record it in the
-    * `<prefix>_batches` ledger (created lazily on first streaming
-    * use). The ledger — not an anti-join — is the right guard HERE:
-    * the vectors table is bucketed by `cell`, so an anti-join on
-    * vec_id would shuffle the stored corpus once per micro-batch,
-    * while the ledger membership check reads a table with one row per
-    * applied batch (metadata-scale, O(1) corpus contact).
-    * foreachBatch batch ids are stable across checkpoint replays, so a
-    * replayed committed batch is skipped wholesale and vec_ids stay
-    * unique (VectorIndexSpec replays a batch and asserts it).
+  /** One replay-safe, crash-repairable ingest step — the
+    * [[SearchIndexOps.indexBatch]] intent/commit discipline on the
+    * vector face. The `<prefix>_batches` ledger (created lazily on
+    * first streaming use) is the right guard HERE: the vectors table
+    * is bucketed by `cell`, so an anti-join on vec_id would shuffle
+    * the stored corpus once per micro-batch, while the ledger
+    * membership check reads a table with one row per applied batch
+    * phase (metadata-scale, O(1) corpus contact). foreachBatch batch
+    * ids are stable across checkpoint replays, so a committed batch
+    * replays to a wholesale skip and vec_ids stay unique
+    * (VectorIndexSpec replays a batch and asserts it).
     *
-    * Remaining window, stated honestly: the ledger row commits AFTER
-    * the vectors append — a crash between the two re-appends that one
-    * batch on replay (at-least-once within that window only; before
-    * this guard, every replay duplicated). Closing it needs an atomic
-    * multi-table commit — a table-format concern (Iceberg/Delta).
+    * Crash repair: the fast path appends an `intent` row, runs the
+    * two table appends (vectors, then cellstats partials), then
+    * appends a `commit` row. A replay that finds intent-without-commit
+    * — the window that used to re-append the whole batch — runs the
+    * appends presence-guarded ([[appendVectorsGuarded]]), so exactly
+    * the missing appends re-run (VectorIndexSpec kills the sequence
+    * between the two appends and asserts the replayed index is
+    * bit-equal). The residual exposure is a single table append's own
+    * job-commit atomicity — the engine-level floor without a
+    * transactional table format.
     */
   private[graft] def ingestBatch(
       spark: SparkSession,
       prefix: String,
       batch: DataFrame,
       batchId: Long,
+      crashAfter: String = "",
   ): Unit = {
     val ledger = s"${prefix}_batches"
     if (!spark.catalog.tableExists(ledger))
-      spark.sql(s"CREATE TABLE $ledger (batch_id BIGINT) USING parquet")
-    if (spark.table(ledger).filter(col("batch_id") === batchId).isEmpty) {
-      appendVectors(spark, prefix, batch)
-      spark.sql(s"INSERT INTO $ledger VALUES ($batchId)")
+      spark.sql(s"CREATE TABLE $ledger (batch_id BIGINT, phase STRING) USING parquet")
+    val phases = spark.table(ledger)
+      .filter(col("batch_id") === batchId)
+      .select(col("phase")).collect().map(_.getString(0)).toSet
+    if (phases.contains("commit")) return
+    val repairing = phases.contains("intent")
+    if (!repairing) {
+      spark.sql(s"INSERT INTO $ledger VALUES ($batchId, 'intent')")
       spark.catalog.refreshTable(ledger)
     }
+    appendVectorsGuarded(spark, prefix, batch, repairing, crashAfter)
+    spark.sql(s"INSERT INTO $ledger VALUES ($batchId, 'commit')")
+    spark.catalog.refreshTable(ledger)
   }
 
   /** Continuous vector ingestion — the streaming face: every

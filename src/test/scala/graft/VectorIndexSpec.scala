@@ -160,6 +160,52 @@ class VectorIndexSpec extends SparkSpec {
       "a new batch id must append normally")
   }
 
+  test("crash between vectors and cellstats appends is repaired on replay without duplicates") {
+    val prefix = "veccrash"
+    Seq("codebook", "vectors", "cellstats", "batches").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val emb = Tables.embeddings(spark, Sf)
+    VectorIndexOps.writeIndex(
+      emb.filter(col("vec_id") % 5 =!= 0), dim = 64, isSeed = col("vec_id") < 8,
+      iters = 2, buckets = 4, prefix = prefix)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    // The kill: vectors land, the cellstats partial and the ledger
+    // commit never do — the window that used to re-append the batch
+    // wholesale on replay (duplicate vec_ids, double radius partials).
+    intercept[IllegalStateException] {
+      VectorIndexOps.ingestBatch(spark, prefix, batch, batchId = 7L, crashAfter = "vectors")
+    }
+    assert(spark.table(s"${prefix}_batches").filter(col("phase") === "commit").isEmpty)
+    val vectorsAfterCrash = spark.table(s"${prefix}_vectors").count()
+    val statsAfterCrash = spark.table(s"${prefix}_cellstats").count()
+    // Replay: intent-without-commit → presence-guarded repair — the
+    // vectors append must NOT re-run, the cellstats partial must land
+    // exactly once.
+    VectorIndexOps.ingestBatch(spark, prefix, batch, batchId = 7L)
+    assert(spark.table(s"${prefix}_vectors").count() == vectorsAfterCrash,
+      "repair must not duplicate the vectors that survived the crash")
+    assert(
+      spark.table(s"${prefix}_vectors").select("vec_id").distinct().count() == vectorsAfterCrash,
+      "vec_ids must stay unique after the repair")
+    val bk = batch.agg(org.apache.spark.sql.functions.min(col("vec_id"))).first().getLong(0)
+    val tagged = spark.table(s"${prefix}_cellstats").filter(col("batch_key") === bk)
+    assert(tagged.count() > 0, "the missing cellstats partial must land on repair")
+    assert(tagged.groupBy("cell").count().filter(col("count") > 1).isEmpty,
+      "the batch's radius partial must land exactly once per cell")
+    assert(spark.table(s"${prefix}_cellstats").count() > statsAfterCrash,
+      "repair must append the partial the crash lost")
+    // Repaired index serves range search bit-equal to brute force (the
+    // read that consumes BOTH repaired tables).
+    assert(same(
+      VectorIndexOps.ivfRangeSearch(spark, prefix, col("vec_id") < 10, 0.3),
+      SimilarityOps.rangeSearch(emb, col("vec_id") < 10, 0.3),
+    ), "post-repair pruned range search must equal brute force")
+    // A further replay of the now-committed batch is a wholesale skip.
+    val done = spark.table(s"${prefix}_vectors").count()
+    VectorIndexOps.ingestBatch(spark, prefix, batch, batchId = 7L)
+    assert(spark.table(s"${prefix}_vectors").count() == done)
+  }
+
   test("compaction after streaming appends bounds cell-bucket files, results unchanged") {
     import graft.operators.IndexCatalog
     val prefix = "veccompact"
