@@ -53,6 +53,10 @@ object LshIndexOps {
       buckets: Int,
       prefix: String,
   ): Unit = {
+    // A rebuilt index is a fresh artifact — a stale ingest ledger
+    // would make [[dedupBatchAndGrow]] skip legitimate batches of the
+    // new generation.
+    docs.sparkSession.sql(s"DROP TABLE IF EXISTS ${prefix}_batches")
     // Materialize before the two table writes — each saveAsTable is its
     // own action, and without this the full shingle→minhash→band
     // pipeline would execute twice per build.
@@ -277,6 +281,7 @@ object LshIndexOps {
       bands: Int,
       buckets: Int,
       threshold: Double,
+      crashAfter: String = "",
   ): DataFrame = {
     val idx = indexFrame(batch, n, k, bands).localCheckpoint()
     val batchBands = idx
@@ -325,23 +330,93 @@ object LshIndexOps {
       .join(dups.select(col("new_doc_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .join(spark.table(s"${prefix}_docs").select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    kept
-      .select(col("doc_id"), col("sh"))
-      .write.mode("append")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${prefix}_docs")
-    kept
-      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
-      .write.mode("append")
-      .bucketBy(buckets, "band_idx", "band_key")
-      .saveAsTable(s"${prefix}_bands")
-    // The session caches each table's resolved relation (file listing
-    // included) on first read; without an explicit refresh the NEXT
-    // batch's candidate join would silently run against the pre-append
-    // file set and miss every cross-batch duplicate.
-    spark.catalog.refreshTable(s"${prefix}_docs")
-    spark.catalog.refreshTable(s"${prefix}_bands")
+    appendKeepers(spark, prefix, kept, buckets, crashAfter)
     dups
+  }
+
+  /** Micro-batches with at most this many distinct doc_ids use a
+    * driver-side id list for the rare crash-repair presence probe
+    * (bounded collect — metadata-scale); larger batches fall back to a
+    * distributed semi-join probe.
+    */
+  private[graft] val ProbeIdCap = 100000
+
+  /** Appends the batch's keepers to both index tables, crash-repairably
+    * (the [[SearchIndexOps.indexBatch]] intent/commit discipline).
+    * Bands are written FIRST and docs LAST: the docs table is the
+    * membership table [[dedupBatchAndGrow]]'s `kept` anti-join reads,
+    * so its append is the batch's doc-level commit marker — a replay
+    * of a crash-before-docs batch recomputes the identical kept set
+    * (keepers never verify against each other, so their own bands in
+    * the store add no dup rows — the self-collision guard covers exact
+    * replays), while the old docs-first order made a crash-between
+    * UNREPAIRABLE: the keepers vanished from `kept` with their bands
+    * never written, silently missing every future duplicate of them.
+    * The `<prefix>_batches` ledger (batch key = min kept doc_id,
+    * reproducible across replays) records intent before the appends
+    * and commit after; a replay that finds intent-without-commit
+    * presence-guards each append (bands/docs by the bounded kept-id
+    * list — parquet row-group stats skip every file but the crashed
+    * append's own) so exactly the missing table is re-appended.
+    * `crashAfter` is the spec's fault-injection seam.
+    */
+  private def appendKeepers(
+      spark: SparkSession,
+      prefix: String,
+      kept: DataFrame,
+      buckets: Int,
+      crashAfter: String,
+  ): Unit = {
+    if (kept.isEmpty) return // nothing to append → no ledger entry needed
+    val bkRow = kept.agg(min(col("doc_id"))).first()
+    val batchKey = bkRow.getLong(0)
+    val ledger = s"${prefix}_batches"
+    if (!spark.catalog.tableExists(ledger))
+      spark.sql(s"CREATE TABLE $ledger (batch_key BIGINT, phase STRING) USING parquet")
+    val phases = spark.table(ledger)
+      .filter(col("batch_key") === batchKey)
+      .select(col("phase")).collect().map(_.getString(0)).toSet
+    if (phases.contains("commit")) return
+    val repairing = phases.contains("intent")
+    if (!repairing) {
+      spark.sql(s"INSERT INTO $ledger VALUES ($batchKey, 'intent')")
+      spark.catalog.refreshTable(ledger)
+    }
+    def present(table: String): Boolean = {
+      spark.catalog.refreshTable(s"${prefix}_$table")
+      val t = spark.table(s"${prefix}_$table")
+      val ids = kept.select(col("doc_id")).distinct().limit(ProbeIdCap + 1)
+        .collect().map(_.getLong(0)).toSeq
+      if (ids.length <= ProbeIdCap)
+        !t.filter(col("doc_id").isin(ids: _*)).limit(1).isEmpty
+      else
+        !t.join(kept.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+          .limit(1).isEmpty
+    }
+    if (!repairing || !present("bands")) {
+      kept
+        .select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
+        .write.mode("append")
+        .bucketBy(buckets, "band_idx", "band_key")
+        .saveAsTable(s"${prefix}_bands")
+      // The session caches each table's resolved relation (file listing
+      // included) on first read; without an explicit refresh the NEXT
+      // batch's candidate join would silently run against the
+      // pre-append file set and miss every cross-batch duplicate.
+      spark.catalog.refreshTable(s"${prefix}_bands")
+    }
+    if (crashAfter == "bands")
+      throw new IllegalStateException("injected crash after bands append")
+    if (!repairing || !present("docs")) {
+      kept
+        .select(col("doc_id"), col("sh"))
+        .write.mode("append")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${prefix}_docs")
+      spark.catalog.refreshTable(s"${prefix}_docs")
+    }
+    spark.sql(s"INSERT INTO $ledger VALUES ($batchKey, 'commit')")
+    spark.catalog.refreshTable(ledger)
   }
 
   /** Continuous ingestion dedup — the streaming face of the persisted

@@ -124,6 +124,63 @@ class LshIndexSpec extends SparkSpec {
     assert(storedIds == kept.toSet, "index must contain exactly the keepers")
   }
 
+  test("crash between bands and docs appends is repaired on replay: keepers keep their bands") {
+    import spark.implicits._
+    val prefix = "lshcrash"
+    Seq(s"${prefix}_docs", s"${prefix}_bands", s"${prefix}_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val cut = docs(docs.length / 2)._1
+    val (indexed, streamed) = docs.partition(_._1 < cut)
+    LshIndexOps.writeIndex(
+      indexed.toSeq.toDF("doc_id", "text"), N, K, Bands, buckets = 4, prefix = prefix)
+    val batch = streamed.toSeq.toDF("doc_id", "text")
+    // The kill: the keepers' bands land, the docs membership rows do
+    // not. Under the OLD docs-first order the mirror-image crash left
+    // keepers in docs with no bands — permanently invisible to every
+    // future candidate join, and unrepairable because the kept
+    // anti-join hid them.
+    val crash = intercept[IllegalStateException] {
+      LshIndexOps.dedupBatchAndGrow(
+        spark, prefix, batch, N, K, Bands, buckets = 4, threshold = Threshold,
+        crashAfter = "bands")
+    }
+    assert(crash.getMessage.contains("bands"))
+    val bandsAfterCrash = spark.table(s"${prefix}_bands").count()
+    assert(spark.table(s"${prefix}_batches").filter(col("phase") === "commit").isEmpty)
+    // Replay the same batch: intent-without-commit → presence-guarded
+    // repair. Bands must not double; docs must land; dups re-emitted
+    // identically (keepers never verify against each other, so their
+    // own stored bands add nothing).
+    val replayDups = LshIndexOps.dedupBatchAndGrow(
+      spark, prefix, batch, N, K, Bands, buckets = 4, threshold = Threshold)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(spark.table(s"${prefix}_bands").count() == bandsAfterCrash,
+      "repair must not re-append the bands that survived the crash")
+    assert(!replayDups.exists(d => d._1 == d._2), "no self-dups on the repair replay")
+    // The repaired index equals a clean uninterrupted build+grow.
+    val cleanPrefix = "lshcrashref"
+    Seq(s"${cleanPrefix}_docs", s"${cleanPrefix}_bands", s"${cleanPrefix}_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    LshIndexOps.writeIndex(
+      indexed.toSeq.toDF("doc_id", "text"), N, K, Bands, buckets = 4, prefix = cleanPrefix)
+    val cleanDups = LshIndexOps.dedupBatchAndGrow(
+      spark, cleanPrefix, batch, N, K, Bands, buckets = 4, threshold = Threshold)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(replayDups == cleanDups, "replayed dups must equal the uninterrupted run's")
+    val repairedPairs = LshIndexOps.nearDupPairs(spark, prefix, Threshold)
+    val cleanPairs = LshIndexOps.nearDupPairs(spark, cleanPrefix, Threshold)
+    assert(
+      repairedPairs.exceptAll(cleanPairs).isEmpty && cleanPairs.exceptAll(repairedPairs).isEmpty,
+      "repaired index must serve pairs identical to the uninterrupted run")
+    // A further replay of the committed batch is a no-op on the store.
+    val done = spark.table(s"${prefix}_bands").count()
+    LshIndexOps.dedupBatchAndGrow(
+      spark, prefix, batch, N, K, Bands, buckets = 4, threshold = Threshold)
+    assert(spark.table(s"${prefix}_bands").count() == done)
+  }
+
   test("streaming dedup restart: replayed batch adds no keepers twice, no self-dups, converges to the uninterrupted run") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
