@@ -70,6 +70,10 @@ object MediaIndexOps {
       buckets: Int,
       prefix: String,
   ): Unit = {
+    // A rebuilt index is a fresh artifact — a stale ingest ledger
+    // would make [[dedupBatchAndGrow]] skip legitimate batches of the
+    // new generation.
+    media.sparkSession.sql(s"DROP TABLE IF EXISTS ${prefix}_batches")
     // Materialize before the two table writes — each saveAsTable is
     // its own action, and the decode+fingerprint pass must run once.
     val fp = fpFrame(media, regions, blockBands).localCheckpoint()
@@ -162,6 +166,7 @@ object MediaIndexOps {
       blockBands: Int,
       buckets: Int,
       maxHamming: Int,
+      crashAfter: String = "",
   ): DataFrame = {
     val idx = fpFrame(batch, regions, blockBands).localCheckpoint()
     val batchChunks = chunkRows(idx)
@@ -190,19 +195,81 @@ object MediaIndexOps {
       .join(dups.select(col("new_doc_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .join(spark.table(s"${prefix}_fps").select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    kept.select(col("doc_id"), col("dhash"))
-      .write.mode("append")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${prefix}_fps")
-    chunkRows(kept)
-      .write.mode("append")
-      .bucketBy(buckets, "chunk_idx", "chunk_bits")
-      .saveAsTable(s"${prefix}_chunks")
-    // Without the refresh the next batch's candidate join would read
-    // the pre-append file listing and miss every cross-batch duplicate.
-    spark.catalog.refreshTable(s"${prefix}_fps")
-    spark.catalog.refreshTable(s"${prefix}_chunks")
+    appendKeepers(spark, prefix, kept, buckets, crashAfter)
     dups
+  }
+
+  /** Bounded driver-side id list for the rare crash-repair presence
+    * probe; larger batches fall back to a distributed semi-join probe.
+    */
+  private[graft] val ProbeIdCap = 100000
+
+  /** Appends the batch's keepers to both index tables, crash-repairably
+    * (the [[LshIndexOps]] intent/commit keeper discipline): chunks
+    * FIRST, fps LAST — fps is the membership table the kept anti-join
+    * reads, so its append is the batch's commit marker; the reverse
+    * order would make a crash-between unrepairable (keepers in fps
+    * with no chunk rows, invisible to every future candidate join, and
+    * hidden from the replay by the very anti-join that should repair
+    * them). Keepers never verify against each other, so a replay
+    * recomputes the identical kept set even with their chunks already
+    * stored (the self-collision guard covers exact replays). The
+    * `<prefix>_batches` ledger (batch key = min kept doc_id) records
+    * intent/commit; intent-without-commit replays presence-guard each
+    * append by the bounded kept-id list.
+    */
+  private def appendKeepers(
+      spark: SparkSession,
+      prefix: String,
+      kept: DataFrame,
+      buckets: Int,
+      crashAfter: String,
+  ): Unit = {
+    if (kept.isEmpty) return // nothing to append → no ledger entry needed
+    val batchKey = kept.agg(min(col("doc_id"))).first().getLong(0)
+    val ledger = s"${prefix}_batches"
+    if (!spark.catalog.tableExists(ledger))
+      spark.sql(s"CREATE TABLE $ledger (batch_key BIGINT, phase STRING) USING parquet")
+    val phases = spark.table(ledger)
+      .filter(col("batch_key") === batchKey)
+      .select(col("phase")).collect().map(_.getString(0)).toSet
+    if (phases.contains("commit")) return
+    val repairing = phases.contains("intent")
+    if (!repairing) {
+      spark.sql(s"INSERT INTO $ledger VALUES ($batchKey, 'intent')")
+      spark.catalog.refreshTable(ledger)
+    }
+    def present(table: String): Boolean = {
+      spark.catalog.refreshTable(s"${prefix}_$table")
+      val t = spark.table(s"${prefix}_$table")
+      val ids = kept.select(col("doc_id")).distinct().limit(ProbeIdCap + 1)
+        .collect().map(_.getLong(0)).toSeq
+      if (ids.length <= ProbeIdCap)
+        !t.filter(col("doc_id").isin(ids: _*)).limit(1).isEmpty
+      else
+        !t.join(kept.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+          .limit(1).isEmpty
+    }
+    if (!repairing || !present("chunks")) {
+      chunkRows(kept)
+        .write.mode("append")
+        .bucketBy(buckets, "chunk_idx", "chunk_bits")
+        .saveAsTable(s"${prefix}_chunks")
+      // Without the refresh the next batch's candidate join would read
+      // the pre-append file listing and miss every cross-batch dup.
+      spark.catalog.refreshTable(s"${prefix}_chunks")
+    }
+    if (crashAfter == "chunks")
+      throw new IllegalStateException("injected crash after chunks append")
+    if (!repairing || !present("fps")) {
+      kept.select(col("doc_id"), col("dhash"))
+        .write.mode("append")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${prefix}_fps")
+      spark.catalog.refreshTable(s"${prefix}_fps")
+    }
+    spark.sql(s"INSERT INTO $ledger VALUES ($batchKey, 'commit')")
+    spark.catalog.refreshTable(ledger)
   }
 
   /** Continuous ingestion dedup — the streaming face: every

@@ -137,4 +137,50 @@ class MediaIndexSpec extends SparkSpec {
     assert(spark.table(s"${prefix}_fps").count() == before,
       "a replayed batch must not grow the index")
   }
+
+  test("crash between chunks and fps appends is repaired on replay") {
+    import spark.implicits._
+    val prefix = "mediacrash"
+    Seq(s"${prefix}_fps", s"${prefix}_chunks", s"${prefix}_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val rows = media().select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])].collect().sortBy(_._1)
+    val images = rows.filter(_._2 == "image").map(_._1)
+    val cut = images(images.length / 2)
+    val (seedRows, streamRows) = rows.partition(_._1 < cut)
+    MediaIndexOps.writeIndex(
+      seedRows.toSeq.toDF("doc_id", "media_type", "payload"),
+      Regions, Bands, buckets = 4, prefix = prefix)
+    val batch = streamRows.toSeq.toDF("doc_id", "media_type", "payload")
+    // The kill: keepers' chunks land, the fps membership rows do not.
+    intercept[IllegalStateException] {
+      MediaIndexOps.dedupBatchAndGrow(
+        spark, prefix, batch, Regions, Bands, buckets = 4, maxHamming = MaxHamming,
+        crashAfter = "chunks")
+    }
+    val chunksAfterCrash = spark.table(s"${prefix}_chunks").count()
+    assert(spark.table(s"${prefix}_batches").filter(col("phase") === "commit").isEmpty)
+    // Replay: chunks must not double, fps must land, and the repaired
+    // index must equal a clean uninterrupted run.
+    val replayDups = MediaIndexOps.dedupBatchAndGrow(
+      spark, prefix, batch, Regions, Bands, buckets = 4, maxHamming = MaxHamming)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(spark.table(s"${prefix}_chunks").count() == chunksAfterCrash,
+      "repair must not re-append the chunks that survived the crash")
+    assert(!replayDups.exists(d => d._1 == d._2), "no self-dups on the repair replay")
+    val cleanPrefix = "mediacrashref"
+    Seq(s"${cleanPrefix}_fps", s"${cleanPrefix}_chunks", s"${cleanPrefix}_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    MediaIndexOps.writeIndex(
+      seedRows.toSeq.toDF("doc_id", "media_type", "payload"),
+      Regions, Bands, buckets = 4, prefix = cleanPrefix)
+    val cleanDups = MediaIndexOps.dedupBatchAndGrow(
+      spark, cleanPrefix, batch, Regions, Bands, buckets = 4, maxHamming = MaxHamming)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(replayDups == cleanDups, "replayed dups must equal the uninterrupted run's")
+    val repaired = MediaIndexOps.nearDupPairs(spark, prefix, MaxHamming)
+    val clean = MediaIndexOps.nearDupPairs(spark, cleanPrefix, MaxHamming)
+    assert(repaired.exceptAll(clean).isEmpty && clean.exceptAll(repaired).isEmpty,
+      "repaired index must serve pairs identical to the uninterrupted run")
+  }
 }
