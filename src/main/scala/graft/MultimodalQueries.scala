@@ -323,6 +323,56 @@ object MultimodalQueries {
               |FROM nodes n JOIN reach r ON r.u = n.id
               |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
+    // Dedup savings report — the number a storage owner acts on: per
+    // near-dup cluster, member count, total payload bytes (real
+    // container bytes included), and the bytes RECLAIMED by keeping
+    // only the keeper (= the min-doc_id member, the cluster label).
+    // One join of the cluster labeling against payload sizes + one
+    // aggregation on the component key.
+    Q(
+      "mm_dedup_savings",
+      (s, d) => {
+        val media = MultimodalOps.encodeMedia(documents(s, d))
+        val clusters = graft.operators.DedupOps.connectedComponents(
+          MultimodalOps.nearDupPairs(media, regions = 49, blockBands = 6, maxHamming = 5))
+        clusters
+          .join(media.select(col("doc_id"), octet_length(col("payload")).cast("long").as("bytes")), "doc_id")
+          .groupBy(col("component"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            sum(col("bytes")).as("bytes_total"),
+            sum(when(col("doc_id") === col("component"), col("bytes")).otherwise(0L))
+              .as("bytes_kept"),
+          )
+          .select(
+            col("component").as("keeper_doc_id"),
+            col("n_members"),
+            col("bytes_total"),
+            (col("bytes_total") - col("bytes_kept")).as("bytes_saved"),
+          )
+          .orderBy("keeper_doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($nearDupPairsSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges),
+              |cl AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |       FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+              |sz AS (SELECT doc_id, CAST(n_bytes AS BIGINT) AS bytes
+              |       FROM ($encodedMediaSql))
+              |SELECT component AS keeper_doc_id,
+              |  count(*) AS n_members,
+              |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+              |  CAST(sum(bytes)
+              |       - sum(CASE WHEN cl.doc_id = component THEN bytes ELSE 0 END)
+              |       AS BIGINT) AS bytes_saved
+              |FROM cl JOIN sz ON sz.doc_id = cl.doc_id
+              |GROUP BY component ORDER BY keeper_doc_id""".stripMargin),
+    ),
     // The PERSISTED perceptual-fingerprint index (MediaIndexOps): build
     // the bucketed fingerprint/chunk tables, then answer entirely from
     // the stored artifact — the exchange-free candidate self-join
