@@ -650,4 +650,36 @@ object EngineProps extends Properties("graft") {
       got == expected
     }
   }
+
+  /** idleGap (the longest-silence core shared with its streaming twin)
+    * equals a brute-force sorted-scan reference in exact microseconds,
+    * with NULL for single-event users.
+    */
+  property("idleGap equals brute-force max inter-arrival gap") = {
+    import spark.implicits._
+    val genEvent = for {
+      user <- Gen.chooseNum(0L, 3L)
+      us <- Gen.chooseNum(0L, 600000000L)
+    } yield (user, us)
+    Prop.forAll(Gen.nonEmptyListOf(genEvent)) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, us), i) => (u, us, i.toLong) }
+      val df = rows.toDF("user_id", "us", "event_id")
+        .select(
+          col("user_id"),
+          timestamp_add("MICROSECOND", col("us"),
+            lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))).as("ts"),
+          col("event_id"),
+        )
+      val got = graft.operators.NetflowOps.idleGap(df)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))
+        .toSet
+      val expected = rows.groupBy(_._1).map { case (u, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sorted.map(_._1)
+        val gaps = sorted.zip(sorted.drop(1)).map { case (a, b) => b - a }
+        (u, rs.size.toLong, if (gaps.isEmpty) null else gaps.max)
+      }.toSet
+      got == expected
+    }
+  }
 }
