@@ -208,6 +208,38 @@ object DedupQueries {
       },
       Some(minhashPairsSql),
     ),
+    // The stop-band-key (skew) dial itself, applied: band buckets with
+    // more than 2 members are excluded from candidate generation — the
+    // bounded-recall concession that removes LSH's quadratic hot-key
+    // term at corpus scale (a true pair is missed only if EVERY band
+    // it collides on is hot). The oracle replays the cap over the same
+    // band derivation.
+    Q(
+      "dd_index_pairs_capped",
+      (s, d) => {
+        LshIndexOps.writeIndex(
+          documents(s, d), N, K, Bands, buckets = 8, prefix = indexDb(s, "capped"))
+        LshIndexOps.nearDupPairsCapped(
+          s, indexDb(s, "capped"), JaccardThreshold, maxBucket = 2)
+      },
+      Some(s"""WITH $lshCandCtes,
+              |sz AS (SELECT band_idx, band_key, count(*) AS s
+              |       FROM bk GROUP BY band_idx, band_key),
+              |okb AS (SELECT b.doc_id, b.band_idx, b.band_key
+              |        FROM bk b JOIN sz
+              |          ON sz.band_idx = b.band_idx AND sz.band_key = b.band_key
+              |         AND sz.s <= 2),
+              |ccand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |          FROM okb x JOIN okb y
+              |            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |           AND x.doc_id < y.doc_id)
+              |SELECT c.doc_a, c.doc_b, ${jaccard("a.sh", "b.sh")} AS jaccard
+              |FROM ccand c
+              |JOIN sh a ON a.doc_id = c.doc_a
+              |JOIN sh b ON b.doc_id = c.doc_b
+              |WHERE ${jaccard("a.sh", "b.sh")} >= $JaccardThreshold
+              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
     // Index health stats — the operational view of the persisted band
     // table: per band, bucket count, the hottest bucket, and the EXACT
     // candidate-pair cost Σ s·(s−1)/2 the self-join will pay. This is

@@ -96,10 +96,21 @@ object LshIndexOps {
     * Output is identical to `DedupOps.minhashLshPairs(docs, …)` on the
     * corpus the index was built from (LshIndexSpec asserts equality).
     */
-  def nearDupPairs(spark: SparkSession, prefix: String, threshold: Double): DataFrame = {
+  def nearDupPairs(spark: SparkSession, prefix: String, threshold: Double): DataFrame =
+    verifiedPairs(spark, prefix, candidatePairs(spark, prefix), threshold)
+
+  /** The exact-Jaccard verify stage shared by the full and stop-key
+    * candidate faces.
+    */
+  private def verifiedPairs(
+      spark: SparkSession,
+      prefix: String,
+      candidates: DataFrame,
+      threshold: Double,
+  ): DataFrame = {
     val sets = spark.table(s"${prefix}_docs")
     val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
-    candidatePairs(spark, prefix)
+    candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(
@@ -109,6 +120,49 @@ object LshIndexOps {
       )
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The skew STOP-KEY dial the health stats point at: band buckets
+    * holding more than `maxBucket` members are excluded from candidate
+    * generation entirely. Hot buckets are the quadratic term of LSH at
+    * corpus scale — boilerplate-heavy corpora concentrate a large
+    * fraction of documents into a few band keys, and one such key of
+    * size s costs s·(s−1)/2 candidate verifications. The tradeoff is
+    * explicit and bounded: a TRUE near-dup pair is missed only if
+    * EVERY band it collides on is hot (with b bands the pair survives
+    * unless all its collisions are capped), which is the standard
+    * recall concession production dedup makes; the excluded keys are
+    * exactly the ones `dd_index_stats`/[[rebucketIfNeeded]] surface.
+    * Bucket sizing reads the stored band table grouped on its own
+    * bucket keys — exchange-free on the stored side like the
+    * candidate join itself.
+    */
+  def nearDupPairsCapped(
+      spark: SparkSession,
+      prefix: String,
+      threshold: Double,
+      maxBucket: Int,
+  ): DataFrame = {
+    val bandsDf = spark.table(s"${prefix}_bands")
+    val small = bandsDf.join(
+      bandsDf
+        .groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("s"))
+        .filter(col("s") <= maxBucket)
+        .select("band_idx", "band_key"),
+      Seq("band_idx", "band_key"),
+    )
+    val candidates = small
+      .as("x")
+      .join(
+        small.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifiedPairs(spark, prefix, candidates, threshold)
   }
 
   /** Incremental dedup — the reason a pipeline PERSISTS the index: new
