@@ -390,6 +390,39 @@ object MultimodalQueries {
       },
       Some(s"$nearDupPairsSql\nORDER BY doc_a, doc_b"),
     ),
+    // The stop-key dial on the fingerprint banding: chunk buckets with
+    // more than 8 members are excluded from candidate generation —
+    // measured at sf0.1, the hottest 8-bit chunk bucket holds ~8% of
+    // the image corpus (~29k candidate pairs for one chunk position),
+    // LSH's quadratic hot-key term. Bounded recall: a true pair is
+    // missed only if every chunk it collides on is hot. The oracle
+    // replays the cap over the shared fingerprint derivation.
+    Q(
+      "mm_index_pairs_capped",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "capped")
+        graft.operators.MediaIndexOps.writeIndex(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, buckets = 8, prefix = pre)
+        graft.operators.MediaIndexOps.nearDupPairsCapped(
+          s, pre, maxHamming = 5, maxBucket = 8)
+      },
+      Some(s"""WITH $dhashCtes,
+              |sz AS (SELECT chunk_idx, chunk_bits, count(*) AS s
+              |       FROM cb GROUP BY chunk_idx, chunk_bits),
+              |okb AS (SELECT b.doc_id, b.dhash, b.chunk_idx, b.chunk_bits
+              |        FROM cb b JOIN sz
+              |          ON sz.chunk_idx = b.chunk_idx AND sz.chunk_bits = b.chunk_bits
+              |         AND sz.s <= 8)
+              |SELECT doc_a, doc_b, hamming FROM (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    bit_count(xor(x.dhash, y.dhash)) AS hamming
+              |  FROM okb x JOIN okb y
+              |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
+              |   AND x.doc_id < y.doc_id)
+              |WHERE hamming <= 5
+              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
     // Incremental dedup against the stored fingerprint index — the
     // upload-time "is this a copy of anything we hold?" check: images
     // with doc_id % 5 == 0 arrive as the new batch (their own decode,

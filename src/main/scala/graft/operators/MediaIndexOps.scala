@@ -114,6 +114,50 @@ object MediaIndexOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The skew STOP-KEY dial on the fingerprint banding (the
+    * [[LshIndexOps.nearDupPairsCapped]] policy): chunk buckets holding
+    * more than `maxBucket` fingerprints are excluded from candidate
+    * generation. Template-generated image corpora concentrate many
+    * fingerprints into a few chunk values (measured: the hottest
+    * 8-bit chunk bucket holds ~8% of the sf0.1 image corpus, ~29k
+    * candidate pairs for one chunk position), and one hot key of size
+    * s costs s·(s−1)/2 verifications — the quadratic term at 100 TB.
+    * Bounded-recall tradeoff stated plainly: a true near-dup pair is
+    * missed only if EVERY one of its ≥1 colliding chunks is hot; the
+    * exact pigeonhole guarantee is conceded for the capped keys only,
+    * which are exactly the ones `mm_index_stats` surfaces.
+    */
+  def nearDupPairsCapped(
+      spark: SparkSession,
+      prefix: String,
+      maxHamming: Int,
+      maxBucket: Int,
+  ): DataFrame = {
+    val ch = spark.table(s"${prefix}_chunks")
+    val small = ch.join(
+      ch.groupBy(col("chunk_idx"), col("chunk_bits"))
+        .agg(count(lit(1)).as("s"))
+        .filter(col("s") <= maxBucket)
+        .select("chunk_idx", "chunk_bits"),
+      Seq("chunk_idx", "chunk_bits"),
+    )
+    small.as("x")
+      .join(
+        small.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_bits") === col("y.chunk_bits") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental dedup — the upload-time check a media pipeline runs:
     * fingerprint the new batch (its OWN decode, one pass), join its
     * chunks against the STORED chunk table (bucketed side never
