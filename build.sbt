@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked run's output straight through instead of re-logging
+// it with "[info] " prefixes: Bench's machine-readable JSON line must
+// arrive as a bare line for the driver's artifact parser (every BENCH_r*
+// artifact so far carries "parsed": null because the prefix breaks
+// line-wise json parsing of the captured tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

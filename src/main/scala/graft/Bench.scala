@@ -43,12 +43,16 @@ object Bench {
     // codegen compilation, and JIT for every query shape so the timings
     // below measure steady-state query cost, not first-call overhead
     // (cold-vs-warm differs 3-6× per query).
+    val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count()
-        catch { case _: Throwable => () }
-      }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => warmOnly.forall(_.contains(n)) }
+        .foreach { case (_, fn) =>
+          try fn(spark, warmDir).count()
+          catch { case _: Throwable => () }
+        }
     }
     // Build the shared persisted indexes for the TIMED dataset here, in
     // the un-timed setup phase: otherwise the one-time corpus build
@@ -131,8 +135,27 @@ object Bench {
       val mb = (shufBytes.get - b0) >> 20
       (if (ok) sec else -1.0, mb)
     }
+    // Dev-only iteration filter: SPARK_GRAFT_BENCH_ONLY="q1_agg,nf_burst"
+    // times just those queries (empty value → none, streams only). The
+    // driver never sets it, so official runs always cover the full
+    // registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val firstPass = ordered.map { case (name, fn) => (name, fn, (1 to reps).map(_ => rep(name, fn))) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // One UNTIMED warm-up rep per query at the TIMED sf before its timed
+    // reps: the sf0.001 warm pass above covers classloading/codegen/JIT
+    // but not the timed dataset's page cache or the per-query scratch
+    // indexes, and recurring 5-20× cold-rep blowups in the recorded
+    // spreads (e.g. dd_index_pairs_capped [1.50, 21.42]) showed min-of-2
+    // was spending one of its two reps absorbing cold starts. The warm
+    // rep's time and shuffle delta are discarded (loadavg sampling still
+    // runs — load during the warm rep is real bench-window load).
+    val warmReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1").toInt
+    val firstPass = ordered.map { case (name, fn) =>
+      (1 to warmReps).foreach(_ => rep(name, fn))
+      (name, fn, (1 to reps).map(_ => rep(name, fn)))
+    }
     val goodMins = firstPass.flatMap { case (_, _, ts) =>
       val g = ts.map(_._1).filter(_ >= 0); if (g.nonEmpty) Some(g.min) else None
     }.sorted
@@ -177,7 +200,7 @@ object Bench {
     // Per-operator rows/s go into the JSON ("stream") so streaming
     // throughput is machine-comparable round over round like the query
     // times; the [bench-stream] stderr lines remain for eyeballing.
-    val streamRates = streamingSmoke(spark)
+    val streamRates = streamingSmoke(spark, sfDir)
     // One machine-readable line. The driver keeps only the LAST ~2.5 kB
     // of process output — shared with sbt's banner/[success] lines — so:
     // per-query times round to ms, at most 40 (the slowest) queries are
@@ -253,26 +276,27 @@ object Bench {
     * produced. Returns (name, input rows/s) per operator, -1 on
     * failure, for the JSON's "stream" field.
     */
-  private def streamingSmoke(spark: SparkSession): Seq[(String, Double)] = {
+  private def streamingSmoke(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
     val warmRows = 5000
     val fmt = classOf[graft.sources.FlowGen].getName
     val rates = scala.collection.mutable.Buffer[(String, Double)]()
-    def timed(name: String)(run: Int => Long): Unit =
+    def timedN(name: String, warmN: Int, n: Int)(run: Int => Long): Unit =
       try {
-        run(warmRows)
+        run(warmN)
         val t0 = System.nanoTime()
-        val outRows = run(rows)
+        val outRows = run(n)
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(
-          f"[bench-stream] $name%-18s in=$rows out=$outRows $sec%7.2f s  ${rows / sec}%10.0f rows/s",
+          f"[bench-stream] $name%-18s in=$n out=$outRows $sec%7.2f s  ${n / sec}%10.0f rows/s",
         )
-        rates += name -> rows / sec
+        rates += name -> n / sec
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench-stream] $name FAILED: $e")
           rates += name -> -1.0
       }
+    def timed(name: String)(run: Int => Long): Unit = timedN(name, warmRows, rows)(run)
     def flowGen(emit: String, n: Int) = spark.readStream.format(fmt)
       .option("rows", n).option("rowsPerBatch", n / 4)
       .option("seed", 11).option("emit", emit).load()
@@ -351,6 +375,48 @@ object Bench {
         .start()
       q.awaitTermination()
       q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+    }
+
+    // The heaviest streaming face: continuous media ingest dedup —
+    // per micro-batch container decode + dHash fingerprint + bucketed
+    // candidate join against the index-so-far + index-grow appends
+    // (MediaIndexOps.streamingDedup). Rows/s here is dominated by the
+    // per-batch FIXED cost (two localCheckpoints + two saveAsTable
+    // appends + ledger writes per batch), which is exactly the number a
+    // capacity plan needs: batch sizing is the scale lever, same as the
+    // transformWithState smokes. The index is grown from EMPTY so the
+    // run measures the full ingest path, not a warm-read shortcut.
+    val mediaRows = sys.env.getOrElse("SPARK_GRAFT_MEDIA_ROWS", "6000").toInt
+    val mediaGen = new java.util.concurrent.atomic.AtomicLong(0)
+    timedN("media_dedup", warmN = 600, n = mediaRows) { n =>
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val prefix = s"benchmedia${mediaGen.incrementAndGet()}"
+      Seq("fps", "chunks", "batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+      val media = graft.operators.MultimodalOps
+        .encodeMedia(Tables.documents(spark, sfDir).orderBy("doc_id").limit(n))
+        .select(col("doc_id"), col("media_type"), col("payload"))
+      val arrivals = media.as[(Long, String, Array[Byte])].collect().sortBy(_._1)
+      // Empty seed index: the stream's state starts from nothing.
+      graft.operators.MediaIndexOps.writeIndex(
+        media.filter(col("doc_id") < 0),
+        regions = 49, blockBands = 6, buckets = 8, prefix = prefix)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Array[Byte])]
+      var dupRows = 0L
+      val ckpt = java.nio.file.Files.createTempDirectory("bench_media").toFile.getAbsolutePath
+      val q = graft.operators.MediaIndexOps.streamingDedup(
+        spark, prefix, in.toDF().toDF("doc_id", "media_type", "payload"),
+        regions = 49, blockBands = 6, buckets = 8, maxHamming = 5, checkpoint = ckpt,
+        onDups = (d, _) => dupRows += d.count())
+      try arrivals.grouped(math.max(1, arrivals.length / 4)).foreach { w =>
+        in.addData(w.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      Seq("fps", "chunks", "batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+      dupRows
     }
     rates.toSeq
   }

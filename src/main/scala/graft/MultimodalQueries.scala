@@ -46,39 +46,42 @@ object MultimodalQueries {
     * `cb(doc_id, dhash, chunk_idx, chunk_bits)` are the reusable
     * outputs; the pair/cluster/index oracles all build on them.
     */
-  private val dhashCtes =
-    """c AS (SELECT doc_id, text AS content, length(text) AS L
-      |           FROM documents WHERE doc_id % 3 = 0),
-      |pos AS (SELECT doc_id, content, L,
-      |               unnest(generate_series(1, L)) AS j FROM c),
-      |ch AS (SELECT doc_id, ((j-1) * 49) // L AS region,
-      |              unicode(substr(content, j, 1)) AS code FROM pos),
-      |gs AS (SELECT doc_id, region, CAST(sum(code) AS BIGINT) AS s
-      |       FROM ch GROUP BY doc_id, region),
-      |allr AS (SELECT doc_id, unnest(generate_series(0, 48)) AS region FROM c),
-      |rs AS (SELECT a.doc_id, a.region, coalesce(g.s, 0) AS s
-      |       FROM allr a LEFT JOIN gs g
-      |         ON g.doc_id = a.doc_id AND g.region = a.region),
-      |gr AS (SELECT doc_id, region, s,
-      |              lead(s) OVER (PARTITION BY doc_id ORDER BY region) AS s2
-      |       FROM rs),
-      |fp AS (SELECT doc_id,
-      |         CAST(sum(CASE WHEN s > s2
-      |                       THEN CAST(power(2, 47 - region) AS BIGINT)
-      |                       ELSE 0 END) AS BIGINT) AS dhash
-      |       FROM gr WHERE region < 48 GROUP BY doc_id),
-      |ck AS (SELECT doc_id, dhash,
-      |              unnest(generate_series(0, 5)) AS chunk_idx FROM fp),
-      |cb AS (SELECT doc_id, dhash, chunk_idx,
-      |              CAST(floor(dhash / power(2, chunk_idx*8)) AS BIGINT) % 256
-      |                AS chunk_bits FROM ck)""".stripMargin
-
-  /** Verified near-dup pairs over the chunk CTEs — shared by the
-    * operator-face and index-face pairs queries and embedded by the
-    * clusters oracle.
+  /** The dhash CTE chain for one single-stream modality (doc_id % 3 =
+    * `mod`: 0 image, 1 audio — both decode to the raw text, image by
+    * container strip, audio by whole-payload passthrough).
     */
-  private val nearDupPairsSql =
-    s"""WITH $dhashCtes
+  private def dhashCtesFor(mod: Int) =
+    s"""c AS (SELECT doc_id, text AS content, length(text) AS L
+       |           FROM documents WHERE doc_id % 3 = $mod),
+       |pos AS (SELECT doc_id, content, L,
+       |               unnest(generate_series(1, L)) AS j FROM c),
+       |ch AS (SELECT doc_id, ((j-1) * 49) // L AS region,
+       |              unicode(substr(content, j, 1)) AS code FROM pos),
+       |gs AS (SELECT doc_id, region, CAST(sum(code) AS BIGINT) AS s
+       |       FROM ch GROUP BY doc_id, region),
+       |allr AS (SELECT doc_id, unnest(generate_series(0, 48)) AS region FROM c),
+       |rs AS (SELECT a.doc_id, a.region, coalesce(g.s, 0) AS s
+       |       FROM allr a LEFT JOIN gs g
+       |         ON g.doc_id = a.doc_id AND g.region = a.region),
+       |gr AS (SELECT doc_id, region, s,
+       |              lead(s) OVER (PARTITION BY doc_id ORDER BY region) AS s2
+       |       FROM rs),
+       |fp AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN s > s2
+       |                       THEN CAST(power(2, 47 - region) AS BIGINT)
+       |                       ELSE 0 END) AS BIGINT) AS dhash
+       |       FROM gr WHERE region < 48 GROUP BY doc_id),
+       |ck AS (SELECT doc_id, dhash,
+       |              unnest(generate_series(0, 5)) AS chunk_idx FROM fp),
+       |cb AS (SELECT doc_id, dhash, chunk_idx,
+       |              CAST(floor(dhash / power(2, chunk_idx*8)) AS BIGINT) % 256
+       |                AS chunk_bits FROM ck)""".stripMargin
+
+  private val dhashCtes = dhashCtesFor(0)
+
+  /** Verified near-dup pairs over the chunk CTEs of one modality. */
+  private def nearDupPairsSqlFor(mod: Int) =
+    s"""WITH ${dhashCtesFor(mod)}
        |SELECT doc_a, doc_b, hamming FROM (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    bit_count(xor(x.dhash, y.dhash)) AS hamming
@@ -86,6 +89,63 @@ object MultimodalQueries {
        |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
        |   AND x.doc_id < y.doc_id)
        |WHERE hamming <= 5""".stripMargin
+
+  /** The image face — shared by the operator-face and index-face pairs
+    * queries and embedded by the clusters oracle.
+    */
+  private val nearDupPairsSql = nearDupPairsSqlFor(0)
+
+  /** The VIDEO near-dup oracle: per-frame slices (frame count = the
+    * n mod 16 + 1 the real GIF blocks carry; frame k = the k-th
+    * floor(L/F)-char slice of the stripped content), the dhash chain
+    * keyed on (doc_id, frame_idx), banded candidates, and MIN
+    * pairwise-frame hamming per pair — replaying
+    * `MultimodalOps.nearDupPairsVideo` arithmetic verbatim.
+    */
+  private val videoNearDupSql =
+    """WITH c AS (SELECT doc_id, text AS content, length(text) AS L,
+      |                  length(text) % 16 + 1 AS F
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (SELECT doc_id, content, L // F AS fl,
+      |              unnest(generate_series(0, F - 1)) AS frame_idx FROM c),
+      |fc AS (SELECT doc_id, frame_idx,
+      |              substr(content, frame_idx * fl + 1, fl) AS content, fl AS L
+      |       FROM fr WHERE fl > 0),
+      |pos AS (SELECT doc_id, frame_idx, content, L,
+      |               unnest(generate_series(1, L)) AS j FROM fc),
+      |ch AS (SELECT doc_id, frame_idx, ((j-1) * 49) // L AS region,
+      |              unicode(substr(content, j, 1)) AS code FROM pos),
+      |gs AS (SELECT doc_id, frame_idx, region, CAST(sum(code) AS BIGINT) AS s
+      |       FROM ch GROUP BY doc_id, frame_idx, region),
+      |allr AS (SELECT doc_id, frame_idx,
+      |                unnest(generate_series(0, 48)) AS region FROM fc),
+      |rs AS (SELECT a.doc_id, a.frame_idx, a.region, coalesce(g.s, 0) AS s
+      |       FROM allr a LEFT JOIN gs g
+      |         ON g.doc_id = a.doc_id AND g.frame_idx = a.frame_idx
+      |        AND g.region = a.region),
+      |gr AS (SELECT doc_id, frame_idx, region, s,
+      |              lead(s) OVER (PARTITION BY doc_id, frame_idx
+      |                            ORDER BY region) AS s2
+      |       FROM rs),
+      |fp AS (SELECT doc_id, frame_idx,
+      |         CAST(sum(CASE WHEN s > s2
+      |                       THEN CAST(power(2, 47 - region) AS BIGINT)
+      |                       ELSE 0 END) AS BIGINT) AS dhash
+      |       FROM gr WHERE region < 48 GROUP BY doc_id, frame_idx),
+      |ck AS (SELECT doc_id, frame_idx, dhash,
+      |              unnest(generate_series(0, 5)) AS chunk_idx FROM fp),
+      |cb AS (SELECT doc_id, dhash, chunk_idx,
+      |              CAST(floor(dhash / power(2, chunk_idx*8)) AS BIGINT) % 256
+      |                AS chunk_bits FROM ck)
+      |SELECT doc_a, doc_b, min(hamming) AS hamming FROM (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    bit_count(xor(x.dhash, y.dhash)) AS hamming
+      |  FROM cb x JOIN cb y
+      |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
+      |   AND x.doc_id < y.doc_id)
+      |WHERE hamming <= 5
+      |GROUP BY doc_a, doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   val all: Seq[Q] = Seq(
     // Modality mix report: per media type, row count, total payload
@@ -298,6 +358,87 @@ object MultimodalQueries {
         MultimodalOps.encodeMedia(documents(s, d)),
         regions = 49, blockBands = 6, maxHamming = 5),
       Some(s"$nearDupPairsSql\nORDER BY doc_a, doc_b"),
+    ),
+    // AUDIO perceptual near-dup: the same banded dHash machinery over
+    // the raw stand-in sample stream (audio rows carry no container —
+    // decodeContent passes them through whole; the gradient fingerprint
+    // stands in for a chromaprint-style acoustic hash, the
+    // banding/verify plumbing is the real thing). Catches re-delivered
+    // copies of the same stream that byte-level exact dedup already
+    // catches AND near-identical streams (small edits) it cannot.
+    Q(
+      "mm_near_dedup_audio",
+      (s, d) => MultimodalOps.nearDupPairs(
+        MultimodalOps.encodeMedia(documents(s, d)),
+        regions = 49, blockBands = 6, maxHamming = 5, mediaType = "audio"),
+      Some(s"${nearDupPairsSqlFor(1)}\nORDER BY doc_a, doc_b"),
+    ),
+    // VIDEO perceptual near-dup: one dHash PER FRAME (frame count read
+    // from the real GIF image-descriptor blocks; frame k = the k-th
+    // equal slice of the stripped content — the deterministic stand-in
+    // for a codec's frame decode), banded candidates over frame
+    // fingerprints, pair score = MIN pairwise-frame hamming. The min
+    // over verified collisions is exact (the closest frame pair
+    // collides by pigeonhole), and frames are never compared all-pairs.
+    Q(
+      "mm_near_dedup_video",
+      (s, d) => MultimodalOps.nearDupPairsVideo(
+        MultimodalOps.encodeMedia(documents(s, d)),
+        regions = 49, blockBands = 6, maxHamming = 5),
+      Some(videoNearDupSql),
+    ),
+    // Video near-dup pairs turned into dedup CLUSTERS (connected
+    // components, keeper = min doc_id) — the per-modality face of
+    // mm_near_dedup_clusters, same recursive-closure oracle over the
+    // video pairs.
+    Q(
+      "mm_near_dedup_video_clusters",
+      (s, d) => graft.operators.DedupOps.connectedComponents(
+        MultimodalOps.nearDupPairsVideo(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, maxHamming = 5)),
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($videoNearDupSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges)
+              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |FROM nodes n JOIN reach r ON r.u = n.id
+              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+    ),
+    // Index-served AUDIO near-dup pairs: the persisted fingerprint
+    // index built over the audio modality (writeIndex mediaType dial);
+    // exchange-free chunk self-join, same oracle as the corpus-scan
+    // audio face.
+    Q(
+      "mm_index_pairs_audio",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "audiopairs")
+        graft.operators.MediaIndexOps.writeIndex(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, buckets = 8, prefix = pre, mediaType = "audio")
+        graft.operators.MediaIndexOps.nearDupPairs(s, pre, maxHamming = 5)
+      },
+      Some(s"${nearDupPairsSqlFor(1)}\nORDER BY doc_a, doc_b"),
+    ),
+    // Index-served VIDEO near-dup pairs: the index stores ONE
+    // fingerprint ROW PER FRAME (doc_id repeats); the read face is the
+    // same exchange-free chunk self-join with the MIN pairwise-frame
+    // hamming aggregation — bit-equal to the corpus-scan video face,
+    // one oracle for both.
+    Q(
+      "mm_index_pairs_video",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "videopairs")
+        graft.operators.MediaIndexOps.writeIndex(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, buckets = 8, prefix = pre, mediaType = "video")
+        graft.operators.MediaIndexOps.nearDupPairsMin(s, pre, maxHamming = 5)
+      },
+      Some(videoNearDupSql),
     ),
     // The pairs turned into dedup CLUSTERS: connected components over
     // the near-dup graph (label propagation to the fixpoint — the

@@ -760,6 +760,50 @@ object TextQueries {
               |       substr(s, 1, 60) AS head
               |FROM r WHERE step = 20 ORDER BY doc_id""".stripMargin),
     ),
+    // Multi-step BPE vocabulary TRAINING: 8 rounds of count→fuse→recount
+    // over the re-encoded stream (TextOps.bpeTrain) — later rounds see
+    // the tokens earlier rounds created, which the single-step
+    // tx_bpe_merge cannot express. The oracle replays the identical loop
+    // as an UNROLLED CTE chain (the unrolled-Lloyd discipline): per
+    // round, re-tokenize the bracket serialization, take the argmax pair
+    // under the same (count DESC, tok_a, tok_b) tie-break, apply the one
+    // literal replace corpus-wide, and report the post-merge corpus
+    // token count — so a drifted merge choice OR a wrong re-encode in
+    // ANY round hash-mismatches.
+    Q(
+      "tx_bpe_train",
+      (s, d) => TextOps.bpeTrain(documents(s, d), rounds = 8),
+      Some {
+        val rounds = 8
+        val reTok = """regexp_extract_all(s, '\[([^\]]+)\]', 1)"""
+        val roundCtes = (1 to rounds).map { i =>
+          s"""|p$i AS (SELECT tk[bi] AS tok_a, tk[bi+1] AS tok_b
+              |  FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS bi
+              |        FROM (SELECT $reTok AS tk FROM e${i - 1}))),
+              |m$i AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS pair_count
+              |  FROM p$i GROUP BY tok_a, tok_b
+              |  ORDER BY pair_count DESC, tok_a, tok_b LIMIT 1),
+              |e$i AS (SELECT replace(s, '[' || tok_a || '][' || tok_b || ']',
+              |                          '[' || tok_a || tok_b || ']') AS s
+              |  FROM e${i - 1} CROSS JOIN m$i),
+              |n$i AS (SELECT CAST(sum(length(s) - length(replace(s, '[', ''))) AS BIGINT)
+              |          AS n_tokens_after FROM e$i)""".stripMargin
+        }.mkString(",\n")
+        val steps = (1 to rounds).map { i =>
+          s"""SELECT $i AS step, tok_a, tok_b, pair_count,
+             |  (SELECT n_tokens_after FROM n$i) AS n_tokens_after FROM m$i""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH e0 AS (
+           |  SELECT array_to_string(
+           |           list_transform(regexp_extract_all(text, '${TextOps.BpePattern}'),
+           |                          x -> '[' || x || ']'), '') AS s
+           |  FROM documents),
+           |$roundCtes
+           |SELECT * FROM (
+           |$steps
+           |) ORDER BY step""".stripMargin
+      },
+    ),
     // Bigram-LM next-token serving table: for the 20 most frequent
     // bigram-starting unigrams, the argmax continuation and its exact
     // conditional probability (one double division of exact counts).

@@ -86,11 +86,7 @@ object DedupOps {
       col("doc_id"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("h"),
     )
-    val candidates = posts
-      .as("x")
-      .join(posts.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val candidates = Banding.candidateSelfPairs(posts, Seq("h"))
     val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
     candidates
       .join(sized.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "doc_a")
@@ -173,17 +169,7 @@ object DedupOps {
       )
       .localCheckpoint()
     val bandsDf = sets.select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
-    val candidates = bandsDf
-      .as("x")
-      .join(
-        bandsDf.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"),
-      )
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    (sets, candidates)
+    (sets, Banding.candidateSelfPairs(bandsDf, Seq("band_idx", "band_key")))
   }
 
   /** Fuzzy benchmark decontamination — the TWO-TABLE LSH join: corpus
@@ -391,14 +377,7 @@ object DedupOps {
     * (chunk_idx, chunk_bits) — no cross join at any scale.
     */
   def simhashPairs(docs: DataFrame, bits: Int, blockBands: Int, maxHamming: Int): DataFrame = {
-    require(blockBands > maxHamming, "pigeonhole blocking needs bands > maxHamming")
-    // The chunk extraction below is floor-division over doubles — exact
-    // only while the fingerprint fits a double's mantissa — and assumes
-    // the bands tile the fingerprint exactly; enforce both documented
-    // preconditions rather than silently corrupting chunk keys.
-    require(bits <= 52, s"chunk extraction is exact only for bits <= 52 (got $bits)")
-    require(bits % blockBands == 0, s"blockBands ($blockBands) must divide bits ($bits)")
-    val chunkBits = bits / blockBands
+    Banding.requirePigeonhole(blockBands, maxHamming)
     // Fingerprints are the index artifact here: computed once in
     // parallel (the explicit partition count keeps AQE from coalescing
     // the compute-heavy stage) and materialized, so the chunk self-join's
@@ -408,35 +387,9 @@ object DedupOps {
       .repartition(p, col("doc_id"))
       .select(col("doc_id"), HashOps.simhash(col("text"), bits).as("simhash"))
       .localCheckpoint()
-    // chunk c = floor(simhash / 2^(c*chunkBits)) mod 2^chunkBits —
-    // floor-division form (not shifts) so the oracle mirrors it verbatim;
-    // exact in doubles because simhash < 2^bits ≤ 2^52.
-    val chunks = fp.select(
-      col("doc_id"),
-      col("simhash"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(blockBands - 1)),
-          c => floor(col("simhash") / pow(lit(2.0), c * chunkBits)).cast("long") %
-            (1L << chunkBits),
-        ),
-      ).as(Seq("chunk_idx", "chunk_bits")),
-    )
-    chunks
-      .as("x")
-      .join(
-        chunks.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-          col("x.chunk_bits") === col("y.chunk_bits") &&
-          col("x.doc_id") < col("y.doc_id"),
-      )
-      .select(
-        col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"),
-      )
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val chunks = Banding.chunkRows(fp, "simhash", bits, blockBands)
+    Banding
+      .hammingSelfPairs(chunks, Seq("chunk_idx", "chunk_bits"), "simhash", maxHamming)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -634,16 +587,8 @@ object DedupOps {
       col("vec_id"),
       posexplode(col("bks")).as(Seq("band_idx", "bucket")),
     )
-    val candidates = buckets
-      .as("x")
-      .join(
-        buckets.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"),
-      )
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
+    val candidates = Banding.candidateSelfPairs(
+      buckets, Seq("band_idx", "bucket"), "vec_a", "vec_b", idCol = "vec_id")
     candidates
       .join(v.select(col("vec_id").as("vec_a"), col("u").as("u_a")), "vec_a")
       .join(v.select(col("vec_id").as("vec_b"), col("u").as("u_b")), "vec_b")

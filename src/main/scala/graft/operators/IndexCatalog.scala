@@ -14,6 +14,43 @@ import org.apache.spark.sql.functions.col
   */
 private[graft] object IndexCatalog {
 
+  /** The crash-repair presence probe every intent/commit ingest ledger
+    * shares ([[LshIndexOps]], [[MediaIndexOps]], [[SearchIndexOps]]):
+    * "does `table` already hold any of this batch's rows?" — presence
+    * of one row implies the whole batch landed there, because each
+    * table append is a single atomic job commit. The batch's bounded
+    * doc_id list is collected ONCE per repair (lazily — the fresh-batch
+    * fast path never pays it), not once per probed table, and pushed
+    * into each probed scan as an IN-list (bucket pruning + parquet
+    * row-group doc_id stats skip every file but the crashed append's
+    * own); batches above `cap` distinct ids fall back to a distributed
+    * semi-join probe instead of a driver list.
+    */
+  final class PresenceProbe(
+      spark: SparkSession,
+      batch: DataFrame,
+      cap: Int,
+      idCol: String = "doc_id",
+  ) {
+    private lazy val ids: Seq[Long] = batch
+      .select(col(idCol)).distinct().limit(cap + 1)
+      .collect().map(_.getLong(0)).toSeq
+
+    /** True when `table` already holds any of the batch's ids.
+      * Refreshes the relation first — a prior append in this very
+      * repair must be visible to the probe.
+      */
+    def apply(table: String): Boolean = {
+      spark.catalog.refreshTable(table)
+      val t = spark.table(table)
+      if (ids.length <= cap)
+        !t.filter(col(idCol).isin(ids: _*)).limit(1).isEmpty
+      else
+        !t.join(batch.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+          .limit(1).isEmpty
+    }
+  }
+
   /** The stored table's bucket count, or a hard error for tables that
     * are not graft index tables (appending unbucketed data into an
     * index would silently disable every pruned read path).

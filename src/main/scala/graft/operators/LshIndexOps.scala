@@ -77,19 +77,8 @@ object LshIndexOps {
     * (band_idx, band_key) that reads the bucketed artifact on both
     * sides — no exchange, no recompute.
     */
-  def candidatePairs(spark: SparkSession, prefix: String): DataFrame = {
-    val bandsDf = spark.table(s"${prefix}_bands")
-    bandsDf
-      .as("x")
-      .join(
-        bandsDf.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"),
-      )
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-  }
+  def candidatePairs(spark: SparkSession, prefix: String): DataFrame =
+    Banding.candidateSelfPairs(spark.table(s"${prefix}_bands"), Seq("band_idx", "band_key"))
 
   /** Verified near-dup pairs from the stored index: candidates from the
     * band table, exact-Jaccard verify against the stored shingle sets.
@@ -143,26 +132,9 @@ object LshIndexOps {
       threshold: Double,
       maxBucket: Int,
   ): DataFrame = {
-    val bandsDf = spark.table(s"${prefix}_bands")
-    val small = bandsDf.join(
-      bandsDf
-        .groupBy(col("band_idx"), col("band_key"))
-        .agg(count(lit(1)).as("s"))
-        .filter(col("s") <= maxBucket)
-        .select("band_idx", "band_key"),
-      Seq("band_idx", "band_key"),
-    )
-    val candidates = small
-      .as("x")
-      .join(
-        small.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"),
-      )
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifiedPairs(spark, prefix, candidates, threshold)
+    val keys = Seq("band_idx", "band_key")
+    val small = Banding.capSmallBuckets(spark.table(s"${prefix}_bands"), keys, maxBucket)
+    verifiedPairs(spark, prefix, Banding.candidateSelfPairs(small, keys), threshold)
   }
 
   /** Incremental dedup — the reason a pipeline PERSISTS the index: new
@@ -184,15 +156,9 @@ object LshIndexOps {
     val idx = indexFrame(batch, n, k, bands).localCheckpoint()
     val batchBands = idx
       .select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
-    val stored = spark.table(s"${prefix}_bands")
-    val candidates = batchBands
-      .as("x")
-      .join(
-        stored.as("y"),
-        col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key"),
-      )
-      .select(col("x.doc_id").as("new_doc_id"), col("y.doc_id").as("dup_of"))
-      .distinct()
+    val candidates = Banding.candidatePairs(
+      batchBands, spark.table(s"${prefix}_bands"),
+      Seq("band_idx", "band_key"), "new_doc_id", "dup_of")
     val storedSets = spark.table(s"${prefix}_docs")
     val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
     candidates
@@ -351,32 +317,21 @@ object LshIndexOps {
           (c.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - c)).as("jaccard"),
         )
         .filter(col("jaccard") >= threshold)
+    val keys = Seq("band_idx", "band_key")
     val vsIndex = verified(
-      batchBands
-        .as("x")
-        .join(
-          spark.table(s"${prefix}_bands").as("y"),
-          col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
-            // A replayed batch (failure after the append committed but
-            // before the streaming checkpoint) finds its own keepers in
-            // the stored bands; without this guard each collides with
-            // itself and comes back as a false (doc, doc, 1.0) dup row.
-            col("x.doc_id") =!= col("y.doc_id"),
-        )
-        .select(col("x.doc_id").as("new_doc_id"), col("y.doc_id").as("dup_of"))
-        .distinct(),
+      Banding.candidatePairs(
+        batchBands, spark.table(s"${prefix}_bands"), keys, "new_doc_id", "dup_of",
+        // A replayed batch (failure after the append committed but
+        // before the streaming checkpoint) finds its own keepers in
+        // the stored bands; without this guard each collides with
+        // itself and comes back as a false (doc, doc, 1.0) dup row.
+        docPred = Some(col("x.doc_id") =!= col("y.doc_id"))),
       spark.table(s"${prefix}_docs").select(col("doc_id").as("dup_of"), col("sh").as("sh_b")),
     )
     val withinBatch = verified(
-      batchBands
-        .as("x")
-        .join(
-          batchBands.as("y"),
-          col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
-            col("y.doc_id") < col("x.doc_id"),
-        )
-        .select(col("x.doc_id").as("new_doc_id"), col("y.doc_id").as("dup_of"))
-        .distinct(),
+      Banding.candidatePairs(
+        batchBands, batchBands, keys, "new_doc_id", "dup_of",
+        docPred = Some(col("y.doc_id") < col("x.doc_id"))),
       idx.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")),
     )
     val dups = vsIndex.unionByName(withinBatch).localCheckpoint()
@@ -436,17 +391,10 @@ object LshIndexOps {
       spark.sql(s"INSERT INTO $ledger VALUES ($batchKey, 'intent')")
       spark.catalog.refreshTable(ledger)
     }
-    def present(table: String): Boolean = {
-      spark.catalog.refreshTable(s"${prefix}_$table")
-      val t = spark.table(s"${prefix}_$table")
-      val ids = kept.select(col("doc_id")).distinct().limit(ProbeIdCap + 1)
-        .collect().map(_.getLong(0)).toSeq
-      if (ids.length <= ProbeIdCap)
-        !t.filter(col("doc_id").isin(ids: _*)).limit(1).isEmpty
-      else
-        !t.join(kept.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-          .limit(1).isEmpty
-    }
+    // One kept-id collect per REPAIR, shared by both table probes
+    // (lazy inside the probe — the fast path never pays it).
+    val probe = new IndexCatalog.PresenceProbe(spark, kept, ProbeIdCap)
+    def present(table: String): Boolean = probe(s"${prefix}_$table")
     if (!repairing || !present("bands")) {
       kept
         .select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))

@@ -29,28 +29,37 @@ import org.apache.spark.sql.functions._
   */
 object MediaIndexOps {
 
-  /** Fingerprint frame over the IMAGE rows of a media frame:
+  /** Fingerprint frame over one modality of a media frame:
     * (doc_id, dhash, chunks) — decode content from the real container
     * bytes, one [[graft.expressions.DHash]] pass, pigeonhole chunks by
     * the floor-division extraction [[MultimodalOps.nearDupPairs]]
     * documents (bits = regions−1 ≤ 52 keeps it exact in doubles).
+    * `image`/`audio` rows carry one fingerprint per item; `video` rows
+    * carry ONE ROW PER FRAME ([[MultimodalOps.videoFrameFingerprints]])
+    * — the doc_id repeats, the membership/anti-join semantics on
+    * doc_id are unchanged, and the pair read face aggregates the MIN
+    * pairwise-frame hamming ([[nearDupPairsMin]]).
     */
-  private def fpFrame(media: DataFrame, regions: Int, blockBands: Int): DataFrame = {
+  private def fpFrame(
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      mediaType: String = "image",
+  ): DataFrame = {
     val bits = regions - 1
-    require(bits <= 52 && bits % blockBands == 0, "chunk layout must tile the fingerprint")
-    val chunkBits = bits / blockBands
-    MultimodalOps.decodeContent(media)
-      .filter(col("media_type") === "image")
-      .select(col("doc_id"), graft.expressions.DHash(col("content"), regions).as("dhash"))
-      .select(
-        col("doc_id"),
-        col("dhash"),
-        transform(
-          sequence(lit(0), lit(blockBands - 1)),
-          c => floor(col("dhash") / pow(lit(2.0), c * chunkBits)).cast("long") %
-            (1L << chunkBits),
-        ).as("chunks"),
-      )
+    val fp =
+      if (mediaType == "video")
+        MultimodalOps.videoFrameFingerprints(media, regions)
+          .select(col("doc_id"), col("dhash"))
+      else
+        MultimodalOps.decodeContent(media)
+          .filter(col("media_type") === mediaType)
+          .select(col("doc_id"), graft.expressions.DHash(col("content"), regions).as("dhash"))
+    fp.select(
+      col("doc_id"),
+      col("dhash"),
+      Banding.chunksCol(col("dhash"), bits, blockBands).as("chunks"),
+    )
   }
 
   private def chunkRows(fp: DataFrame): DataFrame =
@@ -69,6 +78,7 @@ object MediaIndexOps {
       blockBands: Int,
       buckets: Int,
       prefix: String,
+      mediaType: String = "image",
   ): Unit = {
     // A rebuilt index is a fresh artifact — a stale ingest ledger
     // would make [[dedupBatchAndGrow]] skip legitimate batches of the
@@ -76,7 +86,7 @@ object MediaIndexOps {
     media.sparkSession.sql(s"DROP TABLE IF EXISTS ${prefix}_batches")
     // Materialize before the two table writes — each saveAsTable is
     // its own action, and the decode+fingerprint pass must run once.
-    val fp = fpFrame(media, regions, blockBands).localCheckpoint()
+    val fp = fpFrame(media, regions, blockBands, mediaType).localCheckpoint()
     fp.select(col("doc_id"), col("dhash"))
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
@@ -95,24 +105,25 @@ object MediaIndexOps {
     * from (MediaIndexSpec asserts equality; the registry query shares
     * the pairs oracle).
     */
-  def nearDupPairs(spark: SparkSession, prefix: String, maxHamming: Int): DataFrame = {
-    val ch = spark.table(s"${prefix}_chunks")
-    ch.as("x")
-      .join(
-        ch.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-          col("x.chunk_bits") === col("y.chunk_bits") &&
-          col("x.doc_id") < col("y.doc_id"),
-      )
-      .select(
-        col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
-      )
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+  def nearDupPairs(spark: SparkSession, prefix: String, maxHamming: Int): DataFrame =
+    Banding
+      .hammingSelfPairs(
+        spark.table(s"${prefix}_chunks"), Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** The pair read face for a PER-FRAME index (video: several
+    * fingerprint rows per doc_id): same exchange-free chunk self-join,
+    * pair score = MIN pairwise-frame hamming — exact by the pigeonhole
+    * argument [[MultimodalOps.nearDupPairsVideo]] documents. Output is
+    * identical to that operator on the corpus the index was built from.
+    */
+  def nearDupPairsMin(spark: SparkSession, prefix: String, maxHamming: Int): DataFrame =
+    Banding
+      .hammingSelfPairs(
+        spark.table(s"${prefix}_chunks"), Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy("doc_a", "doc_b")
 
   /** The skew STOP-KEY dial on the fingerprint banding (the
     * [[LshIndexOps.nearDupPairsCapped]] policy): chunk buckets holding
@@ -133,28 +144,10 @@ object MediaIndexOps {
       maxHamming: Int,
       maxBucket: Int,
   ): DataFrame = {
-    val ch = spark.table(s"${prefix}_chunks")
-    val small = ch.join(
-      ch.groupBy(col("chunk_idx"), col("chunk_bits"))
-        .agg(count(lit(1)).as("s"))
-        .filter(col("s") <= maxBucket)
-        .select("chunk_idx", "chunk_bits"),
-      Seq("chunk_idx", "chunk_bits"),
-    )
-    small.as("x")
-      .join(
-        small.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-          col("x.chunk_bits") === col("y.chunk_bits") &&
-          col("x.doc_id") < col("y.doc_id"),
-      )
-      .select(
-        col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
-      )
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val keys = Seq("chunk_idx", "chunk_bits")
+    val small = Banding.capSmallBuckets(spark.table(s"${prefix}_chunks"), keys, maxBucket)
+    Banding
+      .hammingSelfPairs(small, keys, "dhash", maxHamming)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -172,21 +165,13 @@ object MediaIndexOps {
       regions: Int,
       blockBands: Int,
       maxHamming: Int,
+      mediaType: String = "image",
   ): DataFrame = {
-    val idx = fpFrame(batch, regions, blockBands).localCheckpoint()
-    chunkRows(idx).as("x")
-      .join(
-        spark.table(s"${prefix}_chunks").as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-          col("x.chunk_bits") === col("y.chunk_bits"),
-      )
-      .select(
-        col("x.doc_id").as("new_doc_id"),
-        col("y.doc_id").as("dup_of"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
-      )
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val idx = fpFrame(batch, regions, blockBands, mediaType).localCheckpoint()
+    Banding
+      .hammingPairs(
+        chunkRows(idx), spark.table(s"${prefix}_chunks"),
+        Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming, "new_doc_id", "dup_of")
       .orderBy("new_doc_id", "dup_of")
   }
 
@@ -211,23 +196,14 @@ object MediaIndexOps {
       buckets: Int,
       maxHamming: Int,
       crashAfter: String = "",
+      mediaType: String = "image",
   ): DataFrame = {
-    val idx = fpFrame(batch, regions, blockBands).localCheckpoint()
+    val idx = fpFrame(batch, regions, blockBands, mediaType).localCheckpoint()
     val batchChunks = chunkRows(idx)
     def verified(x: DataFrame, y: DataFrame, extra: org.apache.spark.sql.Column) =
-      x.as("x")
-        .join(
-          y.as("y"),
-          col("x.chunk_idx") === col("y.chunk_idx") &&
-            col("x.chunk_bits") === col("y.chunk_bits") && extra,
-        )
-        .select(
-          col("x.doc_id").as("new_doc_id"),
-          col("y.doc_id").as("dup_of"),
-          bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
-        )
-        .distinct()
-        .filter(col("hamming") <= maxHamming)
+      Banding.hammingPairs(
+        x, y, Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming,
+        "new_doc_id", "dup_of", docPred = Some(extra))
     val vsIndex = verified(
       batchChunks,
       spark.table(s"${prefix}_chunks"),
@@ -283,17 +259,10 @@ object MediaIndexOps {
       spark.sql(s"INSERT INTO $ledger VALUES ($batchKey, 'intent')")
       spark.catalog.refreshTable(ledger)
     }
-    def present(table: String): Boolean = {
-      spark.catalog.refreshTable(s"${prefix}_$table")
-      val t = spark.table(s"${prefix}_$table")
-      val ids = kept.select(col("doc_id")).distinct().limit(ProbeIdCap + 1)
-        .collect().map(_.getLong(0)).toSeq
-      if (ids.length <= ProbeIdCap)
-        !t.filter(col("doc_id").isin(ids: _*)).limit(1).isEmpty
-      else
-        !t.join(kept.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-          .limit(1).isEmpty
-    }
+    // One kept-id collect per REPAIR, shared by both table probes
+    // (lazy inside the probe — the fast path never pays it).
+    val probe = new IndexCatalog.PresenceProbe(spark, kept, ProbeIdCap)
+    def present(table: String): Boolean = probe(s"${prefix}_$table")
     if (!repairing || !present("chunks")) {
       chunkRows(kept)
         .write.mode("append")
@@ -332,13 +301,16 @@ object MediaIndexOps {
       maxHamming: Int,
       checkpoint: String,
       onDups: (DataFrame, Long) => Unit,
+      mediaType: String = "image",
   ): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onDups(
-          dedupBatchAndGrow(spark, prefix, batch, regions, blockBands, buckets, maxHamming),
+          dedupBatchAndGrow(
+            spark, prefix, batch, regions, blockBands, buckets, maxHamming,
+            mediaType = mediaType),
           batchId)
       }
       .start()

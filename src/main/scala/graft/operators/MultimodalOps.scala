@@ -376,29 +376,57 @@ object MultimodalOps {
     * character and scrambles the fingerprint — so the oracle's
     * independent content prediction hash-checks the parse.
     */
-  def decodeContent(media: DataFrame): DataFrame = {
-    val p = col("payload")
-    val isPng = octet_length(p) >= 33 && substring(p, 1, 8) === unhex(lit("89504E470D0A1A0A"))
-    val isJfif = octet_length(p) >= 39 && substring(p, 1, 4) === unhex(lit("FFD8FFE0")) &&
-      substring(p, 21, 2) === unhex(lit("FFC0"))
-    val isGif = octet_length(p) >= 14 && substring(p, 1, 6) === unhex(lit("474946383961"))
-    // Frame count read from the real frame blocks — the
-    // [[decodeHeaderMeta]] counting idiom over the same byte layout.
+  /** Frame count of a stand-in GIF payload, read from the REAL frame
+    * blocks — the [[decodeHeaderMeta]] counting idiom over the same
+    * byte layout (0 for non-GIF payloads' hex never matching).
+    */
+  private def gifFrameCount(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val hx = hex(p)
     val gifFrameHex = concat(
       lit("21F904000A000000"), lit("2C00000000"),
       hex(substring(p, 7, 2)), hex(substring(p, 9, 2)), lit("0008010000"))
-    val gifFrames =
-      ((length(hx) - length(replace(hx, gifFrameHex, lit("")))) / length(gifFrameHex)).cast("int")
-    val hdrLen = when(isPng, lit(33))
+    ((length(hx) - length(replace(hx, gifFrameHex, lit("")))) / length(gifFrameHex)).cast("int")
+  }
+
+  /** Container header length parsed from the payload bytes — the strip
+    * offset [[decodeContent]] and [[videoContent]] share.
+    */
+  private def containerHdrLen(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val isPng = octet_length(p) >= 33 && substring(p, 1, 8) === unhex(lit("89504E470D0A1A0A"))
+    val isJfif = octet_length(p) >= 39 && substring(p, 1, 4) === unhex(lit("FFD8FFE0")) &&
+      substring(p, 21, 2) === unhex(lit("FFC0"))
+    val isGif = octet_length(p) >= 14 && substring(p, 1, 6) === unhex(lit("474946383961"))
+    when(isPng, lit(33))
       .when(isJfif, lit(39))
-      .when(isGif, lit(14) + gifFrames * 22)
+      .when(isGif, lit(14) + gifFrameCount(p) * 22)
       .otherwise(lit(0))
+  }
+
+  def decodeContent(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val hdrLen = containerHdrLen(p)
     media.select(
       col("doc_id"),
       col("media_type"),
       p.substr(hdrLen + 1, octet_length(p) - hdrLen).cast("string").as("content"),
     )
+  }
+
+  /** Video rows → `(doc_id, n_frames, content)`: the frame count comes
+    * from the REAL image-descriptor blocks in the container bytes (not
+    * a formula), content is the decoded stream after the container
+    * strip. The per-frame face of the decode stage.
+    */
+  private[graft] def videoContent(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val hdrLen = containerHdrLen(p)
+    media
+      .filter(col("media_type") === "video")
+      .select(
+        col("doc_id"),
+        gifFrameCount(p).cast("long").as("n_frames"),
+        p.substr(hdrLen + 1, octet_length(p) - hdrLen).cast("string").as("content"),
+      )
   }
 
   /** Perceptual (near-dup) image dedup — the pass [[MultimodalOps]]'
@@ -420,48 +448,91 @@ object MultimodalOps {
       regions: Int,
       blockBands: Int,
       maxHamming: Int,
+  ): DataFrame = nearDupPairs(media, regions, blockBands, maxHamming, mediaType = "image")
+
+  /** [[nearDupPairs]] for any single-stream modality: `image` rows
+    * fingerprint the container-stripped content, `audio` rows the raw
+    * stand-in sample stream [[decodeContent]] passes through whole (the
+    * dHash gradient over the decoded stream stands in for a
+    * chromaprint-style acoustic fingerprint — the banding/verify
+    * machinery is the real thing either way). Video is per-frame —
+    * [[nearDupPairsVideo]].
+    */
+  def nearDupPairs(
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+      mediaType: String,
   ): DataFrame = {
     val bits = regions - 1
-    require(blockBands > maxHamming, "pigeonhole blocking needs bands > maxHamming")
-    require(bits <= 52, s"chunk extraction is exact only for bits <= 52 (got $bits)")
-    require(bits % blockBands == 0, s"blockBands ($blockBands) must divide bits ($bits)")
-    val chunkBits = bits / blockBands
+    Banding.requirePigeonhole(blockBands, maxHamming)
     // Fingerprints are computed ONCE (decode + one content pass per
     // row) and materialized; the chunk self-join reads stored
     // fingerprints instead of re-decoding the corpus twice.
     val fp = decodeContent(media)
-      .filter(col("media_type") === "image")
+      .filter(col("media_type") === mediaType)
       .select(col("doc_id"), graft.expressions.DHash(col("content"), regions).as("dhash"))
       .localCheckpoint()
-    // chunk c = floor(dhash / 2^(c*chunkBits)) mod 2^chunkBits —
-    // floor-division form so the oracle mirrors it; exact in doubles
-    // because dhash < 2^bits ≤ 2^52.
-    val chunks = fp.select(
+    val chunks = Banding.chunkRows(fp, "dhash", bits, blockBands)
+    Banding
+      .hammingSelfPairs(chunks, Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-frame perceptual fingerprints for video rows,
+    * `(doc_id, frame_idx, dhash)`: frame k's decoded content is the
+    * k-th of n_frames equal floor(L/F)-char slices of the
+    * container-stripped stream — the deterministic stand-in for a
+    * codec's frame decode (codecs don't ship in this environment); the
+    * Spark-side shape (frame explode → one fingerprint per frame, all
+    * row-local column algebra) is the real pipeline. The frame count is
+    * parsed from the real container blocks ([[videoContent]]). Videos
+    * shorter than their frame count would yield empty slices; their
+    * frames are degenerate (dhash 0) but deterministic and
+    * oracle-mirrored.
+    */
+  def videoFrameFingerprints(media: DataFrame, regions: Int): DataFrame = {
+    val v = videoContent(media).filter(col("n_frames") > 0)
+    v.select(
       col("doc_id"),
-      col("dhash"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(blockBands - 1)),
-          c => floor(col("dhash") / pow(lit(2.0), c * chunkBits)).cast("long") %
-            (1L << chunkBits),
-        ),
-      ).as(Seq("chunk_idx", "chunk_bits")),
+      col("content"),
+      floor(length(col("content")) / col("n_frames")).cast("int").as("flen"),
+      explode(sequence(lit(0), (col("n_frames") - 1).cast("int"))).as("frame_idx"),
+    ).select(
+      col("doc_id"),
+      col("frame_idx"),
+      graft.expressions.DHash(
+        col("content").substr(col("frame_idx") * col("flen") + lit(1), col("flen")),
+        regions,
+      ).as("dhash"),
     )
-    chunks
-      .as("x")
-      .join(
-        chunks.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-          col("x.chunk_bits") === col("y.chunk_bits") &&
-          col("x.doc_id") < col("y.doc_id"),
-      )
-      .select(
-        col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
-      )
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Video near-dup pairs: per-frame pigeonhole banding with the inline
+    * hamming verify, scored by the MIN pairwise-frame hamming — the
+    * standard video-dedup reduction (two videos match when any frame of
+    * one sits within `maxHamming` of any frame of the other). The min
+    * over VERIFIED collisions is exact, not approximate: if the true
+    * closest frame pair is within `maxHamming`, pigeonhole guarantees
+    * that very pair collides on ≥1 chunk, so it is present in the
+    * aggregation and no smaller value exists. Candidates remain a pure
+    * banded equi-join — frames never all-pairs across the corpus.
+    */
+  def nearDupPairsVideo(
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+  ): DataFrame = {
+    val bits = regions - 1
+    Banding.requirePigeonhole(blockBands, maxHamming)
+    val fp = videoFrameFingerprints(media, regions).localCheckpoint()
+    val chunks = Banding.chunkRows(fp, "dhash", bits, blockBands)
+    Banding
+      .hammingSelfPairs(chunks, Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -282,25 +282,16 @@ object SearchIndexOps {
       spark: SparkSession,
       prefix: String,
       table: String,
-      fresh: DataFrame,
+      probe: IndexCatalog.PresenceProbe,
       batchKey: Long,
-  ): Boolean = {
-    spark.catalog.refreshTable(s"${prefix}_$table")
-    val t = spark.table(s"${prefix}_$table")
+  ): Boolean =
     table match {
       case "lexicon" | "meta" =>
-        !t.filter(col("batch_key") === batchKey).limit(1).isEmpty
-      case _ =>
-        val ids = fresh
-          .select(col("doc_id")).distinct().limit(GuardIdCap + 1)
-          .collect().map(_.getLong(0)).toSeq
-        if (ids.length <= GuardIdCap)
-          !t.filter(col("doc_id").isin(ids: _*)).limit(1).isEmpty
-        else
-          !t.join(fresh.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-            .limit(1).isEmpty
+        spark.catalog.refreshTable(s"${prefix}_$table")
+        !spark.table(s"${prefix}_$table")
+          .filter(col("batch_key") === batchKey).limit(1).isEmpty
+      case _ => probe(s"${prefix}_$table")
     }
-  }
 
   /** One replay-safe, crash-repairable ingest step.
     *
@@ -357,9 +348,12 @@ object SearchIndexOps {
       spark.catalog.refreshTable(ledger)
     }
     val buckets = IndexCatalog.tableBuckets(spark, s"${prefix}_postings")
+    // One fresh-id collect per REPAIR, shared by every table probe
+    // (lazy inside the probe — the fast path never pays it).
+    val probe = new IndexCatalog.PresenceProbe(spark, fresh, GuardIdCap)
     tableAppends(fresh, buckets, prefix, org.apache.spark.sql.SaveMode.Append, bk)
       .foreach { case (t, run) =>
-        if (!repairing || !batchPresent(spark, prefix, t, fresh, bk)) {
+        if (!repairing || !batchPresent(spark, prefix, t, probe, bk)) {
           run()
           spark.catalog.refreshTable(s"${prefix}_$t")
         }

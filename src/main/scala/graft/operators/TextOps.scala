@@ -527,20 +527,90 @@ object TextOps {
   def bpeMergeStep(docs: DataFrame, k: Int): DataFrame = {
     val t = bpeTokens(col("text"))
     docs
-      .select(
-        explode(
-          zip_with(
-            slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-            slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-            (a, b) => struct(a.as("tok_a"), b.as("tok_b")),
-          ),
-        ).as("p"),
-      )
+      .select(explode(adjacentPairs(t)).as("p"))
       .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
       .groupBy(col("tok_a"), col("tok_b"))
       .agg(count(lit(1)).as("pair_count"))
       .orderBy(col("pair_count").desc, col("tok_a"), col("tok_b"))
       .limit(k)
+  }
+
+  /** Adjacent `(tok_a, tok_b)` structs from a token array — the array
+    * zipped with its own tail. Row-local column algebra, codegen'd; the
+    * corpus is never exploded more than once per consumer.
+    */
+  private def adjacentPairs(t: Column): Column =
+    zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => struct(a.as("tok_a"), b.as("tok_b")),
+    )
+
+  /** Re-parse the bracket-serialized token stream `[tok][tok]…` back
+    * into its token array (the inverse of [[bpeEncode]]'s wrapping; the
+    * alphabet is bracket-free by construction, so the split is exact).
+    */
+  private def bracketTokens(s: Column): Column =
+    regexp_extract_all(s, lit("\\[([^\\]]+)\\]"), lit(1))
+
+  /** Multi-step BPE vocabulary TRAINING — the real tokenizer-build loop
+    * that [[bpeMergeStep]] is one step of: `rounds` iterations of
+    * (count adjacent pairs over the CURRENT encoded stream → fuse the
+    * argmax pair corpus-wide → recount). Later rounds see the tokens
+    * earlier rounds created — that is how multi-character vocabulary
+    * entries grow — which the single-step top-k table cannot express
+    * (its counts ignore earlier merges' effect on the stream).
+    *
+    * Per round: one distributed pair-count aggregate (map-side
+    * combine), ONE 1-row driver read (the argmax merge — vocabulary
+    * metadata, the same bounded scalar read as the clustering
+    * convergence checks), one corpus-wide literal `replace` over the
+    * bracket-serialized stream ([[bpeEncode]]'s engine-portable greedy
+    * left-to-right pass), and a localCheckpoint so round i+1 reads
+    * materialized round-i output instead of an ever-growing replace
+    * chain. Driver state after k rounds is k merge rows. Ties in the
+    * argmax break on (pair_count DESC, tok_a, tok_b) so the trained
+    * table is deterministic and the oracle replays it verbatim as an
+    * unrolled CTE chain (the unrolled-Lloyd discipline).
+    *
+    * Returns `(step, tok_a, tok_b, pair_count, n_tokens_after)` in
+    * training order — the merge table plus the post-merge corpus token
+    * count, i.e. the training curve a tokenizer build reports.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds > 0, "bpeTrain needs at least one round")
+    val spark = docs.sparkSession
+    val t0 = bpeTokens(col("text"))
+    var enc = docs
+      .select(array_join(transform(t0, tk => concat(lit("["), tk, lit("]"))), "").as("s"))
+      .localCheckpoint()
+    val rows = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (step <- 1 to rounds) {
+      val best = enc
+        .select(explode(adjacentPairs(bracketTokens(col("s")))).as("p"))
+        .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+        .groupBy(col("tok_a"), col("tok_b"))
+        .agg(count(lit(1)).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("tok_a"), col("tok_b"))
+        .limit(1)
+        .collect()
+      require(best.nonEmpty, s"BPE training round $step found no adjacent pairs")
+      val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      require(
+        !s"$a$b".exists(c => c == '[' || c == ']'),
+        "bracket-delimited BPE training requires a bracket-free token alphabet",
+      )
+      enc = enc
+        .select(replace(col("s"), lit(s"[$a][$b]"), lit(s"[$a$b]")).as("s"))
+        .localCheckpoint()
+      val nAfter = enc
+        .agg(sum((length(col("s")) - length(replace(col("s"), lit("[")))).cast("long")))
+        .head().getLong(0)
+      rows += ((step, a, b, cnt, nAfter))
+    }
+    import spark.implicits._
+    rows.result().toDF("step", "tok_a", "tok_b", "pair_count", "n_tokens_after")
+      .orderBy("step")
   }
 
   /** Unigram language-model scoring — the perplexity-proxy quality

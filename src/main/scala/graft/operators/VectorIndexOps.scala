@@ -261,17 +261,9 @@ object VectorIndexOps {
     // (VectorIndexSpec pins the plan).
     val assigned = assignedProjection(batch, cb).localCheckpoint()
     val bk = batchKeyOf(assigned)
-    def vectorsPresent: Boolean = {
-      spark.catalog.refreshTable(s"${prefix}_vectors")
-      val t = spark.table(s"${prefix}_vectors")
-      val ids = assigned.select(col("vec_id")).distinct().limit(ProbeIdCap + 1)
-        .collect().map(_.getLong(0)).toSeq
-      if (ids.length <= ProbeIdCap)
-        !t.filter(col("vec_id").isin(ids: _*)).limit(1).isEmpty
-      else
-        !t.join(assigned.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
-          .limit(1).isEmpty
-    }
+    def vectorsPresent: Boolean =
+      new IndexCatalog.PresenceProbe(spark, assigned, ProbeIdCap, idCol = "vec_id")(
+        s"${prefix}_vectors")
     if (!repairing || !vectorsPresent) {
       assigned
         .write.mode("append")

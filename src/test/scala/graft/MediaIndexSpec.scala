@@ -31,6 +31,32 @@ class MediaIndexSpec extends SparkSpec {
     assert(fromIndex.exceptAll(direct).isEmpty && direct.exceptAll(fromIndex).isEmpty)
   }
 
+  test("audio and video index faces equal their corpus-scan operators") {
+    val audioPre = "mediaixaud"
+    val videoPre = "mediaixvid"
+    Seq(audioPre, videoPre).foreach(p =>
+      Seq(s"${p}_fps", s"${p}_chunks").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")))
+    MediaIndexOps.writeIndex(
+      media(), Regions, Bands, buckets = 4, prefix = audioPre, mediaType = "audio")
+    MediaIndexOps.writeIndex(
+      media(), Regions, Bands, buckets = 4, prefix = videoPre, mediaType = "video")
+    val audioIdx = MediaIndexOps.nearDupPairs(spark, audioPre, MaxHamming)
+    val audioDirect = MultimodalOps.nearDupPairs(media(), Regions, Bands, MaxHamming, "audio")
+    assert(audioIdx.count() > 0)
+    assert(audioIdx.exceptAll(audioDirect).isEmpty && audioDirect.exceptAll(audioIdx).isEmpty)
+    // Video: one fingerprint row per frame in the store; the min-agg
+    // read face must reproduce the corpus-scan min pairwise-frame
+    // hamming exactly.
+    val videoIdx = MediaIndexOps.nearDupPairsMin(spark, videoPre, MaxHamming)
+    val videoDirect = MultimodalOps.nearDupPairsVideo(media(), Regions, Bands, MaxHamming)
+    assert(videoIdx.count() > 0)
+    assert(videoIdx.exceptAll(videoDirect).isEmpty && videoDirect.exceptAll(videoIdx).isEmpty)
+    // Frame rows really are per-frame: strictly more fingerprint rows
+    // than distinct videos.
+    val fps = spark.table(s"${videoPre}_fps")
+    assert(fps.count() > fps.select("doc_id").distinct().count())
+  }
+
   test("the candidate self-join over the bucketed chunk table is exchange-free") {
     buildOnce()
     val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

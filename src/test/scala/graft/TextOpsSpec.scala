@@ -197,6 +197,55 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.bpeMergeStep(degenerate, k = 5).count() == 0)
   }
 
+  test("bpeTrain matches a straight-line reference trainer round for round") {
+    // Crafted so merges CASCADE: round 1 fuses (aa,bb) → aabb, later
+    // rounds can fuse tokens earlier rounds created — the semantics
+    // tx_bpe_merge's single-step counts cannot express.
+    val texts = Seq(
+      "aa bb aa bb cc dd",
+      "aa bb aa bb aa",
+      "xx yy xx yy xx yy zz",
+      "aa bb cc dd",
+    )
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rounds = 5
+    val out = TextOps.bpeTrain(docs, rounds)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+
+    val pat = TextOps.BpePattern.r
+    var streams = texts.map(t => pat.findAllIn(t).toVector)
+    val ref = scala.collection.mutable.Buffer[(Int, String, String, Long, Long)]()
+    for (step <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      streams.foreach(s => s.iterator.zip(s.iterator.drop(1)).foreach(p => counts(p) += 1))
+      val ((a, b), c) = counts.toSeq.minBy { case ((ta, tb), n) => (-n, ta, tb) }
+      // Greedy left-to-right non-overlapping fuse — what the bracket
+      // string replace does per document.
+      streams = streams.map { s =>
+        val fused = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { fused += a + b; i += 2 }
+          else { fused += s(i); i += 1 }
+        }
+        fused.toVector
+      }
+      ref += ((step, a, b, c, streams.map(_.length.toLong).sum))
+    }
+    assert(out == ref.toSeq)
+    // The cascade actually happened: some later merge consumes a token
+    // an EARLIER merge produced (multi-character growth) — otherwise
+    // the corpus doesn't exercise what separates training from the
+    // single-step count.
+    val produced = scala.collection.mutable.Set[String]()
+    var cascaded = false
+    out.foreach { case (_, a, b, _, _) =>
+      if (produced.contains(a) || produced.contains(b)) cascaded = true
+      produced += (a + b)
+    }
+    assert(cascaded)
+  }
+
   test("removeBoilerplate drops corpus-repeated segments and reassembles docs in order") {
     // width=2 segments: "the footer" appears in all 3 docs (> maxReps=2)
     // → dropped everywhere; unique segments survive in position order.
