@@ -589,11 +589,117 @@ object SimilarityQueries {
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** JL projection layout: 64 input dims → 16 output dims. */
+  private val RpInDim = 64
+  private val RpOutDim = 16
+
+  /** The projected vector as unrolled DuckDB arithmetic — same signs,
+    * same left-to-right add order as `SimilarityOps.randomProject`.
+    */
+  private def rpListSql(e: String): String =
+    (0 until RpOutDim).map { i =>
+      (0 until RpInDim).map { j =>
+        val pos = SimilarityOps.rpSign(i, j, RpInDim) > 0
+        if (j == 0) (if (pos) "" else "-") + s"$e[${j + 1}]"
+        else (if (pos) " + " else " - ") + s"$e[${j + 1}]"
+      }.mkString
+    }.mkString("[", ",\n   ", "]")
+
   val all: Seq[Q] = Seq(
     Q(
       "sim_topk_exact",
       (s, d) => SimilarityOps.bruteForceTopK(embeddings(s, d), col("vec_id") < 10, TopK),
       Some(topkSql("", TopK)),
+    ),
+    // JL sign random projection 64→16 — the per-vector projected values
+    // hash-pinned: three sampled output dims plus the ordered fold over
+    // all 16 (any sign or order drift in ANY matrix entry mismatches).
+    Q(
+      "sim_random_projection",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        SimilarityOps.randomProject(embeddings(s, d), RpInDim, RpOutDim)
+          .select(
+            col("vec_id"),
+            col("embedding").getItem(0).as("y0"),
+            col("embedding").getItem(7).as("y7"),
+            col("embedding").getItem(15).as("y15"),
+            aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x).as("y_sum"),
+          )
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |pv AS (SELECT vec_id, ${rpListSql("e")} AS p FROM v)
+              |SELECT vec_id, p[1] AS y0, p[8] AS y7, p[16] AS y15,
+              |  list_reduce(list_prepend(0.0, p), (ra, rb) -> ra + rb) AS y_sum
+              |FROM pv ORDER BY vec_id""".stripMargin),
+    ),
+    // Cosine DISTORTION of the projection — the scoreboard that
+    // measures what the JL lemma actually claims (pairwise geometry
+    // preserved within ±ε), per query over every corpus pair: mean
+    // (fixed-point sum — order-independent) and max |projected cosine −
+    // full cosine|. Top-k RECALL is deliberately not the metric here:
+    // on a near-orthogonal corpus the true top-k are decided by
+    // hair-thin cosine margins ≪ ε, so rank agreement is ~0 for ANY
+    // distance-preserving sketch while the distortion stays exactly at
+    // the JL bound — this table reports the honest number.
+    Q(
+      "sim_rp_distortion",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        def pairs(df: org.apache.spark.sql.DataFrame, cosName: String) = {
+          val v = df.select(col("vec_id"), SimilarityOps.unitNorm(col("embedding")).as("u"))
+          broadcast(
+            v.filter(col("vec_id") < 10)
+              .select(col("vec_id").as("query_id"), col("u").as("qu")))
+            .join(v, col("query_id") =!= col("vec_id"))
+            .select(
+              col("query_id"),
+              col("vec_id").as("neighbor_id"),
+              SimilarityOps.dot(col("qu"), col("u")).as(cosName),
+            )
+        }
+        val e = embeddings(s, d)
+        pairs(e, "cf")
+          .join(
+            pairs(SimilarityOps.randomProject(e, RpInDim, RpOutDim), "cp"),
+            Seq("query_id", "neighbor_id"))
+          .select(col("query_id"), abs(col("cf") - col("cp")).as("ad"))
+          .groupBy(col("query_id"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(floor(col("ad") * lit(1048576.0)).cast("long")).as("fp"),
+            max(col("ad")).as("max_abs_diff"),
+          )
+          .select(
+            col("query_id"),
+            col("n_pairs"),
+            (col("fp").cast("double") / (col("n_pairs").cast("double") * lit(1048576.0)))
+              .as("mean_abs_diff"),
+            col("max_abs_diff"),
+          )
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |n AS (SELECT vec_id, ${unitNorm("e")} AS u FROM v),
+           |fp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         ${dot("q.u", "c.u")} AS cf
+           |       FROM n q JOIN n c ON q.$QueryPred AND q.vec_id <> c.vec_id),
+           |pv AS (SELECT vec_id, ${rpListSql("e")} AS e2 FROM v),
+           |n2 AS (SELECT vec_id, ${unitNorm("e2")} AS u FROM pv),
+           |pp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         ${dot("q.u", "c.u")} AS cp
+           |       FROM n2 q JOIN n2 c ON q.$QueryPred AND q.vec_id <> c.vec_id),
+           |d AS (SELECT fp.query_id, abs(fp.cf - pp.cp) AS ad
+           |      FROM fp JOIN pp ON fp.query_id = pp.query_id
+           |                     AND fp.neighbor_id = pp.neighbor_id)
+           |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CAST(floor(ad * 1048576.0) AS BIGINT)) AS DOUBLE)
+           |    / (CAST(count(*) AS DOUBLE) * 1048576.0) AS mean_abs_diff,
+           |  max(ad) AS max_abs_diff
+           |FROM d GROUP BY query_id ORDER BY query_id""".stripMargin,
+      ),
     ),
     // k-NN majority-label classification over the exact top-k: the
     // label-propagation read of the vector store (auto-labeling / label

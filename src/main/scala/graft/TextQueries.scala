@@ -12,6 +12,48 @@ object TextQueries {
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** Pinned iteration count of the multi-step BPE training pair
+    * (tx_bpe_train / tx_bpe_train_encode).
+    */
+  private val BpeTrainRounds = 8
+
+  /** The UNROLLED BPE-training CTE chain (the unrolled-Lloyd oracle
+    * discipline): e0 is the bracket-serialized corpus (doc_id and the
+    * base token count carried through every round); per round i,
+    * `p_i` re-tokenizes and pairs the current stream, `m_i` is the
+    * argmax merge under the (count DESC, tok_a, tok_b) tie-break,
+    * `e_i` applies it corpus-wide as one literal replace, and `n_i`
+    * is the post-merge corpus token count. Shared by the training
+    * oracle (reads m_i/n_i) and the composed train→encode oracle
+    * (reads e_rounds per document).
+    */
+  private def bpeTrainChain(rounds: Int): String = {
+    val reTok = """regexp_extract_all(s, '\[([^\]]+)\]', 1)"""
+    val roundCtes = (1 to rounds).map { i =>
+      s"""|p$i AS (SELECT tk[bi] AS tok_a, tk[bi+1] AS tok_b
+          |  FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS bi
+          |        FROM (SELECT $reTok AS tk FROM e${i - 1}))),
+          |m$i AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS pair_count
+          |  FROM p$i GROUP BY tok_a, tok_b
+          |  ORDER BY pair_count DESC, tok_a, tok_b LIMIT 1),
+          |e$i AS (SELECT doc_id, n_before,
+          |               replace(s, '[' || tok_a || '][' || tok_b || ']',
+          |                          '[' || tok_a || tok_b || ']') AS s
+          |  FROM e${i - 1} CROSS JOIN m$i),
+          |n$i AS (SELECT CAST(sum(length(s) - length(replace(s, '[', ''))) AS BIGINT)
+          |          AS n_tokens_after FROM e$i)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS BIGINT)
+       |           AS n_before,
+       |         array_to_string(
+       |           list_transform(regexp_extract_all(text, '${TextOps.BpePattern}'),
+       |                          x -> '[' || x || ']'), '') AS s
+       |  FROM documents),
+       |$roundCtes""".stripMargin
+  }
+
   /** Temp-warehouse prefix for the search-index queries (shared
     * helper: [[Tables.tempIndexDb]]).
     */
@@ -774,35 +816,37 @@ object TextQueries {
       "tx_bpe_train",
       (s, d) => TextOps.bpeTrain(documents(s, d), rounds = 8),
       Some {
-        val rounds = 8
-        val reTok = """regexp_extract_all(s, '\[([^\]]+)\]', 1)"""
-        val roundCtes = (1 to rounds).map { i =>
-          s"""|p$i AS (SELECT tk[bi] AS tok_a, tk[bi+1] AS tok_b
-              |  FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS bi
-              |        FROM (SELECT $reTok AS tk FROM e${i - 1}))),
-              |m$i AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS pair_count
-              |  FROM p$i GROUP BY tok_a, tok_b
-              |  ORDER BY pair_count DESC, tok_a, tok_b LIMIT 1),
-              |e$i AS (SELECT replace(s, '[' || tok_a || '][' || tok_b || ']',
-              |                          '[' || tok_a || tok_b || ']') AS s
-              |  FROM e${i - 1} CROSS JOIN m$i),
-              |n$i AS (SELECT CAST(sum(length(s) - length(replace(s, '[', ''))) AS BIGINT)
-              |          AS n_tokens_after FROM e$i)""".stripMargin
-        }.mkString(",\n")
-        val steps = (1 to rounds).map { i =>
+        val steps = (1 to BpeTrainRounds).map { i =>
           s"""SELECT $i AS step, tok_a, tok_b, pair_count,
              |  (SELECT n_tokens_after FROM n$i) AS n_tokens_after FROM m$i""".stripMargin
         }.mkString("\nUNION ALL\n")
-        s"""WITH e0 AS (
-           |  SELECT array_to_string(
-           |           list_transform(regexp_extract_all(text, '${TextOps.BpePattern}'),
-           |                          x -> '[' || x || ']'), '') AS s
-           |  FROM documents),
-           |$roundCtes
+        s"""WITH ${bpeTrainChain(BpeTrainRounds)}
            |SELECT * FROM (
            |$steps
            |) ORDER BY step""".stripMargin
       },
+    ),
+    // The composed TOKENIZER: train the 8-round vocabulary, then ENCODE
+    // the corpus with the trained (cascaded) merge table — the full
+    // train→apply loop a production tokenizer build runs, as one
+    // operator face. Differs from tx_bpe_encode, whose merges are the
+    // single-step top-20 counts: the trained table's later merges fuse
+    // tokens earlier merges created. The oracle replays the unrolled
+    // training chain and reads the round-8 encoded stream directly, so
+    // training AND application are both hash-pinned per document.
+    Q(
+      "tx_bpe_train_encode",
+      (s, d) => {
+        val merges = TextOps.bpeTrain(documents(s, d), rounds = BpeTrainRounds)
+          .collect().toSeq
+          .map(r => (r.getString(1), r.getString(2)))
+        TextOps.bpeEncode(documents(s, d), merges)
+      },
+      Some(s"""WITH ${bpeTrainChain(BpeTrainRounds)}
+              |SELECT doc_id, n_before,
+              |  CAST(length(s) - length(replace(s, '[', '')) AS BIGINT) AS n_after,
+              |  substr(s, 1, 60) AS head
+              |FROM e$BpeTrainRounds ORDER BY doc_id""".stripMargin),
     ),
     // Bigram-LM next-token serving table: for the 20 most frequent
     // bigram-starting unigrams, the argmax continuation and its exact

@@ -529,6 +529,39 @@ object SimilarityOps {
     rankTopK(scored, "cosine", ascending = false, k)
   }
 
+  /** Deterministic ±1 sign of the (i,j) entry of the JL projection
+    * matrix — the portable multiplicative hash family (the
+    * nearDupAwareSplit discipline), so both engines state the whole
+    * matrix closed-form from (i, j) alone.
+    */
+  private[graft] def rpSign(i: Int, j: Int, inDim: Int): Int =
+    if ((i.toLong * inDim + j + 1L) * 2654435761L % 2147483647L % 2L == 0L) 1 else -1
+
+  /** Johnson–Lindenstrauss SIGN random projection inDim → outDim:
+    * y_i = Σ_j s_ij·x_j with s_ij ∈ {−1, +1} from [[rpSign]] — the
+    * dimensionality-reduction step a vector pipeline runs before
+    * indexing or transport (outDim/inDim of the storage and per-pair
+    * dot cost; inner products preserved within 1±ε by the JL lemma,
+    * measured by the recall scoreboard registered next to it). The
+    * matrix is CONSTANT and known at plan time, so the projection
+    * unrolls into straight-line codegen'd adds per row — no per-element
+    * lambda interpretation (the UnitNorm lesson: nested HOFs interpret
+    * O(outDim·inDim) lambdas per row). The left-to-right add order is
+    * mirrored verbatim by the oracle, so projected doubles are
+    * bit-identical across engines. Output keeps the (vec_id, label,
+    * embedding) shape — every downstream sim operator composes
+    * unchanged on the projected frame.
+    */
+  def randomProject(embeddings: DataFrame, inDim: Int, outDim: Int): DataFrame = {
+    val proj = array((0 until outDim).map { i =>
+      (0 until inDim).map { j =>
+        val x = col("embedding").getItem(j).cast("double")
+        if (rpSign(i, j, inDim) > 0) x else -x
+      }.reduceLeft(_ + _)
+    }: _*)
+    embeddings.select(col("vec_id"), col("label"), proj.as("embedding"))
+  }
+
   /** Per-vector symmetric int8 quantization — the embedding-compression
     * step of a vector-store build (4× smaller than float32, 8× smaller
     * than the double working form). scale = max|x|/127; code_i =
