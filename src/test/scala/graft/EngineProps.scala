@@ -682,4 +682,62 @@ object EngineProps extends Properties("graft") {
       got == expected
     }
   }
+
+  /** Banding.chunksCol's floor-division extraction equals straight bit
+    * slicing for any fingerprint under 2^bits, any tiling layout.
+    */
+  property("banded chunk extraction == bit slicing") = {
+    import spark.implicits._
+    val layouts = Seq((48, 6), (48, 8), (52, 4), (16, 16))
+    val gen = for {
+      (bits, bands) <- Gen.oneOf(layouts)
+      fps <- Gen.listOfN(12, Gen.chooseNum(0L, (1L << bits) - 1))
+    } yield (bits, bands, fps)
+    Prop.forAll(gen) { case (bits, bands, fps) =>
+      val chunkBits = bits / bands
+      val got = graft.operators.Banding
+        .chunkRows(fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }.toDF("doc_id", "fp"),
+          "fp", bits, bands)
+        .as[(Long, Long, Int, Long)].collect()
+        .map { case (id, _, idx, cb) => (id, idx, cb) }.toSet
+      val expected = fps.zipWithIndex.flatMap { case (f, i) =>
+        (0 until bands).map(c => (i.toLong, c, (f >>> (c * chunkBits)) & ((1L << chunkBits) - 1)))
+      }.toSet
+      got == expected
+    }
+  }
+
+  /** The pigeonhole guarantee hammingSelfPairs relies on: any two
+    * fingerprints within maxHamming bit flips share at least one whole
+    * chunk — so the banded equi-join surfaces every true pair, and the
+    * verified pair set equals the brute-force all-pairs answer.
+    */
+  property("hammingSelfPairs == brute-force pairs under the pigeonhole layout") = {
+    import spark.implicits._
+    val bits = 48; val bands = 6; val maxHamming = 5
+    val gen = for {
+      base <- Gen.listOfN(5, Gen.chooseNum(0L, (1L << bits) - 1))
+      flips <- Gen.listOfN(5, Gen.chooseNum(0, maxHamming))
+      seeds <- Gen.listOfN(5, Gen.chooseNum(0, bits - 1))
+    } yield {
+      // Half the corpus: near-copies of base fingerprints (≤ maxHamming
+      // flips starting at a random bit) so true pairs actually occur.
+      val variants = base.zip(flips.zip(seeds)).map { case (f, (k, s)) =>
+        (0 until k).foldLeft(f)((acc, d) => acc ^ (1L << ((s + d) % bits)))
+      }
+      base ++ variants
+    }
+    Prop.forAll(gen) { fps =>
+      val df = fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }.toDF("doc_id", "fp")
+      val chunks = graft.operators.Banding.chunkRows(df, "fp", bits, bands)
+      val got = graft.operators.Banding
+        .hammingSelfPairs(chunks, Seq("chunk_idx", "chunk_bits"), "fp", maxHamming)
+        .as[(Long, Long, Int)].collect().toSet
+      val expected = (for {
+        a <- fps.indices; b <- fps.indices if a < b
+        h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= maxHamming
+      } yield (a.toLong, b.toLong, h)).toSet
+      got == expected
+    }
+  }
 }
