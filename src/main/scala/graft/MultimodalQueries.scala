@@ -102,7 +102,7 @@ object MultimodalQueries {
     * pairwise-frame hamming per pair — replaying
     * `MultimodalOps.nearDupPairsVideo` arithmetic verbatim.
     */
-  private val videoNearDupSql =
+  private val videoDhashCtes =
     """WITH c AS (SELECT doc_id, text AS content, length(text) AS L,
       |                  length(text) % 16 + 1 AS F
       |           FROM documents WHERE doc_id % 3 = 2),
@@ -136,16 +136,35 @@ object MultimodalQueries {
       |              unnest(generate_series(0, 5)) AS chunk_idx FROM fp),
       |cb AS (SELECT doc_id, dhash, chunk_idx,
       |              CAST(floor(dhash / power(2, chunk_idx*8)) AS BIGINT) % 256
-      |                AS chunk_bits FROM ck)
-      |SELECT doc_a, doc_b, min(hamming) AS hamming FROM (
-      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-      |    bit_count(xor(x.dhash, y.dhash)) AS hamming
-      |  FROM cb x JOIN cb y
-      |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
-      |   AND x.doc_id < y.doc_id)
-      |WHERE hamming <= 5
-      |GROUP BY doc_a, doc_b
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |                AS chunk_bits FROM ck)""".stripMargin
+
+  /** The verified-min pairs tail over the video chunk CTEs, optionally
+    * restricted to chunk buckets of size ≤ maxBucket (the stop-key
+    * dial's oracle mirror).
+    */
+  private def videoPairsTail(maxBucket: Option[Int]): String = {
+    val (capCtes, src) = maxBucket match {
+      case Some(m) =>
+        (s""",
+            |small AS (SELECT chunk_idx, chunk_bits FROM cb
+            |          GROUP BY chunk_idx, chunk_bits HAVING count(*) <= $m),
+            |cbs AS (SELECT cb.* FROM cb JOIN small
+            |          USING (chunk_idx, chunk_bits))""".stripMargin, "cbs")
+      case None => ("", "cb")
+    }
+    s"""$capCtes
+       |SELECT doc_a, doc_b, min(hamming) AS hamming FROM (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.dhash, y.dhash)) AS hamming
+       |  FROM $src x JOIN $src y
+       |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
+       |   AND x.doc_id < y.doc_id)
+       |WHERE hamming <= 5
+       |GROUP BY doc_a, doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val videoNearDupSql = videoDhashCtes + videoPairsTail(None)
 
   val all: Seq[Q] = Seq(
     // Modality mix report: per media type, row count, total payload
@@ -439,6 +458,23 @@ object MultimodalQueries {
         graft.operators.MediaIndexOps.nearDupPairsMin(s, pre, maxHamming = 5)
       },
       Some(videoNearDupSql),
+    ),
+    // The stop-key dial on the per-frame index: hot chunk buckets
+    // excluded before candidate generation. Frame fingerprints
+    // concentrate HARDER than whole-item ones (short slices, up to 16
+    // rows per doc), so this is the face a 100 TB video pipeline
+    // actually runs; bounded-recall tradeoff stated at the operator.
+    Q(
+      "mm_index_pairs_video_capped",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "videocapped")
+        graft.operators.MediaIndexOps.writeIndex(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, buckets = 8, prefix = pre, mediaType = "video")
+        graft.operators.MediaIndexOps.nearDupPairsCappedMin(
+          s, pre, maxHamming = 5, maxBucket = 32)
+      },
+      Some(videoDhashCtes + videoPairsTail(Some(32))),
     ),
     // The pairs turned into dedup CLUSTERS: connected components over
     // the near-dup graph (label propagation to the fixpoint — the

@@ -617,6 +617,43 @@ object TextQueries {
               |FROM rate r LEFT JOIN kept k ON r.source = k.source
               |ORDER BY source""".stripMargin),
     ),
+    // Temperature-based mixing (α = 1/2): source shares ∝ √total_tokens
+    // (up-samples small sources — the multilingual-LLM rule), a global
+    // 2000-token budget split by share, applied as quantized hash
+    // sampling. √ is IEEE-exact (α pinned to 1/2 for portability; ln/pow
+    // are not), and the share denominator is an ordered fold over
+    // sources, so every share double hash-matches.
+    Q(
+      "tx_mix_temperature",
+      (s, d) => TextOps.mixByTemperature(documents(s, d), budgetTokens = 2000L, buckets = 10),
+      Some(s"""WITH tok AS (
+              |  SELECT source, text,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              |  FROM documents),
+              |tot AS (
+              |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              |    sqrt(CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE)) AS weight
+              |  FROM tok GROUP BY source),
+              |ws AS (SELECT list_reduce(list_prepend(0.0, list(weight ORDER BY source)),
+              |                          (wa, wb) -> wa + wb) AS wsum FROM tot),
+              |rated AS (
+              |  SELECT source, total_tokens, weight / wsum AS share,
+              |    CAST(least(CAST(10 AS DOUBLE),
+              |      floor(2000.0 * (weight / wsum) * 10.0 / CAST(total_tokens AS DOUBLE)))
+              |      AS BIGINT) AS keep_buckets
+              |  FROM tot CROSS JOIN ws),
+              |kept AS (
+              |  SELECT t.source, count(*) AS n_docs_kept,
+              |    CAST(sum(t.n_tok) AS BIGINT) AS tokens_kept
+              |  FROM tok t JOIN rated r ON t.source = r.source
+              |  WHERE ${OracleSnippets.charHash("t.text")} % 10 < r.keep_buckets
+              |  GROUP BY t.source)
+              |SELECT r.source AS source, total_tokens, share, keep_buckets,
+              |  coalesce(n_docs_kept, 0) AS n_docs_kept,
+              |  coalesce(tokens_kept, CAST(0 AS BIGINT)) AS tokens_kept
+              |FROM rated r LEFT JOIN kept k ON r.source = k.source
+              |ORDER BY source""".stripMargin),
+    ),
     // Decontamination: corpus docs sharing any word 3-gram with the
     // benchmark subset (doc_id % 50 = 0 stands in for an eval suite).
     // The benchmark shingle set is broadcast; the corpus never shuffles.

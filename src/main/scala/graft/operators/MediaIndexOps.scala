@@ -151,6 +151,30 @@ object MediaIndexOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The stop-key dial on a PER-FRAME (video) index — [[nearDupPairsMin]]
+    * with hot chunk buckets excluded before candidate generation. Frame
+    * fingerprints concentrate harder than whole-item ones (frames are
+    * short slices of the decoded stream, and every doc contributes up
+    * to 16 of them), so the skew cap matters MORE here: one hot chunk
+    * value of s frame rows costs s·(s−1)/2 verifications. Bounded
+    * recall stated as always: a true pair is missed only if EVERY
+    * colliding frame chunk of its closest frame pair is hot.
+    */
+  def nearDupPairsCappedMin(
+      spark: SparkSession,
+      prefix: String,
+      maxHamming: Int,
+      maxBucket: Int,
+  ): DataFrame = {
+    val keys = Seq("chunk_idx", "chunk_bits")
+    val small = Banding.capSmallBuckets(spark.table(s"${prefix}_chunks"), keys, maxBucket)
+    Banding
+      .hammingSelfPairs(small, keys, "dhash", maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental dedup — the upload-time check a media pipeline runs:
     * fingerprint the new batch (its OWN decode, one pass), join its
     * chunks against the STORED chunk table (bucketed side never

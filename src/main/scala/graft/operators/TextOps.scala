@@ -368,6 +368,68 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Temperature-based corpus mixing — the multilingual-LLM sampling
+    * rule: source s is sampled proportionally to total_s^α with α=1/2
+    * (p_s = √total_s / Σ √total), which UP-samples small sources and
+    * down-samples dominant ones relative to natural proportions; a
+    * global token budget is then split by those shares and applied as
+    * the same quantized deterministic hash sampling as
+    * [[mixByTokenBudget]]. √ is IEEE-correctly-rounded (portable,
+    * unlike ln/pow — α is pinned to 1/2 for exactly this reason), and
+    * the weight SUM is an ordered fold over sources so the share
+    * denominator is bit-identical across engines. Shuffle shape: two
+    * tiny per-source aggs broadcast back onto the corpus — the corpus
+    * itself never shuffles.
+    */
+  def mixByTemperature(docs: DataFrame, budgetTokens: Long, buckets: Int): DataFrame = {
+    val withTok = docs.select(
+      col("source"),
+      col("text"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+    )
+    val totals = withTok
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("total_tokens"))
+      .withColumn("weight", sqrt(col("total_tokens").cast("double")))
+    val wsum = totals.agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("source"), col("weight")))),
+          s => s.getField("weight"),
+        ),
+        lit(0.0),
+        (a, x) => a + x,
+      ).as("wsum"))
+    val rated = totals
+      .crossJoin(broadcast(wsum))
+      .withColumn("share", col("weight") / col("wsum"))
+      .withColumn(
+        "keep_buckets",
+        least(
+          lit(buckets.toLong),
+          floor(
+            lit(budgetTokens.toDouble) * col("share") * lit(buckets.toDouble) /
+              col("total_tokens").cast("double")),
+        ),
+      )
+    val kept = withTok
+      .join(broadcast(rated.select(col("source"), col("keep_buckets"))), Seq("source"))
+      .filter(pmod(HashOps.polyHash(col("text")), lit(buckets.toLong)) < col("keep_buckets"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tok")).as("tokens_kept"))
+    rated
+      .join(kept, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("total_tokens"),
+        col("share"),
+        col("keep_buckets"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+      )
+      .orderBy("source")
+  }
+
   /** Benchmark contamination check: flag corpus documents sharing any
     * word n-gram with a benchmark/eval set — the decontamination step a
     * training pipeline runs before the data ships. `isBenchmark` selects
