@@ -418,6 +418,41 @@ object Bench {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
       dupRows
     }
+
+    // The TEXT counterpart: continuous MinHash-LSH ingest dedup
+    // (LshIndexOps.streamingDedup) — per micro-batch shingle→signature→
+    // band pass + banded candidate join against the index-so-far +
+    // exact-Jaccard verify + index-grow appends, from an empty index.
+    // Same per-batch fixed-cost profile as media_dedup; together they
+    // cover both index-growing streaming faces.
+    val textRows = sys.env.getOrElse("SPARK_GRAFT_TEXT_ROWS", "4000").toInt
+    timedN("text_dedup", warmN = 400, n = textRows) { n =>
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val prefix = s"benchtext${mediaGen.incrementAndGet()}"
+      Seq("docs", "bands", "batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).orderBy("doc_id").limit(n)
+      val arrivals = docs.as[(Long, String)].collect().sortBy(_._1)
+      graft.operators.LshIndexOps.writeIndex(
+        docs.filter(col("doc_id") < 0),
+        n = 3, k = 32, bands = 8, buckets = 8, prefix = prefix)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      var dupRows = 0L
+      val ckpt = java.nio.file.Files.createTempDirectory("bench_text").toFile.getAbsolutePath
+      val q = graft.operators.LshIndexOps.streamingDedup(
+        spark, prefix, in.toDF().toDF("doc_id", "text"),
+        n = 3, k = 32, bands = 8, buckets = 8, threshold = 0.8, checkpoint = ckpt,
+        onDups = (d, _) => dupRows += d.count())
+      try arrivals.grouped(math.max(1, arrivals.length / 4)).foreach { w =>
+        in.addData(w.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      Seq("docs", "bands", "batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+      dupRows
+    }
     rates.toSeq
   }
 }
