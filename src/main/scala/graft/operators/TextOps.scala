@@ -647,7 +647,8 @@ object TextOps {
       .select(array_join(transform(t0, tk => concat(lit("["), tk, lit("]"))), "").as("s"))
       .localCheckpoint()
     val rows = Seq.newBuilder[(Int, String, String, Long, Long)]
-    for (step <- 1 to rounds) {
+    var exhausted = false
+    for (step <- 1 to rounds if !exhausted) {
       val best = enc
         .select(explode(adjacentPairs(bracketTokens(col("s")))).as("p"))
         .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
@@ -656,19 +657,25 @@ object TextOps {
         .orderBy(col("pair_count").desc, col("tok_a"), col("tok_b"))
         .limit(1)
         .collect()
-      require(best.nonEmpty, s"BPE training round $step found no adjacent pairs")
-      val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      require(
-        !s"$a$b".exists(c => c == '[' || c == ']'),
-        "bracket-delimited BPE training requires a bracket-free token alphabet",
-      )
-      enc = enc
-        .select(replace(col("s"), lit(s"[$a][$b]"), lit(s"[$a$b]")).as("s"))
-        .localCheckpoint()
-      val nAfter = enc
-        .agg(sum((length(col("s")) - length(replace(col("s"), lit("[")))).cast("long")))
-        .head().getLong(0)
-      rows += ((step, a, b, cnt, nAfter))
+      // A corpus can run out of adjacent pairs before the pinned round
+      // count (empty corpus, or every doc fused to a single token) —
+      // training stops there, matching the oracle's collapsing chain
+      // (an empty argmax CTE empties every later round's rows).
+      if (best.isEmpty) { exhausted = true }
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        require(
+          !s"$a$b".exists(c => c == '[' || c == ']'),
+          "bracket-delimited BPE training requires a bracket-free token alphabet",
+        )
+        enc = enc
+          .select(replace(col("s"), lit(s"[$a][$b]"), lit(s"[$a$b]")).as("s"))
+          .localCheckpoint()
+        val nAfter = enc
+          .agg(sum((length(col("s")) - length(replace(col("s"), lit("[")))).cast("long")))
+          .head().getLong(0)
+        rows += ((step, a, b, cnt, nAfter))
+      }
     }
     import spark.implicits._
     rows.result().toDF("step", "tok_a", "tok_b", "pair_count", "n_tokens_after")

@@ -132,4 +132,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(SimilarityOps.linearProbe(noLabeled, 0L, 1L).count() == 0)
     assert(SimilarityOps.centroidSimilarity(noLabeled).count() == 0)
   }
+
+  test("round-13 operators on empty input") {
+    val noSourcedDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TextOps.bpeTrain(noDocs, rounds = 4).count() == 0)
+    assert(TextOps.mixByTemperature(noSourcedDocs, budgetTokens = 100L, buckets = 10).count() == 0)
+    val noMedia = Seq.empty[(Long, String, Array[Byte])].toDF("doc_id", "media_type", "payload")
+    assert(MultimodalOps.nearDupPairs(noMedia, 49, 6, 5, "audio").count() == 0)
+    assert(MultimodalOps.videoFrameFingerprints(noMedia, 49).count() == 0)
+    assert(MultimodalOps.nearDupPairsVideo(noMedia, 49, 6, 5).count() == 0)
+    val noLabeled = Seq.empty[(Long, Array[Float], Long)].toDF("vec_id", "embedding", "label")
+    assert(SimilarityOps.randomProject(noLabeled, 64, 16).count() == 0)
+  }
 }

@@ -57,6 +57,30 @@ class MediaIndexSpec extends SparkSpec {
     assert(fps.count() > fps.select("doc_id").distinct().count())
   }
 
+  test("video incremental dedup equals brute-force frame-pair hammings across the split") {
+    import spark.implicits._
+    val pre = "mediaixvincr"
+    Seq(s"${pre}_fps", s"${pre}_chunks").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val stored = media().filter(col("doc_id") % 5 =!= 0)
+    val batch = media().filter(col("doc_id") % 5 === 0)
+    MediaIndexOps.writeIndex(stored, Regions, Bands, buckets = 4, prefix = pre, mediaType = "video")
+    val got = MediaIndexOps
+      .dedupAgainstIndex(spark, pre, batch, Regions, Bands, MaxHamming, mediaType = "video")
+      .as[(Long, Long, Int)].collect().toSet
+    // Expectation from first principles: every batch-frame × stored-frame
+    // hamming ≤ MaxHamming MUST be emitted (pigeonhole guarantees the
+    // pair collides on ≥1 chunk), distinct per (new, dup, hamming).
+    val fps = MultimodalOps.videoFrameFingerprints(media(), Regions)
+      .as[(Long, Int, Long)].collect()
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val expected = (for {
+      (na, _, fa) <- fps if batchIds.contains(na)
+      (nb, _, fb) <- fps if !batchIds.contains(nb)
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= MaxHamming
+    } yield (na, nb, h)).toSet
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("the candidate self-join over the bucketed chunk table is exchange-free") {
     buildOnce()
     val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
