@@ -140,6 +140,52 @@ object NetflowOps {
     ip.rlike(Ipv4Pattern) && ipv4ToLong(ip).bitwiseAND(mask) === lit(baseLong & mask)
   }
 
+  /** Longest-prefix-match enrichment — the route-table / threat-feed
+    * join every netflow pipeline runs at scale: each flow's `ip` is
+    * matched to the MOST SPECIFIC covering prefix in a
+    * `(prefix_ip, prefix_len, tag)` dimension table (contract: one row
+    * per (prefix_len, masked network) — a keyed route table).
+    *
+    * Shape chosen for 100 TB: the distinct prefix LENGTHS are read once
+    * (≤ 33 rows — dimension metadata, the same bounded scalar read as
+    * the convergence checks) and the probe becomes one chained
+    * BROADCAST left equi-join per length on the masked address,
+    * most-specific winner picked by coalesce in descending-length
+    * order — the flow table is never shuffled, never exploded, and
+    * route tables (≤ millions of rows) broadcast comfortably; lengths
+    * absent from the dimension cost nothing. Malformed ip strings
+    * (non-dotted-quad) take a NULL key and match nothing. Output = the
+    * flow columns + (match_prefix, match_len, tag), NULLs when no
+    * prefix covers the flow.
+    */
+  def lpmEnrich(flows: DataFrame, prefixes: DataFrame): DataFrame = {
+    val lens = prefixes.select(col("prefix_len").cast("int"))
+      .distinct().collect().map(_.getInt(0)).sorted.reverse.toSeq
+    require(lens.forall(l => l >= 0 && l <= 32), "prefix_len must be in 0..32")
+    val ipn = when(col("ip").rlike(Ipv4Pattern), ipv4ToLong(col("ip")))
+    val joined = lens.foldLeft(flows.withColumn("__ipn", ipn)) { (acc, l) =>
+      val mask = (0xFFFFFFFFL << (32 - l)) & 0xFFFFFFFFL
+      val dim = prefixes
+        .filter(col("prefix_len") === l)
+        .select(
+          ipv4ToLong(col("prefix_ip")).bitwiseAND(lit(mask)).as(s"__net$l"),
+          col("prefix_ip").as(s"__pfx$l"),
+          col("tag").as(s"__tag$l"),
+        )
+      acc.join(broadcast(dim), col("__ipn").bitwiseAND(lit(mask)) === col(s"__net$l"), "left")
+        .drop(s"__net$l")
+    }
+    joined.select(
+      flows.columns.map(col) ++ Seq(
+        coalesce(lens.map(l => col(s"__pfx$l")) :+ lit(null).cast("string"): _*)
+          .as("match_prefix"),
+        coalesce(
+          lens.map(l => when(col(s"__pfx$l").isNotNull, lit(l))) :+ lit(null).cast("int"): _*)
+          .as("match_len"),
+        coalesce(lens.map(l => col(s"__tag$l")) :+ lit(null).cast("string"): _*).as("tag"),
+      ): _*)
+  }
+
   /** P10 — heartbeat filter: drop messages whose whole value is the
     * literal topic name (websocket-server/index.js:41).
     */
