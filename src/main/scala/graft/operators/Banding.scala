@@ -85,7 +85,10 @@ object Banding {
     * so on a bucketed stored table it is exchange-free like the
     * candidate join itself.
     */
-  def capSmallBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+  def capSmallBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    // A non-positive cap would silently empty candidate generation —
+    // reject it at plan construction rather than return zero pairs.
+    require(maxBucket >= 1, s"stop-key cap must be >= 1 (got $maxBucket)")
     rows.join(
       rows
         .groupBy(keys.map(col): _*)
@@ -94,6 +97,7 @@ object Banding {
         .select(keys.head, keys.tail: _*),
       keys,
     )
+  }
 
   /** Distinct banded candidate pairs `(outA, outB)` between two row
     * frames (aliased `x`/`y`; `docPred` may reference `x.doc_id` /
