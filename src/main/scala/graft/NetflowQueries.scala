@@ -574,6 +574,99 @@ object NetflowQueries {
            |ORDER BY event_id""".stripMargin
       },
     ),
+    // Traffic accounting by route tag — the aggregate the LPM
+    // enrichment exists to feed: flows grouped by their most-specific
+    // matched prefix (NULL = unrouted), flow counts and traffic volume
+    // per tag. Volume sums follow the DECIMAL-before-sum portability
+    // rule; the group key space is the dimension table's size, so the
+    // agg shuffle is tiny at any corpus scale.
+    Q(
+      "nf_tag_traffic",
+      (s, d) => {
+        import s.implicits._
+        val base = concat_ws(
+          ".",
+          when(col("event_id") % 3 === 0, lit("10"))
+            .when(col("event_id") % 3 === 1, lit("192"))
+            .otherwise(lit("172")),
+          (col("user_id") % 256).cast("string"),
+          ((col("event_id") / lit(256)).cast("long") % 256).cast("string"),
+          (col("event_id") % 256).cast("string"),
+        )
+        val ip = when(col("event_id") % 97 === 0, concat(base, lit(".7"))).otherwise(base)
+        val flows = events(s, d).select(col("event_id"), ip.as("ip"), col("value"))
+        val dim = Seq(
+          ("10.0.0.0", 8, "net10"),
+          ("192.0.0.0", 8, "net192"),
+          ("10.0.0.0", 16, "campus0"),
+          ("10.32.0.0", 16, "campus32"),
+          ("10.64.0.0", 16, "campus64"),
+          ("10.96.0.0", 16, "campus96"),
+          ("10.32.0.0", 24, "rack0"),
+          ("10.32.64.0", 24, "rack64"),
+          ("10.32.128.0", 24, "rack128"),
+          ("10.32.192.0", 24, "rack192"),
+        ).toDF("prefix_ip", "prefix_len", "tag")
+        graft.operators.NetflowOps.lpmEnrich(flows, dim)
+          .groupBy(col("match_len"), col("tag"))
+          .agg(
+            count(lit(1)).as("n_flows"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+          )
+          .orderBy("match_len", "tag")
+      },
+      Some {
+        val ipFold =
+          """list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |  list_transform(string_split(ip, '.'), ipp -> CAST(ipp AS BIGINT))),
+            |  (ipa, ipb) -> ipa*256 + ipb)""".stripMargin
+        val pfxFold = ipFold.replace("string_split(ip, '.')", "string_split(prefix_ip, '.')")
+        def arm(l: Int) = {
+          val mask = (0xFFFFFFFFL << (32 - l)) & 0xFFFFFFFFL
+          s"""LEFT JOIN (SELECT ($pfxFold) & $mask AS net, prefix_ip, tag
+             |           FROM dim WHERE prefix_len = $l) p$l
+             |  ON (i.ipn & $mask) = p$l.net""".stripMargin
+        }
+        s"""WITH ips AS (
+           |  SELECT event_id, value,
+           |    CASE WHEN event_id % 97 = 0 THEN base || '.7' ELSE base END AS ip
+           |  FROM (
+           |    SELECT event_id, value,
+           |      (CASE WHEN event_id % 3 = 0 THEN '10'
+           |            WHEN event_id % 3 = 1 THEN '192'
+           |            ELSE '172' END)
+           |      || '.' || CAST(user_id % 256 AS VARCHAR)
+           |      || '.' || CAST((event_id // 256) % 256 AS VARCHAR)
+           |      || '.' || CAST(event_id % 256 AS VARCHAR) AS base
+           |    FROM events)),
+           |dim(prefix_ip, prefix_len, tag) AS (VALUES
+           |  ('10.0.0.0', 8, 'net10'), ('192.0.0.0', 8, 'net192'),
+           |  ('10.0.0.0', 16, 'campus0'), ('10.32.0.0', 16, 'campus32'),
+           |  ('10.64.0.0', 16, 'campus64'), ('10.96.0.0', 16, 'campus96'),
+           |  ('10.32.0.0', 24, 'rack0'), ('10.32.64.0', 24, 'rack64'),
+           |  ('10.32.128.0', 24, 'rack128'), ('10.32.192.0', 24, 'rack192')),
+           |probe AS (
+           |  SELECT event_id, value, ip,
+           |    CASE WHEN regexp_matches(ip,
+           |      '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[0-9][0-9]?)$$')
+           |    THEN $ipFold END AS ipn
+           |  FROM ips),
+           |enriched AS (
+           |  SELECT i.event_id, i.value,
+           |    coalesce(CASE WHEN p24.prefix_ip IS NOT NULL THEN 24 END,
+           |             CASE WHEN p16.prefix_ip IS NOT NULL THEN 16 END,
+           |             CASE WHEN p8.prefix_ip IS NOT NULL THEN 8 END) AS match_len,
+           |    coalesce(p24.tag, p16.tag, p8.tag) AS tag
+           |  FROM probe i
+           |  ${arm(24)}
+           |  ${arm(16)}
+           |  ${arm(8)})
+           |SELECT match_len, tag, count(*) AS n_flows,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM enriched GROUP BY match_len, tag
+           |ORDER BY match_len NULLS FIRST, tag NULLS FIRST""".stripMargin
+      },
+    ),
     // P3 + P4 — the tshark path (README.md:259-286): nested dotted-leaf
     // extraction (field names contain literal dots → backtick
     // navigation) + epoch-seconds-string → time conversion. The nested

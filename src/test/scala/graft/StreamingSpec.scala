@@ -166,6 +166,43 @@ class StreamingSpec extends SparkSpec {
     assert(r == Seq(("a", "serverA", 100L)))
   }
 
+  test("LPM enrichment is batch/stream unified (T5): same transform, identical rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq(
+      ("10.0.0.0", 8, "net10"),
+      ("10.32.0.0", 16, "campus32"),
+      ("10.32.64.0", 24, "rack64"),
+    ).toDF("prefix_ip", "prefix_len", "tag")
+    val flows = Seq(
+      (1L, "10.32.64.9"), // /24 wins over /16 and /8
+      (2L, "10.32.9.9"), // /16 wins over /8
+      (3L, "10.9.9.9"), // /8 only
+      (4L, "172.16.0.1"), // unmatched → NULLs
+      (5L, "not-an-ip"), // malformed → NULLs
+    )
+    val batch = graft.operators.NetflowOps
+      .lpmEnrich(flows.toDF("id", "ip"), dim)
+      .as[(Long, String, Option[String], Option[Int], Option[String])].collect().toSet
+    assert(batch == Set(
+      (1L, "10.32.64.9", Some("10.32.64.0"), Some(24), Some("rack64")),
+      (2L, "10.32.9.9", Some("10.32.0.0"), Some(16), Some("campus32")),
+      (3L, "10.9.9.9", Some("10.0.0.0"), Some(8), Some("net10")),
+      (4L, "172.16.0.1", None, None, None),
+      (5L, "not-an-ip", None, None, None),
+    ))
+    // The SAME operator over an unbounded frame (stream-static broadcast
+    // joins are streamable; the length scan happens at plan time on the
+    // static dim) — rows must be identical to the batch run.
+    val in = MemoryStream[(Long, String)]
+    in.addData(flows)
+    val streamed = graft.operators.NetflowOps.lpmEnrich(in.toDF().toDF("id", "ip"), dim)
+    NetflowStreams.runToMemory(streamed, "lpm_stream_test")
+    val got = spark.table("lpm_stream_test")
+      .as[(Long, String, Option[String], Option[Int], Option[String])].collect().toSet
+    assert(got == batch)
+  }
+
   test("stream-stream interval join pairs bidirectional flows with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     def rawP(src: String, dst: String, psrc: Int, pdst: Int, bytes: Long, ts: String): String =
