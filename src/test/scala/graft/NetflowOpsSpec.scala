@@ -260,4 +260,19 @@ class NetflowOpsSpec extends SparkSpec {
     val r = EventOps.madOutliers(events).as[(String, Long, Double, Double, Long)].collect().toSeq
     assert(r == Seq(("A", 5L, 3.0, 1.0, 1L)))
   }
+
+  test("lpmEnrich handles the /0 default route: catch-all mask, overridden by any longer match") {
+    val dim = Seq(
+      ("0.0.0.0", 0, "default"), // mask 0 — matches every well-formed ip
+      ("10.0.0.0", 8, "net10"),
+    ).toDF("prefix_ip", "prefix_len", "tag")
+    val flows = Seq((1L, "10.1.2.3"), (2L, "203.0.113.9"), (3L, "oops")).toDF("id", "ip")
+    val r = NetflowOps.lpmEnrich(flows, dim)
+      .as[(Long, String, Option[String], Option[Int], Option[String])].collect().toSet
+    assert(r == Set(
+      (1L, "10.1.2.3", Some("10.0.0.0"), Some(8), Some("net10")), // /8 beats default
+      (2L, "203.0.113.9", Some("0.0.0.0"), Some(0), Some("default")),
+      (3L, "oops", None, None, None), // malformed never matches, even the default
+    ))
+  }
 }
