@@ -48,34 +48,36 @@ object MultimodalQueries {
     */
   /** The dhash CTE chain for one single-stream modality (doc_id % 3 =
     * `mod`: 0 image, 1 audio — both decode to the raw text, image by
-    * container strip, audio by whole-payload passthrough).
+    * container strip, audio by whole-payload passthrough). `p` prefixes
+    * every CTE name so two chains can coexist in one oracle (the
+    * cross-modal query joins the image chain against the video chain).
     */
-  private def dhashCtesFor(mod: Int) =
-    s"""c AS (SELECT doc_id, text AS content, length(text) AS L
+  private def dhashCtesFor(mod: Int, p: String = "") =
+    s"""${p}c AS (SELECT doc_id, text AS content, length(text) AS L
        |           FROM documents WHERE doc_id % 3 = $mod),
-       |pos AS (SELECT doc_id, content, L,
-       |               unnest(generate_series(1, L)) AS j FROM c),
-       |ch AS (SELECT doc_id, ((j-1) * 49) // L AS region,
-       |              unicode(substr(content, j, 1)) AS code FROM pos),
-       |gs AS (SELECT doc_id, region, CAST(sum(code) AS BIGINT) AS s
-       |       FROM ch GROUP BY doc_id, region),
-       |allr AS (SELECT doc_id, unnest(generate_series(0, 48)) AS region FROM c),
-       |rs AS (SELECT a.doc_id, a.region, coalesce(g.s, 0) AS s
-       |       FROM allr a LEFT JOIN gs g
+       |${p}pos AS (SELECT doc_id, content, L,
+       |               unnest(generate_series(1, L)) AS j FROM ${p}c),
+       |${p}ch AS (SELECT doc_id, ((j-1) * 49) // L AS region,
+       |              unicode(substr(content, j, 1)) AS code FROM ${p}pos),
+       |${p}gs AS (SELECT doc_id, region, CAST(sum(code) AS BIGINT) AS s
+       |       FROM ${p}ch GROUP BY doc_id, region),
+       |${p}allr AS (SELECT doc_id, unnest(generate_series(0, 48)) AS region FROM ${p}c),
+       |${p}rs AS (SELECT a.doc_id, a.region, coalesce(g.s, 0) AS s
+       |       FROM ${p}allr a LEFT JOIN ${p}gs g
        |         ON g.doc_id = a.doc_id AND g.region = a.region),
-       |gr AS (SELECT doc_id, region, s,
+       |${p}gr AS (SELECT doc_id, region, s,
        |              lead(s) OVER (PARTITION BY doc_id ORDER BY region) AS s2
-       |       FROM rs),
-       |fp AS (SELECT doc_id,
+       |       FROM ${p}rs),
+       |${p}fp AS (SELECT doc_id,
        |         CAST(sum(CASE WHEN s > s2
        |                       THEN CAST(power(2, 47 - region) AS BIGINT)
        |                       ELSE 0 END) AS BIGINT) AS dhash
-       |       FROM gr WHERE region < 48 GROUP BY doc_id),
-       |ck AS (SELECT doc_id, dhash,
-       |              unnest(generate_series(0, 5)) AS chunk_idx FROM fp),
-       |cb AS (SELECT doc_id, dhash, chunk_idx,
+       |       FROM ${p}gr WHERE region < 48 GROUP BY doc_id),
+       |${p}ck AS (SELECT doc_id, dhash,
+       |              unnest(generate_series(0, 5)) AS chunk_idx FROM ${p}fp),
+       |${p}cb AS (SELECT doc_id, dhash, chunk_idx,
        |              CAST(floor(dhash / power(2, chunk_idx*8)) AS BIGINT) % 256
-       |                AS chunk_bits FROM ck)""".stripMargin
+       |                AS chunk_bits FROM ${p}ck)""".stripMargin
 
   private val dhashCtes = dhashCtesFor(0)
 
@@ -427,6 +429,26 @@ object MultimodalQueries {
               |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
               |FROM nodes n JOIN reach r ON r.u = n.id
               |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+    ),
+    // CROSS-MODAL frame matching: video frames reproducing known images
+    // (the upload-time blocklist/copyright screen). Image chain × video
+    // frame chain on pigeonhole chunks, min-over-frames per pair — the
+    // image CTEs carry an i-prefix so both chains coexist in one oracle.
+    Q(
+      "mm_frame_match",
+      (s, d) => MultimodalOps.frameMatchPairs(
+        MultimodalOps.encodeMedia(documents(s, d)),
+        regions = 49, blockBands = 6, maxHamming = 5),
+      Some(s"""$videoDhashCtes,
+              |${dhashCtesFor(0, "i")}
+              |SELECT image_id, video_id, min(hamming) AS hamming FROM (
+              |  SELECT DISTINCT x.doc_id AS image_id, y.doc_id AS video_id,
+              |    bit_count(xor(x.dhash, y.dhash)) AS hamming
+              |  FROM icb x JOIN cb y
+              |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits)
+              |WHERE hamming <= 5
+              |GROUP BY image_id, video_id
+              |ORDER BY image_id, video_id""".stripMargin),
     ),
     // Index-served AUDIO near-dup pairs: the persisted fingerprint
     // index built over the audio modality (writeIndex mediaType dial);

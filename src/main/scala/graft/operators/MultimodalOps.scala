@@ -536,6 +536,43 @@ object MultimodalOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** CROSS-MODAL content-reuse detection: known IMAGES matched against
+    * VIDEO FRAMES — the frame-level screen a media pipeline runs at
+    * upload time (does any frame of this video reproduce an image we
+    * hold — a blocklist entry, a copyrighted still, a training-set
+    * member?). Same banded discipline as every near-dup face: image
+    * fingerprints and per-frame video fingerprints join on pigeonhole
+    * chunks (never all-pairs), hamming verifies inline, and the pair
+    * score is the MIN over frames per (image, video) — exact by the
+    * pigeonhole argument. Image and video doc_ids are disjoint
+    * modalities of the corpus, so no self-pair predicate is needed.
+    * In this corpus the true positives are single-frame videos whose
+    * decoded stream near-duplicates an image's (frame slicing makes
+    * multi-frame content proportionally different).
+    */
+  def frameMatchPairs(
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+  ): DataFrame = {
+    val bits = regions - 1
+    Banding.requirePigeonhole(blockBands, maxHamming)
+    val img = decodeContent(media)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), graft.expressions.DHash(col("content"), regions).as("dhash"))
+      .localCheckpoint()
+    val vid = videoFrameFingerprints(media, regions).localCheckpoint()
+    Banding
+      .hammingPairs(
+        Banding.chunkRows(img, "dhash", bits, blockBands),
+        Banding.chunkRows(vid, "dhash", bits, blockBands),
+        Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming, "image_id", "video_id")
+      .groupBy(col("image_id"), col("video_id"))
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy("image_id", "video_id")
+  }
+
   /** Resize planning: aspect-preserving fit of each decoded image into
     * a `target`×`target` box, never upscaling. The geometry (scale
     * factor, output dims) is the real pipeline logic; the pixel

@@ -175,6 +175,36 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("cross-modal frame match finds the video frame that reproduces a known image") {
+    import spark.implicits._
+    // 272 chars (a multiple of 16) → the video wraps it as a SINGLE
+    // frame (F = L % 16 + 1 = 1), so frame 0 decodes to exactly the
+    // image's content.
+    val base = ("the quick brown fox jumps over the lazy dog and keeps on running " * 4)
+      .padTo(272, 'z')
+    val docs = Seq(
+      0L -> base, // image (doc_id % 3 == 0): the known/blocklisted still
+      2L -> base, // video (doc_id % 3 == 2): single frame reproducing it
+      5L -> ("entirely different footage with no overlap in phrasing at all whatsoever " * 4)
+        .padTo(304, 'q'), // video, unrelated — must not match
+      1L -> base, // audio: same content, but frame matching is image×video only
+    ).toDF("doc_id", "text")
+    val pairs = MultimodalOps.frameMatchPairs(
+      MultimodalOps.encodeMedia(docs), regions = 49, blockBands = 6, maxHamming = 5)
+    val got = pairs.as[(Long, Long, Int)].collect()
+      .map { case (i, v, h) => (i, v) -> h }.toMap
+    // The reproducing frame verifies at hamming 0 through two DIFFERENT
+    // container encodings (PNG image vs GIF frame slice).
+    assert(got.get((0L, 2L)).contains(0), got.toString)
+    // Strictly cross-modal: left ids are images, right ids are videos,
+    // and the unrelated video pairs with nothing.
+    assert(got.keys.forall { case (i, v) => i % 3 == 0 && v % 3 == 2 }, got.toString)
+    assert(!got.keySet.exists(_._2 == 5L), got.toString)
+    // Candidates come from the pigeonhole equi-join, never all-pairs.
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   implicit private class Tup3Map(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
