@@ -168,6 +168,21 @@ object MultimodalQueries {
 
   private val videoNearDupSql = videoDhashCtes + videoPairsTail(None)
 
+  /** The cross-modal frame-match oracle (image chain i-prefixed so both
+    * chains coexist), shared by the corpus-scan and index faces.
+    */
+  private val frameMatchSql =
+    s"""$videoDhashCtes,
+       |${dhashCtesFor(0, "i")}
+       |SELECT image_id, video_id, min(hamming) AS hamming FROM (
+       |  SELECT DISTINCT x.doc_id AS image_id, y.doc_id AS video_id,
+       |    bit_count(xor(x.dhash, y.dhash)) AS hamming
+       |  FROM icb x JOIN cb y
+       |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits)
+       |WHERE hamming <= 5
+       |GROUP BY image_id, video_id
+       |ORDER BY image_id, video_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Modality mix report: per media type, row count, total payload
     // bytes, and byte share (one division against the broadcast 1-row
@@ -439,16 +454,24 @@ object MultimodalQueries {
       (s, d) => MultimodalOps.frameMatchPairs(
         MultimodalOps.encodeMedia(documents(s, d)),
         regions = 49, blockBands = 6, maxHamming = 5),
-      Some(s"""$videoDhashCtes,
-              |${dhashCtesFor(0, "i")}
-              |SELECT image_id, video_id, min(hamming) AS hamming FROM (
-              |  SELECT DISTINCT x.doc_id AS image_id, y.doc_id AS video_id,
-              |    bit_count(xor(x.dhash, y.dhash)) AS hamming
-              |  FROM icb x JOIN cb y
-              |    ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits)
-              |WHERE hamming <= 5
-              |GROUP BY image_id, video_id
-              |ORDER BY image_id, video_id""".stripMargin),
+      Some(frameMatchSql),
+    ),
+    // The same screen as an INDEX read — images are the stored
+    // blocklist (the persisted fingerprint index), videos arrive and
+    // fingerprint themselves; frame chunks join the STORED chunk table
+    // (bucketed side never shuffles), stored payloads never re-read.
+    // Bit-equal to the corpus-scan face, one oracle for both.
+    Q(
+      "mm_index_frame_match",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "framematch")
+        val media = MultimodalOps.encodeMedia(documents(s, d))
+        graft.operators.MediaIndexOps.writeIndex(
+          media, regions = 49, blockBands = 6, buckets = 8, prefix = pre)
+        graft.operators.MediaIndexOps.frameMatchAgainstIndex(
+          s, pre, media, regions = 49, blockBands = 6, maxHamming = 5)
+      },
+      Some(frameMatchSql),
     ),
     // Index-served AUDIO near-dup pairs: the persisted fingerprint
     // index built over the audio modality (writeIndex mediaType dial);

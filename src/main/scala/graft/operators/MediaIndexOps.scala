@@ -199,6 +199,41 @@ object MediaIndexOps {
       .orderBy("new_doc_id", "dup_of")
   }
 
+  /** CROSS-MODAL frame match against the stored index — the
+    * upload-time blocklist/copyright screen as an INDEX read: the
+    * incoming videos are fingerprinted per frame (their own decode,
+    * one pass) and their frame chunks join the STORED image chunk
+    * table; hamming verifies inline from the fingerprints the chunk
+    * rows carry, and the pair score is the MIN over frames — exact by
+    * the pigeonhole argument [[MultimodalOps.frameMatchPairs]]
+    * documents. Stored payloads are never re-read; the bucketed side
+    * never shuffles. Output is identical to the corpus-scan operator
+    * on the corpus the index was built from (MediaIndexSpec asserts
+    * equality; the registry query shares the oracle).
+    */
+  def frameMatchAgainstIndex(
+      spark: SparkSession,
+      prefix: String,
+      videos: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+  ): DataFrame = {
+    val bits = regions - 1
+    Banding.requirePigeonhole(blockBands, maxHamming)
+    val vf = MultimodalOps.videoFrameFingerprints(videos, regions)
+      .select(col("doc_id"), col("dhash"))
+      .localCheckpoint()
+    Banding
+      .hammingPairs(
+        spark.table(s"${prefix}_chunks"),
+        Banding.chunkRows(vf, "dhash", bits, blockBands),
+        Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming, "image_id", "video_id")
+      .groupBy(col("image_id"), col("video_id"))
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy("image_id", "video_id")
+  }
+
   /** One micro-batch of the STREAMING image dedup: returns the batch's
     * near-dup rows `(new_doc_id, dup_of, hamming)` and GROWS the index
     * with the batch's kept (non-dup, not-already-indexed) images — the

@@ -57,6 +57,15 @@ class MediaIndexSpec extends SparkSpec {
     assert(fps.count() > fps.select("doc_id").distinct().count())
   }
 
+  test("cross-modal frame match from the stored image index equals the corpus-scan operator") {
+    buildOnce()
+    val fromIndex = MediaIndexOps.frameMatchAgainstIndex(
+      spark, Prefix, media(), Regions, Bands, MaxHamming)
+    val direct = MultimodalOps.frameMatchPairs(media(), Regions, Bands, MaxHamming)
+    assert(fromIndex.count() > 0)
+    assert(fromIndex.exceptAll(direct).isEmpty && direct.exceptAll(fromIndex).isEmpty)
+  }
+
   test("video incremental dedup equals brute-force frame-pair hammings across the split") {
     import spark.implicits._
     val pre = "mediaixvincr"
