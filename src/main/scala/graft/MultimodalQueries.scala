@@ -359,6 +359,64 @@ object MultimodalQueries {
               |      FROM ($mediaSql) WHERE media_type = 'video')
               |ORDER BY doc_id, frame_idx""".stripMargin),
     ),
+    // Scene-change detection: frame-to-frame dHash delta per video —
+    // consecutive frames within the near-dup hamming budget (≤5)
+    // continue a scene, a larger jump (or frame 0) opens one. The pass
+    // a video pipeline runs BEFORE frame sampling: sample per scene,
+    // not per fixed stride. One hash partition by doc_id; per-video
+    // window state is O(frames). Measured at sf0.01: 636/1636
+    // consecutive-frame deltas are 0 (held shots), the rest spread to
+    // 32 bits — the threshold separates real structure.
+    Q(
+      "mm_scene_cut",
+      (s, d) => MultimodalOps.sceneCuts(
+        MultimodalOps.encodeMedia(documents(s, d)), regions = 49, sameSceneHamming = 5),
+      Some(s"""$videoDhashCtes,
+              |d AS (SELECT doc_id, frame_idx, dhash,
+              |             lag(dhash) OVER (PARTITION BY doc_id
+              |                              ORDER BY frame_idx) AS prev
+              |      FROM fp),
+              |e AS (SELECT doc_id, frame_idx,
+              |             CASE WHEN prev IS NULL THEN NULL
+              |                  ELSE bit_count(xor(dhash, prev)) END AS delta,
+              |             CASE WHEN prev IS NULL
+              |                    OR bit_count(xor(dhash, prev)) > 5
+              |                  THEN 1 ELSE 0 END AS cut
+              |      FROM d)
+              |SELECT doc_id, frame_idx, delta,
+              |  CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+              |                      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+              |    AS scene_id
+              |FROM e ORDER BY doc_id, frame_idx""".stripMargin),
+    ),
+    // Keyframe selection: one representative frame per scene (the cut
+    // frame itself) + the scene length — the per-scene sampling plan
+    // downstream captioning/embedding consumes instead of a fixed
+    // stride. One aggregation on (doc_id, scene_id).
+    Q(
+      "mm_keyframes",
+      (s, d) => MultimodalOps.keyframes(
+        MultimodalOps.encodeMedia(documents(s, d)), regions = 49, sameSceneHamming = 5),
+      Some(s"""$videoDhashCtes,
+              |d AS (SELECT doc_id, frame_idx, dhash,
+              |             lag(dhash) OVER (PARTITION BY doc_id
+              |                              ORDER BY frame_idx) AS prev
+              |      FROM fp),
+              |e AS (SELECT doc_id, frame_idx,
+              |             CASE WHEN prev IS NULL
+              |                    OR bit_count(xor(dhash, prev)) > 5
+              |                  THEN 1 ELSE 0 END AS cut
+              |      FROM d),
+              |sc AS (SELECT doc_id, frame_idx,
+              |         CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+              |                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+              |           AS scene_id
+              |       FROM e)
+              |SELECT doc_id, scene_id, min(frame_idx) AS keyframe_idx,
+              |       CAST(count(*) AS BIGINT) AS n_frames
+              |FROM sc GROUP BY doc_id, scene_id
+              |ORDER BY doc_id, scene_id""".stripMargin),
+    ),
     // Binary content-hash dedup — the first pass every media pipeline
     // runs before any decode: hash the raw payload BYTES (not a decoded
     // form), one shuffle on the digest, keep the lowest doc_id per

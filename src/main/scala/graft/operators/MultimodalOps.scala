@@ -536,6 +536,60 @@ object MultimodalOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-frame rows with the frame-to-frame fingerprint delta and a
+    * 0-based scene id — shared core of [[sceneCuts]] / [[keyframes]].
+    * Consecutive frames whose dHash hamming distance stays within
+    * `sameSceneHamming` (the near-dup budget) belong to one scene; a
+    * larger jump — or the first frame — opens a new one. Both windows
+    * share the (doc_id, frame_idx) partitioning/ordering, so the plan
+    * pays ONE hash partition by doc_id; frames are bounded per item,
+    * so per-video window state is O(frames), never corpus-wide.
+    */
+  private def sceneFrames(
+      media: DataFrame,
+      regions: Int,
+      sameSceneHamming: Int,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    videoFrameFingerprints(media, regions)
+      .withColumn("prev", lag(col("dhash"), 1).over(w))
+      .withColumn(
+        "delta",
+        when(col("prev").isNotNull, bit_count(col("dhash").bitwiseXOR(col("prev")))))
+      .withColumn("is_cut", col("prev").isNull || col("delta") > sameSceneHamming)
+      .withColumn(
+        "scene_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+  }
+
+  /** Scene-change detection over the per-frame fingerprints — the
+    * pass a video pipeline runs before frame sampling (sample per
+    * SCENE, not per fixed stride, or captioning sees 16 copies of one
+    * shot). Emits every frame with its delta to the previous frame
+    * (NULL for frame 0) and its 0-based scene id.
+    */
+  def sceneCuts(media: DataFrame, regions: Int, sameSceneHamming: Int): DataFrame =
+    sceneFrames(media, regions, sameSceneHamming)
+      .select(col("doc_id"), col("frame_idx"), col("delta"), col("scene_id"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Keyframe selection: one representative frame per scene (the
+    * scene's FIRST frame — the cut frame itself) plus the scene
+    * length, the sampling plan downstream captioning/embedding
+    * actually wants. One aggregation on (doc_id, scene_id) over
+    * [[sceneCuts]]'s frame rows.
+    */
+  def keyframes(media: DataFrame, regions: Int, sameSceneHamming: Int): DataFrame =
+    sceneFrames(media, regions, sameSceneHamming)
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(
+        min(col("frame_idx")).as("keyframe_idx"),
+        count(lit(1)).as("n_frames"),
+      )
+      .orderBy("doc_id", "scene_id")
+
   /** CROSS-MODAL content-reuse detection: known IMAGES matched against
     * VIDEO FRAMES — the frame-level screen a media pipeline runs at
     * upload time (does any frame of this video reproduce an image we

@@ -175,6 +175,34 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("scene cuts segment a hand-built video at the designed shot boundary") {
+    import spark.implicits._
+    // 211 chars → F = 211 % 16 + 1 = 4 frames of fl = 52 chars (3 pad
+    // chars dropped). Frames must be LONGER than the 49 dHash regions:
+    // shorter frames leave most regions empty and the gradient encodes
+    // occupancy, not content (any ascending and descending 16-char
+    // strings fingerprint identically). 52 monotonically ascending
+    // codes → gradient bits ~0; the reversed block → ~1: a near-total
+    // flip. Three identical blocks, then the inverted one.
+    val shotA = (65 until 117).map(_.toChar).mkString // 52 ascending codes
+    val shotB = shotA.reverse
+    val docs = Seq(2L -> (shotA * 3 + shotB + "xyz")).toDF("doc_id", "text")
+    val media = MultimodalOps.encodeMedia(docs)
+    val cuts = MultimodalOps.sceneCuts(media, regions = 49, sameSceneHamming = 5)
+      .as[(Long, Int, Option[Int], Long)].collect()
+    assert(cuts.map(c => (c._2, c._4)).toSeq == Seq(0 -> 0L, 1 -> 0L, 2 -> 0L, 3 -> 1L),
+      cuts.mkString(", "))
+    assert(cuts(0)._3.isEmpty, "frame 0 has no previous frame")
+    assert(cuts(1)._3.contains(0) && cuts(2)._3.contains(0), "held shot → delta 0")
+    assert(cuts(3)._3.exists(_ > 5), s"inverted gradient must cross the budget: ${cuts(3)}")
+    val kf = MultimodalOps.keyframes(media, regions = 49, sameSceneHamming = 5)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(kf == Seq((2L, 0L, 0, 3L), (2L, 1L, 3, 1L)), kf.mkString(", "))
+    // The per-frame window is partitioned by doc_id — never corpus-wide.
+    val plan = MultimodalOps.sceneCuts(media, 49, 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("cross-modal frame match finds the video frame that reproduces a known image") {
     import spark.implicits._
     // 272 chars (a multiple of 16) → the video wraps it as a SINGLE
