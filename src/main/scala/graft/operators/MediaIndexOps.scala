@@ -374,6 +374,34 @@ object MediaIndexOps {
       }
       .start()
 
+  /** The STREAMING upload screen — [[frameMatchAgainstIndex]] per
+    * micro-batch of the `media` stream: every arriving video is
+    * fingerprinted per frame and matched against the stored image
+    * index, match rows handed to `onMatches`. READ-ONLY on the index
+    * (a blocklist screen flags, it does not ingest), so batches are
+    * independent and a replay re-emits the identical matches —
+    * idempotent by construction, no ledger needed.
+    */
+  def streamingFrameMatch(
+      spark: SparkSession,
+      prefix: String,
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+      checkpoint: String,
+      onMatches: (DataFrame, Long) => Unit,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onMatches(
+          frameMatchAgainstIndex(spark, prefix, batch, regions, blockBands, maxHamming),
+          batchId)
+      }
+      .start()
+
   /** Index maintenance at the current bucket count: rewrite only the
     * tables whose worst bucket exceeds the file budget (every append
     * adds one file per touched bucket). Content bit-preserved.

@@ -203,6 +203,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming frame match screens video uploads against the stored image index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{MediaIndexOps, MultimodalOps}
+    val prefix = "framescreen"
+    Seq(s"${prefix}_fps", s"${prefix}_chunks", s"${prefix}_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val media = MultimodalOps.encodeMedia(Tables.documents(spark, Sf))
+    MediaIndexOps.writeIndex(media, regions = 49, blockBands = 6, buckets = 4, prefix = prefix)
+    val videoRows = media.filter(col("media_type") === "video")
+      .select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, String, Array[Byte])]
+    val collected = scala.collection.mutable.Buffer[(Long, Long, Int)]()
+    val ckpt = Files.createTempDirectory("frame_screen").toFile.getAbsolutePath
+    val q = MediaIndexOps.streamingFrameMatch(
+      spark, prefix, in.toDF().toDF("doc_id", "media_type", "payload"),
+      regions = 49, blockBands = 6, maxHamming = 5, checkpoint = ckpt,
+      onMatches = (m, _) => collected ++= m.as[(Long, Long, Int)].collect(),
+    )
+    val fpsBefore = spark.table(s"${prefix}_fps").count()
+    val waves = videoRows.grouped(videoRows.length / 2 + 1).toSeq
+    try waves.foreach { w => in.addData(w.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // The screen is read-only on the index, so batches are independent
+    // and the union over waves must equal the corpus-scan operator
+    // (itself pinned by its DuckDB oracle) exactly.
+    val expected = MultimodalOps.frameMatchPairs(media, 49, 6, 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(collected.nonEmpty && collected.toSet == expected,
+      s"got ${collected.size} rows, expected ${expected.size}")
+    assert(spark.table(s"${prefix}_fps").count() == fpsBefore,
+      "a blocklist screen must not grow the index")
+  }
+
   test("stream-stream interval join pairs bidirectional flows with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     def rawP(src: String, dst: String, psrc: Int, pdst: Int, bytes: Long, ts: String): String =
