@@ -3157,6 +3157,40 @@ object RelationalQueries {
              |  CAST(sum(CASE WHEN n < 20 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk
              |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+    // l-diversity — k-anonymity's companion: a QI group can be large
+    // (k-anonymous) yet expose everyone in it if the SENSITIVE value
+    // barely varies. Same QI key (event_type, day, hour), sensitive
+    // attribute = user_id; per type, how many groups carry fewer than
+    // l = 25 distinct users and how many rows those groups expose. One
+    // exact distinct per aggregate (the multi-distinct Expand trap
+    // documented at q_column_profile), then the same cheap rollup.
+    Q(
+      "q_l_diversity",
+      (s, d) =>
+        events(s, d)
+          .groupBy(
+            col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            hour(col("ts")).as("hr"),
+          )
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("ndv"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum(when(col("ndv") < 25, 1L).otherwise(0L)).as("n_violating"),
+            sum(when(col("ndv") < 25, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+          )
+          .orderBy("event_type"),
+      Some("""WITH g AS (
+             |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |         extract(hour FROM ts) AS hr, count(*) AS n,
+             |         count(DISTINCT user_id) AS ndv
+             |  FROM events GROUP BY event_type, day, hr)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN ndv < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             |  CAST(sum(CASE WHEN ndv < 25 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+             |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
     // Sketch set-INTERSECTION estimate by inclusion-exclusion over
     // three mergeable HLL sketches (|A| + |B| − |A∪B|) vs the exact
     // intersection — the q_hll_union discipline pointed at overlap
