@@ -423,6 +423,48 @@ object DedupQueries {
               |WHERE d.doc_id % 10 <> 0
               |ORDER BY d.doc_id""".stripMargin),
     ),
+    // SEMANTIC decontamination — the embedding-space member of the
+    // contamination family (exact n-gram tx_contamination → fuzzy LSH
+    // dd_contamination_lsh → this): corpus vectors whose cosine to any
+    // benchmark vector (vec_id % 10 = 0) reaches the threshold are
+    // paraphrase-level leakage no lexical filter sees. Sign-LSH band
+    // buckets, CROSS-TABLE candidate equi-join (benchmark × corpus,
+    // never corpus²), exact fold-dot verify, total verdict per corpus
+    // vector.
+    Q(
+      "dd_contamination_semantic",
+      (s, d) => DedupOps.semanticContamination(embeddings(s, d), CosineThreshold, EmbedBands),
+      Some {
+        val bandSelects = EmbedBands.zipWithIndex
+          .map { case (dims, i) =>
+            s"  SELECT vec_id, $i AS band_idx, ${signBucket("embedding", dims)} AS bucket FROM embeddings"
+          }
+          .mkString("\nUNION ALL\n")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |n AS (SELECT vec_id, ${unitNorm("e")} AS u FROM v),
+           |bb AS (
+           |$bandSelects
+           |),
+           |cand AS (SELECT DISTINCT x.vec_id AS bench_id, y.vec_id
+           |         FROM bb x JOIN bb y
+           |           ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+           |         WHERE x.vec_id % 10 = 0 AND y.vec_id % 10 <> 0),
+           |ver AS (SELECT c.vec_id, ${dot("a.u", "b.u")} AS cosine
+           |        FROM cand c
+           |        JOIN n a ON a.vec_id = c.bench_id
+           |        JOIN n b ON b.vec_id = c.vec_id
+           |        WHERE ${dot("a.u", "b.u")} >= $CosineThreshold),
+           |hits AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+           |                max(cosine) AS max_cosine
+           |         FROM ver GROUP BY vec_id)
+           |SELECT e.vec_id, coalesce(h.n_bench_matches, 0) AS n_bench_matches,
+           |  coalesce(h.max_cosine, 0.0) AS max_cosine,
+           |  coalesce(h.n_bench_matches, 0) > 0 AS contaminated
+           |FROM embeddings e LEFT JOIN hits h ON h.vec_id = e.vec_id
+           |WHERE e.vec_id % 10 <> 0
+           |ORDER BY e.vec_id""".stripMargin
+      },
+    ),
     // Cross-source near-dup leakage matrix: the LSH pair set rolled up
     // by unordered source pair — where duplication crosses source
     // boundaries (inter-source contamination) vs stays within one

@@ -597,6 +597,65 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space
+    * companion to the n-gram ([[graft.TextQueries]] tx_contamination)
+    * and fuzzy-LSH (dd_contamination_lsh) filters: corpus vectors
+    * whose cosine to ANY benchmark vector reaches `threshold` are
+    * paraphrase-level leakage no lexical filter can see. Same sign-LSH
+    * discipline as [[embeddingNearDupPairsBucketed]], but the band
+    * bucket join is CROSS-TABLE (benchmark side × corpus side — never
+    * corpus × corpus, never all-pairs), candidates verify by the exact
+    * fold dot product, and the verdict aggregates per corpus vector:
+    * how many benchmark vectors it matches and the worst cosine. At
+    * 100 TB the benchmark side is tiny and the corpus side only ever
+    * shuffles on its band keys.
+    */
+  def semanticContamination(
+      embeddings: DataFrame,
+      threshold: Double,
+      bands: Seq[Seq[Int]],
+      benchMod: Int = 10,
+  ): DataFrame = {
+    val p = partitions(embeddings)
+    val indexed = embeddings
+      .repartition(p, col("vec_id"))
+      .select(
+        col("vec_id"),
+        SimilarityOps.unitNorm(col("embedding")).as("u"),
+        array(bands.map(dims => SimilarityOps.signBucket(col("embedding"), dims)): _*).as("bks"),
+      )
+      .localCheckpoint()
+    val buckets = indexed.select(
+      col("vec_id"),
+      posexplode(col("bks")).as(Seq("band_idx", "bucket")),
+    )
+    val v = indexed.select(col("vec_id"), col("u"))
+    val hits = Banding
+      .candidatePairs(
+        buckets.filter(col("vec_id") % benchMod === 0),
+        buckets.filter(col("vec_id") % benchMod =!= 0),
+        Seq("band_idx", "bucket"), "bench_id", "vec_id", idCol = "vec_id")
+      .join(v.select(col("vec_id").as("bench_id"), col("u").as("u_a")), "bench_id")
+      .join(v.select(col("vec_id"), col("u").as("u_b")), "vec_id")
+      .select(col("vec_id"), SimilarityOps.dot(col("u_a"), col("u_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("hits"), max(col("cosine")).as("max_cos"))
+    // Total verdict over the corpus side (the dd_contamination_lsh
+    // report shape): every corpus vector appears, clean rows at 0.
+    indexed
+      .filter(col("vec_id") % benchMod =!= 0)
+      .select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("hits"), lit(0L)).as("n_bench_matches"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cosine"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"),
+      )
+      .orderBy("vec_id")
+  }
+
   /** Near-dup-aware train/validation split: every document is assigned
     * a split by hashing its near-dup CLUSTER id (its own id when
     * unclustered), so near-duplicate documents can never straddle the

@@ -125,6 +125,36 @@ class DedupSpec extends SparkSpec {
     assert(got.subsetOf(allPairs), "bucketed pairs must be a subset of the exact all-pairs result")
   }
 
+  test("semantic contamination: cross-table only, flags subset of exact cross pairs, verdict total") {
+    val verdict = Registry.queries("dd_contamination_semantic")(spark, Sf)
+    val plan = verdict.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val rows = verdict.as[(Long, Long, Double, Boolean)].collect()
+    // Total over the corpus side; benchmark vectors never appear.
+    val corpusIds = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") % 10 =!= 0).select("vec_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == corpusIds)
+    assert(rows.exists(_._4), "testdata should surface some semantic leakage")
+    // Every flagged vector must have a true cross (benchmark, corpus)
+    // cosine ≥ threshold in the exact all-pairs result, with the same
+    // worst cosine and a match count bounded by the exact count
+    // (banding trades recall, never precision).
+    val exact = DedupOps.embeddingNearDupPairs(Tables.embeddings(spark, Sf), 0.4)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .collect { case (bench, corp, c) if bench % 10 == 0 && corp % 10 != 0 => (corp, bench, c) }
+      .groupBy(_._1)
+    rows.filter(_._4).foreach { case (id, n, maxCos, _) =>
+      val hits = exact.getOrElse(id, Array.empty)
+      assert(hits.nonEmpty, s"flagged $id has no exact cross pair")
+      assert(n <= hits.length, s"$id: banded count $n exceeds exact ${hits.length}")
+      assert(hits.map(_._3).max >= maxCos, s"$id: max_cosine above exact max")
+    }
+    rows.filterNot(_._4).foreach { case (_, n, maxCos, _) =>
+      assert(n == 0L && maxCos == 0.0)
+    }
+  }
+
   test("dup-ngram fraction: copies score 1.0, unique text scores 0.0, overlap in between") {
     // Docs 1 and 2 are identical (every shingle duplicated); doc 3 is
     // disjoint; doc 4 shares exactly its first 3-gram window with doc 1

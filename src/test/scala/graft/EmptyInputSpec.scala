@@ -146,5 +146,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(MultimodalOps.keyframes(noMedia, 49, 5).count() == 0)
     val noLabeled = Seq.empty[(Long, Array[Float], Long)].toDF("vec_id", "embedding", "label")
     assert(SimilarityOps.randomProject(noLabeled, 64, 16).count() == 0)
+    assert(DedupOps.semanticContamination(
+      noLabeled, 0.4, Seq(Seq(0, 3, 6))).count() == 0)
   }
 }
