@@ -654,6 +654,48 @@ object TextQueries {
               |FROM rated r LEFT JOIN kept k ON r.source = k.source
               |ORDER BY source""".stripMargin),
     ),
+    // Quality-aware mixing plan: keep the best HALF of each source's
+    // tokens by quality — per (source, quality bin) token inventory,
+    // budget = total DIV 2 filled from the best bin downward, boundary
+    // bin partial, lower bins zero. Pure integer arithmetic after the
+    // broadcast-quantile bin assignment; two windows over the tiny
+    // (source × 4 bins) frame share one exchange.
+    Q(
+      "tx_mix_quality",
+      (s, d) => TextOps.mixByQuality(documents(s, d), num = 1L, den = 2L),
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS score
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             |b AS (SELECT quantile_cont(score, 0.25) AS p25,
+             |             quantile_cont(score, 0.50) AS p50,
+             |             quantile_cont(score, 0.75) AS p75 FROM s),
+             |qb AS (SELECT doc_id,
+             |  1 + CASE WHEN score > p25 THEN 1 ELSE 0 END
+             |    + CASE WHEN score > p50 THEN 1 ELSE 0 END
+             |    + CASE WHEN score > p75 THEN 1 ELSE 0 END AS bin
+             |  FROM s CROSS JOIN b),
+             |tok AS (SELECT doc_id, source,
+             |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |        FROM documents),
+             |g AS (SELECT t.source, q.bin, CAST(count(*) AS BIGINT) AS n_docs,
+             |        CAST(sum(t.n_tok) AS BIGINT) AS tokens_avail
+             |      FROM tok t JOIN qb q ON q.doc_id = t.doc_id
+             |      GROUP BY t.source, q.bin),
+             |c AS (SELECT source, bin, n_docs, tokens_avail,
+             |        CAST(sum(tokens_avail) OVER (PARTITION BY source) AS BIGINT)
+             |          * 1 // 2 AS budget,
+             |        CAST(coalesce(sum(tokens_avail) OVER (
+             |            PARTITION BY source ORDER BY bin DESC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS BIGINT) AS cum_before
+             |      FROM g)
+             |SELECT source, bin, n_docs, tokens_avail,
+             |  CAST(CASE WHEN cum_before >= budget THEN 0
+             |            WHEN cum_before + tokens_avail <= budget THEN tokens_avail
+             |            ELSE budget - cum_before END AS BIGINT) AS tokens_taken
+             |FROM c ORDER BY source, bin""".stripMargin),
+    ),
     // Decontamination: corpus docs sharing any word 3-gram with the
     // benchmark subset (doc_id % 50 = 0 stands in for an eval suite).
     // The benchmark shingle set is broadcast; the corpus never shuffles.

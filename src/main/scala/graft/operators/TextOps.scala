@@ -368,6 +368,49 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** QUALITY-AWARE mixing plan — the curation rule "keep the best
+    * num/den of each source's tokens, by quality": per (source,
+    * quality bin) token inventory, then the budget (num/den of the
+    * source's total, integer floor) fills from the BEST bin downward;
+    * the boundary bin is taken partially, lower bins not at all. Pure
+    * integer arithmetic after the bin assignment ([[qualityBins]] —
+    * itself broadcast-quantile based, no global sort), so the plan
+    * replays identically anywhere. Shuffle shape: one (source, bin)
+    * aggregate — 4 rows per source — then two windows sharing one
+    * partition-by-source exchange over that tiny frame; the corpus
+    * shuffles once for the aggregate and never again.
+    */
+  def mixByQuality(docs: DataFrame, num: Long = 1L, den: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withTok = docs.select(
+      col("doc_id"),
+      col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+    )
+    val g = qualityBins(docs)
+      .select(col("doc_id"), col("bin"))
+      .join(withTok, Seq("doc_id"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens_avail"))
+    val perSource = Window.partitionBy("source")
+    val bestFirst = Window.partitionBy("source").orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("total", sum(col("tokens_avail")).over(perSource))
+      .withColumn("budget", expr(s"total * $num DIV $den"))
+      .withColumn("cum_before", coalesce(sum(col("tokens_avail")).over(bestFirst), lit(0L)))
+      .select(
+        col("source"),
+        col("bin"),
+        col("n_docs"),
+        col("tokens_avail"),
+        when(col("cum_before") >= col("budget"), lit(0L))
+          .when(col("cum_before") + col("tokens_avail") <= col("budget"), col("tokens_avail"))
+          .otherwise(col("budget") - col("cum_before"))
+          .as("tokens_taken"),
+      )
+      .orderBy("source", "bin")
+  }
+
   /** Temperature-based corpus mixing — the multilingual-LLM sampling
     * rule: source s is sampled proportionally to total_s^α with α=1/2
     * (p_s = √total_s / Σ √total), which UP-samples small sources and

@@ -137,6 +137,7 @@ class EmptyInputSpec extends SparkSpec {
     val noSourcedDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
     assert(TextOps.bpeTrain(noDocs, rounds = 4).count() == 0)
     assert(TextOps.mixByTemperature(noSourcedDocs, budgetTokens = 100L, buckets = 10).count() == 0)
+    assert(TextOps.mixByQuality(noSourcedDocs).count() == 0)
     val noMedia = Seq.empty[(Long, String, Array[Byte])].toDF("doc_id", "media_type", "payload")
     assert(MultimodalOps.nearDupPairs(noMedia, 49, 6, 5, "audio").count() == 0)
     assert(MultimodalOps.videoFrameFingerprints(noMedia, 49).count() == 0)

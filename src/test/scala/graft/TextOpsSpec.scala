@@ -329,6 +329,26 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mixByQuality fills the budget best-bin-first: full, partial boundary, zero") {
+    // Distinct scores spread one doc per quantile bin; 17 tokens total,
+    // budget = 17 DIV 2 = 8 → bin 4 (5 tokens) fully taken, bin 3
+    // partially (3 of 4), bins 2 and 1 not at all.
+    val docs = Seq(
+      (1L, "a a a a", "web"), // score 0.25 → bin 1
+      (2L, "a a b b", "web"), // score 0.50 → bin 2
+      (3L, "a b c a", "web"), // score 0.75 → bin 3
+      (4L, "a b c d e", "web"), // score 1.00 → bin 4
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.mixByQuality(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("web", 1L, 1L, 4L, 0L),
+      ("web", 2L, 1L, 4L, 0L),
+      ("web", 3L, 1L, 4L, 3L),
+      ("web", 4L, 1L, 5L, 5L),
+    ), got.mkString(", "))
+  }
+
   test("lmNextToken returns the argmax continuation with deterministic ties") {
     // Bigrams: (a,b)×2, (a,c)×2 → tie broken to smaller w2 = b;
     // denominator is a's count as bigram START (4), so p = 2/4.
