@@ -503,6 +503,27 @@ object MultimodalQueries {
               |FROM nodes n JOIN reach r ON r.u = n.id
               |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
+    // AUDIO dedup clusters — parity with the image and video cluster
+    // faces: connected components (label prop to the fixpoint) over
+    // the audio near-dup pairs, keeper = min doc_id.
+    Q(
+      "mm_near_dedup_audio_clusters",
+      (s, d) => graft.operators.DedupOps.connectedComponents(
+        MultimodalOps.nearDupPairs(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, maxHamming = 5, "audio")),
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM (${nearDupPairsSqlFor(1)})),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges)
+              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |FROM nodes n JOIN reach r ON r.u = n.id
+              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+    ),
     // CROSS-MODAL frame matching: video frames reproducing known images
     // (the upload-time blocklist/copyright screen). Image chain × video
     // frame chain on pigeonhole chunks, min-over-frames per pair — the
