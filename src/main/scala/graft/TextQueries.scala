@@ -441,6 +441,31 @@ object TextQueries {
               |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
               |FROM r GROUP BY reason ORDER BY reason""".stripMargin),
     ),
+    // Filter-ablation OVERLAP: every rule COMBINATION (Venn cell) with
+    // doc/token counts — tx_reject_reasons charges a doc to its first
+    // failing rule, this shows which rules reject uniquely and which
+    // are redundant. Mask 0 = kept; same rule expressions as the keep
+    // predicate.
+    Q(
+      "tx_reject_overlap",
+      (s, d) => TextOps.rejectOverlap(documents(s, d)),
+      Some(s"""WITH t AS (
+              |  SELECT len(w) AS n_tok,
+              |    CAST(len(list_filter(w, rr -> rr IN ($stopList))) AS DOUBLE) / len(w)
+              |      AS stop_ratio,
+              |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
+              |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+              |m AS (SELECT CAST(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END
+              |        + CASE WHEN n_tok > 200 THEN 2 ELSE 0 END
+              |        + CASE WHEN stop_ratio > 0.3 THEN 4 ELSE 0 END
+              |        + CASE WHEN ttr < 0.1 THEN 8 ELSE 0 END AS BIGINT) AS mask,
+              |        n_tok
+              |      FROM t)
+              |SELECT mask, (mask & 1) > 0 AS too_short, (mask & 2) > 0 AS too_long,
+              |  (mask & 4) > 0 AS stop_ratio, (mask & 8) > 0 AS ttr,
+              |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              |FROM m GROUP BY mask ORDER BY mask""".stripMargin),
+    ),
     Q(
       "tx_curation_pipeline",
       (s, d) => TextOps.curationPipeline(documents(s, d)),

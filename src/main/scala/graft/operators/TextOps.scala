@@ -1097,6 +1097,38 @@ object TextOps {
       .orderBy("reason")
   }
 
+  /** Filter-ablation OVERLAP report — where [[rejectReasons]] charges
+    * each rejected doc to its FIRST failing rule, this reports every
+    * rule COMBINATION (the Venn cells): bitmask = too_short + 2·too_long
+    * + 4·stop_ratio + 8·ttr, with per-cell doc/token counts. The table
+    * a filter-tuning pass reads to see which rules are redundant
+    * (their cells are covered by others) and which carry unique
+    * rejections. Mask 0 is the kept set; the same rule expressions as
+    * the pipeline's keep predicate, so the report can never drift from
+    * the filter it explains. One scan + one tiny aggregate.
+    */
+  def rejectOverlap(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        ((qNTok < 20).cast("long")
+          + (qNTok > 200).cast("long") * 2
+          + (qStopRatio > 0.3).cast("long") * 4
+          + (qTtr < 0.1).cast("long") * 8).as("mask"),
+        qNTok.cast("long").as("n_tok"),
+      )
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(
+        col("mask"),
+        (col("mask").bitwiseAND(lit(1L)) > 0).as("too_short"),
+        (col("mask").bitwiseAND(lit(2L)) > 0).as("too_long"),
+        (col("mask").bitwiseAND(lit(4L)) > 0).as("stop_ratio"),
+        (col("mask").bitwiseAND(lit(8L)) > 0).as("ttr"),
+        col("n_docs"),
+        col("n_tokens"),
+      )
+      .orderBy("mask")
+
   /** Per-source document-length profile with EXACT order-statistic
     * percentiles: lower median (position ⌊(n+1)/2⌋) and p90 (position
     * ⌈0.9·n⌉, computed as the integer (9n+9) div 10) of the token

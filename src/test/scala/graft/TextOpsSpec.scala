@@ -329,6 +329,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("rejectOverlap reports every rule COMBINATION with kept at mask 0") {
+    // d1: 21 distinct words → kept (mask 0). d2: 10 distinct non-stop
+    // words → too_short only (mask 1). d3: 10 words, 6 stopwords →
+    // too_short + stop_ratio (mask 5). d4: 210 copies of one word →
+    // too_long + ttr (mask 10).
+    val docs = Seq(
+      (1L, (1 to 21).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (3L, "the a of and in the w1 w2 w3 w4"),
+      (4L, Seq.fill(210)("w").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val got = TextOps.rejectOverlap(docs)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, false, false, false, false, 1L, 21L),
+      (1L, true, false, false, false, 1L, 10L),
+      (5L, true, false, true, false, 1L, 10L),
+      (10L, false, true, false, true, 1L, 210L),
+    ), got.mkString(", "))
+  }
+
   test("mixByQuality fills the budget best-bin-first: full, partial boundary, zero") {
     // Distinct scores spread one doc per quantile bin; 17 tokens total,
     // budget = 17 DIV 2 = 8 → bin 4 (5 tokens) fully taken, bin 3
