@@ -740,4 +740,82 @@ object EngineProps extends Properties("graft") {
       got == expected
     }
   }
+
+  /** The cross-modal frame-match reduction (mm_frame_match /
+    * mm_index_frame_match): banded two-table hammingPairs + min-over-
+    * frames equals the brute-force min over all (image, frame) pairs
+    * whenever that min is within maxHamming — exact by pigeonhole (the
+    * minimizing frame pair collides on ≥1 chunk, and no smaller value
+    * can exist outside the verified set).
+    */
+  property("cross-table min-over-frames == brute-force frame-pair min") = {
+    import spark.implicits._
+    val bits = 48; val bands = 6; val maxHamming = 5
+    val genFp = Gen.chooseNum(0L, (1L << bits) - 1)
+    val gen = for {
+      imgs <- Gen.listOfN(4, genFp)
+      vids <- Gen.listOfN(3, Gen.nonEmptyListOf(Gen.oneOf(
+        genFp, // unrelated frame
+        for { // near-copy of a random image
+          i <- Gen.chooseNum(0, 3); k <- Gen.chooseNum(0, maxHamming)
+          s <- Gen.chooseNum(0, bits - 1)
+        } yield (0 until k).foldLeft(imgs(i))((acc, d) => acc ^ (1L << ((s + d) % bits))),
+      )).map(_.take(4)))
+    } yield (imgs, vids)
+    Prop.forAll(gen) { case (imgs, vids) =>
+      val imgDf = imgs.zipWithIndex.map { case (f, i) => (i.toLong, f) }.toDF("doc_id", "fp")
+      val vidDf = vids.zipWithIndex
+        .flatMap { case (frames, v) => frames.map(f => (100L + v, f)) }
+        .toDF("doc_id", "fp")
+      val got = graft.operators.Banding
+        .hammingPairs(
+          graft.operators.Banding.chunkRows(imgDf, "fp", bits, bands),
+          graft.operators.Banding.chunkRows(vidDf, "fp", bits, bands),
+          Seq("chunk_idx", "chunk_bits"), "fp", maxHamming, "image_id", "video_id")
+        .groupBy(col("image_id"), col("video_id"))
+        .agg(org.apache.spark.sql.functions.min(col("hamming")).as("hamming"))
+        .as[(Long, Long, Int)].collect().toSet
+      val expected = (for {
+        i <- imgs.indices; v <- vids.indices
+        h = vids(v).map(f => java.lang.Long.bitCount(imgs(i) ^ f)).min if h <= maxHamming
+      } yield (i.toLong, 100L + v, h)).toSet
+      got == expected
+    }
+  }
+
+  /** Scene segmentation (mm_scene_cut) equals a straight-line fold over
+    * the per-frame fingerprints: delta = hamming to the previous frame,
+    * cut iff first frame or delta > budget, scene id = cuts so far − 1.
+    */
+  property("sceneCuts == straight-line scene fold over frame fingerprints") = {
+    import spark.implicits._
+    val budget = 5
+    // Video docs (doc_id % 3 == 2) with text long enough to carry
+    // several frames; repeated blocks make held shots actually occur.
+    val genBlock = Gen.oneOf("abcdefgh", "zyxwvuts", "11223344")
+    val genDoc = for {
+      blocks <- Gen.nonEmptyListOf(genBlock).map(_.take(12))
+    } yield blocks.mkString
+    val gen = Gen.nonEmptyListOf(genDoc).map(_.take(4))
+    Prop.forAll(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (2L + 3L * i, t) }.toDF("doc_id", "text")
+      val media = graft.operators.MultimodalOps.encodeMedia(docs)
+      val got = graft.operators.MultimodalOps.sceneCuts(media, regions = 49, budget)
+        .as[(Long, Int, Option[Int], Long)].collect().toSeq
+      val fps = graft.operators.MultimodalOps.videoFrameFingerprints(media, regions = 49)
+        .as[(Long, Int, Long)].collect()
+      val expected = fps.groupBy(_._1).toSeq.flatMap { case (doc, rows) =>
+        val ordered = rows.sortBy(_._2)
+        var scene = -1L
+        var prev: Option[Long] = None
+        ordered.map { case (_, idx, fp) =>
+          val delta = prev.map(p => java.lang.Long.bitCount(p ^ fp))
+          if (delta.forall(_ > budget)) scene += 1
+          prev = Some(fp)
+          (doc, idx, delta, scene)
+        }
+      }.sortBy(r => (r._1, r._2))
+      got == expected
+    }
+  }
 }
