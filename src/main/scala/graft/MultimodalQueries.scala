@@ -503,6 +503,49 @@ object MultimodalQueries {
               |FROM nodes n JOIN reach r ON r.u = n.id
               |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
+    // TWO-FAMILY consensus dedup: the dHash banding proposes pairs
+    // (local-gradient family), the Walsh–Hadamard family re-verifies
+    // each one (global frequency structure — each bit is the sign of
+    // one WHT coefficient of the region-sum vector; the ±1 basis keeps
+    // everything exact integer where a DCT-based pHash could not
+    // hash-match across engines). Standalone wHash banding floods on
+    // template corpora (21k hamming-0 pairs at sf0.1), which is why
+    // the second family verifies the first family's candidates:
+    // output bounded by the dHash pair set. The oracle replays the
+    // WHT coefficient by coefficient — parity of popcount(k AND
+    // region) signs each term; absent regions and the power-of-two
+    // padding contribute zero and are simply omitted.
+    Q(
+      "mm_near_dedup_consensus",
+      (s, d) => MultimodalOps.nearDupConsensus(
+        MultimodalOps.encodeMedia(documents(s, d)),
+        regions = 49, blockBands = 6, maxHamming = 5, whashBudget = 5),
+      Some(s"""WITH wgs AS (
+              |  SELECT doc_id, ((j-1) * 49) // L AS region,
+              |         CAST(sum(unicode(substr(content, j, 1))) AS BIGINT) AS s
+              |  FROM (SELECT doc_id, text AS content, length(text) AS L,
+              |               unnest(generate_series(1, length(text))) AS j
+              |        FROM documents WHERE doc_id % 3 = 0)
+              |  GROUP BY doc_id, region),
+              |wco AS (SELECT doc_id, k,
+              |          CAST(sum(CASE WHEN bit_count(k & region) % 2 = 1
+              |                        THEN -s ELSE s END) AS BIGINT) AS coef
+              |        FROM (SELECT doc_id, region, s,
+              |                     unnest(generate_series(1, 48)) AS k FROM wgs)
+              |        GROUP BY doc_id, k),
+              |wfp AS (SELECT doc_id,
+              |          CAST(sum(CASE WHEN coef > 0
+              |                        THEN CAST(power(2, 48 - k) AS BIGINT)
+              |                        ELSE 0 END) AS BIGINT) AS whash
+              |        FROM wco GROUP BY doc_id),
+              |p AS (SELECT doc_a, doc_b, hamming FROM ($nearDupPairsSql))
+              |SELECT p.doc_a, p.doc_b, p.hamming,
+              |  bit_count(xor(a.whash, b.whash)) AS whash_hamming,
+              |  bit_count(xor(a.whash, b.whash)) <= 5 AS confirmed
+              |FROM p JOIN wfp a ON a.doc_id = p.doc_a
+              |       JOIN wfp b ON b.doc_id = p.doc_b
+              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
     // AUDIO dedup clusters — parity with the image and video cluster
     // faces: connected components (label prop to the fixpoint) over
     // the audio near-dup pairs, keeper = min doc_id.

@@ -145,6 +145,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(MultimodalOps.frameMatchPairs(noMedia, 49, 6, 5).count() == 0)
     assert(MultimodalOps.sceneCuts(noMedia, 49, 5).count() == 0)
     assert(MultimodalOps.keyframes(noMedia, 49, 5).count() == 0)
+    assert(MultimodalOps.nearDupPairsWHash(noMedia, 49, 48, 6, 5).count() == 0)
+    assert(MultimodalOps.nearDupConsensus(noMedia, 49, 6, 5, 5).count() == 0)
     val noLabeled = Seq.empty[(Long, Array[Float], Long)].toDF("vec_id", "embedding", "label")
     assert(SimilarityOps.randomProject(noLabeled, 64, 16).count() == 0)
     assert(DedupOps.semanticContamination(

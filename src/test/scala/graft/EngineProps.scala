@@ -783,6 +783,32 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  /** WHash equals an independent matrix-form reference: region sums by
+    * the proportional grid, then an explicit 64×64 ±1 Walsh–Hadamard
+    * matrix (sign = parity of popcount(k AND j)) — a different code
+    * path from the expression's fused loop.
+    */
+  property("WHash == explicit Walsh-Hadamard matrix reference") = {
+    val regions = 49; val bits = 48
+    val genText = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
+    Prop.forAll(genText) { text =>
+      val got = graft.expressions.WHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), regions, bits)
+      val L = text.codePointCount(0, text.length)
+      val sums = new Array[Long](64)
+      text.codePoints().toArray.zipWithIndex.foreach { case (cp, j) =>
+        sums((j.toLong * regions / L).toInt) += cp
+      }
+      val expected = (1 to bits).foldLeft(0L) { (acc, k) =>
+        val coef = (0 until 64).map { j =>
+          if (java.lang.Integer.bitCount(k & j) % 2 == 1) -sums(j) else sums(j)
+        }.sum
+        acc * 2 + (if (coef > 0) 1L else 0L)
+      }
+      got == expected
+    }
+  }
+
   /** Scene segmentation (mm_scene_cut) equals a straight-line fold over
     * the per-frame fingerprints: delta = hamming to the previous frame,
     * cut iff first frame or delta > budget, scene id = cuts so far − 1.

@@ -203,6 +203,31 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("two-family consensus confirms re-encoded copies and carries every dHash pair") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running " * 4
+    val edited = base.updated(40, 'x')
+    val docs = Seq(
+      0L -> base, // PNG
+      3L -> base, // JPEG — re-encoded copy of doc 0
+      6L -> edited, // lightly edited
+      9L -> "completely unrelated payload with different words entirely and no shared phrasing at all",
+    ).toDF("doc_id", "text")
+    val media = MultimodalOps.encodeMedia(docs)
+    val rows = MultimodalOps
+      .nearDupConsensus(media, regions = 49, blockBands = 6, maxHamming = 5, whashBudget = 5)
+      .as[(Long, Long, Int, Int, Boolean)].collect()
+    val byPair = rows.map(r => (r._1, r._2) -> r).toMap
+    // Identical content through two DIFFERENT containers: both families
+    // agree at hamming 0 → confirmed.
+    assert(byPair((0L, 3L))._3 == 0 && byPair((0L, 3L))._4 == 0 && byPair((0L, 3L))._5)
+    // The consensus output carries exactly the dHash pair set (the
+    // second family verifies, it never adds or drops pairs).
+    val dhashPairs = MultimodalOps.nearDupPairs(media, 49, 6, 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == dhashPairs)
+  }
+
   test("cross-modal frame match finds the video frame that reproduces a known image") {
     import spark.implicits._
     // 272 chars (a multiple of 16) → the video wraps it as a SINGLE
