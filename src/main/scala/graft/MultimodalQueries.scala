@@ -168,6 +168,39 @@ object MultimodalQueries {
 
   private val videoNearDupSql = videoDhashCtes + videoPairsTail(None)
 
+  /** The two-family consensus oracle — the dHash pair derivation plus
+    * a w-prefixed Walsh–Hadamard fingerprint chain (coefficient k
+    * signed by popcount(k AND region) parity; absent regions and the
+    * power-of-two padding contribute zero and are omitted). Shared by
+    * the corpus-scan and index faces.
+    */
+  private val consensusSql =
+    s"""WITH wgs AS (
+       |  SELECT doc_id, ((j-1) * 49) // L AS region,
+       |         CAST(sum(unicode(substr(content, j, 1))) AS BIGINT) AS s
+       |  FROM (SELECT doc_id, text AS content, length(text) AS L,
+       |               unnest(generate_series(1, length(text))) AS j
+       |        FROM documents WHERE doc_id % 3 = 0)
+       |  GROUP BY doc_id, region),
+       |wco AS (SELECT doc_id, k,
+       |          CAST(sum(CASE WHEN bit_count(k & region) % 2 = 1
+       |                        THEN -s ELSE s END) AS BIGINT) AS coef
+       |        FROM (SELECT doc_id, region, s,
+       |                     unnest(generate_series(1, 48)) AS k FROM wgs)
+       |        GROUP BY doc_id, k),
+       |wfp AS (SELECT doc_id,
+       |          CAST(sum(CASE WHEN coef > 0
+       |                        THEN CAST(power(2, 48 - k) AS BIGINT)
+       |                        ELSE 0 END) AS BIGINT) AS whash
+       |        FROM wco GROUP BY doc_id),
+       |p AS (SELECT doc_a, doc_b, hamming FROM ($nearDupPairsSql))
+       |SELECT p.doc_a, p.doc_b, p.hamming,
+       |  bit_count(xor(a.whash, b.whash)) AS whash_hamming,
+       |  bit_count(xor(a.whash, b.whash)) <= 5 AS confirmed
+       |FROM p JOIN wfp a ON a.doc_id = p.doc_a
+       |       JOIN wfp b ON b.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The cross-modal frame-match oracle (image chain i-prefixed so both
     * chains coexist), shared by the corpus-scan and index faces.
     */
@@ -520,31 +553,24 @@ object MultimodalQueries {
       (s, d) => MultimodalOps.nearDupConsensus(
         MultimodalOps.encodeMedia(documents(s, d)),
         regions = 49, blockBands = 6, maxHamming = 5, whashBudget = 5),
-      Some(s"""WITH wgs AS (
-              |  SELECT doc_id, ((j-1) * 49) // L AS region,
-              |         CAST(sum(unicode(substr(content, j, 1))) AS BIGINT) AS s
-              |  FROM (SELECT doc_id, text AS content, length(text) AS L,
-              |               unnest(generate_series(1, length(text))) AS j
-              |        FROM documents WHERE doc_id % 3 = 0)
-              |  GROUP BY doc_id, region),
-              |wco AS (SELECT doc_id, k,
-              |          CAST(sum(CASE WHEN bit_count(k & region) % 2 = 1
-              |                        THEN -s ELSE s END) AS BIGINT) AS coef
-              |        FROM (SELECT doc_id, region, s,
-              |                     unnest(generate_series(1, 48)) AS k FROM wgs)
-              |        GROUP BY doc_id, k),
-              |wfp AS (SELECT doc_id,
-              |          CAST(sum(CASE WHEN coef > 0
-              |                        THEN CAST(power(2, 48 - k) AS BIGINT)
-              |                        ELSE 0 END) AS BIGINT) AS whash
-              |        FROM wco GROUP BY doc_id),
-              |p AS (SELECT doc_a, doc_b, hamming FROM ($nearDupPairsSql))
-              |SELECT p.doc_a, p.doc_b, p.hamming,
-              |  bit_count(xor(a.whash, b.whash)) AS whash_hamming,
-              |  bit_count(xor(a.whash, b.whash)) <= 5 AS confirmed
-              |FROM p JOIN wfp a ON a.doc_id = p.doc_a
-              |       JOIN wfp b ON b.doc_id = p.doc_b
-              |ORDER BY doc_a, doc_b""".stripMargin),
+      Some(consensusSql),
+    ),
+    // Consensus served from the STORED index: the whash was computed
+    // in the index build's single decode pass and rides in the _fps
+    // rows, so the two-family judgment reads only stored fingerprints
+    // — no payload is ever re-decoded. Bit-equal to the corpus-scan
+    // face (MediaIndexSpec asserts it), one oracle for both.
+    Q(
+      "mm_index_consensus",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "consensus")
+        graft.operators.MediaIndexOps.writeIndex(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, buckets = 8, prefix = pre)
+        graft.operators.MediaIndexOps.consensusFromIndex(
+          s, pre, maxHamming = 5, whashBudget = 5)
+      },
+      Some(consensusSql),
     ),
     // AUDIO dedup clusters — parity with the image and video cluster
     // faces: connected components (label prop to the fixpoint) over
@@ -577,6 +603,34 @@ object MultimodalQueries {
         MultimodalOps.encodeMedia(documents(s, d)),
         regions = 49, blockBands = 6, maxHamming = 5),
       Some(frameMatchSql),
+    ),
+    // Cross-modal CONTENT FAMILIES: connected components over the
+    // image↔video frame-match graph — "this image and these videos
+    // carry the same content" is the unit a takedown or licensing
+    // pass acts on, and it spans modalities (image ids and video ids
+    // are disjoint, so the graph is bipartite; families merge through
+    // shared images OR shared videos). Same label-prop fixpoint as
+    // every cluster face, recursive-closure oracle over the shared
+    // match derivation.
+    Q(
+      "mm_frame_match_clusters",
+      (s, d) => graft.operators.DedupOps.connectedComponents(
+        MultimodalOps.frameMatchPairs(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, maxHamming = 5)
+          .select(col("image_id").as("doc_a"), col("video_id").as("doc_b"))),
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT image_id AS doc_a, video_id AS doc_b
+              |      FROM ($frameMatchSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges)
+              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |FROM nodes n JOIN reach r ON r.u = n.id
+              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
     ),
     // The same screen as an INDEX read — images are the stored
     // blocklist (the persisted fingerprint index), videos arrive and

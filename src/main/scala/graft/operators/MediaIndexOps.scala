@@ -47,17 +47,26 @@ object MediaIndexOps {
       mediaType: String = "image",
   ): DataFrame = {
     val bits = regions - 1
+    // Single-stream modalities fingerprint BOTH families in the one
+    // decode pass (dhash drives the banding; whash rides along so the
+    // consensus read face never re-decodes). Video rows are per-frame
+    // and dhash-only — the consensus face is a whole-item judgment.
     val fp =
       if (mediaType == "video")
         MultimodalOps.videoFrameFingerprints(media, regions)
-          .select(col("doc_id"), col("dhash"))
+          .select(col("doc_id"), col("dhash"), lit(null).cast("long").as("whash"))
       else
         MultimodalOps.decodeContent(media)
           .filter(col("media_type") === mediaType)
-          .select(col("doc_id"), graft.expressions.DHash(col("content"), regions).as("dhash"))
+          .select(
+            col("doc_id"),
+            graft.expressions.DHash(col("content"), regions).as("dhash"),
+            graft.expressions.WHash(col("content"), regions, bits).as("whash"),
+          )
     fp.select(
       col("doc_id"),
       col("dhash"),
+      col("whash"),
       Banding.chunksCol(col("dhash"), bits, blockBands).as("chunks"),
     )
   }
@@ -87,7 +96,7 @@ object MediaIndexOps {
     // Materialize before the two table writes — each saveAsTable is
     // its own action, and the decode+fingerprint pass must run once.
     val fp = fpFrame(media, regions, blockBands, mediaType).localCheckpoint()
-    fp.select(col("doc_id"), col("dhash"))
+    fp.select(col("doc_id"), col("dhash"), col("whash"))
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${prefix}_fps")
@@ -124,6 +133,39 @@ object MediaIndexOps {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("hamming")).as("hamming"))
       .orderBy("doc_a", "doc_b")
+
+  /** TWO-FAMILY consensus from the STORED artifact
+    * ([[MultimodalOps.nearDupConsensus]] as an index read): the dHash
+    * chunk self-join proposes and hamming-verifies pairs exactly as
+    * [[nearDupPairs]], then each pair picks up both sides' stored
+    * Walsh–Hadamard fingerprints from the `_fps` table — the whash was
+    * computed in the index build's single decode pass, so the
+    * consensus judgment costs two narrow joins against fingerprint
+    * rows and never re-reads a payload. Single-stream indexes only
+    * (video `_fps` rows are per-frame and carry NULL whash).
+    */
+  def consensusFromIndex(
+      spark: SparkSession,
+      prefix: String,
+      maxHamming: Int,
+      whashBudget: Int,
+  ): DataFrame = {
+    val fps = spark.table(s"${prefix}_fps")
+    val wh = bit_count(col("w_a").bitwiseXOR(col("w_b")))
+    Banding
+      .hammingSelfPairs(
+        spark.table(s"${prefix}_chunks"), Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
+      .join(fps.select(col("doc_id").as("doc_a"), col("whash").as("w_a")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("whash").as("w_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("hamming"),
+        wh.as("whash_hamming"),
+        (wh <= whashBudget).as("confirmed"),
+      )
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** The skew STOP-KEY dial on the fingerprint banding (the
     * [[LshIndexOps.nearDupPairsCapped]] policy): chunk buckets holding
@@ -334,7 +376,7 @@ object MediaIndexOps {
     if (crashAfter == "chunks")
       throw new IllegalStateException("injected crash after chunks append")
     if (!repairing || !present("fps")) {
-      kept.select(col("doc_id"), col("dhash"))
+      kept.select(col("doc_id"), col("dhash"), col("whash"))
         .write.mode("append")
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .saveAsTable(s"${prefix}_fps")

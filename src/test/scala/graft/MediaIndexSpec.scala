@@ -57,6 +57,14 @@ class MediaIndexSpec extends SparkSpec {
     assert(fps.count() > fps.select("doc_id").distinct().count())
   }
 
+  test("two-family consensus from the stored index equals the corpus-scan operator") {
+    buildOnce()
+    val fromIndex = MediaIndexOps.consensusFromIndex(spark, Prefix, MaxHamming, whashBudget = 5)
+    val direct = MultimodalOps.nearDupConsensus(media(), Regions, Bands, MaxHamming, whashBudget = 5)
+    assert(fromIndex.count() > 0)
+    assert(fromIndex.exceptAll(direct).isEmpty && direct.exceptAll(fromIndex).isEmpty)
+  }
+
   test("cross-modal frame match from the stored image index equals the corpus-scan operator") {
     buildOnce()
     val fromIndex = MediaIndexOps.frameMatchAgainstIndex(
