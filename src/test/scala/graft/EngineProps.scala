@@ -783,6 +783,37 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  /** Quality-aware mixing (tx_mix_quality) conserves its budget: per
+    * source, the taken tokens sum to exactly total DIV 2, each cell
+    * takes within its inventory, and allocation is best-bin-first
+    * (a bin takes anything only if every better bin was fully taken).
+    */
+  property("mixByQuality conserves the budget and fills best-bin-first") = {
+    import spark.implicits._
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val genDoc = for {
+      n <- Gen.chooseNum(1, 8)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+      src <- Gen.oneOf("web", "books")
+    } yield (ws.mkString(" "), src)
+    Prop.forAll(Gen.nonEmptyListOf(genDoc).map(_.take(12))) { docsRaw =>
+      val docs = docsRaw.zipWithIndex
+        .map { case ((t, s), i) => (i.toLong, t, s) }.toDF("doc_id", "text", "source")
+      val rows = graft.operators.TextOps.mixByQuality(docs)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      rows.groupBy(_._1).forall { case (_, cells) =>
+        val total = cells.map(_._4).sum
+        val conserved = cells.map(_._5).sum == total / 2
+        val bounded = cells.forall(c => c._5 >= 0 && c._5 <= c._4)
+        val bestFirst = cells.sortBy(-_._2).foldLeft((true, true)) {
+          case ((ok, fullSoFar), c) =>
+            (ok && (c._5 == 0 || fullSoFar), fullSoFar && c._5 == c._4)
+        }._1
+        conserved && bounded && bestFirst
+      }
+    }
+  }
+
   /** WHash equals an independent matrix-form reference: region sums by
     * the proportional grid, then an explicit 64×64 ±1 Walsh–Hadamard
     * matrix (sign = parity of popcount(k AND j)) — a different code
