@@ -16,6 +16,48 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** Build the full-corpus media fingerprint index for one modality
+    * once per (session, dataset) — the build-once read-many discipline
+    * the sim/tx families already follow (fullVectorIndex /
+    * fullSearchIndex rationale): the dataset AND modality fold into the
+    * physical table prefix (the memo key alone can't stop two datasets
+    * in one session from overwriting each other), stopped sessions are
+    * evicted. Every index READ face (`mm_index_pairs*`, `mm_index_stats`,
+    * `mm_index_frame_match`, `mm_index_consensus*`) serves from this
+    * shared artifact — at 100× scale the plan you want reads a PERSISTED
+    * index, and rebuilding one inside a timed query misrepresents that
+    * plan's cost. The deliberately-incremental faces
+    * (`mm_index_incremental`, the streaming ingest smokes) keep building
+    * their own: their build IS the test.
+    */
+  private val builtMediaIdx = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String), String]
+
+  private[graft] def fullMediaIndex(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      mediaType: String,
+  ): String = {
+    builtMediaIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtMediaIdx.remove)
+    builtMediaIdx.getOrElseUpdate(
+      (s, d, mediaType), {
+        val pre = Tables.tempIndexDb(s, "media", s"full_${mediaType}_${Tables.datasetKey(d)}")
+        graft.operators.MediaIndexOps.writeIndex(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, buckets = 8, prefix = pre, mediaType = mediaType)
+        pre
+      },
+    )
+  }
+
+  /** Eagerly builds the three shared per-modality fingerprint indexes
+    * for `d` (no-op when already built) — called from Bench's un-timed
+    * setup phase like the sim/tx twins, so a one-time corpus build can
+    * never masquerade as an index READ's steady-state cost.
+    */
+  def prepareSharedArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    Seq("image", "audio", "video").foreach(m => fullMediaIndex(s, d, m))
+
   private val mediaSql =
     """SELECT doc_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -168,19 +210,25 @@ object MultimodalQueries {
 
   private val videoNearDupSql = videoDhashCtes + videoPairsTail(None)
 
-  /** The two-family consensus oracle — the dHash pair derivation plus
-    * a w-prefixed Walsh–Hadamard fingerprint chain (coefficient k
-    * signed by popcount(k AND region) parity; absent regions and the
-    * power-of-two padding contribute zero and are omitted). Shared by
-    * the corpus-scan and index faces.
+  /** The two-family consensus oracle for any modality `mod` over the
+    * given verified-pair derivation — the dHash pairs plus a w-prefixed
+    * Walsh–Hadamard fingerprint chain (coefficient k signed by
+    * popcount(k AND region) parity; absent regions and the power-of-two
+    * padding contribute zero and are omitted). `wfp` is derived from
+    * the SAME doc universe as the dhash chain (LEFT JOIN, coalesce 0):
+    * an empty-content doc has no position rows and would otherwise
+    * vanish from the INNER JOIN while Spark's WHash computes 0 for it —
+    * and the dhash chain DOES retain L=0 docs via the allr padding, so
+    * such docs can appear in the pair set. Shared by the corpus-scan
+    * and index faces of each modality.
     */
-  private val consensusSql =
+  private def consensusSqlFor(mod: Int, pairsSql: String): String =
     s"""WITH wgs AS (
        |  SELECT doc_id, ((j-1) * 49) // L AS region,
        |         CAST(sum(unicode(substr(content, j, 1))) AS BIGINT) AS s
        |  FROM (SELECT doc_id, text AS content, length(text) AS L,
        |               unnest(generate_series(1, length(text))) AS j
-       |        FROM documents WHERE doc_id % 3 = 0)
+       |        FROM documents WHERE doc_id % 3 = $mod)
        |  GROUP BY doc_id, region),
        |wco AS (SELECT doc_id, k,
        |          CAST(sum(CASE WHEN bit_count(k & region) % 2 = 1
@@ -188,18 +236,25 @@ object MultimodalQueries {
        |        FROM (SELECT doc_id, region, s,
        |                     unnest(generate_series(1, 48)) AS k FROM wgs)
        |        GROUP BY doc_id, k),
-       |wfp AS (SELECT doc_id,
+       |wfp0 AS (SELECT doc_id,
        |          CAST(sum(CASE WHEN coef > 0
        |                        THEN CAST(power(2, 48 - k) AS BIGINT)
        |                        ELSE 0 END) AS BIGINT) AS whash
        |        FROM wco GROUP BY doc_id),
-       |p AS (SELECT doc_a, doc_b, hamming FROM ($nearDupPairsSql))
+       |wfp AS (SELECT d.doc_id, coalesce(w.whash, 0) AS whash
+       |        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = $mod) d
+       |        LEFT JOIN wfp0 w ON w.doc_id = d.doc_id),
+       |p AS (SELECT doc_a, doc_b, hamming FROM ($pairsSql))
        |SELECT p.doc_a, p.doc_b, p.hamming,
        |  bit_count(xor(a.whash, b.whash)) AS whash_hamming,
        |  bit_count(xor(a.whash, b.whash)) <= 5 AS confirmed
        |FROM p JOIN wfp a ON a.doc_id = p.doc_a
        |       JOIN wfp b ON b.doc_id = p.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val consensusSql = consensusSqlFor(0, nearDupPairsSql)
+  private val consensusAudioSql = consensusSqlFor(1, nearDupPairsSqlFor(1))
+  private val consensusVideoSql = consensusSqlFor(2, videoNearDupSql)
 
   /** The cross-modal frame-match oracle (image chain i-prefixed so both
     * chains coexist), shared by the corpus-scan and index faces.
@@ -562,15 +617,56 @@ object MultimodalQueries {
     // face (MediaIndexSpec asserts it), one oracle for both.
     Q(
       "mm_index_consensus",
-      (s, d) => {
-        val pre = Tables.tempIndexDb(s, "media", "consensus")
-        graft.operators.MediaIndexOps.writeIndex(
-          MultimodalOps.encodeMedia(documents(s, d)),
-          regions = 49, blockBands = 6, buckets = 8, prefix = pre)
-        graft.operators.MediaIndexOps.consensusFromIndex(
-          s, pre, maxHamming = 5, whashBudget = 5)
-      },
+      (s, d) => graft.operators.MediaIndexOps.consensusFromIndex(
+        s, fullMediaIndex(s, d, "image"), maxHamming = 5, whashBudget = 5),
       Some(consensusSql),
+    ),
+    // AUDIO two-family consensus — the image discipline on the raw
+    // stand-in sample stream: dHash banding proposes (the
+    // chromaprint-style local family), the whole-stream Walsh–Hadamard
+    // fingerprint re-verifies each pair. Output bounded by the dHash
+    // pair set, exactly as the image face.
+    Q(
+      "mm_near_dedup_consensus_audio",
+      (s, d) => MultimodalOps.nearDupConsensus(
+        MultimodalOps.encodeMedia(documents(s, d)),
+        regions = 49, blockBands = 6, maxHamming = 5, whashBudget = 5,
+        mediaType = "audio"),
+      Some(consensusAudioSql),
+    ),
+    // Audio consensus served from the STORED index: the whash rides in
+    // the audio `_fps` rows (computed in the build's single decode
+    // pass), so the judgment reads only stored fingerprints. Bit-equal
+    // to the corpus-scan face; one oracle for both.
+    Q(
+      "mm_index_consensus_audio",
+      (s, d) => graft.operators.MediaIndexOps.consensusFromIndex(
+        s, fullMediaIndex(s, d, "audio"), maxHamming = 5, whashBudget = 5),
+      Some(consensusAudioSql),
+    ),
+    // VIDEO two-family consensus: the dHash family proposes pairs PER
+    // FRAME (min pairwise-frame hamming — the pigeonhole-exact video
+    // reduction), the Walsh–Hadamard family re-verifies each pair as a
+    // WHOLE-ITEM judgment (one WHash over the full stripped stream —
+    // global frequency structure is a property of the item, not of a
+    // 1/16th slice).
+    Q(
+      "mm_near_dedup_consensus_video",
+      (s, d) => MultimodalOps.nearDupConsensusVideo(
+        MultimodalOps.encodeMedia(documents(s, d)),
+        regions = 49, blockBands = 6, maxHamming = 5, whashBudget = 5),
+      Some(consensusVideoSql),
+    ),
+    // Video consensus from the STORED per-frame index: the whole-item
+    // whash repeats on every frame row of `_fps`, so `min(whash)` per
+    // doc recovers exactly it and per-frame duplication can never
+    // multiply pair rows — the read face costs the same two narrow
+    // joins as the single-stream modalities.
+    Q(
+      "mm_index_consensus_video",
+      (s, d) => graft.operators.MediaIndexOps.consensusFromIndex(
+        s, fullMediaIndex(s, d, "video"), maxHamming = 5, whashBudget = 5),
+      Some(consensusVideoSql),
     ),
     // AUDIO dedup clusters — parity with the image and video cluster
     // faces: connected components (label prop to the fixpoint) over
@@ -639,14 +735,10 @@ object MultimodalQueries {
     // Bit-equal to the corpus-scan face, one oracle for both.
     Q(
       "mm_index_frame_match",
-      (s, d) => {
-        val pre = Tables.tempIndexDb(s, "media", "framematch")
-        val media = MultimodalOps.encodeMedia(documents(s, d))
-        graft.operators.MediaIndexOps.writeIndex(
-          media, regions = 49, blockBands = 6, buckets = 8, prefix = pre)
-        graft.operators.MediaIndexOps.frameMatchAgainstIndex(
-          s, pre, media, regions = 49, blockBands = 6, maxHamming = 5)
-      },
+      (s, d) => graft.operators.MediaIndexOps.frameMatchAgainstIndex(
+        s, fullMediaIndex(s, d, "image"),
+        MultimodalOps.encodeMedia(documents(s, d)),
+        regions = 49, blockBands = 6, maxHamming = 5),
       Some(frameMatchSql),
     ),
     // Index-served AUDIO near-dup pairs: the persisted fingerprint
@@ -655,13 +747,8 @@ object MultimodalQueries {
     // audio face.
     Q(
       "mm_index_pairs_audio",
-      (s, d) => {
-        val pre = Tables.tempIndexDb(s, "media", "audiopairs")
-        graft.operators.MediaIndexOps.writeIndex(
-          MultimodalOps.encodeMedia(documents(s, d)),
-          regions = 49, blockBands = 6, buckets = 8, prefix = pre, mediaType = "audio")
-        graft.operators.MediaIndexOps.nearDupPairs(s, pre, maxHamming = 5)
-      },
+      (s, d) => graft.operators.MediaIndexOps.nearDupPairs(
+        s, fullMediaIndex(s, d, "audio"), maxHamming = 5),
       Some(s"${nearDupPairsSqlFor(1)}\nORDER BY doc_a, doc_b"),
     ),
     // Index-served VIDEO near-dup pairs: the index stores ONE
@@ -671,13 +758,8 @@ object MultimodalQueries {
     // one oracle for both.
     Q(
       "mm_index_pairs_video",
-      (s, d) => {
-        val pre = Tables.tempIndexDb(s, "media", "videopairs")
-        graft.operators.MediaIndexOps.writeIndex(
-          MultimodalOps.encodeMedia(documents(s, d)),
-          regions = 49, blockBands = 6, buckets = 8, prefix = pre, mediaType = "video")
-        graft.operators.MediaIndexOps.nearDupPairsMin(s, pre, maxHamming = 5)
-      },
+      (s, d) => graft.operators.MediaIndexOps.nearDupPairsMin(
+        s, fullMediaIndex(s, d, "video"), maxHamming = 5),
       Some(videoNearDupSql),
     ),
     // The stop-key dial on the per-frame index: hot chunk buckets
@@ -687,14 +769,8 @@ object MultimodalQueries {
     // actually runs; bounded-recall tradeoff stated at the operator.
     Q(
       "mm_index_pairs_video_capped",
-      (s, d) => {
-        val pre = Tables.tempIndexDb(s, "media", "videocapped")
-        graft.operators.MediaIndexOps.writeIndex(
-          MultimodalOps.encodeMedia(documents(s, d)),
-          regions = 49, blockBands = 6, buckets = 8, prefix = pre, mediaType = "video")
-        graft.operators.MediaIndexOps.nearDupPairsCappedMin(
-          s, pre, maxHamming = 5, maxBucket = 32)
-      },
+      (s, d) => graft.operators.MediaIndexOps.nearDupPairsCappedMin(
+        s, fullMediaIndex(s, d, "video"), maxHamming = 5, maxBucket = 32),
       Some(videoDhashCtes + videoPairsTail(Some(32))),
     ),
     // The pairs turned into dedup CLUSTERS: connected components over
@@ -779,13 +855,8 @@ object MultimodalQueries {
     // so they share its oracle.
     Q(
       "mm_index_pairs",
-      (s, d) => {
-        val pre = Tables.tempIndexDb(s, "media", "pairs")
-        graft.operators.MediaIndexOps.writeIndex(
-          MultimodalOps.encodeMedia(documents(s, d)),
-          regions = 49, blockBands = 6, buckets = 8, prefix = pre)
-        graft.operators.MediaIndexOps.nearDupPairs(s, pre, maxHamming = 5)
-      },
+      (s, d) => graft.operators.MediaIndexOps.nearDupPairs(
+        s, fullMediaIndex(s, d, "image"), maxHamming = 5),
       Some(s"$nearDupPairsSql\nORDER BY doc_a, doc_b"),
     ),
     // The stop-key dial on the fingerprint banding: chunk buckets with
@@ -797,14 +868,8 @@ object MultimodalQueries {
     // replays the cap over the shared fingerprint derivation.
     Q(
       "mm_index_pairs_capped",
-      (s, d) => {
-        val pre = Tables.tempIndexDb(s, "media", "capped")
-        graft.operators.MediaIndexOps.writeIndex(
-          MultimodalOps.encodeMedia(documents(s, d)),
-          regions = 49, blockBands = 6, buckets = 8, prefix = pre)
-        graft.operators.MediaIndexOps.nearDupPairsCapped(
-          s, pre, maxHamming = 5, maxBucket = 8)
-      },
+      (s, d) => graft.operators.MediaIndexOps.nearDupPairsCapped(
+        s, fullMediaIndex(s, d, "image"), maxHamming = 5, maxBucket = 8),
       Some(s"""WITH $dhashCtes,
               |sz AS (SELECT chunk_idx, chunk_bits, count(*) AS s
               |       FROM cb GROUP BY chunk_idx, chunk_bits),
@@ -856,10 +921,7 @@ object MultimodalQueries {
     Q(
       "mm_index_stats",
       (s, d) => {
-        val pre = Tables.tempIndexDb(s, "media", "stats")
-        graft.operators.MediaIndexOps.writeIndex(
-          MultimodalOps.encodeMedia(documents(s, d)),
-          regions = 49, blockBands = 6, buckets = 8, prefix = pre)
+        val pre = fullMediaIndex(s, d, "image")
         s.table(s"${pre}_chunks")
           .groupBy(col("chunk_idx"), col("chunk_bits"))
           .agg(count(lit(1)).as("bucket_size"))
@@ -879,6 +941,68 @@ object MultimodalQueries {
               |  CAST(max(s) AS BIGINT) AS max_bucket,
               |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
               |FROM b GROUP BY chunk_idx ORDER BY chunk_idx""".stripMargin),
+    ),
+    // CROSS-MODAL text↔media screen — the remaining cross-modal arm
+    // next to image↔video frame matching: which documents duplicate
+    // content of a HELD media set (the image blocklist, doc_id % 10 =
+    // 0) in the shared stub-embedding space. Sign-LSH banding shifted
+    // to the orthant center (the stub space is strictly positive — raw
+    // sign bits would all read 1), held side broadcast with its unit
+    // vectors riding in the band rows, exact fold-dot verify inline —
+    // the corpus side never shuffles. Threshold just under 1: stub
+    // embeddings are payload hashes, so a match IS an exact-content
+    // collision; a production encoder swap makes the same plan find
+    // paraphrase-level matches.
+    Q(
+      "mm_text_media_screen",
+      (s, d) => MultimodalOps.textMediaScreen(
+        documents(s, d), threshold = 0.999,
+        bands = Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)), blockMod = 10),
+      Some {
+        import OracleSnippets._
+        val h = charHash("text")
+        val emb =
+          s"list_transform(generate_series(0, 7), ej -> CAST(($h * (ej+1)) % 1009 + 1 AS DOUBLE) / 1010.0)"
+        def centeredBucket(e: String, dims: Seq[Int]): String =
+          dims.zipWithIndex.map { case (dd, i) =>
+            val w = 1L << (dims.size - 1 - i)
+            s"(CASE WHEN ($e)[${dd + 1}] > 0.5 THEN $w ELSE 0 END)"
+          }.mkString("(", " + ", ")")
+        val allBands = Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7))
+        def bandSelects(src: String, idCol: String) = allBands.zipWithIndex
+          .map { case (dims, i) =>
+            s"  SELECT $idCol, $i AS band_idx, ${centeredBucket("e", dims)} AS bucket FROM $src"
+          }
+          .mkString("\nUNION ALL\n")
+        s"""WITH v AS (SELECT doc_id, $emb AS e FROM documents),
+           |m AS (SELECT doc_id AS media_id, e FROM v
+           |      WHERE doc_id % 3 = 0 AND doc_id % 10 = 0),
+           |nt AS (SELECT doc_id, ${unitNorm("e")} AS u FROM v),
+           |nm AS (SELECT media_id, ${unitNorm("e")} AS u FROM m),
+           |bt AS (
+           |${bandSelects("v", "doc_id")}
+           |),
+           |bm AS (
+           |${bandSelects("m", "media_id")}
+           |),
+           |cand AS (SELECT DISTINCT t.doc_id, h.media_id
+           |         FROM bt t JOIN bm h
+           |           ON t.band_idx = h.band_idx AND t.bucket = h.bucket
+           |         WHERE t.doc_id <> h.media_id),
+           |ver AS (SELECT c.doc_id, ${dot("a.u", "b.u")} AS cosine
+           |        FROM cand c
+           |        JOIN nt a ON a.doc_id = c.doc_id
+           |        JOIN nm b ON b.media_id = c.media_id
+           |        WHERE ${dot("a.u", "b.u")} >= 0.999),
+           |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_media_matches,
+           |                max(cosine) AS max_cosine
+           |         FROM ver GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(h.n_media_matches, 0) AS n_media_matches,
+           |  coalesce(h.max_cosine, 0.0) AS max_cosine,
+           |  coalesce(h.n_media_matches, 0) > 0 AS flagged
+           |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
     ),
     // Aspect-ratio / resolution bucketing — the batch-formation step of
     // an image-training pipeline (pad each image up to the next 64-px

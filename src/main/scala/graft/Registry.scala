@@ -38,5 +38,6 @@ object Registry {
   def prepareSharedArtifacts(spark: SparkSession, dir: String): Unit = {
     TextQueries.prepareSharedArtifacts(spark, dir)
     SimilarityQueries.prepareSharedArtifacts(spark, dir)
+    MultimodalQueries.prepareSharedArtifacts(spark, dir)
   }
 }

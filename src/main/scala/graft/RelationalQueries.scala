@@ -3191,6 +3191,86 @@ object RelationalQueries {
              |  CAST(sum(CASE WHEN ndv < 25 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk
              |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+    // t-closeness — the third leg of the privacy triad: a QI group can
+    // be k-anonymous AND l-diverse yet still leak if its SENSITIVE-value
+    // distribution differs sharply from the corpus-wide one (the
+    // attacker's prior). Same QI key (event_type, day, hour); sensitive
+    // attribute = the user's cohort (user_id mod 16 — a bounded
+    // categorical stand-in, like the corpus's other derived columns).
+    // Distance = total-variation: TVD_g = Σ_v |c_gv/n_g − c_v/n| / 2,
+    // kept EXACT by clearing denominators — Σ_v |c_gv·n − c_v·n_g| is
+    // pure BIGINT, the violation test 2·num_g > n_g·n (t = 1/4) is an
+    // integer comparison, and the one reported double (max_tvd) is a
+    // single IEEE division of exact integers. TVD instead of EMD: same
+    // worst-case semantics for categorical attributes, none of EMD's
+    // float-accumulation hazards. Scale shape: the sensitive domain (16
+    // values) and the corpus marginal are broadcast; the per-group frame
+    // aggregates on the QI key once and never re-shuffles — group ×
+    // domain is a 16× row expansion of the GROUP table, not the corpus.
+    Q(
+      "q_t_closeness",
+      (s, d) => {
+        val e = events(s, d).select(
+          col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          hour(col("ts")).as("hr"),
+          pmod(col("user_id"), lit(16L)).as("sensitive"),
+        )
+        val cgv = e.groupBy(col("event_type"), col("day"), col("hr"), col("sensitive"))
+          .agg(count(lit(1)).as("c_gv"))
+        val grp = cgv.groupBy(col("event_type"), col("day"), col("hr"))
+          .agg(sum(col("c_gv")).as("n_g"))
+        val cv = e.groupBy(col("sensitive")).agg(count(lit(1)).as("c_v"))
+        val tot = e.agg(count(lit(1)).as("n"))
+        grp
+          .crossJoin(broadcast(cv))
+          .join(cgv, Seq("event_type", "day", "hr", "sensitive"), "left")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("event_type"), col("day"), col("hr"), col("n_g"), col("n"))
+          .agg(
+            sum(abs(coalesce(col("c_gv"), lit(0L)) * col("n") - col("c_v") * col("n_g")))
+              .as("num"),
+          )
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum(when(col("num") * 2L > col("n_g") * col("n"), 1L).otherwise(0L))
+              .as("n_violating"),
+            sum(when(col("num") * 2L > col("n_g") * col("n"), col("n_g")).otherwise(0L))
+              .as("n_rows_at_risk"),
+            max(col("num").cast("double") / (col("n_g") * col("n") * 2L).cast("double"))
+              .as("max_tvd"),
+          )
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |         extract(hour FROM ts) AS hr, user_id % 16 AS sensitive
+             |  FROM events),
+             |cgv AS (SELECT event_type, day, hr, sensitive,
+             |               CAST(count(*) AS BIGINT) AS c_gv
+             |        FROM e GROUP BY event_type, day, hr, sensitive),
+             |grp AS (SELECT event_type, day, hr, CAST(sum(c_gv) AS BIGINT) AS n_g
+             |        FROM cgv GROUP BY event_type, day, hr),
+             |cv AS (SELECT sensitive, CAST(count(*) AS BIGINT) AS c_v
+             |       FROM e GROUP BY sensitive),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+             |num AS (
+             |  SELECT g.event_type, g.day, g.hr, g.n_g, t.n,
+             |    CAST(sum(abs(coalesce(c.c_gv, 0) * t.n - v.c_v * g.n_g)) AS BIGINT)
+             |      AS num
+             |  FROM grp g CROSS JOIN cv v CROSS JOIN tot t
+             |  LEFT JOIN cgv c ON c.event_type = g.event_type AND c.day = g.day
+             |   AND c.hr = g.hr AND c.sensitive = v.sensitive
+             |  GROUP BY g.event_type, g.day, g.hr, g.n_g, t.n)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN num * 2 > n_g * n THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_violating,
+             |  CAST(sum(CASE WHEN num * 2 > n_g * n THEN n_g ELSE 0 END) AS BIGINT)
+             |    AS n_rows_at_risk,
+             |  max(CAST(num AS DOUBLE) / CAST(n_g * n * 2 AS DOUBLE)) AS max_tvd
+             |FROM num GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
     // Sketch set-INTERSECTION estimate by inclusion-exclusion over
     // three mergeable HLL sketches (|A| + |B| − |A∪B|) vs the exact
     // intersection — the q_hll_union discipline pointed at overlap

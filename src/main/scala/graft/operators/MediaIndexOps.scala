@@ -47,14 +47,15 @@ object MediaIndexOps {
       mediaType: String = "image",
   ): DataFrame = {
     val bits = regions - 1
-    // Single-stream modalities fingerprint BOTH families in the one
-    // decode pass (dhash drives the banding; whash rides along so the
-    // consensus read face never re-decodes). Video rows are per-frame
-    // and dhash-only — the consensus face is a whole-item judgment.
+    // EVERY modality fingerprints BOTH families in the one decode pass
+    // (dhash drives the banding; whash rides along so the consensus
+    // read face never re-decodes). Video rows are per-frame for dhash;
+    // their whash is the WHOLE-ITEM fingerprint repeated on each frame
+    // row — the global-structure family judges items, not slices.
     val fp =
       if (mediaType == "video")
-        MultimodalOps.videoFrameFingerprints(media, regions)
-          .select(col("doc_id"), col("dhash"), lit(null).cast("long").as("whash"))
+        MultimodalOps.videoFrameFingerprints(media, regions, withWhash = true)
+          .select(col("doc_id"), col("dhash"), col("whash"))
       else
         MultimodalOps.decodeContent(media)
           .filter(col("media_type") === mediaType)
@@ -141,8 +142,12 @@ object MediaIndexOps {
     * Walsh–Hadamard fingerprints from the `_fps` table — the whash was
     * computed in the index build's single decode pass, so the
     * consensus judgment costs two narrow joins against fingerprint
-    * rows and never re-reads a payload. Single-stream indexes only
-    * (video `_fps` rows are per-frame and carry NULL whash).
+    * rows and never re-reads a payload. Works on BOTH index shapes:
+    * single-stream (one `_fps` row per doc — the min-aggregation and
+    * per-doc whash pick are identities) and per-frame video (pair
+    * score = MIN pairwise-frame hamming; the whash is the whole-item
+    * fingerprint every frame row repeats, so `min(whash)` recovers
+    * exactly it — per-frame duplication can never multiply pair rows).
     */
   def consensusFromIndex(
       spark: SparkSession,
@@ -151,20 +156,14 @@ object MediaIndexOps {
       whashBudget: Int,
   ): DataFrame = {
     val fps = spark.table(s"${prefix}_fps")
-    val wh = bit_count(col("w_a").bitwiseXOR(col("w_b")))
-    Banding
+      .groupBy(col("doc_id"))
+      .agg(min(col("whash")).as("whash"))
+    val pairs = Banding
       .hammingSelfPairs(
         spark.table(s"${prefix}_chunks"), Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
-      .join(fps.select(col("doc_id").as("doc_a"), col("whash").as("w_a")), "doc_a")
-      .join(fps.select(col("doc_id").as("doc_b"), col("whash").as("w_b")), "doc_b")
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        col("hamming"),
-        wh.as("whash_hamming"),
-        (wh <= whashBudget).as("confirmed"),
-      )
-      .orderBy("doc_a", "doc_b")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+    MultimodalOps.confirmPairs(pairs, fps, whashBudget)
   }
 
   /** The skew STOP-KEY dial on the fingerprint banding (the

@@ -530,16 +530,54 @@ object MultimodalOps {
       blockBands: Int,
       maxHamming: Int,
       whashBudget: Int,
+      mediaType: String = "image",
   ): DataFrame = {
     val bits = regions - 1
-    val pairs = nearDupPairs(media, regions, blockBands, maxHamming)
+    val pairs = nearDupPairs(media, regions, blockBands, maxHamming, mediaType)
     val wfp = decodeContent(media)
-      .filter(col("media_type") === "image")
+      .filter(col("media_type") === mediaType)
       .select(
         col("doc_id"),
         graft.expressions.WHash(col("content"), regions, bits).as("whash"),
       )
       .localCheckpoint()
+    confirmPairs(pairs, wfp, whashBudget)
+  }
+
+  /** [[nearDupConsensus]] for VIDEO: the dHash family proposes pairs
+    * per frame (min pairwise-frame hamming, [[nearDupPairsVideo]]); the
+    * Walsh–Hadamard family re-verifies each pair as a WHOLE-ITEM
+    * judgment — one WHash over the full stripped stream per video,
+    * because global frequency structure is a property of the item, not
+    * of a 1/16th slice. Same bound as every consensus face: output
+    * never exceeds the dHash pair set.
+    */
+  def nearDupConsensusVideo(
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+      whashBudget: Int,
+  ): DataFrame = {
+    val pairs = nearDupPairsVideo(media, regions, blockBands, maxHamming)
+    val wfp = videoContent(media)
+      .select(
+        col("doc_id"),
+        graft.expressions.WHash(col("content"), regions, regions - 1).as("whash"),
+      )
+      .localCheckpoint()
+    confirmPairs(pairs, wfp, whashBudget)
+  }
+
+  /** The consensus tail every two-family face shares: pick up both
+    * sides' WHash from the one-row-per-doc fingerprint frame and emit
+    * the confirmation verdict.
+    */
+  private[operators] def confirmPairs(
+      pairs: DataFrame,
+      wfp: DataFrame,
+      whashBudget: Int,
+  ): DataFrame = {
     val wh = bit_count(col("w_a").bitwiseXOR(col("w_b")))
     pairs
       .join(wfp.select(col("doc_id").as("doc_a"), col("whash").as("w_a")), "doc_a")
@@ -562,24 +600,48 @@ object MultimodalOps {
     * Spark-side shape (frame explode → one fingerprint per frame, all
     * row-local column algebra) is the real pipeline. The frame count is
     * parsed from the real container blocks ([[videoContent]]). Videos
-    * shorter than their frame count would yield empty slices; their
-    * frames are degenerate (dhash 0) but deterministic and
-    * oracle-mirrored.
+    * with decoded content SHORTER than their frame count (flen = 0)
+    * are dropped entirely — their slices would be empty, every such
+    * video would fingerprint to dhash 0 and all of them would pair at
+    * hamming 0, flooding every downstream face with content-free
+    * matches. The oracle applies the identical `fl > 0` cut.
+    *
+    * `withWhash = true` additionally carries the WHOLE-ITEM
+    * Walsh–Hadamard fingerprint ([[graft.expressions.WHash]] over the
+    * full stripped stream, repeated on each frame row) — the second
+    * fingerprint family is a global-structure judgment on the item,
+    * not a per-frame one, and computing it here keeps the consensus
+    * index build a single decode pass.
     */
-  def videoFrameFingerprints(media: DataFrame, regions: Int): DataFrame = {
-    val v = videoContent(media).filter(col("n_frames") > 0)
+  def videoFrameFingerprints(
+      media: DataFrame,
+      regions: Int,
+      withWhash: Boolean = false,
+  ): DataFrame = {
+    val v = videoContent(media)
+      .filter(col("n_frames") > 0)
+      .withColumn("flen", floor(length(col("content")) / col("n_frames")).cast("int"))
+      .filter(col("flen") > 0)
+    val whashCols =
+      if (withWhash)
+        Seq(graft.expressions.WHash(col("content"), regions, regions - 1).as("whash"))
+      else Seq.empty[org.apache.spark.sql.Column]
     v.select(
-      col("doc_id"),
-      col("content"),
-      floor(length(col("content")) / col("n_frames")).cast("int").as("flen"),
-      explode(sequence(lit(0), (col("n_frames") - 1).cast("int"))).as("frame_idx"),
+      Seq(
+        col("doc_id"),
+        col("content"),
+        col("flen"),
+        explode(sequence(lit(0), (col("n_frames") - 1).cast("int"))).as("frame_idx"),
+      ) ++ whashCols: _*,
     ).select(
-      col("doc_id"),
-      col("frame_idx"),
-      graft.expressions.DHash(
-        col("content").substr(col("frame_idx") * col("flen") + lit(1), col("flen")),
-        regions,
-      ).as("dhash"),
+      Seq(
+        col("doc_id"),
+        col("frame_idx"),
+        graft.expressions.DHash(
+          col("content").substr(col("frame_idx") * col("flen") + lit(1), col("flen")),
+          regions,
+        ).as("dhash"),
+      ) ++ whashCols.map(_ => col("whash")): _*,
     )
   }
 
@@ -747,6 +809,75 @@ object MultimodalOps {
         (0 until dims).map(j => (h * (j + 1) % 1009L + 1L).cast("double") / 1010.0): _*,
       ).as("embedding"),
     )
+  }
+
+  /** Sign bucket over the CENTERED stub-embedding space: bit d is
+    * whether dim d exceeds 0.5 — [[SimilarityOps.signBucket]]'s
+    * hyperplane family shifted to the orthant center, because
+    * [[stubEmbed]]'s values are strictly positive ((0,1) uniform-ish)
+    * and raw sign-LSH would hash every vector into one bucket.
+    */
+  def centeredSignBucket(vec: org.apache.spark.sql.Column, probeDims: Seq[Int]): org.apache.spark.sql.Column =
+    probeDims.foldLeft(lit(0L)) { (acc, d) =>
+      acc * 2 + when(element_at(vec, d + 1) > 0.5, 1L).otherwise(0L)
+    }
+
+  /** CROSS-MODAL text↔media screen — "which documents duplicate/describe
+    * media we hold": every document's TEXT-side embedding is matched
+    * against the embeddings of a HELD media set (the image blocklist,
+    * doc_id % blockMod = 0) in the shared [[stubEmbed]] space. The
+    * `dd_contamination_semantic` shape pointed across modalities: the
+    * held side is small by construction, so its band rows BROADCAST
+    * (carrying their unit vectors — candidates verify by exact fold-dot
+    * inline in the same join) and the corpus side never shuffles; the
+    * hit rollup is broadcast back onto the document list the same way.
+    * Self-pairs (a document vs its own media item) are excluded — they
+    * share bytes by construction. Stub-space honesty: [[stubEmbed]] is a
+    * hash of the payload, so matches are exact-content collisions
+    * (cosine 1) and the threshold sits just under it; a production
+    * build swaps the encoder and the same plan finds paraphrase-level
+    * matches. Returns the total per-document verdict (clean rows at 0).
+    */
+  def textMediaScreen(
+      docs: DataFrame,
+      threshold: Double,
+      bands: Seq[Seq[Int]],
+      blockMod: Int = 10,
+  ): DataFrame = {
+    def withBands(emb: DataFrame, idOut: String, uOut: String): DataFrame =
+      emb.select(
+        col("doc_id").as(idOut),
+        SimilarityOps.unitNorm(col("embedding")).as(uOut),
+        posexplode(array(bands.map(d => centeredSignBucket(col("embedding"), d)): _*))
+          .as(Seq("band_idx", "bucket")),
+      )
+    val held = withBands(
+      stubEmbed(asMedia(docs))
+        .filter(col("media_type") === "image" && pmod(col("doc_id"), lit(blockMod.toLong)) === 0L),
+      "media_id", "mu")
+    val text = withBands(
+      stubEmbed(docs.select(
+        col("doc_id"),
+        lit("text").as("media_type"),
+        col("text").cast("binary").as("payload"))),
+      "doc_id", "u")
+    val hits = text
+      .join(broadcast(held), Seq("band_idx", "bucket"))
+      .filter(col("doc_id") =!= col("media_id"))
+      .select(col("doc_id"), col("media_id"), SimilarityOps.dot(col("u"), col("mu")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"), max(col("cosine")).as("max_cos"))
+    docs.select(col("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("n_media_matches"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cosine"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("flagged"),
+      )
+      .orderBy("doc_id")
   }
 
   /** Frame sampling: every `step`-th frame index of each video payload,

@@ -157,11 +157,44 @@ object NetflowOps {
     * (non-dotted-quad) take a NULL key and match nothing. Output = the
     * flow columns + (match_prefix, match_len, tag), NULLs when no
     * prefix covers the flow.
+    *
+    * Both contract halves are ENFORCED at plan construction, not just
+    * documented: the output columns must not collide with existing flow
+    * columns (netflow frames commonly carry their own `tag`; a silent
+    * duplicate would make every downstream `col("tag")` ambiguous), and
+    * the dimension must hold one row per (prefix_len, masked network) —
+    * duplicates would silently multiply flow rows through the chained
+    * left joins. The uniqueness probe is one aggregation over the
+    * dimension (route-table sized — the same bounded read as the
+    * length-list collect), paid once per plan build, never per flow.
     */
   def lpmEnrich(flows: DataFrame, prefixes: DataFrame): DataFrame = {
+    val collisions = flows.columns.toSet
+      .intersect(Set("match_prefix", "match_len", "tag"))
+    require(
+      collisions.isEmpty,
+      s"lpmEnrich output columns collide with flow columns: ${collisions.mkString(", ")} — rename them on the flow side first",
+    )
     val lens = prefixes.select(col("prefix_len").cast("int"))
       .distinct().collect().map(_.getInt(0)).sorted.reverse.toSeq
     require(lens.forall(l => l >= 0 && l <= 32), "prefix_len must be in 0..32")
+    val dupNets = prefixes
+      .groupBy(
+        col("prefix_len"),
+        ipv4ToLong(col("prefix_ip"))
+          .bitwiseAND(
+            call_function("shiftleft", lit(0xFFFFFFFFL), lit(32) - col("prefix_len").cast("int"))
+              .bitwiseAND(lit(0xFFFFFFFFL)))
+          .as("net"),
+      )
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .limit(1)
+      .collect()
+    require(
+      dupNets.isEmpty,
+      s"lpmEnrich dimension is not keyed: (prefix_len=${dupNets.headOption.map(_.get(0)).orNull}, masked network) appears more than once — a route table must hold one row per (prefix_len, network)",
+    )
     val ipn = when(col("ip").rlike(Ipv4Pattern), ipv4ToLong(col("ip")))
     val joined = lens.foldLeft(flows.withColumn("__ipn", ipn)) { (acc, l) =>
       val mask = (0xFFFFFFFFL << (32 - l)) & 0xFFFFFFFFL

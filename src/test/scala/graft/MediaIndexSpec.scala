@@ -65,6 +65,33 @@ class MediaIndexSpec extends SparkSpec {
     assert(fromIndex.exceptAll(direct).isEmpty && direct.exceptAll(fromIndex).isEmpty)
   }
 
+  test("audio and video consensus from the stored index equal their corpus-scan operators") {
+    val audioPre = "mediaixconsaud"
+    val videoPre = "mediaixconsvid"
+    Seq(audioPre, videoPre).foreach(p =>
+      Seq(s"${p}_fps", s"${p}_chunks").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")))
+    MediaIndexOps.writeIndex(
+      media(), Regions, Bands, buckets = 4, prefix = audioPre, mediaType = "audio")
+    MediaIndexOps.writeIndex(
+      media(), Regions, Bands, buckets = 4, prefix = videoPre, mediaType = "video")
+    val audioIdx = MediaIndexOps.consensusFromIndex(spark, audioPre, MaxHamming, whashBudget = 5)
+    val audioDirect = MultimodalOps.nearDupConsensus(
+      media(), Regions, Bands, MaxHamming, whashBudget = 5, mediaType = "audio")
+    assert(audioIdx.count() > 0)
+    assert(audioIdx.exceptAll(audioDirect).isEmpty && audioDirect.exceptAll(audioIdx).isEmpty)
+    // Video: per-frame _fps rows repeat the whole-item whash; the read
+    // face's min-aggregations must collapse them to exactly one verdict
+    // per pair — bit-equal to the corpus-scan operator.
+    val videoIdx = MediaIndexOps.consensusFromIndex(spark, videoPre, MaxHamming, whashBudget = 5)
+    val videoDirect = MultimodalOps.nearDupConsensusVideo(
+      media(), Regions, Bands, MaxHamming, whashBudget = 5)
+    assert(videoIdx.count() > 0)
+    assert(videoIdx.exceptAll(videoDirect).isEmpty && videoDirect.exceptAll(videoIdx).isEmpty)
+    // One verdict row per pair despite the per-frame fps duplication.
+    val pairCols = videoIdx.select("doc_a", "doc_b")
+    assert(pairCols.count() == pairCols.distinct().count())
+  }
+
   test("cross-modal frame match from the stored image index equals the corpus-scan operator") {
     buildOnce()
     val fromIndex = MediaIndexOps.frameMatchAgainstIndex(

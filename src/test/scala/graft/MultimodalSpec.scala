@@ -203,6 +203,26 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("degenerate videos (content shorter than frame count) are dropped, matching the oracle") {
+    import spark.implicits._
+    // doc 2: 2 chars → F = 2 % 16 + 1 = 3 frames, fl = 2/3 = 0 — every
+    // slice would be empty; the operator must drop the whole video (the
+    // oracle's `WHERE fl > 0` does), or all such videos pair with each
+    // other at hamming 0 on content-free all-zero fingerprints.
+    // doc 5: 17 chars → F = 2, fl = 8 — a real video, kept.
+    val docs = Seq(2L -> "ab", 5L -> ("q" * 17)).toDF("doc_id", "text")
+    val media = MultimodalOps.encodeMedia(docs)
+    val fps = MultimodalOps.videoFrameFingerprints(media, regions = 49)
+      .as[(Long, Int, Long)].collect()
+    assert(fps.forall(_._1 == 5L), s"flen=0 video must yield no frames: ${fps.mkString(", ")}")
+    assert(fps.length == 2)
+    // Two degenerate videos must NOT pair: without the cut both would
+    // fingerprint to dhash 0 per frame and match at hamming 0.
+    val degen = Seq(2L -> "ab", 5L -> "cd").toDF("doc_id", "text")
+    assert(MultimodalOps.nearDupPairsVideo(
+      MultimodalOps.encodeMedia(degen), 49, 6, 5).count() == 0)
+  }
+
   test("two-family consensus confirms re-encoded copies and carries every dHash pair") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps on running " * 4
@@ -226,6 +246,30 @@ class MultimodalSpec extends SparkSpec {
     val dhashPairs = MultimodalOps.nearDupPairs(media, 49, 6, 5)
       .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
     assert(rows.map(r => (r._1, r._2)).toSet == dhashPairs)
+  }
+
+  test("text↔media screen flags documents duplicating held media, never the item itself") {
+    import spark.implicits._
+    val heldText = "the protected artwork description shared verbatim by a scraped document"
+    val docs = Seq(
+      0L -> heldText, // image (0%3), held (0%10) — the blocklist entry
+      7L -> heldText, // a document whose text duplicates the held payload
+      8L -> "an unrelated document about something else entirely",
+    ).toDF("doc_id", "text")
+    val r = MultimodalOps.textMediaScreen(
+      docs, threshold = 0.999, bands = Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)), blockMod = 10)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(r.map(x => (x._1, x._2, x._4)) == Seq(
+      (0L, 0L, false), // self-pair excluded: an item never flags itself
+      (7L, 1L, true), // exact-content duplicate of the held media
+      (8L, 0L, false),
+    ), r.mkString(", "))
+    assert(r(1)._3 > 0.999, s"duplicate text must sit at cosine ~1: ${r(1)}")
+    // The held side broadcasts: the corpus is never shuffled for the join.
+    val plan = MultimodalOps.textMediaScreen(
+      docs, 0.999, Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("cross-modal frame match finds the video frame that reproduces a known image") {

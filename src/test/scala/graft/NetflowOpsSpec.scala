@@ -275,4 +275,25 @@ class NetflowOpsSpec extends SparkSpec {
       (3L, "oops", None, None, None), // malformed never matches, even the default
     ))
   }
+
+  test("lpmEnrich rejects output-column collisions and unkeyed dimensions at plan construction") {
+    val dim = Seq(("10.0.0.0", 8, "net10")).toDF("prefix_ip", "prefix_len", "tag")
+    // A flow frame already carrying `tag` (common in netflow schemas)
+    // would end up with two ambiguous `tag` columns — refuse it.
+    val taggedFlows = Seq((1L, "10.1.2.3", "pre")).toDF("id", "ip", "tag")
+    val e1 = intercept[IllegalArgumentException](NetflowOps.lpmEnrich(taggedFlows, dim))
+    assert(e1.getMessage.contains("tag"))
+    // Two dimension rows for the same (prefix_len, masked network) —
+    // 10.0.0.0/8 and 10.9.9.9/8 mask to the same network — would
+    // silently multiply flow rows through the chained left joins.
+    val dupDim = Seq(("10.0.0.0", 8, "a"), ("10.9.9.9", 8, "b"))
+      .toDF("prefix_ip", "prefix_len", "tag")
+    val flows = Seq((1L, "10.1.2.3")).toDF("id", "ip")
+    val e2 = intercept[IllegalArgumentException](NetflowOps.lpmEnrich(flows, dupDim))
+    assert(e2.getMessage.contains("keyed"))
+    // Distinct networks at one length remain legal.
+    val okDim = Seq(("10.0.0.0", 8, "a"), ("11.0.0.0", 8, "b"))
+      .toDF("prefix_ip", "prefix_len", "tag")
+    assert(NetflowOps.lpmEnrich(flows, okDim).count() == 1)
+  }
 }
