@@ -453,6 +453,43 @@ object Bench {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
       dupRows
     }
+
+    // The READ-ONLY streaming face: the upload-time blocklist screen
+    // (MediaIndexOps.streamingFrameMatch) — arriving videos fingerprint
+    // per frame and match against the STORED image index; no appends,
+    // no ledger, batches independent. The blocklist index is the shared
+    // artifact prepareSharedArtifacts already built (a blocklist
+    // pre-exists its screen — building it here would time the wrong
+    // thing), so rows/s here is the pure screen cost: per-batch decode
+    // + frame fingerprints + the banded join against bucketed storage.
+    // This is the capacity number the upload pipeline plans against.
+    // Default stays under the sf0.1 video count (1666) so the reported
+    // rows/s divides by the rows actually streamed.
+    val screenRows = sys.env.getOrElse("SPARK_GRAFT_SCREEN_ROWS", "1500").toInt
+    timedN("frame_match", warmN = 150, n = screenRows) { n =>
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val pre = MultimodalQueries.fullMediaIndex(spark, sfDir, "image")
+      val vids = graft.operators.MultimodalOps
+        .encodeMedia(Tables.documents(spark, sfDir))
+        .filter(col("media_type") === "video")
+        .orderBy("doc_id").limit(n)
+        .select(col("doc_id"), col("media_type"), col("payload"))
+      val arrivals = vids.as[(Long, String, Array[Byte])].collect().sortBy(_._1)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Array[Byte])]
+      var matchRows = 0L
+      val ckpt = java.nio.file.Files.createTempDirectory("bench_screen").toFile.getAbsolutePath
+      val q = graft.operators.MediaIndexOps.streamingFrameMatch(
+        spark, pre, in.toDF().toDF("doc_id", "media_type", "payload"),
+        regions = 49, blockBands = 6, maxHamming = 5, checkpoint = ckpt,
+        onMatches = (m, _) => matchRows += m.count())
+      try arrivals.grouped(math.max(1, arrivals.length / 4)).foreach { w =>
+        in.addData(w.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      matchRows
+    }
     rates.toSeq
   }
 }

@@ -24,10 +24,12 @@ object TextQueries {
     * argmax merge under the (count DESC, tok_a, tok_b) tie-break,
     * `e_i` applies it corpus-wide as one literal replace, and `n_i`
     * is the post-merge corpus token count. Shared by the training
-    * oracle (reads m_i/n_i) and the composed train→encode oracle
-    * (reads e_rounds per document).
+    * oracle (reads m_i/n_i), the composed train→encode oracle (reads
+    * e_rounds per document), and — with `trainWhere` restricting e0 to
+    * the deterministic hash sample — the sampled-training oracle
+    * (reads only the m_i merge rows and applies them elsewhere).
     */
-  private def bpeTrainChain(rounds: Int): String = {
+  private def bpeTrainChain(rounds: Int, trainWhere: String = ""): String = {
     val reTok = """regexp_extract_all(s, '\[([^\]]+)\]', 1)"""
     val roundCtes = (1 to rounds).map { i =>
       s"""|p$i AS (SELECT tk[bi] AS tok_a, tk[bi+1] AS tok_b
@@ -50,7 +52,7 @@ object TextQueries {
        |         array_to_string(
        |           list_transform(regexp_extract_all(text, '${TextOps.BpePattern}'),
        |                          x -> '[' || x || ']'), '') AS s
-       |  FROM documents),
+       |  FROM documents $trainWhere),
        |$roundCtes""".stripMargin
   }
 
@@ -951,6 +953,52 @@ object TextQueries {
               |  CAST(length(s) - length(replace(s, '[', '')) AS BIGINT) AS n_after,
               |  substr(s, 1, 60) AS head
               |FROM e$BpeTrainRounds ORDER BY doc_id""".stripMargin),
+    ),
+    // The 100 TB training SHAPE: train the merge table on a
+    // deterministic 30% hash sample (tx_hash_sample's bucket rule —
+    // reproducible, no RNG state), then encode the FULL corpus once
+    // with the trained cascade. tx_bpe_train's eight full-corpus
+    // rewrites are the exact reference; a production tokenizer build
+    // pays the iterative loop only on the sample (a constant fraction
+    // of the corpus — here 30%, at real scale a fixed-size slice) and
+    // touches the full corpus exactly once, at apply time. The oracle
+    // replays the unrolled training chain over the SAMPLED side (the
+    // same WHERE the Spark sample states) and applies the eight merge
+    // rows to every document as a cascade of literal replaces — so a
+    // drifted sample boundary, merge choice, or application order all
+    // hash-mismatch.
+    Q(
+      "tx_bpe_train_sampled",
+      (s, d) => {
+        val merges = TextOps
+          .bpeTrain(TextOps.hashSample(documents(s, d), buckets = 10, keep = 3), rounds = BpeTrainRounds)
+          .collect().toSeq
+          .map(r => (r.getString(1), r.getString(2)))
+        TextOps.bpeEncode(documents(s, d), merges)
+      },
+      Some {
+        val sampleWhere = s"WHERE ${OracleSnippets.charHash("text")} % 10 < 3"
+        val applySteps = (1 to BpeTrainRounds).map { i =>
+          s"""|f$i AS (SELECT doc_id, n_before,
+              |  replace(s, '[' || tok_a || '][' || tok_b || ']',
+              |             '[' || tok_a || tok_b || ']') AS s
+              |  FROM f${i - 1} CROSS JOIN m$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${bpeTrainChain(BpeTrainRounds, sampleWhere)},
+           |f0 AS (
+           |  SELECT doc_id,
+           |         CAST(len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS BIGINT)
+           |           AS n_before,
+           |         array_to_string(
+           |           list_transform(regexp_extract_all(text, '${TextOps.BpePattern}'),
+           |                          x -> '[' || x || ']'), '') AS s
+           |  FROM documents),
+           |$applySteps
+           |SELECT doc_id, n_before,
+           |  CAST(length(s) - length(replace(s, '[', '')) AS BIGINT) AS n_after,
+           |  substr(s, 1, 60) AS head
+           |FROM f$BpeTrainRounds ORDER BY doc_id""".stripMargin
+      },
     ),
     // Bigram-LM next-token serving table: for the 20 most frequent
     // bigram-starting unigrams, the argmax continuation and its exact
