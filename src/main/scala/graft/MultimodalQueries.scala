@@ -942,6 +942,51 @@ object MultimodalQueries {
               |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
               |FROM b GROUP BY chunk_idx ORDER BY chunk_idx""".stripMargin),
     ),
+    // The composed image CURATION pipeline — the per-item keep/reject
+    // decision a media-training build makes, stages in cost order:
+    // exact byte dedup (hash agg), perceptual near-dup clusters (banded
+    // dHash + label-prop, keeper = component id), resolution floor
+    // (width × height from the REAL parsed headers), else keep;
+    // `dup_of` names the keeper for either dup reason. The oracle
+    // composes the shared pair derivation's recursive closure with an
+    // exact-duplicate partition over (text, container parity) — two
+    // docs share payload BYTES iff their text and container type both
+    // match — and the independent header-dimension formulas.
+    Q(
+      "mm_curation_pipeline",
+      (s, d) => MultimodalOps.curationPipeline(
+        MultimodalOps.encodeMedia(documents(s, d)),
+        regions = 49, blockBands = 6, maxHamming = 5, minPixels = 16384L),
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($nearDupPairsSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges),
+              |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+              |img AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+              |        FROM documents WHERE doc_id % 3 = 0),
+              |ex AS (SELECT doc_id,
+              |         min(doc_id) OVER (PARTITION BY text, (doc_id // 3) % 2)
+              |           AS ex_keeper
+              |       FROM img)
+              |SELECT i.doc_id,
+              |  CASE WHEN e.ex_keeper <> i.doc_id THEN 'exact_dup'
+              |       WHEN c.component IS NOT NULL AND c.component <> i.doc_id
+              |         THEN 'near_dup'
+              |       WHEN (64 + i.n % 512) * (64 + (i.n * 31) % 512) < 16384
+              |         THEN 'too_small'
+              |       ELSE 'keep' END AS status,
+              |  CASE WHEN e.ex_keeper <> i.doc_id THEN e.ex_keeper
+              |       WHEN c.component IS NOT NULL AND c.component <> i.doc_id
+              |         THEN c.component END AS dup_of
+              |FROM img i JOIN ex e ON e.doc_id = i.doc_id
+              |LEFT JOIN comp c ON c.doc_id = i.doc_id
+              |ORDER BY i.doc_id""".stripMargin),
+    ),
     // CROSS-MODAL text↔media screen — the remaining cross-modal arm
     // next to image↔video frame matching: which documents duplicate
     // content of a HELD media set (the image blocklist, doc_id % 10 =

@@ -3271,6 +3271,63 @@ object RelationalQueries {
              |  max(CAST(num AS DOUBLE) / CAST(n_g * n * 2 AS DOUBLE)) AS max_tvd
              |FROM num GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+    // The generalization LADDER — the privacy audits' ACTION side:
+    // re-run the k-anonymity census at three QI granularities (hour,
+    // 4-hour block, day) in one report. This is the decision input a
+    // release pipeline actually uses: pick the finest level whose
+    // violation count it can afford to suppress, instead of suppressing
+    // at full granularity. Three aggregations over the same scan
+    // (filters and pruning push into each; an Expand-based single pass
+    // would triple the rows INTO the shuffle for the same work — the
+    // grouping-sets tradeoff documented at q_corpus_report, here taken
+    // the other way because the per-level group keys differ in arity).
+    Q(
+      "q_k_generalize",
+      (s, d) => {
+        val e = events(s, d).select(
+          col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          hour(col("ts")).as("hr"),
+        )
+        def census(level: Int, keys: Seq[org.apache.spark.sql.Column]) = e
+          .groupBy(keys: _*)
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum(when(col("n") < 20, 1L).otherwise(0L)).as("n_violating"),
+            sum(when(col("n") < 20, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+          )
+          .select(
+            col("event_type"), lit(level).as("level"),
+            col("n_groups"), col("n_violating"), col("n_rows_at_risk"),
+          )
+        census(0, Seq(col("event_type"), col("day"), col("hr")))
+          .unionByName(census(1, Seq(col("event_type"), col("day"), (col("hr") - pmod(col("hr"), lit(4))).as("hr4"))))
+          .unionByName(census(2, Seq(col("event_type"), col("day"))))
+          .orderBy("event_type", "level")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |         extract(hour FROM ts) AS hr
+             |  FROM events),
+             |l0 AS (SELECT event_type, count(*) AS n
+             |       FROM e GROUP BY event_type, day, hr),
+             |l1 AS (SELECT event_type, count(*) AS n
+             |       FROM e GROUP BY event_type, day, hr - hr % 4),
+             |l2 AS (SELECT event_type, count(*) AS n
+             |       FROM e GROUP BY event_type, day)
+             |SELECT event_type, level,
+             |  CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN n < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             |  CAST(sum(CASE WHEN n < 20 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+             |FROM (
+             |  SELECT event_type, 0 AS level, n FROM l0
+             |  UNION ALL SELECT event_type, 1, n FROM l1
+             |  UNION ALL SELECT event_type, 2, n FROM l2)
+             |GROUP BY event_type, level
+             |ORDER BY event_type, level""".stripMargin),
+    ),
     // Sketch set-INTERSECTION estimate by inclusion-exclusion over
     // three mergeable HLL sketches (|A| + |B| − |A∪B|) vs the exact
     // intersection — the q_hll_union discipline pointed at overlap

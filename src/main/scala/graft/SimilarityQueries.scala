@@ -874,6 +874,31 @@ object SimilarityQueries {
              |      FROM embeddings)
              |GROUP BY dim ORDER BY dim""".stripMargin),
     ),
+    // Embedding-distribution drift monitor: per-dimension fixed-point
+    // means of two corpus cohorts (vec_id parity — the deterministic
+    // stand-in for old batch vs new batch) and the |Δmean| report — the
+    // retraining tripwire for every trained artifact downstream (IVF
+    // cells, PQ codebooks, LSH planes serve the distribution they were
+    // trained on). Constant-size output (one row per dimension).
+    Q(
+      "sim_embed_drift",
+      (s, d) => SimilarityOps.embedDrift(embeddings(s, d), threshold = 0.01),
+      Some(s"""WITH x AS (
+             |  SELECT vec_id % 2 AS cohort, dim, xd
+             |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS xd,
+             |          generate_subscripts(embedding, 1) AS dim
+             |        FROM embeddings)),
+             |m AS (SELECT dim, cohort, ${fpMeanAgg("xd")} AS mean
+             |      FROM x GROUP BY dim, cohort),
+             |piv AS (SELECT dim,
+             |          max(CASE WHEN cohort = 0 THEN mean END) AS mean_old,
+             |          max(CASE WHEN cohort = 1 THEN mean END) AS mean_new
+             |        FROM m GROUP BY dim)
+             |SELECT dim, mean_old, mean_new,
+             |  abs(mean_new - mean_old) AS drift,
+             |  abs(mean_new - mean_old) > 0.01 AS flagged
+             |FROM piv ORDER BY dim""".stripMargin),
+    ),
     // Class-separation report: pairwise cosine between per-label
     // fixed-point centroids (K·(K−1)/2 rows) — collapsed classes show
     // as near-1 cosines before a probe or classifier is trusted.

@@ -817,6 +817,50 @@ object MultimodalOps {
     )
   }
 
+  /** The composed IMAGE curation pass — the mm twin of
+    * `TextOps.curationPipeline`, the decision every media-training
+    * pipeline makes per item, as one operator face: each image is
+    * rejected by the FIRST failing stage in cost order — `exact_dup`
+    * (byte-identical payload, cheapest: one hash aggregation — keeper =
+    * min doc_id), `near_dup` (perceptual cluster member that is not the
+    * cluster keeper — the banded dHash + label-prop machinery),
+    * `too_small` (real header-parsed width × height under `minPixels` —
+    * the resolution floor an image-training recipe states), else
+    * `keep`. `dup_of` carries the keeper for either dup reason. All
+    * key-partitioned joins over the already-scale-shaped parts; the
+    * verdict join adds nothing corpus-wide.
+    */
+  def curationPipeline(
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+      minPixels: Long,
+  ): DataFrame = {
+    val img = media.filter(col("media_type") === "image")
+    val keyed = img.select(col("doc_id"), md5(col("payload")).as("k"))
+    val ex = keyed
+      .join(keyed.groupBy(col("k")).agg(min(col("doc_id")).as("ex_keeper")), Seq("k"))
+      .select(col("doc_id"), col("ex_keeper"))
+    val clusters = DedupOps.connectedComponents(
+      nearDupPairs(media, regions, blockBands, maxHamming))
+    val meta = decodeHeaderMeta(img).select(col("doc_id"), col("width"), col("height"))
+    val isExact = col("ex_keeper") =!= col("doc_id")
+    val isNear = col("component").isNotNull && col("component") =!= col("doc_id")
+    meta
+      .join(ex, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(isExact, lit("exact_dup"))
+          .when(isNear, lit("near_dup"))
+          .when(col("width") * col("height") < minPixels, lit("too_small"))
+          .otherwise(lit("keep")).as("status"),
+        when(isExact, col("ex_keeper")).when(isNear, col("component")).as("dup_of"),
+      )
+      .orderBy("doc_id")
+  }
+
   /** Sign bucket over the CENTERED stub-embedding space: bit d is
     * whether dim d exceeds 0.5 — [[SimilarityOps.signBucket]]'s
     * hyperplane family shifted to the orthant center, because

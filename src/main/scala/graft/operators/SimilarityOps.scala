@@ -360,6 +360,46 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** Embedding-distribution DRIFT monitor — the check an embedding
+    * pipeline runs when the encoder, preprocessing, or upstream corpus
+    * changes: split the corpus into two cohorts (here the deterministic
+    * vec_id parity — in production, old batch vs new batch) and compare
+    * per-dimension means. A drifted dimension means downstream indexes
+    * (IVF cells, PQ codebooks, LSH planes) were trained on a different
+    * distribution than they now serve and need retraining. Means use
+    * the fixed-point discipline ([[FpScale]]) so both engines aggregate
+    * exact integers; the drift is one subtraction of two deterministic
+    * doubles. One bounded explode (dims per row) + one (dim, cohort)
+    * aggregation — dims are a constant, so the report never grows with
+    * the corpus.
+    */
+  def embedDrift(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val x = embeddings
+      .select(
+        pmod(col("vec_id"), lit(2L)).as("cohort"),
+        posexplode(transform(col("embedding"), v => v.cast("double"))).as(Seq("pos", "xd")),
+      )
+      .select(col("cohort"), (col("pos") + 1).as("dim"), col("xd"))
+    val m = x
+      .groupBy(col("dim"), col("cohort"))
+      .agg(fpSum(col("xd")).as("s"), count(lit(1)).as("n"))
+      .select(col("dim"), col("cohort"), fpMean(col("s"), col("n")).as("mean"))
+    val drift = abs(col("mean_new") - col("mean_old"))
+    m.groupBy(col("dim"))
+      .agg(
+        max(when(col("cohort") === 0, col("mean"))).as("mean_old"),
+        max(when(col("cohort") === 1, col("mean"))).as("mean_new"),
+      )
+      .select(
+        col("dim"),
+        col("mean_old"),
+        col("mean_new"),
+        drift.as("drift"),
+        (drift > threshold).as("flagged"),
+      )
+      .orderBy("dim")
+  }
+
   /** Class-separation report: pairwise cosine between every two
     * labels' fixed-point centroids — the embedding-space health view a
     * pipeline owner reads before trusting labels or probes (collapsed

@@ -248,6 +248,29 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2)).toSet == dhashPairs)
   }
 
+  test("curation pipeline rejects by the first failing stage in priority order") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running " * 4
+    val docs = Seq(
+      0L -> base, // PNG, exact keeper AND component keeper → keep
+      3L -> base, // JPEG, same content, different bytes → near_dup of 0
+      6L -> base, // PNG again: byte-identical to doc 0 → exact_dup beats near_dup
+      9L -> "ab", // unique, header dims 66×126 = 8316 px → too_small
+      12L -> ("completely unrelated payload with different words entirely " * 5), // keep
+    ).toDF("doc_id", "text")
+    val r = MultimodalOps.curationPipeline(
+      MultimodalOps.encodeMedia(docs),
+      regions = 49, blockBands = 6, maxHamming = 5, minPixels = 16384L)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(r == Seq(
+      (0L, "keep", None), // a keeper is never its own dup
+      (3L, "near_dup", Some(0L)),
+      (6L, "exact_dup", Some(0L)), // byte-identity outranks the perceptual verdict
+      (9L, "too_small", None),
+      (12L, "keep", None),
+    ), r.mkString(", "))
+  }
+
   test("text↔media screen flags documents duplicating held media, never the item itself") {
     import spark.implicits._
     val heldText = "the protected artwork description shared verbatim by a scraped document"
