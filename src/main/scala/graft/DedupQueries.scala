@@ -499,6 +499,57 @@ object DedupQueries {
               |       JOIN s b ON b.doc_id = p.doc_b
               |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin),
     ),
+    // Dedup → mix COMPOSITION: the token-budget mixing plan computed
+    // over the DEDUPED corpus (LSH cluster keepers only) — the order a
+    // real pipeline runs them in, because budgeting the raw corpus
+    // double-counts every duplicate family's tokens and then
+    // over-suppresses the sources that were merely duplicated. One
+    // left join of the keeper labeling onto the corpus, then the
+    // integer-quantized budget arithmetic of tx_mix_budget unchanged.
+    Q(
+      "dd_dedup_mix",
+      (s, d) => {
+        val docs = documents(s, d)
+        val clusters = DedupOps.connectedComponents(
+          DedupOps.minhashLshPairs(docs, N, K, Bands, JaccardThreshold),
+        )
+        val kept = docs
+          .join(clusters, Seq("doc_id"), "left")
+          .filter(col("component").isNull || col("component") === col("doc_id"))
+        graft.operators.TextOps.mixByTokenBudget(kept, perSourceBudget = 500L, buckets = 10)
+      },
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges),
+              |comp AS (
+              |  SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |  FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+              |tok AS (
+              |  SELECT d.source, d.text,
+              |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+              |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+              |  WHERE c.component IS NULL OR c.component = d.doc_id),
+              |rate AS (
+              |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              |    CAST(least(10, (500*10)//sum(n_tok)) AS BIGINT) AS keep_buckets
+              |  FROM tok GROUP BY source),
+              |kept AS (
+              |  SELECT t.source, count(*) AS n_docs_kept,
+              |    CAST(sum(t.n_tok) AS BIGINT) AS tokens_kept
+              |  FROM tok t JOIN rate r ON t.source = r.source
+              |  WHERE ${OracleSnippets.charHash("t.text")} % 10 < r.keep_buckets
+              |  GROUP BY t.source)
+              |SELECT r.source AS source, total_tokens, keep_buckets,
+              |  coalesce(n_docs_kept, 0) AS n_docs_kept,
+              |  coalesce(tokens_kept, 0) AS tokens_kept
+              |FROM rate r LEFT JOIN kept k ON r.source = k.source
+              |ORDER BY source""".stripMargin),
+    ),
     // Cluster-size histogram — the dedup health report (how much of
     // the corpus is duplicated, and in how big clumps): component sizes
     // from the same label-propagation fixpoint, rolled into (size →

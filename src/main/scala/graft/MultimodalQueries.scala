@@ -668,6 +668,33 @@ object MultimodalQueries {
         s, fullMediaIndex(s, d, "video"), maxHamming = 5, whashBudget = 5),
       Some(consensusVideoSql),
     ),
+    // PRECISION-FIRST clustering: connected components over only the
+    // CONFIRMED consensus pairs (both fingerprint families agree) —
+    // the clustering an aggressive auto-delete policy runs, where a
+    // false merge destroys a unique item and one family's vote is not
+    // enough. Same label-prop fixpoint; the edge set is the consensus
+    // output filtered on the verdict, so it can only be sparser than
+    // the dHash clustering.
+    Q(
+      "mm_near_dedup_consensus_clusters",
+      (s, d) => graft.operators.DedupOps.connectedComponents(
+        MultimodalOps.nearDupConsensus(
+          MultimodalOps.encodeMedia(documents(s, d)),
+          regions = 49, blockBands = 6, maxHamming = 5, whashBudget = 5)
+          .filter(col("confirmed"))
+          .select(col("doc_a"), col("doc_b"))),
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($consensusSql) WHERE confirmed),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges)
+              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |FROM nodes n JOIN reach r ON r.u = n.id
+              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+    ),
     // AUDIO dedup clusters — parity with the image and video cluster
     // faces: connected components (label prop to the fixpoint) over
     // the audio near-dup pairs, keeper = min doc_id.
