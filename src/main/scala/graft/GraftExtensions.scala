@@ -85,5 +85,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "sorted_intersect_count(array<long>, array<long>) - |A∩B| of sorted duplicate-free arrays"),
         arity("sorted_intersect_count", 2)(args => SortedIntersectCount(args.head, args(1)))),
     )
+    ext.injectFunction(
+      (FunctionIdentifier("dhash"),
+        info("dhash",
+          "dhash(str, regions) - perceptual gradient fingerprint ((regions-1) bits) of a content stream"),
+        arity("dhash", 2)(args => DHash(args.head, intArg(args(1), "regions")))),
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("whash"),
+        info("whash",
+          "whash(str, regions, bits) - Walsh-Hadamard coefficient-sign fingerprint of a content stream"),
+        arity("whash", 3)(args =>
+          WHash(args.head, intArg(args(1), "regions"), intArg(args(2), "bits")))),
+    )
   }
 }

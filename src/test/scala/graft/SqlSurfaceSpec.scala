@@ -179,6 +179,35 @@ class SqlSurfaceSpec extends SparkSpec {
           |ORDER BY query_id, rank""".stripMargin,
       )
       assertSameRows(annSql, Registry.queries("sim_topk_exact")(s, Sf))
+      // mm_near_dedup_consensus, verbatim pipeline in SQL text: both
+      // perceptual fingerprint families bind as SQL functions (dhash /
+      // whash); image rows' decoded content = the raw text (container
+      // strip), so the SQL side fingerprints documents_v directly.
+      // Pigeonhole chunks via the floor-division extraction, banded
+      // self-join, inline hamming verify, whash re-verification.
+      val consensusSqlText = s.sql(
+        """WITH fp AS (SELECT doc_id, dhash(text, 49) AS fp,
+          |                   whash(text, 49, 48) AS wh
+          |            FROM documents_v WHERE doc_id % 3 = 0),
+          |ck AS (SELECT doc_id, fp, chunk_idx,
+          |         CAST(floor(fp / power(2, chunk_idx * 8)) AS BIGINT) % 256
+          |           AS chunk_bits
+          |       FROM fp LATERAL VIEW explode(sequence(0, 5)) c AS chunk_idx),
+          |p AS (SELECT doc_a, doc_b, hamming FROM (
+          |        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |          bit_count(x.fp ^ y.fp) AS hamming
+          |        FROM ck x JOIN ck y
+          |          ON x.chunk_idx = y.chunk_idx AND x.chunk_bits = y.chunk_bits
+          |         AND x.doc_id < y.doc_id)
+          |      WHERE hamming <= 5)
+          |SELECT p.doc_a, p.doc_b, p.hamming,
+          |  bit_count(a.wh ^ b.wh) AS whash_hamming,
+          |  bit_count(a.wh ^ b.wh) <= 5 AS confirmed
+          |FROM p JOIN fp a ON a.doc_id = p.doc_a
+          |       JOIN fp b ON b.doc_id = p.doc_b
+          |ORDER BY doc_a, doc_b""".stripMargin,
+      )
+      assertSameRows(consensusSqlText, Registry.queries("mm_near_dedup_consensus")(s, Sf))
     } finally {
       s.stop()
       SparkSession.clearActiveSession()
