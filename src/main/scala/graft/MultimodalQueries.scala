@@ -1014,6 +1014,49 @@ object MultimodalQueries {
               |LEFT JOIN comp c ON c.doc_id = i.doc_id
               |ORDER BY i.doc_id""".stripMargin),
     ),
+    // The VIDEO curation pipeline — the per-item keep/reject verdict
+    // for the video stream: exact byte dedup, then perceptual clusters
+    // over the min pairwise-frame hamming pairs, then the content
+    // floor (a stream shorter than its frame count carries no
+    // per-frame signal → `no_content`, the class the degenerate-frame
+    // cut drops from every fingerprint face), else keep. Same
+    // first-failing-stage priority and keeper contract as the image
+    // face; all videos share one container family, so the exact
+    // partition is the text alone.
+    Q(
+      "mm_curation_pipeline_video",
+      (s, d) => MultimodalOps.curationPipelineVideo(
+        MultimodalOps.encodeMedia(documents(s, d)),
+        regions = 49, blockBands = 6, maxHamming = 5),
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM ($videoNearDupSql)),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges),
+              |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+              |vid AS (SELECT doc_id, text, length(text) AS L,
+              |               length(text) % 16 + 1 AS F
+              |        FROM documents WHERE doc_id % 3 = 2),
+              |ex AS (SELECT doc_id,
+              |         min(doc_id) OVER (PARTITION BY text) AS ex_keeper
+              |       FROM vid)
+              |SELECT v.doc_id,
+              |  CASE WHEN e.ex_keeper <> v.doc_id THEN 'exact_dup'
+              |       WHEN c.component IS NOT NULL AND c.component <> v.doc_id
+              |         THEN 'near_dup'
+              |       WHEN v.L // v.F = 0 THEN 'no_content'
+              |       ELSE 'keep' END AS status,
+              |  CASE WHEN e.ex_keeper <> v.doc_id THEN e.ex_keeper
+              |       WHEN c.component IS NOT NULL AND c.component <> v.doc_id
+              |         THEN c.component END AS dup_of
+              |FROM vid v JOIN ex e ON e.doc_id = v.doc_id
+              |LEFT JOIN comp c ON c.doc_id = v.doc_id
+              |ORDER BY v.doc_id""".stripMargin),
+    ),
     // CROSS-MODAL text↔media screen — the remaining cross-modal arm
     // next to image↔video frame matching: which documents duplicate
     // content of a HELD media set (the image blocklist, doc_id % 10 =

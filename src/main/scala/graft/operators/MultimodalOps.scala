@@ -861,6 +861,50 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** The VIDEO curation pass — [[curationPipeline]]'s per-frame
+    * sibling: exact byte dedup first (cheapest), then perceptual
+    * near-dup clusters over the MIN pairwise-frame hamming pairs
+    * ([[nearDupPairsVideo]] — keeper = component id), then the
+    * content floor: videos whose decoded stream is shorter than their
+    * frame count carry no per-frame signal ([[videoFrameFingerprints]]
+    * drops them), so they reject as `no_content` rather than silently
+    * passing; else `keep`. Same first-failing-stage priority and
+    * `dup_of` contract as the image face.
+    */
+  def curationPipelineVideo(
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+  ): DataFrame = {
+    val vid = media.filter(col("media_type") === "video")
+    val keyed = vid.select(col("doc_id"), md5(col("payload")).as("k"))
+    val ex = keyed
+      .join(keyed.groupBy(col("k")).agg(min(col("doc_id")).as("ex_keeper")), Seq("k"))
+      .select(col("doc_id"), col("ex_keeper"))
+    val clusters = DedupOps.connectedComponents(
+      nearDupPairsVideo(media, regions, blockBands, maxHamming))
+    // A video has per-frame signal iff at least one fingerprint row
+    // survives the degenerate cut — membership, not a recount.
+    val hasSignal = videoFrameFingerprints(media, regions)
+      .select(col("doc_id")).distinct().withColumn("has_signal", lit(true))
+    val isExact = col("ex_keeper") =!= col("doc_id")
+    val isNear = col("component").isNotNull && col("component") =!= col("doc_id")
+    vid.select(col("doc_id"))
+      .join(ex, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .join(hasSignal, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(isExact, lit("exact_dup"))
+          .when(isNear, lit("near_dup"))
+          .when(col("has_signal").isNull, lit("no_content"))
+          .otherwise(lit("keep")).as("status"),
+        when(isExact, col("ex_keeper")).when(isNear, col("component")).as("dup_of"),
+      )
+      .orderBy("doc_id")
+  }
+
   /** Sign bucket over the CENTERED stub-embedding space: bit d is
     * whether dim d exceeds 0.5 — [[SimilarityOps.signBucket]]'s
     * hyperplane family shifted to the orthant center, because
@@ -893,6 +937,19 @@ object MultimodalOps {
       threshold: Double,
       bands: Seq[Seq[Int]],
       blockMod: Int = 10,
+  ): DataFrame = textMediaScreenAgainst(docs, docs, threshold, bands, blockMod)
+
+  /** [[textMediaScreen]] with the HELD side and the probed documents as
+    * separate frames — the shape the streaming face needs (the held
+    * blocklist is the standing corpus; each micro-batch probes only its
+    * own documents).
+    */
+  def textMediaScreenAgainst(
+      heldDocs: DataFrame,
+      docs: DataFrame,
+      threshold: Double,
+      bands: Seq[Seq[Int]],
+      blockMod: Int = 10,
   ): DataFrame = {
     def withBands(emb: DataFrame, idOut: String, uOut: String): DataFrame =
       emb.select(
@@ -902,7 +959,7 @@ object MultimodalOps {
           .as(Seq("band_idx", "bucket")),
       )
     val held = withBands(
-      stubEmbed(asMedia(docs))
+      stubEmbed(asMedia(heldDocs))
         .filter(col("media_type") === "image" && pmod(col("doc_id"), lit(blockMod.toLong)) === 0L),
       "media_id", "mu")
     val text = withBands(
@@ -929,6 +986,33 @@ object MultimodalOps {
       )
       .orderBy("doc_id")
   }
+
+  /** The STREAMING face of the text↔media screen: every micro-batch of
+    * arriving documents is screened against the standing held-media
+    * blocklist ([[textMediaScreenAgainst]]) and its per-document
+    * verdicts handed to `onVerdicts`. READ-ONLY on the held side (a
+    * screen flags, it does not ingest), so batches are independent and
+    * a replay re-emits identical verdicts — idempotent by construction,
+    * no ledger needed; the batch twin is spec-asserted bit-identical.
+    */
+  def streamingTextMediaScreen(
+      heldDocs: DataFrame,
+      docs: DataFrame,
+      threshold: Double,
+      bands: Seq[Seq[Int]],
+      blockMod: Int,
+      checkpoint: String,
+      onVerdicts: (DataFrame, Long) => Unit,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onVerdicts(
+          textMediaScreenAgainst(heldDocs, batch, threshold, bands, blockMod),
+          batchId)
+      }
+      .start()
 
   /** Frame sampling: every `step`-th frame index of each video payload,
     * exploded to one row per sampled frame (the shape a frame-extract

@@ -221,6 +221,13 @@ class MultimodalSpec extends SparkSpec {
     val degen = Seq(2L -> "ab", 5L -> "cd").toDF("doc_id", "text")
     assert(MultimodalOps.nearDupPairsVideo(
       MultimodalOps.encodeMedia(degen), 49, 6, 5).count() == 0)
+    // The video curation pass rejects them as no_content (never a
+    // silent keep, never a content-free dup) while a real video keeps.
+    val cur = MultimodalOps.curationPipelineVideo(
+      MultimodalOps.encodeMedia(Seq(2L -> "ab", 5L -> ("q" * 17)).toDF("doc_id", "text")),
+      regions = 49, blockBands = 6, maxHamming = 5)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(cur == Seq((2L, "no_content", None), (5L, "keep", None)), cur.mkString(", "))
   }
 
   test("two-family consensus confirms re-encoded copies and carries every dHash pair") {

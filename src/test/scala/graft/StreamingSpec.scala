@@ -237,6 +237,34 @@ class StreamingSpec extends SparkSpec {
       "a blocklist screen must not grow the index")
   }
 
+  test("streaming text↔media screen is batch/stream unified (T5): identical verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.MultimodalOps
+    val corpus = Tables.documents(spark, Sf)
+    val bands = Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7))
+    val docRows = corpus.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.Buffer[(Long, Long, Double, Boolean)]()
+    val ckpt = Files.createTempDirectory("text_screen").toFile.getAbsolutePath
+    val q = MultimodalOps.streamingTextMediaScreen(
+      corpus, in.toDF().toDF("doc_id", "text"),
+      threshold = 0.999, bands = bands, blockMod = 10, checkpoint = ckpt,
+      onVerdicts = (v, _) => collected ++= v.as[(Long, Long, Double, Boolean)].collect(),
+    )
+    val waves = docRows.grouped(docRows.length / 3 + 1).toSeq
+    try waves.foreach { w => in.addData(w.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // A verdict depends only on the document and the standing held set,
+    // so the union over waves must equal the batch face (itself pinned
+    // by its DuckDB oracle) exactly — every doc exactly once.
+    val expected = MultimodalOps.textMediaScreen(corpus, 0.999, bands, 10)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(collected.nonEmpty && collected.size == docRows.length)
+    assert(collected.toSet == expected,
+      s"got ${collected.size} verdicts, expected ${expected.size}")
+    assert(collected.exists(_._4), "the template corpus must flag some documents")
+  }
+
   test("stream-stream interval join pairs bidirectional flows with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     def rawP(src: String, dst: String, psrc: Int, pdst: Int, bytes: Long, ts: String): String =
