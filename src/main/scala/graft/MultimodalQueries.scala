@@ -1057,6 +1057,45 @@ object MultimodalQueries {
               |LEFT JOIN comp c ON c.doc_id = v.doc_id
               |ORDER BY v.doc_id""".stripMargin),
     ),
+    // The AUDIO curation pipeline — completes the per-modality
+    // triplet: exact byte dedup (audio payloads carry no container, so
+    // the exact partition is the raw stream), perceptual clusters over
+    // the single-stream fingerprints, and the signal floor (streams
+    // shorter than one sample per region reject as `too_short` — the
+    // dHash short-content hazard, cut instead of kept).
+    Q(
+      "mm_curation_pipeline_audio",
+      (s, d) => MultimodalOps.curationPipelineAudio(
+        MultimodalOps.encodeMedia(documents(s, d)),
+        regions = 49, blockBands = 6, maxHamming = 5),
+      Some(s"""WITH RECURSIVE
+              |p AS (SELECT doc_a, doc_b FROM (${nearDupPairsSqlFor(1)})),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges),
+              |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+              |aud AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+              |        FROM documents WHERE doc_id % 3 = 1),
+              |ex AS (SELECT doc_id,
+              |         min(doc_id) OVER (PARTITION BY text) AS ex_keeper
+              |       FROM aud)
+              |SELECT a.doc_id,
+              |  CASE WHEN e.ex_keeper <> a.doc_id THEN 'exact_dup'
+              |       WHEN c.component IS NOT NULL AND c.component <> a.doc_id
+              |         THEN 'near_dup'
+              |       WHEN a.n < 49 THEN 'too_short'
+              |       ELSE 'keep' END AS status,
+              |  CASE WHEN e.ex_keeper <> a.doc_id THEN e.ex_keeper
+              |       WHEN c.component IS NOT NULL AND c.component <> a.doc_id
+              |         THEN c.component END AS dup_of
+              |FROM aud a JOIN ex e ON e.doc_id = a.doc_id
+              |LEFT JOIN comp c ON c.doc_id = a.doc_id
+              |ORDER BY a.doc_id""".stripMargin),
+    ),
     // CROSS-MODAL text↔media screen — the remaining cross-modal arm
     // next to image↔video frame matching: which documents duplicate
     // content of a HELD media set (the image blocklist, doc_id % 10 =

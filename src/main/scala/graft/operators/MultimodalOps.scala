@@ -905,6 +905,43 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** The AUDIO curation pass — completes the per-modality triplet:
+    * exact byte dedup, perceptual near-dup clusters over the
+    * single-stream audio fingerprints, and the signal floor — streams
+    * shorter than one sample per fingerprint region carry mostly-empty
+    * region sums whose gradient encodes occupancy rather than content
+    * (the documented short-content hazard of the dHash family), so
+    * they reject as `too_short` instead of polluting the keep set.
+    */
+  def curationPipelineAudio(
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+  ): DataFrame = {
+    val aud = media.filter(col("media_type") === "audio")
+    val keyed = aud.select(col("doc_id"), md5(col("payload")).as("k"))
+    val ex = keyed
+      .join(keyed.groupBy(col("k")).agg(min(col("doc_id")).as("ex_keeper")), Seq("k"))
+      .select(col("doc_id"), col("ex_keeper"))
+    val clusters = DedupOps.connectedComponents(
+      nearDupPairs(media, regions, blockBands, maxHamming, "audio"))
+    val isExact = col("ex_keeper") =!= col("doc_id")
+    val isNear = col("component").isNotNull && col("component") =!= col("doc_id")
+    aud.select(col("doc_id"), octet_length(col("payload")).as("n"))
+      .join(ex, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(isExact, lit("exact_dup"))
+          .when(isNear, lit("near_dup"))
+          .when(col("n") < regions, lit("too_short"))
+          .otherwise(lit("keep")).as("status"),
+        when(isExact, col("ex_keeper")).when(isNear, col("component")).as("dup_of"),
+      )
+      .orderBy("doc_id")
+  }
+
   /** Sign bucket over the CENTERED stub-embedding space: bit d is
     * whether dim d exceeds 0.5 — [[SimilarityOps.signBucket]]'s
     * hyperplane family shifted to the orthant center, because
