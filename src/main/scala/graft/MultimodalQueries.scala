@@ -42,9 +42,15 @@ object MultimodalQueries {
     builtMediaIdx.getOrElseUpdate(
       (s, d, mediaType), {
         val pre = Tables.tempIndexDb(s, "media", s"full_${mediaType}_${Tables.datasetKey(d)}")
+        val media = MultimodalOps.encodeMedia(documents(s, d))
         graft.operators.MediaIndexOps.writeIndex(
-          MultimodalOps.encodeMedia(documents(s, d)),
-          regions = 49, blockBands = 6, buckets = 8, prefix = pre, mediaType = mediaType)
+          media, regions = 49, blockBands = 6, buckets = 8, prefix = pre, mediaType = mediaType)
+        // The curation artifacts ride the same build cadence: meta from
+        // ONE decoded scan, clusters from pairs read off the just-written
+        // chunk table — the nightly-refresh shape the verdict read faces
+        // (`mm_index_curation*`) serve from.
+        graft.operators.MediaIndexOps.writeCurationArtifacts(
+          s, media, maxHamming = 5, buckets = 8, prefix = pre, mediaType = mediaType)
         pre
       },
     )
@@ -270,6 +276,162 @@ object MultimodalQueries {
        |WHERE hamming <= 5
        |GROUP BY image_id, video_id
        |ORDER BY image_id, video_id""".stripMargin
+
+  /** The image curation oracle — shared by the corpus-scan face and the
+    * index-served verdict: the shared pair derivation's recursive
+    * closure, an exact-duplicate partition over (text, container
+    * parity) — two docs share payload BYTES iff their text and
+    * container type both match — and the independent header-dimension
+    * formulas.
+    */
+  private val curationSql =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($nearDupPairsSql)),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+       |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+       |img AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+       |        FROM documents WHERE doc_id % 3 = 0),
+       |ex AS (SELECT doc_id,
+       |         min(doc_id) OVER (PARTITION BY text, (doc_id // 3) % 2)
+       |           AS ex_keeper
+       |       FROM img)
+       |SELECT i.doc_id,
+       |  CASE WHEN e.ex_keeper <> i.doc_id THEN 'exact_dup'
+       |       WHEN c.component IS NOT NULL AND c.component <> i.doc_id
+       |         THEN 'near_dup'
+       |       WHEN (64 + i.n % 512) * (64 + (i.n * 31) % 512) < 16384
+       |         THEN 'too_small'
+       |       ELSE 'keep' END AS status,
+       |  CASE WHEN e.ex_keeper <> i.doc_id THEN e.ex_keeper
+       |       WHEN c.component IS NOT NULL AND c.component <> i.doc_id
+       |         THEN c.component END AS dup_of
+       |FROM img i JOIN ex e ON e.doc_id = i.doc_id
+       |LEFT JOIN comp c ON c.doc_id = i.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+
+  /** The video curation oracle — all videos share one container family,
+    * so the exact partition is the text alone; the content floor is the
+    * degenerate-frame cut (L // F = 0 → no per-frame signal).
+    */
+  private val curationVideoSql =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($videoNearDupSql)),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+       |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+       |vid AS (SELECT doc_id, text, length(text) AS L,
+       |               length(text) % 16 + 1 AS F
+       |        FROM documents WHERE doc_id % 3 = 2),
+       |ex AS (SELECT doc_id,
+       |         min(doc_id) OVER (PARTITION BY text) AS ex_keeper
+       |       FROM vid)
+       |SELECT v.doc_id,
+       |  CASE WHEN e.ex_keeper <> v.doc_id THEN 'exact_dup'
+       |       WHEN c.component IS NOT NULL AND c.component <> v.doc_id
+       |         THEN 'near_dup'
+       |       WHEN v.L // v.F = 0 THEN 'no_content'
+       |       ELSE 'keep' END AS status,
+       |  CASE WHEN e.ex_keeper <> v.doc_id THEN e.ex_keeper
+       |       WHEN c.component IS NOT NULL AND c.component <> v.doc_id
+       |         THEN c.component END AS dup_of
+       |FROM vid v JOIN ex e ON e.doc_id = v.doc_id
+       |LEFT JOIN comp c ON c.doc_id = v.doc_id
+       |ORDER BY v.doc_id""".stripMargin
+
+  /** The audio curation oracle — no container, so the exact partition
+    * is the raw stream; the signal floor rejects streams shorter than
+    * one sample per fingerprint region.
+    */
+  private val curationAudioSql =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM (${nearDupPairsSqlFor(1)})),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+       |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+       |aud AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+       |        FROM documents WHERE doc_id % 3 = 1),
+       |ex AS (SELECT doc_id,
+       |         min(doc_id) OVER (PARTITION BY text) AS ex_keeper
+       |       FROM aud)
+       |SELECT a.doc_id,
+       |  CASE WHEN e.ex_keeper <> a.doc_id THEN 'exact_dup'
+       |       WHEN c.component IS NOT NULL AND c.component <> a.doc_id
+       |         THEN 'near_dup'
+       |       WHEN a.n < 49 THEN 'too_short'
+       |       ELSE 'keep' END AS status,
+       |  CASE WHEN e.ex_keeper <> a.doc_id THEN e.ex_keeper
+       |       WHEN c.component IS NOT NULL AND c.component <> a.doc_id
+       |         THEN c.component END AS dup_of
+       |FROM aud a JOIN ex e ON e.doc_id = a.doc_id
+       |LEFT JOIN comp c ON c.doc_id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+
+  /** The text↔media screen oracle for a held modality `mod` (doc_id %
+    * 3: 0 image, 1 audio, 2 video) — the blocklist is modality-agnostic
+    * in the shared stub-embedding space, so one SQL shape serves all
+    * three held sides.
+    */
+  private def textMediaScreenSqlFor(mod: Int): String = {
+    import OracleSnippets._
+    val h = charHash("text")
+    val emb =
+      s"list_transform(generate_series(0, 7), ej -> CAST(($h * (ej+1)) % 1009 + 1 AS DOUBLE) / 1010.0)"
+    def centeredBucket(e: String, dims: Seq[Int]): String =
+      dims.zipWithIndex.map { case (dd, i) =>
+        val w = 1L << (dims.size - 1 - i)
+        s"(CASE WHEN ($e)[${dd + 1}] > 0.5 THEN $w ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val allBands = Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7))
+    def bandSelects(src: String, idCol: String) = allBands.zipWithIndex
+      .map { case (dims, i) =>
+        s"  SELECT $idCol, $i AS band_idx, ${centeredBucket("e", dims)} AS bucket FROM $src"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT doc_id, $emb AS e FROM documents),
+       |m AS (SELECT doc_id AS media_id, e FROM v
+       |      WHERE doc_id % 3 = $mod AND doc_id % 10 = 0),
+       |nt AS (SELECT doc_id, ${unitNorm("e")} AS u FROM v),
+       |nm AS (SELECT media_id, ${unitNorm("e")} AS u FROM m),
+       |bt AS (
+       |${bandSelects("v", "doc_id")}
+       |),
+       |bm AS (
+       |${bandSelects("m", "media_id")}
+       |),
+       |cand AS (SELECT DISTINCT t.doc_id, h.media_id
+       |         FROM bt t JOIN bm h
+       |           ON t.band_idx = h.band_idx AND t.bucket = h.bucket
+       |         WHERE t.doc_id <> h.media_id),
+       |ver AS (SELECT c.doc_id, ${dot("a.u", "b.u")} AS cosine
+       |        FROM cand c
+       |        JOIN nt a ON a.doc_id = c.doc_id
+       |        JOIN nm b ON b.media_id = c.media_id
+       |        WHERE ${dot("a.u", "b.u")} >= 0.999),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_media_matches,
+       |                max(cosine) AS max_cosine
+       |         FROM ver GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(h.n_media_matches, 0) AS n_media_matches,
+       |  coalesce(h.max_cosine, 0.0) AS max_cosine,
+       |  coalesce(h.n_media_matches, 0) > 0 AS flagged
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
     // Modality mix report: per media type, row count, total payload
@@ -984,35 +1146,24 @@ object MultimodalQueries {
       (s, d) => MultimodalOps.curationPipeline(
         MultimodalOps.encodeMedia(documents(s, d)),
         regions = 49, blockBands = 6, maxHamming = 5, minPixels = 16384L),
-      Some(s"""WITH RECURSIVE
-              |p AS (SELECT doc_a, doc_b FROM ($nearDupPairsSql)),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT u, v FROM edges
-              |          UNION
-              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |nodes AS (SELECT DISTINCT u AS id FROM edges),
-              |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
-              |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
-              |img AS (SELECT doc_id, text, octet_length(encode(text)) AS n
-              |        FROM documents WHERE doc_id % 3 = 0),
-              |ex AS (SELECT doc_id,
-              |         min(doc_id) OVER (PARTITION BY text, (doc_id // 3) % 2)
-              |           AS ex_keeper
-              |       FROM img)
-              |SELECT i.doc_id,
-              |  CASE WHEN e.ex_keeper <> i.doc_id THEN 'exact_dup'
-              |       WHEN c.component IS NOT NULL AND c.component <> i.doc_id
-              |         THEN 'near_dup'
-              |       WHEN (64 + i.n % 512) * (64 + (i.n * 31) % 512) < 16384
-              |         THEN 'too_small'
-              |       ELSE 'keep' END AS status,
-              |  CASE WHEN e.ex_keeper <> i.doc_id THEN e.ex_keeper
-              |       WHEN c.component IS NOT NULL AND c.component <> i.doc_id
-              |         THEN c.component END AS dup_of
-              |FROM img i JOIN ex e ON e.doc_id = i.doc_id
-              |LEFT JOIN comp c ON c.doc_id = i.doc_id
-              |ORDER BY i.doc_id""".stripMargin),
+      Some(curationSql),
+    ),
+    // The image curation verdict as an INDEX read — the corpus-scan
+    // face above stays as the exact reference; this face composes the
+    // IDENTICAL verdict from the persisted artifacts (`_meta` from one
+    // decoded scan, `_clusters` from pairs read off the stored chunk
+    // table) with two exchange-free bucketed doc_id joins. The
+    // 100 TB accounting shape: a nightly verdict never re-fingerprints
+    // the corpus. Bit-equal to the corpus-scan face; one oracle for
+    // both.
+    Q(
+      "mm_index_curation",
+      (s, d) => {
+        val (floor, label) = MultimodalOps.imageFloor(16384L)
+        graft.operators.MediaIndexOps.curationFromIndex(
+          s, fullMediaIndex(s, d, "image"), floor, label)
+      },
+      Some(curationSql),
     ),
     // The VIDEO curation pipeline — the per-item keep/reject verdict
     // for the video stream: exact byte dedup, then perceptual clusters
@@ -1028,34 +1179,20 @@ object MultimodalQueries {
       (s, d) => MultimodalOps.curationPipelineVideo(
         MultimodalOps.encodeMedia(documents(s, d)),
         regions = 49, blockBands = 6, maxHamming = 5),
-      Some(s"""WITH RECURSIVE
-              |p AS (SELECT doc_a, doc_b FROM ($videoNearDupSql)),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT u, v FROM edges
-              |          UNION
-              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |nodes AS (SELECT DISTINCT u AS id FROM edges),
-              |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
-              |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
-              |vid AS (SELECT doc_id, text, length(text) AS L,
-              |               length(text) % 16 + 1 AS F
-              |        FROM documents WHERE doc_id % 3 = 2),
-              |ex AS (SELECT doc_id,
-              |         min(doc_id) OVER (PARTITION BY text) AS ex_keeper
-              |       FROM vid)
-              |SELECT v.doc_id,
-              |  CASE WHEN e.ex_keeper <> v.doc_id THEN 'exact_dup'
-              |       WHEN c.component IS NOT NULL AND c.component <> v.doc_id
-              |         THEN 'near_dup'
-              |       WHEN v.L // v.F = 0 THEN 'no_content'
-              |       ELSE 'keep' END AS status,
-              |  CASE WHEN e.ex_keeper <> v.doc_id THEN e.ex_keeper
-              |       WHEN c.component IS NOT NULL AND c.component <> v.doc_id
-              |         THEN c.component END AS dup_of
-              |FROM vid v JOIN ex e ON e.doc_id = v.doc_id
-              |LEFT JOIN comp c ON c.doc_id = v.doc_id
-              |ORDER BY v.doc_id""".stripMargin),
+      Some(curationVideoSql),
+    ),
+    // The video curation verdict as an INDEX read — two bucketed joins
+    // against the persisted per-frame index's `_meta`/`_clusters`
+    // artifacts (the clusters were label-propped at build time over the
+    // min pairwise-frame pairs read off the stored chunk table).
+    Q(
+      "mm_index_curation_video",
+      (s, d) => {
+        val (floor, label) = MultimodalOps.videoFloor
+        graft.operators.MediaIndexOps.curationFromIndex(
+          s, fullMediaIndex(s, d, "video"), floor, label)
+      },
+      Some(curationVideoSql),
     ),
     // The AUDIO curation pipeline — completes the per-modality
     // triplet: exact byte dedup (audio payloads carry no container, so
@@ -1068,33 +1205,18 @@ object MultimodalQueries {
       (s, d) => MultimodalOps.curationPipelineAudio(
         MultimodalOps.encodeMedia(documents(s, d)),
         regions = 49, blockBands = 6, maxHamming = 5),
-      Some(s"""WITH RECURSIVE
-              |p AS (SELECT doc_a, doc_b FROM (${nearDupPairsSqlFor(1)})),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT u, v FROM edges
-              |          UNION
-              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |nodes AS (SELECT DISTINCT u AS id FROM edges),
-              |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
-              |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
-              |aud AS (SELECT doc_id, text, octet_length(encode(text)) AS n
-              |        FROM documents WHERE doc_id % 3 = 1),
-              |ex AS (SELECT doc_id,
-              |         min(doc_id) OVER (PARTITION BY text) AS ex_keeper
-              |       FROM aud)
-              |SELECT a.doc_id,
-              |  CASE WHEN e.ex_keeper <> a.doc_id THEN 'exact_dup'
-              |       WHEN c.component IS NOT NULL AND c.component <> a.doc_id
-              |         THEN 'near_dup'
-              |       WHEN a.n < 49 THEN 'too_short'
-              |       ELSE 'keep' END AS status,
-              |  CASE WHEN e.ex_keeper <> a.doc_id THEN e.ex_keeper
-              |       WHEN c.component IS NOT NULL AND c.component <> a.doc_id
-              |         THEN c.component END AS dup_of
-              |FROM aud a JOIN ex e ON e.doc_id = a.doc_id
-              |LEFT JOIN comp c ON c.doc_id = a.doc_id
-              |ORDER BY a.doc_id""".stripMargin),
+      Some(curationAudioSql),
+    ),
+    // The audio curation verdict as an INDEX read — same two bucketed
+    // joins against the audio index's persisted artifacts.
+    Q(
+      "mm_index_curation_audio",
+      (s, d) => {
+        val (floor, label) = MultimodalOps.audioFloor(49)
+        graft.operators.MediaIndexOps.curationFromIndex(
+          s, fullMediaIndex(s, d, "audio"), floor, label)
+      },
+      Some(curationAudioSql),
     ),
     // CROSS-MODAL text↔media screen — the remaining cross-modal arm
     // next to image↔video frame matching: which documents duplicate
@@ -1112,51 +1234,30 @@ object MultimodalQueries {
       (s, d) => MultimodalOps.textMediaScreen(
         documents(s, d), threshold = 0.999,
         bands = Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)), blockMod = 10),
-      Some {
-        import OracleSnippets._
-        val h = charHash("text")
-        val emb =
-          s"list_transform(generate_series(0, 7), ej -> CAST(($h * (ej+1)) % 1009 + 1 AS DOUBLE) / 1010.0)"
-        def centeredBucket(e: String, dims: Seq[Int]): String =
-          dims.zipWithIndex.map { case (dd, i) =>
-            val w = 1L << (dims.size - 1 - i)
-            s"(CASE WHEN ($e)[${dd + 1}] > 0.5 THEN $w ELSE 0 END)"
-          }.mkString("(", " + ", ")")
-        val allBands = Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7))
-        def bandSelects(src: String, idCol: String) = allBands.zipWithIndex
-          .map { case (dims, i) =>
-            s"  SELECT $idCol, $i AS band_idx, ${centeredBucket("e", dims)} AS bucket FROM $src"
-          }
-          .mkString("\nUNION ALL\n")
-        s"""WITH v AS (SELECT doc_id, $emb AS e FROM documents),
-           |m AS (SELECT doc_id AS media_id, e FROM v
-           |      WHERE doc_id % 3 = 0 AND doc_id % 10 = 0),
-           |nt AS (SELECT doc_id, ${unitNorm("e")} AS u FROM v),
-           |nm AS (SELECT media_id, ${unitNorm("e")} AS u FROM m),
-           |bt AS (
-           |${bandSelects("v", "doc_id")}
-           |),
-           |bm AS (
-           |${bandSelects("m", "media_id")}
-           |),
-           |cand AS (SELECT DISTINCT t.doc_id, h.media_id
-           |         FROM bt t JOIN bm h
-           |           ON t.band_idx = h.band_idx AND t.bucket = h.bucket
-           |         WHERE t.doc_id <> h.media_id),
-           |ver AS (SELECT c.doc_id, ${dot("a.u", "b.u")} AS cosine
-           |        FROM cand c
-           |        JOIN nt a ON a.doc_id = c.doc_id
-           |        JOIN nm b ON b.media_id = c.media_id
-           |        WHERE ${dot("a.u", "b.u")} >= 0.999),
-           |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_media_matches,
-           |                max(cosine) AS max_cosine
-           |         FROM ver GROUP BY doc_id)
-           |SELECT d.doc_id, coalesce(h.n_media_matches, 0) AS n_media_matches,
-           |  coalesce(h.max_cosine, 0.0) AS max_cosine,
-           |  coalesce(h.n_media_matches, 0) > 0 AS flagged
-           |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-           |ORDER BY d.doc_id""".stripMargin
-      },
+      Some(textMediaScreenSqlFor(0)),
+    ),
+    // The AUDIO-held text↔media screen: the held blocklist is the audio
+    // modality's doc_id % 10 = 0 slice — a held blocklist is
+    // modality-agnostic in the shared embedding space (the
+    // `textMediaScreenAgainst` split takes the held frame as a
+    // parameter), so the identical broadcast-banded plan screens
+    // documents against held audio.
+    Q(
+      "mm_text_media_screen_audio",
+      (s, d) => MultimodalOps.textMediaScreen(
+        documents(s, d), threshold = 0.999,
+        bands = Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)), blockMod = 10,
+        heldType = "audio"),
+      Some(textMediaScreenSqlFor(1)),
+    ),
+    // The VIDEO-held text↔media screen — the third held side, same plan.
+    Q(
+      "mm_text_media_screen_video",
+      (s, d) => MultimodalOps.textMediaScreen(
+        documents(s, d), threshold = 0.999,
+        bands = Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)), blockMod = 10,
+        heldType = "video"),
+      Some(textMediaScreenSqlFor(2)),
     ),
     // Aspect-ratio / resolution bucketing — the batch-formation step of
     // an image-training pipeline (pad each image up to the next 64-px

@@ -3201,7 +3201,14 @@ object RelationalQueries {
     // kept EXACT by clearing denominators — Σ_v |c_gv·n − c_v·n_g| is
     // pure BIGINT, the violation test 2·num_g > n_g·n (t = 1/4) is an
     // integer comparison, and the one reported double (max_tvd) is a
-    // single IEEE division of exact integers. TVD instead of EMD: same
+    // single IEEE division of exact integers. Precision bound of the
+    // cleared-denominator form: the products n_g·n and Σ|c_gv·n −
+    // c_v·n_g| require n_g·n < 2^62 (one doubling headroom for the 2·num
+    // test) — at n beyond ~2·10⁹ rows with a non-trivial largest group,
+    // rescale first (divide counts by a common 2^k with a documented
+    // ±2^-k TVD tolerance) rather than trusting silent BIGINT wraparound
+    // (Spark wraps, DuckDB raises — the differential pair diverges
+    // exactly at scale). TVD instead of EMD: same
     // worst-case semantics for categorical attributes, none of EMD's
     // float-accumulation hazards. Scale shape: the sensitive domain (16
     // values) and the corpus marginal are broadcast; the per-group frame

@@ -166,6 +166,63 @@ object MediaIndexOps {
     MultimodalOps.confirmPairs(pairs, fps, whashBudget)
   }
 
+  /** Persist the CURATION artifacts next to the fingerprint index — the
+    * deployment shape of a nightly curation verdict: `<prefix>_meta`
+    * (doc_id, ex_keeper, width, height, n_bytes, has_signal — ONE
+    * decoded scan over the payload bytes,
+    * [[MultimodalOps.curationMeta]], instead of the separate exact-hash
+    * / header / signal passes) and `<prefix>_clusters` (doc_id,
+    * component — label-prop connected components over the verified
+    * pairs read FROM the just-written chunk table, so clustering never
+    * re-fingerprints a payload). Both bucketed+sorted on doc_id like
+    * `_fps`, so the verdict read face joins them exchange-free. These
+    * are BUILD-TIME artifacts (refreshed with the index, the nightly
+    * cadence); the incremental ingest faces grow `_fps`/`_chunks` only.
+    */
+  def writeCurationArtifacts(
+      spark: SparkSession,
+      media: DataFrame,
+      maxHamming: Int,
+      buckets: Int,
+      prefix: String,
+      mediaType: String = "image",
+  ): Unit = {
+    MultimodalOps.curationMeta(media, mediaType)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_meta")
+    val pairs =
+      if (mediaType == "video") nearDupPairsMin(spark, prefix, maxHamming)
+      else nearDupPairs(spark, prefix, maxHamming)
+    DedupOps.connectedComponents(pairs)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_clusters")
+  }
+
+  /** The curation verdict as an INDEX read —
+    * [[MultimodalOps.curationPipeline]]'s per-query corpus decode +
+    * fingerprint + label-prop replaced by two bucketed doc_id joins
+    * against the persisted artifacts (the [[consensusFromIndex]]
+    * accounting shape): at 100 TB a nightly verdict reads the stored
+    * fingerprint index and cluster assignment, it does not
+    * re-fingerprint the corpus per run. `floorReject`/`floorLabel`
+    * carry the modality floor ([[MultimodalOps.imageFloor]] /
+    * `videoFloor` / `audioFloor`). Bit-equal to the corpus-scan face on
+    * the corpus the index was built from (MediaIndexSpec asserts it;
+    * the registry queries share the oracles).
+    */
+  def curationFromIndex(
+      spark: SparkSession,
+      prefix: String,
+      floorReject: org.apache.spark.sql.Column,
+      floorLabel: String,
+  ): DataFrame =
+    MultimodalOps.curationVerdict(
+      spark.table(s"${prefix}_meta"),
+      spark.table(s"${prefix}_clusters"),
+      floorReject, floorLabel)
+
   /** The skew STOP-KEY dial on the fingerprint banding (the
     * [[LshIndexOps.nearDupPairsCapped]] policy): chunk buckets holding
     * more than `maxBucket` fingerprints are excluded from candidate

@@ -302,10 +302,6 @@ object MultimodalOps {
     val p = col("payload")
     val n = octet_length(p).cast("long")
     def beN(start: Int, len: Int) = conv(hex(substring(p, start, len)), 16, 10).cast("long")
-    // GIF dimension fields are little-endian u16: swap the two bytes'
-    // hex before the base-16 parse.
-    def leN16(start: Int) =
-      conv(concat(hex(substring(p, start + 1, 1)), hex(substring(p, start, 1))), 16, 10).cast("long")
     val isPng = octet_length(p) >= 33 && substring(p, 1, 8) === unhex(lit("89504E470D0A1A0A"))
     val isJfif = octet_length(p) >= 39 && substring(p, 1, 4) === unhex(lit("FFD8FFE0")) &&
       substring(p, 21, 2) === unhex(lit("FFC0"))
@@ -325,14 +321,13 @@ object MultimodalOps {
       hex(substring(p, 7, 2)), hex(substring(p, 9, 2)), lit("0008010000"))
     val gifFrames =
       ((length(hx) - length(replace(hx, gifFrameHex, lit("")))) / length(gifFrameHex)).cast("long")
+    val (w, h) = headerDims(p)
     media.select(
       col("doc_id"),
       col("media_type"),
       n.as("n_bytes"),
-      when(isPng, beN(17, 4)).when(isJfif, beN(28, 2)).when(isGif, leN16(7))
-        .otherwise(lit(64L) + pmod(n, lit(512L))).as("width"),
-      when(isPng, beN(21, 4)).when(isJfif, beN(26, 2)).when(isGif, leN16(9))
-        .otherwise(lit(64L) + pmod(n * 31L, lit(512L))).as("height"),
+      w.as("width"),
+      h.as("height"),
       when(
         isPng,
         when(pngColor === 0L, 1L).when(pngColor === 2L, 3L).when(pngColor === 3L, 1L)
@@ -411,6 +406,115 @@ object MultimodalOps {
       p.substr(hdrLen + 1, octet_length(p) - hdrLen).cast("string").as("content"),
     )
   }
+
+  /** (width, height) parsed from the container header bytes — the
+    * dimension half of [[decodeHeaderMeta]], shared with
+    * [[curationMeta]] so the persisted curation artifact and the meta
+    * face read the same fields from the same offsets.
+    */
+  private def headerDims(
+      p: org.apache.spark.sql.Column,
+  ): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val n = octet_length(p).cast("long")
+    def beN(start: Int, len: Int) = conv(hex(substring(p, start, len)), 16, 10).cast("long")
+    def leN16(start: Int) =
+      conv(concat(hex(substring(p, start + 1, 1)), hex(substring(p, start, 1))), 16, 10).cast("long")
+    val isPng = octet_length(p) >= 33 && substring(p, 1, 8) === unhex(lit("89504E470D0A1A0A"))
+    val isJfif = octet_length(p) >= 39 && substring(p, 1, 4) === unhex(lit("FFD8FFE0")) &&
+      substring(p, 21, 2) === unhex(lit("FFC0"))
+    val isGif = octet_length(p) >= 14 && substring(p, 1, 6) === unhex(lit("474946383961"))
+    (
+      when(isPng, beN(17, 4)).when(isJfif, beN(28, 2)).when(isGif, leN16(7))
+        .otherwise(lit(64L) + pmod(n, lit(512L))),
+      when(isPng, beN(21, 4)).when(isJfif, beN(26, 2)).when(isGif, leN16(9))
+        .otherwise(lit(64L) + pmod(n * 31L, lit(512L))),
+    )
+  }
+
+  /** `(doc_id, has_signal)` for video rows: true iff the per-frame
+    * slices are non-empty — floor(contentLen / n_frames) > 0, the exact
+    * degenerate cut [[videoFrameFingerprints]] applies — read straight
+    * from the container bytes in ONE projection (the frame-count parse
+    * CSE-folds across its three references) instead of re-running the
+    * per-frame fingerprint pass just to take distinct doc_ids.
+    */
+  private def frameSignal(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val f = gifFrameCount(p)
+    val hdrLen = containerHdrLen(p)
+    val contentLen = length(p.substr(hdrLen + 1, octet_length(p) - hdrLen).cast("string"))
+    f > 0 && floor(contentLen / f) > 0
+  }
+
+  private def hasFrameSignal(vid: DataFrame): DataFrame =
+    vid.select(col("doc_id"), frameSignal(col("payload")).as("has_signal"))
+
+  /** ONE decoded scan carrying everything the per-item curation verdict
+    * needs — the exact-dup keeper (min doc_id per payload md5), the
+    * header-parsed dimensions, the payload size, and video's per-frame
+    * signal flag — so exact-hash, header meta, and the content floor
+    * derive from a single pass over the payload bytes instead of three.
+    * `has_signal` is the video frame floor (constant true for the other
+    * modalities, whose floors read width×height or n_bytes instead).
+    * One window keyed on the digest (hash-partitioned — route-table
+    * discipline does not apply; this is the same shuffle the exact-dup
+    * groupBy paid).
+    */
+  private[graft] def curationMeta(media: DataFrame, mediaType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = col("payload")
+    val (w, h) = headerDims(p)
+    val signal = if (mediaType == "video") frameSignal(p) else lit(true)
+    media
+      .filter(col("media_type") === mediaType)
+      .select(
+        col("doc_id"),
+        md5(p).as("k"),
+        w.as("width"),
+        h.as("height"),
+        octet_length(p).cast("long").as("n_bytes"),
+        signal.as("has_signal"),
+      )
+      .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy("k")))
+      .drop("k")
+  }
+
+  /** The verdict tail every curation face shares — corpus-scan and
+    * index-served alike: first-failing-stage priority over the
+    * [[curationMeta]] columns plus the cluster assignment, `dup_of`
+    * naming the keeper for either dup reason. `floorReject`/`floorLabel`
+    * carry the modality floor (too_small / no_content / too_short).
+    */
+  private[graft] def curationVerdict(
+      meta: DataFrame,
+      clusters: DataFrame,
+      floorReject: org.apache.spark.sql.Column,
+      floorLabel: String,
+  ): DataFrame = {
+    val isExact = col("ex_keeper") =!= col("doc_id")
+    val isNear = col("component").isNotNull && col("component") =!= col("doc_id")
+    meta
+      .join(clusters, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(isExact, lit("exact_dup"))
+          .when(isNear, lit("near_dup"))
+          .when(floorReject, lit(floorLabel))
+          .otherwise(lit("keep")).as("status"),
+        when(isExact, col("ex_keeper")).when(isNear, col("component")).as("dup_of"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** The three modality floors, named once — shared by the corpus-scan
+    * pipelines and [[MediaIndexOps.curationFromIndex]]'s read faces so
+    * both faces state the identical verdict rule.
+    */
+  private[graft] def imageFloor(minPixels: Long): (org.apache.spark.sql.Column, String) =
+    (col("width") * col("height") < minPixels, "too_small")
+  private[graft] val videoFloor: (org.apache.spark.sql.Column, String) =
+    (!col("has_signal"), "no_content")
+  private[graft] def audioFloor(regions: Int): (org.apache.spark.sql.Column, String) =
+    (col("n_bytes") < regions, "too_short")
 
   /** Video rows → `(doc_id, n_frames, content)`: the frame count comes
     * from the REAL image-descriptor blocks in the container bytes (not
@@ -837,28 +941,11 @@ object MultimodalOps {
       maxHamming: Int,
       minPixels: Long,
   ): DataFrame = {
-    val img = media.filter(col("media_type") === "image")
-    val keyed = img.select(col("doc_id"), md5(col("payload")).as("k"))
-    val ex = keyed
-      .join(keyed.groupBy(col("k")).agg(min(col("doc_id")).as("ex_keeper")), Seq("k"))
-      .select(col("doc_id"), col("ex_keeper"))
-    val clusters = DedupOps.connectedComponents(
-      nearDupPairs(media, regions, blockBands, maxHamming))
-    val meta = decodeHeaderMeta(img).select(col("doc_id"), col("width"), col("height"))
-    val isExact = col("ex_keeper") =!= col("doc_id")
-    val isNear = col("component").isNotNull && col("component") =!= col("doc_id")
-    meta
-      .join(ex, "doc_id")
-      .join(clusters, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        when(isExact, lit("exact_dup"))
-          .when(isNear, lit("near_dup"))
-          .when(col("width") * col("height") < minPixels, lit("too_small"))
-          .otherwise(lit("keep")).as("status"),
-        when(isExact, col("ex_keeper")).when(isNear, col("component")).as("dup_of"),
-      )
-      .orderBy("doc_id")
+    val (floor, label) = imageFloor(minPixels)
+    curationVerdict(
+      curationMeta(media, "image"),
+      DedupOps.connectedComponents(nearDupPairs(media, regions, blockBands, maxHamming)),
+      floor, label)
   }
 
   /** The VIDEO curation pass — [[curationPipeline]]'s per-frame
@@ -877,32 +964,11 @@ object MultimodalOps {
       blockBands: Int,
       maxHamming: Int,
   ): DataFrame = {
-    val vid = media.filter(col("media_type") === "video")
-    val keyed = vid.select(col("doc_id"), md5(col("payload")).as("k"))
-    val ex = keyed
-      .join(keyed.groupBy(col("k")).agg(min(col("doc_id")).as("ex_keeper")), Seq("k"))
-      .select(col("doc_id"), col("ex_keeper"))
-    val clusters = DedupOps.connectedComponents(
-      nearDupPairsVideo(media, regions, blockBands, maxHamming))
-    // A video has per-frame signal iff at least one fingerprint row
-    // survives the degenerate cut — membership, not a recount.
-    val hasSignal = videoFrameFingerprints(media, regions)
-      .select(col("doc_id")).distinct().withColumn("has_signal", lit(true))
-    val isExact = col("ex_keeper") =!= col("doc_id")
-    val isNear = col("component").isNotNull && col("component") =!= col("doc_id")
-    vid.select(col("doc_id"))
-      .join(ex, "doc_id")
-      .join(clusters, Seq("doc_id"), "left")
-      .join(hasSignal, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        when(isExact, lit("exact_dup"))
-          .when(isNear, lit("near_dup"))
-          .when(col("has_signal").isNull, lit("no_content"))
-          .otherwise(lit("keep")).as("status"),
-        when(isExact, col("ex_keeper")).when(isNear, col("component")).as("dup_of"),
-      )
-      .orderBy("doc_id")
+    val (floor, label) = videoFloor
+    curationVerdict(
+      curationMeta(media, "video"),
+      DedupOps.connectedComponents(nearDupPairsVideo(media, regions, blockBands, maxHamming)),
+      floor, label)
   }
 
   /** The AUDIO curation pass — completes the per-modality triplet:
@@ -919,27 +985,11 @@ object MultimodalOps {
       blockBands: Int,
       maxHamming: Int,
   ): DataFrame = {
-    val aud = media.filter(col("media_type") === "audio")
-    val keyed = aud.select(col("doc_id"), md5(col("payload")).as("k"))
-    val ex = keyed
-      .join(keyed.groupBy(col("k")).agg(min(col("doc_id")).as("ex_keeper")), Seq("k"))
-      .select(col("doc_id"), col("ex_keeper"))
-    val clusters = DedupOps.connectedComponents(
-      nearDupPairs(media, regions, blockBands, maxHamming, "audio"))
-    val isExact = col("ex_keeper") =!= col("doc_id")
-    val isNear = col("component").isNotNull && col("component") =!= col("doc_id")
-    aud.select(col("doc_id"), octet_length(col("payload")).as("n"))
-      .join(ex, "doc_id")
-      .join(clusters, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        when(isExact, lit("exact_dup"))
-          .when(isNear, lit("near_dup"))
-          .when(col("n") < regions, lit("too_short"))
-          .otherwise(lit("keep")).as("status"),
-        when(isExact, col("ex_keeper")).when(isNear, col("component")).as("dup_of"),
-      )
-      .orderBy("doc_id")
+    val (floor, label) = audioFloor(regions)
+    curationVerdict(
+      curationMeta(media, "audio"),
+      DedupOps.connectedComponents(nearDupPairs(media, regions, blockBands, maxHamming, "audio")),
+      floor, label)
   }
 
   /** Sign bucket over the CENTERED stub-embedding space: bit d is
@@ -974,37 +1024,61 @@ object MultimodalOps {
       threshold: Double,
       bands: Seq[Seq[Int]],
       blockMod: Int = 10,
-  ): DataFrame = textMediaScreenAgainst(docs, docs, threshold, bands, blockMod)
+      heldType: String = "image",
+  ): DataFrame = textMediaScreenAgainst(docs, docs, threshold, bands, blockMod, heldType)
 
-  /** [[textMediaScreen]] with the HELD side and the probed documents as
-    * separate frames — the shape the streaming face needs (the held
-    * blocklist is the standing corpus; each micro-batch probes only its
-    * own documents).
+  /** Band rows of one side of the screen: one row per (band, vector)
+    * with the bucket key and the unit vector riding along so candidates
+    * verify by exact fold-dot inline in the bucket join.
     */
-  def textMediaScreenAgainst(
+  private def withBands(
+      emb: DataFrame,
+      bands: Seq[Seq[Int]],
+      idOut: String,
+      uOut: String,
+  ): DataFrame =
+    emb.select(
+      col("doc_id").as(idOut),
+      SimilarityOps.unitNorm(col("embedding")).as(uOut),
+      posexplode(array(bands.map(d => centeredSignBucket(col("embedding"), d)): _*))
+        .as(Seq("band_idx", "bucket")),
+    )
+
+  /** The held blocklist's band rows (`media_id`, `mu`, band_idx,
+    * bucket) — the standing read-only side of the screen, built once
+    * and broadcast into every probe. `heldType` picks the held
+    * modality: a blocklist is modality-agnostic in the shared
+    * embedding space, so image stills, audio streams, and videos all
+    * screen through the identical plan.
+    */
+  private[graft] def heldBandRows(
       heldDocs: DataFrame,
+      bands: Seq[Seq[Int]],
+      blockMod: Int,
+      heldType: String,
+  ): DataFrame =
+    withBands(
+      stubEmbed(asMedia(heldDocs))
+        .filter(
+          col("media_type") === heldType && pmod(col("doc_id"), lit(blockMod.toLong)) === 0L),
+      bands, "media_id", "mu")
+
+  /** The per-probe screen over a PRE-BUILT held band frame — the tail
+    * the batch face runs once and the streaming face runs per
+    * micro-batch without re-deriving the blocklist.
+    */
+  private def screenWithHeld(
+      held: DataFrame,
       docs: DataFrame,
       threshold: Double,
       bands: Seq[Seq[Int]],
-      blockMod: Int = 10,
   ): DataFrame = {
-    def withBands(emb: DataFrame, idOut: String, uOut: String): DataFrame =
-      emb.select(
-        col("doc_id").as(idOut),
-        SimilarityOps.unitNorm(col("embedding")).as(uOut),
-        posexplode(array(bands.map(d => centeredSignBucket(col("embedding"), d)): _*))
-          .as(Seq("band_idx", "bucket")),
-      )
-    val held = withBands(
-      stubEmbed(asMedia(heldDocs))
-        .filter(col("media_type") === "image" && pmod(col("doc_id"), lit(blockMod.toLong)) === 0L),
-      "media_id", "mu")
     val text = withBands(
       stubEmbed(docs.select(
         col("doc_id"),
         lit("text").as("media_type"),
         col("text").cast("binary").as("payload"))),
-      "doc_id", "u")
+      bands, "doc_id", "u")
     val hits = text
       .join(broadcast(held), Seq("band_idx", "bucket"))
       .filter(col("doc_id") =!= col("media_id"))
@@ -1024,13 +1098,33 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** [[textMediaScreen]] with the HELD side and the probed documents as
+    * separate frames — the shape the streaming face needs (the held
+    * blocklist is the standing corpus; each micro-batch probes only its
+    * own documents).
+    */
+  def textMediaScreenAgainst(
+      heldDocs: DataFrame,
+      docs: DataFrame,
+      threshold: Double,
+      bands: Seq[Seq[Int]],
+      blockMod: Int = 10,
+      heldType: String = "image",
+  ): DataFrame =
+    screenWithHeld(heldBandRows(heldDocs, bands, blockMod, heldType), docs, threshold, bands)
+
   /** The STREAMING face of the text↔media screen: every micro-batch of
     * arriving documents is screened against the standing held-media
     * blocklist ([[textMediaScreenAgainst]]) and its per-document
-    * verdicts handed to `onVerdicts`. READ-ONLY on the held side (a
-    * screen flags, it does not ingest), so batches are independent and
-    * a replay re-emits identical verdicts — idempotent by construction,
-    * no ledger needed; the batch twin is spec-asserted bit-identical.
+    * verdicts handed to `onVerdicts`. The held side's embeddings, unit
+    * vectors, and band rows are MATERIALIZED ONCE before the stream
+    * starts (it is a standing read-only corpus — re-deriving it per
+    * micro-batch would decode the blocklist on every trigger) and the
+    * precomputed frame broadcasts into each batch's bucket join.
+    * READ-ONLY on the held side (a screen flags, it does not ingest),
+    * so batches are independent and a replay re-emits identical
+    * verdicts — idempotent by construction, no ledger needed; the batch
+    * twin is spec-asserted bit-identical.
     */
   def streamingTextMediaScreen(
       heldDocs: DataFrame,
@@ -1040,16 +1134,17 @@ object MultimodalOps {
       blockMod: Int,
       checkpoint: String,
       onVerdicts: (DataFrame, Long) => Unit,
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+      heldType: String = "image",
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val held = heldBandRows(heldDocs, bands, blockMod, heldType).localCheckpoint()
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onVerdicts(
-          textMediaScreenAgainst(heldDocs, batch, threshold, bands, blockMod),
-          batchId)
+        onVerdicts(screenWithHeld(held, batch, threshold, bands), batchId)
       }
       .start()
+  }
 
   /** Frame sampling: every `step`-th frame index of each video payload,
     * exploded to one row per sampled frame (the shape a frame-extract

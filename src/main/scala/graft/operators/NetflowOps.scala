@@ -178,8 +178,11 @@ object NetflowOps {
     val lens = prefixes.select(col("prefix_len").cast("int"))
       .distinct().collect().map(_.getInt(0)).sorted.reverse.toSeq
     require(lens.forall(l => l >= 0 && l <= 32), "prefix_len must be in 0..32")
+    // Malformed prefix_ip strings parse to a NULL network and can never
+    // match any flow — excluding them keeps two invalid rows at the same
+    // length from being misreported as a duplicate network.
     val dupNets = prefixes
-      .groupBy(
+      .select(
         col("prefix_len"),
         ipv4ToLong(col("prefix_ip"))
           .bitwiseAND(
@@ -187,13 +190,15 @@ object NetflowOps {
               .bitwiseAND(lit(0xFFFFFFFFL)))
           .as("net"),
       )
+      .filter(col("net").isNotNull)
+      .groupBy(col("prefix_len"), col("net"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .limit(1)
       .collect()
     require(
       dupNets.isEmpty,
-      s"lpmEnrich dimension is not keyed: (prefix_len=${dupNets.headOption.map(_.get(0)).orNull}, masked network) appears more than once — a route table must hold one row per (prefix_len, network)",
+      s"lpmEnrich dimension is not keyed: (prefix_len=${dupNets.headOption.map(_.get(0)).orNull}, masked network=${dupNets.headOption.map(_.get(1)).orNull}) appears more than once — a route table must hold one row per (prefix_len, network)",
     )
     val ipn = when(col("ip").rlike(Ipv4Pattern), ipv4ToLong(col("ip")))
     val joined = lens.foldLeft(flows.withColumn("__ipn", ipn)) { (acc, l) =>

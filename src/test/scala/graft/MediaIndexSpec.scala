@@ -92,6 +92,73 @@ class MediaIndexSpec extends SparkSpec {
     assert(pairCols.count() == pairCols.distinct().count())
   }
 
+  test("curation verdicts from the persisted artifacts equal the corpus-scan pipelines") {
+    val pres = Seq("image" -> "mediaixcuri", "audio" -> "mediaixcura", "video" -> "mediaixcurv")
+    pres.foreach { case (mt, pre) =>
+      Seq("_fps", "_chunks", "_meta", "_clusters")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $pre$sfx"))
+      MediaIndexOps.writeIndex(media(), Regions, Bands, buckets = 4, prefix = pre, mediaType = mt)
+      MediaIndexOps.writeCurationArtifacts(
+        spark, media(), MaxHamming, buckets = 4, prefix = pre, mediaType = mt)
+    }
+    val cases = Seq(
+      ("image", "mediaixcuri", MultimodalOps.imageFloor(16384L),
+        MultimodalOps.curationPipeline(media(), Regions, Bands, MaxHamming, 16384L)),
+      ("audio", "mediaixcura", MultimodalOps.audioFloor(Regions),
+        MultimodalOps.curationPipelineAudio(media(), Regions, Bands, MaxHamming)),
+      ("video", "mediaixcurv", MultimodalOps.videoFloor,
+        MultimodalOps.curationPipelineVideo(media(), Regions, Bands, MaxHamming)),
+    )
+    cases.foreach { case (mt, pre, (floor, label), direct) =>
+      val fromIndex = MediaIndexOps.curationFromIndex(spark, pre, floor, label)
+      assert(fromIndex.count() > 0, s"$mt verdict is empty")
+      assert(
+        fromIndex.exceptAll(direct).isEmpty && direct.exceptAll(fromIndex).isEmpty,
+        s"$mt index-served verdict differs from the corpus-scan pipeline")
+      // The dup and floor stages must actually fire somewhere across
+      // the modalities, or the staging is untested — checked on the
+      // union below. (No exact byte-dups exist at this SF — that arm is
+      // exercised by the verdict equality itself plus the registry
+      // oracles at the larger SFs.)
+    }
+    val statuses = cases
+      .map { case (_, pre, (floor, label), _) =>
+        MediaIndexOps.curationFromIndex(spark, pre, floor, label).select("status")
+      }
+      .reduce(_ unionAll _)
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(Set("near_dup", "keep").subsetOf(statuses) && statuses.size >= 3,
+      s"got statuses: $statuses")
+  }
+
+  test("the curation read face joins the bucketed artifacts with no exchange below the sort") {
+    val pre = "mediaixcuri" // built by the equality test above
+    if (!spark.catalog.tableExists(s"${pre}_meta")) {
+      MediaIndexOps.writeIndex(media(), Regions, Bands, buckets = 4, prefix = pre)
+      MediaIndexOps.writeCurationArtifacts(spark, media(), MaxHamming, buckets = 4, prefix = pre)
+    }
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (floor, label) = MultimodalOps.imageFloor(16384L)
+      val verdict = MediaIndexOps.curationFromIndex(spark, pre, floor, label)
+      assert(verdict.count() > 0)
+      val plan = verdict.queryExecution.executedPlan.toString
+      // The verdict is two bucketed doc_id tables joined + one final
+      // orderBy: the ONLY exchange allowed is the range partitioning
+      // for the sort — the join itself must read the buckets in place.
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSeq
+      assert(
+        exchanges.forall(_.contains("rangepartitioning")) && exchanges.size <= 1,
+        s"curation read face must not shuffle below the sort:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
+  }
+
   test("cross-modal frame match from the stored image index equals the corpus-scan operator") {
     buildOnce()
     val fromIndex = MediaIndexOps.frameMatchAgainstIndex(
