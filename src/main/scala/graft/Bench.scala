@@ -85,7 +85,7 @@ object Bench {
         try src.mkString.split(" ")(0).toDouble
         finally src.close()
       } catch { case _: Throwable => -1.0 }
-    val load0 = loadavg()
+    var load0 = loadavg()
     var loadMax = load0
     // Per-query shuffle bytes (directive: distinguish "slower because
     // loaded" from "slower because a plan grew an Exchange" round over
@@ -152,6 +152,34 @@ object Bench {
     // rep's time and shuffle delta are discarded (loadavg sampling still
     // runs — load during the warm rep is real bench-window load).
     val warmReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1").toInt
+    // Quiet-window gate on the TIMED pass: every driver bench window
+    // r11–r14 carried neighbor contamination (loadMax 7.8–10.2, spreads
+    // to 6.5×) that the min-of-2/re-measure machinery then had to
+    // adjudicate. Cheaper to not start dirty: wait (bounded) until the
+    // 1-min loadavg drops under the gate before the first timed rep —
+    // this also lets the bench's OWN setup load (warm pass + index
+    // prebuild above) decay out of the 1-min average, so the published
+    // load window reflects the timed pass alone. What was seen and how
+    // long the gate held are logged and published ("gated" in the JSON)
+    // so a still-contaminated run carries the evidence either way.
+    val gateLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_LOAD", "3.0").toDouble
+    val gateMaxSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_SEC", "300").toInt
+    var gatedSec = 0
+    while (loadavg() >= gateLoad && gatedSec < gateMaxSec) {
+      if (gatedSec == 0)
+        System.err.println(
+          f"[bench] gating timed pass: 1-min load ${loadavg()}%.2f >= $gateLoad%.1f (max wait $gateMaxSec s)")
+      Thread.sleep(10000)
+      gatedSec += 10
+    }
+    if (gatedSec > 0)
+      System.err.println(
+        f"[bench] gated $gatedSec s; starting timed pass at load ${loadavg()}%.2f")
+    // Re-baseline the published load window at the gate's release: the
+    // pre-gate sample included the bench's own setup (and whatever the
+    // gate waited out) — the evidence readers need is the TIMED pass's.
+    load0 = loadavg()
+    loadMax = load0
     val firstPass = ordered.map { case (name, fn) =>
       (1 to warmReps).foreach(_ => rep(name, fn))
       (name, fn, (1 to reps).map(_ => rep(name, fn)))
@@ -249,7 +277,7 @@ object Bench {
       val stream = streamRates.map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.0f")
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"omitted":$omitted,"failed":$failed,"spread":$spread,"shuffle_mb":$shuf,"families_shuffle_mb":$famShuf,"load":$load,"remeasured":$remeasured,"families":$families,"stream":$stream,"value":${r3(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"omitted":$omitted,"failed":$failed,"spread":$spread,"shuffle_mb":$shuf,"families_shuffle_mb":$famShuf,"load":$load,"gated":$gatedSec,"remeasured":$remeasured,"families":$families,"stream":$stream,"value":${r3(total)}}"""
     }
     val budget = 1800 // bytes; leaves room for sbt's banner + [success] lines
     var keep = math.min(40, results.size)

@@ -56,6 +56,78 @@ object TextQueries {
        |$roundCtes""".stripMargin
   }
 
+  /** Pinned round count of the trained quality classifier
+    * (tx_quality_train / tx_quality_trained / tx_quality_train_sampled).
+    */
+  private val QualityTrainRounds = 8
+
+  /** The integer quality-feature derivation (TextOps.qualityFeatures'
+    * arithmetic verbatim: five 0..32 features + the exact-integer
+    * heuristic label), optionally restricted to the training sample.
+    */
+  private def qualityFeatureSql(name: String, where: String): String =
+    s"""$name AS (
+       |  SELECT doc_id, CAST(4 AS BIGINT) AS x0,
+       |    least(len(w), 32) - 16 AS x1,
+       |    least(len(w), 256) // 8 - 16 AS x2,
+       |    (32 * len(list_filter(w, qs -> qs IN ($stopList)))) // greatest(len(w), 1) - 8 AS x3,
+       |    (32 * len(list_distinct(w))) // greatest(len(w), 1) - 16 AS x4,
+       |    CASE WHEN len(w) >= 20 AND len(w) <= 200
+       |          AND 10 * len(list_filter(w, qs -> qs IN ($stopList))) <= 3 * len(w)
+       |          AND 10 * len(list_distinct(w)) >= len(w)
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents $where))""".stripMargin
+
+  /** The UNROLLED gradient-descent CTE chain (the unrolled-Lloyd oracle
+    * discipline on the trained quality classifier): `ft` is the
+    * training feature frame (optionally sample-restricted), `f` the
+    * full-corpus one the scoring tail reads; per round i, `g_i` sums
+    * the five gradient components and the Σ|r| curve metric from
+    * `ft` × the previous 1-row weight CTE, and `w_i` applies the
+    * sign-safe truncating update w − sdiv(g, n·512).
+    */
+  private def qualityTrainChain(rounds: Int, trainWhere: String = ""): String = {
+    def sdiv(g: String) =
+      s"(CASE WHEN $g < 0 THEN -((-($g)) // (c.n * 512)) ELSE ($g) // (c.n * 512) END)"
+    val pred = (0 to 4).map(j => s"w.w$j * ft.x$j").mkString(" + ")
+    val roundCtes = (1 to rounds).map { i =>
+      s"""|g$i AS (SELECT ${(0 to 4).map(j => s"CAST(sum(r * x$j) AS BIGINT) AS g$j").mkString(", ")},
+          |          CAST(sum(abs(r)) AS BIGINT) AS sar
+          |  FROM (SELECT $pred - ft.y * 33554432 AS r,
+          |               ft.x0, ft.x1, ft.x2, ft.x3, ft.x4
+          |        FROM ft CROSS JOIN w${i - 1} w)),
+          |w$i AS (SELECT ${(0 to 4).map(j => s"w.w$j - ${sdiv(s"g.g$j")} AS w$j").mkString(", ")}
+          |  FROM w${i - 1} w CROSS JOIN g$i g CROSS JOIN cnt c)""".stripMargin
+    }.mkString(",\n")
+    s"""${qualityFeatureSql("ft", trainWhere)},
+       |${qualityFeatureSql("f", "")},
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ft),
+       |w0 AS (SELECT ${(0 to 4).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+       |$roundCtes""".stripMargin
+  }
+
+  /** The training face's tail: one row per round — the post-update
+    * weights and that round's Σ|r| (computed with the pre-update
+    * weights, exactly as the Spark loop reports it).
+    */
+  private def qualityTrainSelect(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""SELECT CAST($i AS INT) AS step, w.w0, w.w1, w.w2, w.w3, w.w4,
+         |  g.sar AS sum_abs_resid FROM w$i w CROSS JOIN g$i g""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY step"
+
+  /** The scoring face's tail: the final weights applied to every
+    * document of the FULL corpus once.
+    */
+  private def qualityScoreSelect(rounds: Int): String = {
+    val score = (0 to 4).map(j => s"w.w$j * f.x$j").mkString(" + ")
+    s"""SELECT f.doc_id, $score AS score,
+       |  2 * ($score) > 33554432 AS predicted_keep,
+       |  f.y = 1 AS heuristic_keep,
+       |  (2 * ($score) > 33554432) = (f.y = 1) AS agrees
+       |FROM f CROSS JOIN w$rounds w ORDER BY f.doc_id""".stripMargin
+  }
+
   /** Temp-warehouse prefix for the search-index queries (shared
     * helper: [[Tables.tempIndexDb]]).
     */
@@ -999,6 +1071,48 @@ object TextQueries {
            |  substr(s, 1, 60) AS head
            |FROM f$BpeTrainRounds ORDER BY doc_id""".stripMargin
       },
+    ),
+    // The TRAINED quality classifier's training face: eight fixed-point
+    // batch-gradient rounds over the integer quality features (the
+    // BPE/unrolled-Lloyd discipline on the third trained-artifact
+    // family — TextOps doc states the exact-arithmetic contract). The
+    // oracle replays every round as an unrolled CTE chain — gradient
+    // sums from the feature CTE × the previous round's 1-row weight
+    // CTE, the sign-safe truncating update — so a drifted feature
+    // quantization, residual, or division anywhere in 8 rounds
+    // hash-mismatches.
+    Q(
+      "tx_quality_train",
+      (s, d) => TextOps.qualityTrain(documents(s, d), rounds = QualityTrainRounds),
+      Some(s"""WITH ${qualityTrainChain(QualityTrainRounds)}
+              |${qualityTrainSelect(QualityTrainRounds)}""".stripMargin),
+    ),
+    // The scoring face: the trained weights applied to every document
+    // ONCE — fixed-point score, the model's keep verdict (an exact
+    // integer comparison against ½ in prediction scale), the heuristic
+    // label it distilled, and the agreement flag a deployment monitors.
+    Q(
+      "tx_quality_trained",
+      (s, d) => TextOps.qualityScoreTrained(
+        documents(s, d), documents(s, d), rounds = QualityTrainRounds),
+      Some(s"""WITH ${qualityTrainChain(QualityTrainRounds)}
+              |${qualityScoreSelect(QualityTrainRounds)}""".stripMargin),
+    ),
+    // The 100 TB training shape (tx_bpe_train_sampled's recipe on this
+    // family): the iterative rounds run only over the deterministic 30%
+    // hash sample; the full corpus is touched exactly once, at scoring
+    // time — which is also what keeps the gradient sums inside the
+    // BIGINT envelope past the ~4·10^8-document bound stated at the
+    // operator.
+    Q(
+      "tx_quality_train_sampled",
+      (s, d) => TextOps.qualityScoreTrained(
+        TextOps.hashSample(documents(s, d), buckets = 10, keep = 3),
+        documents(s, d), rounds = QualityTrainRounds),
+      Some(s"""WITH ${qualityTrainChain(
+                QualityTrainRounds,
+                s"WHERE ${OracleSnippets.charHash("text")} % 10 < 3")}
+              |${qualityScoreSelect(QualityTrainRounds)}""".stripMargin),
     ),
     // Bigram-LM next-token serving table: for the 20 most frequent
     // bigram-starting unigrams, the argmax continuation and its exact

@@ -29,6 +29,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L))
   }
 
+  test("trained quality classifier learns the label, not the majority class") {
+    val docs = Tables.documents(spark, Sf)
+    val train = TextOps.qualityTrain(docs, rounds = 8)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+    assert(train.length == 8 && train.map(_._1).toSeq == (1 to 8))
+    // The Σ|r| training curve must strictly decrease — a diverging or
+    // stalled fixed-point GD would show here before any oracle does.
+    val curve = train.map(_._7).toSeq
+    assert(curve.zip(curve.tail).forall { case (a, b) => b < a }, s"curve: $curve")
+    val scored = TextOps.qualityScoreTrained(docs, docs, rounds = 8)
+      .select("predicted_keep", "heuristic_keep", "agrees")
+      .as[(Boolean, Boolean, Boolean)].collect()
+    val n = scored.length.toDouble
+    val acc = scored.count(_._3) / n
+    val majority = math.max(scored.count(_._2), scored.count(!_._2)) / n
+    // Predicting only the majority class would already score ~91% here;
+    // the model must beat that AND emit both classes.
+    assert(acc > majority, f"acc $acc%.3f vs majority $majority%.3f")
+    assert(scored.exists(_._1) && scored.exists(!_._1), "one-class predictions")
+    // The sampled-train face scores the full corpus with sample-trained
+    // weights — different weights, same contract: beats majority.
+    val sampled = TextOps.qualityScoreTrained(
+      TextOps.hashSample(docs, buckets = 10, keep = 3), docs, rounds = 8)
+      .select("agrees").as[Boolean].collect()
+    assert(sampled.count(identity) / n > majority)
+  }
+
   test("language-id argmax is deterministic with lexicographic tie-break") {
     // No marker words at all → all scores 0 → first language (de) wins.
     val out = TextOps.langId(Seq((1L, "nothing matches here", "en")).toDF("doc_id", "text", "lang"))
