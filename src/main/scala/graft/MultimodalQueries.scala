@@ -382,6 +382,50 @@ object MultimodalQueries {
        |LEFT JOIN comp c ON c.doc_id = a.doc_id
        |ORDER BY a.doc_id""".stripMargin
 
+  /** The recursive-transitive-closure clustering oracle over a verified
+    * pair derivation (component = min doc_id of the cluster) — shared
+    * by every cluster face: corpus-scan label-prop and the persisted
+    * `_clusters` artifact state the same fixpoint.
+    */
+  private def ccSql(pairsSql: String): String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($pairsSql)),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges)
+       |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+       |FROM nodes n JOIN reach r ON r.u = n.id
+       |GROUP BY n.id ORDER BY doc_id""".stripMargin
+
+  /** The dedup-savings oracle (per near-dup cluster: members, total
+    * encoded bytes, bytes reclaimed keeping only the keeper) — shared
+    * by the corpus-scan face and the index-served read.
+    */
+  private val dedupSavingsSql =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($nearDupPairsSql)),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |cl AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+       |       FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+       |sz AS (SELECT doc_id, CAST(n_bytes AS BIGINT) AS bytes
+       |       FROM ($encodedMediaSql))
+       |SELECT component AS keeper_doc_id,
+       |  count(*) AS n_members,
+       |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+       |  CAST(sum(bytes)
+       |       - sum(CASE WHEN cl.doc_id = component THEN bytes ELSE 0 END)
+       |       AS BIGINT) AS bytes_saved
+       |FROM cl JOIN sz ON sz.doc_id = cl.doc_id
+       |GROUP BY component ORDER BY keeper_doc_id""".stripMargin
+
   /** The text↔media screen oracle for a held modality `mod` (doc_id %
     * 3: 0 image, 1 audio, 2 video) — the blocklist is modality-agnostic
     * in the shared stub-embedding space, so one SQL shape serves all
@@ -741,17 +785,17 @@ object MultimodalQueries {
         MultimodalOps.nearDupPairsVideo(
           MultimodalOps.encodeMedia(documents(s, d)),
           regions = 49, blockBands = 6, maxHamming = 5)),
-      Some(s"""WITH RECURSIVE
-              |p AS (SELECT doc_a, doc_b FROM ($videoNearDupSql)),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT u, v FROM edges
-              |          UNION
-              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |nodes AS (SELECT DISTINCT u AS id FROM edges)
-              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
-              |FROM nodes n JOIN reach r ON r.u = n.id
-              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+      Some(ccSql(videoNearDupSql)),
+    ),
+    // The video cluster assignment served from the persisted artifact:
+    // label-prop ran once at index-build time over pairs read from the
+    // stored chunk table; the read face is a bucket scan. Same oracle
+    // as the corpus-scan clustering above.
+    Q(
+      "mm_index_clusters_video",
+      (s, d) => graft.operators.MediaIndexOps.clustersFromIndex(
+        s, fullMediaIndex(s, d, "video")),
+      Some(ccSql(videoNearDupSql)),
     ),
     // TWO-FAMILY consensus dedup: the dHash banding proposes pairs
     // (local-gradient family), the Walsh–Hadamard family re-verifies
@@ -845,17 +889,22 @@ object MultimodalQueries {
           regions = 49, blockBands = 6, maxHamming = 5, whashBudget = 5)
           .filter(col("confirmed"))
           .select(col("doc_a"), col("doc_b"))),
-      Some(s"""WITH RECURSIVE
-              |p AS (SELECT doc_a, doc_b FROM ($consensusSql) WHERE confirmed),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT u, v FROM edges
-              |          UNION
-              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |nodes AS (SELECT DISTINCT u AS id FROM edges)
-              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
-              |FROM nodes n JOIN reach r ON r.u = n.id
-              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+      Some(ccSql(s"SELECT doc_a, doc_b FROM ($consensusSql) WHERE confirmed")),
+    ),
+    // Precision-first consensus clusters with the PAIRS served from the
+    // stored index (both fingerprint families read off `_fps` — no
+    // payload ever re-decoded); label-prop runs over only the
+    // two-family-CONFIRMED edge set, which is banded-then-verified and
+    // orders of magnitude smaller than the corpus. Same oracle as the
+    // corpus-scan face.
+    Q(
+      "mm_index_consensus_clusters",
+      (s, d) => graft.operators.DedupOps.connectedComponents(
+        graft.operators.MediaIndexOps.consensusFromIndex(
+          s, fullMediaIndex(s, d, "image"), maxHamming = 5, whashBudget = 5)
+          .filter(col("confirmed"))
+          .select(col("doc_a"), col("doc_b"))),
+      Some(ccSql(s"SELECT doc_a, doc_b FROM ($consensusSql) WHERE confirmed")),
     ),
     // AUDIO dedup clusters — parity with the image and video cluster
     // faces: connected components (label prop to the fixpoint) over
@@ -866,17 +915,15 @@ object MultimodalQueries {
         MultimodalOps.nearDupPairs(
           MultimodalOps.encodeMedia(documents(s, d)),
           regions = 49, blockBands = 6, maxHamming = 5, "audio")),
-      Some(s"""WITH RECURSIVE
-              |p AS (SELECT doc_a, doc_b FROM (${nearDupPairsSqlFor(1)})),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT u, v FROM edges
-              |          UNION
-              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |nodes AS (SELECT DISTINCT u AS id FROM edges)
-              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
-              |FROM nodes n JOIN reach r ON r.u = n.id
-              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+      Some(ccSql(nearDupPairsSqlFor(1))),
+    ),
+    // The audio cluster assignment served from the persisted artifact —
+    // a bucket scan, same oracle as the corpus-scan clustering.
+    Q(
+      "mm_index_clusters_audio",
+      (s, d) => graft.operators.MediaIndexOps.clustersFromIndex(
+        s, fullMediaIndex(s, d, "audio")),
+      Some(ccSql(nearDupPairsSqlFor(1))),
     ),
     // CROSS-MODAL frame matching: video frames reproducing known images
     // (the upload-time blocklist/copyright screen). Image chain × video
@@ -974,17 +1021,15 @@ object MultimodalQueries {
         MultimodalOps.nearDupPairs(
           MultimodalOps.encodeMedia(documents(s, d)),
           regions = 49, blockBands = 6, maxHamming = 5)),
-      Some(s"""WITH RECURSIVE
-              |p AS (SELECT doc_a, doc_b FROM ($nearDupPairsSql)),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT u, v FROM edges
-              |          UNION
-              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |nodes AS (SELECT DISTINCT u AS id FROM edges)
-              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
-              |FROM nodes n JOIN reach r ON r.u = n.id
-              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+      Some(ccSql(nearDupPairsSql)),
+    ),
+    // The image cluster assignment served from the persisted artifact —
+    // a bucket scan, same oracle as the corpus-scan clustering.
+    Q(
+      "mm_index_clusters",
+      (s, d) => graft.operators.MediaIndexOps.clustersFromIndex(
+        s, fullMediaIndex(s, d, "image")),
+      Some(ccSql(nearDupPairsSql)),
     ),
     // Dedup savings report — the number a storage owner acts on: per
     // near-dup cluster, member count, total payload bytes (real
@@ -1015,26 +1060,18 @@ object MultimodalQueries {
           )
           .orderBy("keeper_doc_id")
       },
-      Some(s"""WITH RECURSIVE
-              |p AS (SELECT doc_a, doc_b FROM ($nearDupPairsSql)),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT u, v FROM edges
-              |          UNION
-              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |nodes AS (SELECT DISTINCT u AS id FROM edges),
-              |cl AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
-              |       FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
-              |sz AS (SELECT doc_id, CAST(n_bytes AS BIGINT) AS bytes
-              |       FROM ($encodedMediaSql))
-              |SELECT component AS keeper_doc_id,
-              |  count(*) AS n_members,
-              |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
-              |  CAST(sum(bytes)
-              |       - sum(CASE WHEN cl.doc_id = component THEN bytes ELSE 0 END)
-              |       AS BIGINT) AS bytes_saved
-              |FROM cl JOIN sz ON sz.doc_id = cl.doc_id
-              |GROUP BY component ORDER BY keeper_doc_id""".stripMargin),
+      Some(dedupSavingsSql),
+    ),
+    // The savings report as an INDEX read: the persisted cluster
+    // assignment joins the meta table's payload sizes on the shared
+    // doc_id bucketing (no exchange below the aggregation) — the
+    // storage owner's nightly number without touching a payload. Same
+    // oracle as the corpus-scan face.
+    Q(
+      "mm_index_savings",
+      (s, d) => graft.operators.MediaIndexOps.savingsFromIndex(
+        s, fullMediaIndex(s, d, "image")),
+      Some(dedupSavingsSql),
     ),
     // The PERSISTED perceptual-fingerprint index (MediaIndexOps): build
     // the bucketed fingerprint/chunk tables, then answer entirely from

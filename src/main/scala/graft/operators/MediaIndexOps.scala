@@ -200,6 +200,43 @@ object MediaIndexOps {
       .saveAsTable(s"${prefix}_clusters")
   }
 
+  /** The persisted cluster assignment as a read face — the dedup
+    * clustering every downstream consumer (curation, savings,
+    * keep-lists) acts on, served straight off the bucketed artifact:
+    * label-prop ran ONCE at build time; a read costs a bucket scan.
+    * Identical to `DedupOps.connectedComponents` over the corpus-scan
+    * pairs (the registry faces share the oracles).
+    */
+  def clustersFromIndex(spark: SparkSession, prefix: String): DataFrame =
+    spark.table(s"${prefix}_clusters").orderBy("doc_id")
+
+  /** Dedup savings from the persisted artifacts — the storage-owner
+    * report (`mm_dedup_savings`) as an index read: the cluster
+    * assignment joins the meta table's payload sizes on the shared
+    * doc_id bucketing (no exchange below the aggregation) and one
+    * aggregation on the component key names the keeper, the member
+    * count, and the bytes reclaimed by keeping only the keeper.
+    */
+  def savingsFromIndex(spark: SparkSession, prefix: String): DataFrame =
+    spark.table(s"${prefix}_clusters")
+      .join(
+        spark.table(s"${prefix}_meta").select(col("doc_id"), col("n_bytes").as("bytes")),
+        "doc_id")
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("bytes")).as("bytes_total"),
+        sum(when(col("doc_id") === col("component"), col("bytes")).otherwise(0L))
+          .as("bytes_kept"),
+      )
+      .select(
+        col("component").as("keeper_doc_id"),
+        col("n_members"),
+        col("bytes_total"),
+        (col("bytes_total") - col("bytes_kept")).as("bytes_saved"),
+      )
+      .orderBy("keeper_doc_id")
+
   /** The curation verdict as an INDEX read —
     * [[MultimodalOps.curationPipeline]]'s per-query corpus decode +
     * fingerprint + label-prop replaced by two bucketed doc_id joins
