@@ -1139,6 +1139,62 @@ object MultimodalQueries {
               |WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
               |ORDER BY new_doc_id, dup_of""".stripMargin),
     ),
+    // The UPLOAD-TIME curation verdict: each arriving image (doc_id %
+    // 5 = 0) is judged against the STORED corpus's artifacts only —
+    // exact_dup by digest probe against the stored `_meta`, near_dup by
+    // the banded chunk join against the stored index (dup_of = the
+    // stored item at the smallest (hamming, doc_id) — a deterministic
+    // arg-min), then the resolution floor, else keep. Read-only on the
+    // index: the verdict gates admission, ingest is the
+    // streaming-dedup face's job. The oracle replays the exact match as
+    // the (text, container-parity) partition restricted across the
+    // split, the near match as the symmetric pair derivation's cross
+    // pairs with a row_number arg-min, and the floor from the
+    // independent header formulas.
+    Q(
+      "mm_index_upload_verdict",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "upload")
+        val media = MultimodalOps.encodeMedia(documents(s, d))
+        val stored = media.filter(col("doc_id") % 5 =!= 0)
+        graft.operators.MediaIndexOps.writeIndex(
+          stored, regions = 49, blockBands = 6, buckets = 8, prefix = pre)
+        graft.operators.MediaIndexOps.writeMetaTable(stored, buckets = 8, prefix = pre)
+        val (floor, label) = MultimodalOps.imageFloor(16384L)
+        graft.operators.MediaIndexOps.uploadVerdict(
+          s, pre, media.filter(col("doc_id") % 5 === 0),
+          regions = 49, blockBands = 6, maxHamming = 5, floor, label)
+      },
+      Some(s"""WITH arr AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+              |                    (doc_id // 3) % 2 AS par
+              |             FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+              |st AS (SELECT doc_id, text, (doc_id // 3) % 2 AS par
+              |       FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0),
+              |ex AS (SELECT a.doc_id, min(s.doc_id) AS exact_of
+              |       FROM arr a JOIN st s ON s.text = a.text AND s.par = a.par
+              |       GROUP BY a.doc_id),
+              |ndp AS (SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+              |               CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS stored,
+              |               hamming
+              |        FROM ($nearDupPairsSql)
+              |        WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)),
+              |nd AS (SELECT doc_id, stored AS near_of FROM (
+              |         SELECT doc_id, stored,
+              |                row_number() OVER (PARTITION BY doc_id
+              |                                   ORDER BY hamming, stored) AS rn
+              |         FROM ndp) WHERE rn = 1)
+              |SELECT a.doc_id,
+              |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+              |       WHEN n.near_of IS NOT NULL THEN 'near_dup'
+              |       WHEN (64 + a.n % 512) * (64 + (a.n * 31) % 512) < 16384
+              |         THEN 'too_small'
+              |       ELSE 'keep' END AS status,
+              |  coalesce(e.exact_of, n.near_of) AS dup_of
+              |FROM arr a
+              |LEFT JOIN ex e ON e.doc_id = a.doc_id
+              |LEFT JOIN nd n ON n.doc_id = a.doc_id
+              |ORDER BY a.doc_id""".stripMargin),
+    ),
     // Fingerprint-index health stats — the operational view of the
     // stored chunk table: per chunk position, bucket count, hottest
     // bucket, and the EXACT candidate-pair cost Σ s·(s−1)/2 the

@@ -179,6 +179,21 @@ object MediaIndexOps {
     * are BUILD-TIME artifacts (refreshed with the index, the nightly
     * cadence); the incremental ingest faces grow `_fps`/`_chunks` only.
     */
+  /** Persist just the `<prefix>_meta` table (the one-decoded-scan item
+    * metadata + exact-dup keeper) — the half [[uploadVerdict]] needs;
+    * [[writeCurationArtifacts]] adds the cluster assignment on top.
+    */
+  def writeMetaTable(
+      media: DataFrame,
+      buckets: Int,
+      prefix: String,
+      mediaType: String = "image",
+  ): Unit =
+    MultimodalOps.curationMeta(media, mediaType)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_meta")
+
   def writeCurationArtifacts(
       spark: SparkSession,
       media: DataFrame,
@@ -187,10 +202,7 @@ object MediaIndexOps {
       prefix: String,
       mediaType: String = "image",
   ): Unit = {
-    MultimodalOps.curationMeta(media, mediaType)
-      .write.mode("overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${prefix}_meta")
+    writeMetaTable(media, buckets, prefix, mediaType)
     val pairs =
       if (mediaType == "video") nearDupPairsMin(spark, prefix, maxHamming)
       else nearDupPairs(spark, prefix, maxHamming)
@@ -259,6 +271,92 @@ object MediaIndexOps {
       spark.table(s"${prefix}_meta"),
       spark.table(s"${prefix}_clusters"),
       floorReject, floorLabel)
+
+  /** The UPLOAD-TIME curation verdict — the per-arrival decision a
+    * media platform makes before admitting an item, entirely against
+    * the STORED artifacts (read-only; admitting keepers is
+    * [[dedupBatchAndGrow]]'s job): `exact_dup` when the arrival's
+    * payload digest matches a stored item (probe against the `_meta`
+    * digests — dup_of = the lowest stored doc_id holding it),
+    * `near_dup` when the banded chunk join against the stored index
+    * verifies a fingerprint match (dup_of = the stored item at the
+    * smallest (hamming, doc_id) — deterministic arg-min), then the
+    * modality floor, else `keep`. The arrival batch is decoded twice
+    * (one [[MultimodalOps.mediaMeta]] scan for digest/header/floor, one
+    * fingerprint pass inside [[dedupAgainstIndex]]); stored payloads
+    * are never re-read and the bucketed chunk side never shuffles.
+    */
+  def uploadVerdict(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+      floorReject: org.apache.spark.sql.Column,
+      floorLabel: String,
+      mediaType: String = "image",
+  ): DataFrame = {
+    val bm = MultimodalOps.mediaMeta(batch, mediaType).localCheckpoint()
+    val ex = bm
+      .select(col("doc_id"), col("payload_md5"))
+      .join(
+        spark.table(s"${prefix}_meta")
+          .select(col("payload_md5"), col("doc_id").as("stored_id")),
+        Seq("payload_md5"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("stored_id")).as("exact_of"))
+    val near = dedupAgainstIndex(
+      spark, prefix, batch, regions, blockBands, maxHamming, mediaType)
+      .groupBy(col("new_doc_id").as("doc_id"))
+      .agg(min(struct(col("hamming"), col("dup_of"))).as("m"))
+      .select(col("doc_id"), col("m.dup_of").as("near_of"))
+    bm.join(ex, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("near_of").isNotNull, lit("near_dup"))
+          .when(floorReject, lit(floorLabel))
+          .otherwise(lit("keep")).as("status"),
+        when(col("exact_of").isNotNull, col("exact_of"))
+          .otherwise(col("near_of")).as("dup_of"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** The STREAMING face of the upload verdict: every micro-batch of
+    * arriving media is judged against the stored artifacts
+    * ([[uploadVerdict]]) and its per-item verdicts handed to
+    * `onVerdicts`. READ-ONLY on the index (the verdict gates admission;
+    * it does not ingest), so batches are independent and a replay
+    * re-emits identical verdicts — idempotent by construction, no
+    * ledger needed; the batch twin is spec-asserted identical.
+    */
+  def streamingUploadVerdict(
+      spark: SparkSession,
+      prefix: String,
+      media: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      maxHamming: Int,
+      floorReject: org.apache.spark.sql.Column,
+      floorLabel: String,
+      checkpoint: String,
+      onVerdicts: (DataFrame, Long) => Unit,
+      mediaType: String = "image",
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onVerdicts(
+          uploadVerdict(
+            spark, prefix, batch, regions, blockBands, maxHamming,
+            floorReject, floorLabel, mediaType),
+          batchId)
+      }
+      .start()
 
   /** The skew STOP-KEY dial on the fingerprint banding (the
     * [[LshIndexOps.nearDupPairsCapped]] policy): chunk buckets holding

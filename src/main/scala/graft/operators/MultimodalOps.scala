@@ -445,22 +445,15 @@ object MultimodalOps {
     f > 0 && floor(contentLen / f) > 0
   }
 
-  private def hasFrameSignal(vid: DataFrame): DataFrame =
-    vid.select(col("doc_id"), frameSignal(col("payload")).as("has_signal"))
-
-  /** ONE decoded scan carrying everything the per-item curation verdict
-    * needs — the exact-dup keeper (min doc_id per payload md5), the
-    * header-parsed dimensions, the payload size, and video's per-frame
-    * signal flag — so exact-hash, header meta, and the content floor
-    * derive from a single pass over the payload bytes instead of three.
-    * `has_signal` is the video frame floor (constant true for the other
-    * modalities, whose floors read width×height or n_bytes instead).
-    * One window keyed on the digest (hash-partitioned — route-table
-    * discipline does not apply; this is the same shuffle the exact-dup
-    * groupBy paid).
+  /** ONE decoded scan carrying everything a per-item verdict needs —
+    * the payload digest, the header-parsed dimensions, the payload
+    * size, and video's per-frame signal flag — so exact-hash, header
+    * meta, and the content floor derive from a single pass over the
+    * payload bytes instead of three. `has_signal` is the video frame
+    * floor (constant true for the other modalities, whose floors read
+    * width×height or n_bytes instead).
     */
-  private[graft] def curationMeta(media: DataFrame, mediaType: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def mediaMeta(media: DataFrame, mediaType: String): DataFrame = {
     val p = col("payload")
     val (w, h) = headerDims(p)
     val signal = if (mediaType == "video") frameSignal(p) else lit(true)
@@ -468,14 +461,25 @@ object MultimodalOps {
       .filter(col("media_type") === mediaType)
       .select(
         col("doc_id"),
-        md5(p).as("k"),
+        md5(p).as("payload_md5"),
         w.as("width"),
         h.as("height"),
         octet_length(p).cast("long").as("n_bytes"),
         signal.as("has_signal"),
       )
-      .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy("k")))
-      .drop("k")
+  }
+
+  /** [[mediaMeta]] plus the exact-dup keeper (min doc_id per payload
+    * digest — one window, hash-partitioned on the digest; the same
+    * shuffle the old exact-dup groupBy paid) — the row the persisted
+    * `_meta` artifact stores.
+    */
+  private[graft] def curationMeta(media: DataFrame, mediaType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    mediaMeta(media, mediaType)
+      .withColumn(
+        "ex_keeper",
+        min(col("doc_id")).over(Window.partitionBy("payload_md5")))
   }
 
   /** The verdict tail every curation face shares — corpus-scan and

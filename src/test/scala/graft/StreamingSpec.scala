@@ -265,6 +265,45 @@ class StreamingSpec extends SparkSpec {
     assert(collected.exists(_._4), "the template corpus must flag some documents")
   }
 
+  test("streaming upload verdict is batch/stream unified: identical verdicts, index untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{MediaIndexOps, MultimodalOps}
+    val prefix = "uploadverdictstream"
+    Seq("_fps", "_chunks", "_meta", "_batches")
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
+    val media = MultimodalOps.encodeMedia(Tables.documents(spark, Sf))
+    val stored = media.filter(col("doc_id") % 5 =!= 0)
+    MediaIndexOps.writeIndex(stored, 49, 6, buckets = 4, prefix = prefix)
+    MediaIndexOps.writeMetaTable(stored, buckets = 4, prefix = prefix)
+    val arrivals = media.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, String, Array[Byte])]
+    val collected = scala.collection.mutable.Buffer[(Long, String, Option[Long])]()
+    val ckpt = Files.createTempDirectory("upload_verdict").toFile.getAbsolutePath
+    val (floor, label) = MultimodalOps.imageFloor(16384L)
+    val fpsBefore = spark.table(s"${prefix}_fps").count()
+    val q = MediaIndexOps.streamingUploadVerdict(
+      spark, prefix, in.toDF().toDF("doc_id", "media_type", "payload"),
+      regions = 49, blockBands = 6, maxHamming = 5, floor, label, checkpoint = ckpt,
+      onVerdicts = (v, _) => collected ++= v.as[(Long, String, Option[Long])].collect(),
+    )
+    val waves = arrivals.grouped(arrivals.length / 3 + 1).toSeq
+    try waves.foreach { w => in.addData(w.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // A verdict depends only on the arrival and the standing index, so
+    // the union over waves must equal the batch face (itself pinned by
+    // its DuckDB oracle) exactly — every image arrival exactly once.
+    val expected = MediaIndexOps.uploadVerdict(
+      spark, prefix, media.filter(col("doc_id") % 5 === 0), 49, 6, 5, floor, label)
+      .as[(Long, String, Option[Long])].collect()
+    assert(collected.nonEmpty && collected.size == expected.length)
+    assert(collected.toSet == expected.toSet)
+    assert(collected.exists(_._2 == "near_dup"), "template corpus must surface near-dups")
+    assert(spark.table(s"${prefix}_fps").count() == fpsBefore,
+      "an upload verdict must not grow the index")
+  }
+
   test("stream-stream interval join pairs bidirectional flows with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     def rawP(src: String, dst: String, psrc: Int, pdst: Int, bytes: Long, ts: String): String =
