@@ -1195,6 +1195,59 @@ object MultimodalQueries {
               |LEFT JOIN nd n ON n.doc_id = a.doc_id
               |ORDER BY a.doc_id""".stripMargin),
     ),
+    // The VIDEO upload verdict — the same admission gate with the
+    // per-frame wrinkle: the arriving video's frames each probe the
+    // stored per-frame index, the candidate min over verified frame
+    // collisions IS the min pairwise-frame hamming (exact by
+    // pigeonhole), and the arg-min names the stored video. Floor =
+    // the no_content frame cut; videos share one container family so
+    // the exact partition is the text alone.
+    Q(
+      "mm_index_upload_verdict_video",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "uploadv")
+        val media = MultimodalOps.encodeMedia(documents(s, d))
+        val stored = media.filter(col("doc_id") % 5 =!= 0)
+        graft.operators.MediaIndexOps.writeIndex(
+          stored, regions = 49, blockBands = 6, buckets = 8, prefix = pre,
+          mediaType = "video")
+        graft.operators.MediaIndexOps.writeMetaTable(
+          stored, buckets = 8, prefix = pre, mediaType = "video")
+        val (floor, label) = MultimodalOps.videoFloor
+        graft.operators.MediaIndexOps.uploadVerdict(
+          s, pre, media.filter(col("doc_id") % 5 === 0),
+          regions = 49, blockBands = 6, maxHamming = 5, floor, label,
+          mediaType = "video")
+      },
+      Some(s"""WITH arr AS (SELECT doc_id, text, length(text) AS L,
+              |                    length(text) % 16 + 1 AS F
+              |             FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0),
+              |st AS (SELECT doc_id, text
+              |       FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 <> 0),
+              |ex AS (SELECT a.doc_id, min(s.doc_id) AS exact_of
+              |       FROM arr a JOIN st s ON s.text = a.text
+              |       GROUP BY a.doc_id),
+              |ndp AS (SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+              |               CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS stored,
+              |               hamming
+              |        FROM ($videoNearDupSql)
+              |        WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)),
+              |nd AS (SELECT doc_id, stored AS near_of FROM (
+              |         SELECT doc_id, stored,
+              |                row_number() OVER (PARTITION BY doc_id
+              |                                   ORDER BY hamming, stored) AS rn
+              |         FROM ndp) WHERE rn = 1)
+              |SELECT a.doc_id,
+              |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+              |       WHEN n.near_of IS NOT NULL THEN 'near_dup'
+              |       WHEN a.L // a.F = 0 THEN 'no_content'
+              |       ELSE 'keep' END AS status,
+              |  coalesce(e.exact_of, n.near_of) AS dup_of
+              |FROM arr a
+              |LEFT JOIN ex e ON e.doc_id = a.doc_id
+              |LEFT JOIN nd n ON n.doc_id = a.doc_id
+              |ORDER BY a.doc_id""".stripMargin),
+    ),
     // Fingerprint-index health stats — the operational view of the
     // stored chunk table: per chunk position, bucket count, hottest
     // bucket, and the EXACT candidate-pair cost Σ s·(s−1)/2 the
