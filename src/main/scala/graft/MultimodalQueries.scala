@@ -1195,6 +1195,54 @@ object MultimodalQueries {
               |LEFT JOIN nd n ON n.doc_id = a.doc_id
               |ORDER BY a.doc_id""".stripMargin),
     ),
+    // The AUDIO upload verdict — completes the admission-gate triplet:
+    // digest probe, banded fingerprint probe over the raw stand-in
+    // streams, and the too_short signal floor.
+    Q(
+      "mm_index_upload_verdict_audio",
+      (s, d) => {
+        val pre = Tables.tempIndexDb(s, "media", "uploada")
+        val media = MultimodalOps.encodeMedia(documents(s, d))
+        val stored = media.filter(col("doc_id") % 5 =!= 0)
+        graft.operators.MediaIndexOps.writeIndex(
+          stored, regions = 49, blockBands = 6, buckets = 8, prefix = pre,
+          mediaType = "audio")
+        graft.operators.MediaIndexOps.writeMetaTable(
+          stored, buckets = 8, prefix = pre, mediaType = "audio")
+        val (floor, label) = MultimodalOps.audioFloor(49)
+        graft.operators.MediaIndexOps.uploadVerdict(
+          s, pre, media.filter(col("doc_id") % 5 === 0),
+          regions = 49, blockBands = 6, maxHamming = 5, floor, label,
+          mediaType = "audio")
+      },
+      Some(s"""WITH arr AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+              |             FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 0),
+              |st AS (SELECT doc_id, text
+              |       FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 <> 0),
+              |ex AS (SELECT a.doc_id, min(s.doc_id) AS exact_of
+              |       FROM arr a JOIN st s ON s.text = a.text
+              |       GROUP BY a.doc_id),
+              |ndp AS (SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+              |               CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS stored,
+              |               hamming
+              |        FROM (${nearDupPairsSqlFor(1)})
+              |        WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)),
+              |nd AS (SELECT doc_id, stored AS near_of FROM (
+              |         SELECT doc_id, stored,
+              |                row_number() OVER (PARTITION BY doc_id
+              |                                   ORDER BY hamming, stored) AS rn
+              |         FROM ndp) WHERE rn = 1)
+              |SELECT a.doc_id,
+              |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+              |       WHEN n.near_of IS NOT NULL THEN 'near_dup'
+              |       WHEN a.n < 49 THEN 'too_short'
+              |       ELSE 'keep' END AS status,
+              |  coalesce(e.exact_of, n.near_of) AS dup_of
+              |FROM arr a
+              |LEFT JOIN ex e ON e.doc_id = a.doc_id
+              |LEFT JOIN nd n ON n.doc_id = a.doc_id
+              |ORDER BY a.doc_id""".stripMargin),
+    ),
     // The VIDEO upload verdict — the same admission gate with the
     // per-frame wrinkle: the arriving video's frames each probe the
     // stored per-frame index, the candidate min over verified frame
