@@ -891,19 +891,15 @@ object MultimodalQueries {
           .select(col("doc_a"), col("doc_b"))),
       Some(ccSql(s"SELECT doc_a, doc_b FROM ($consensusSql) WHERE confirmed")),
     ),
-    // Precision-first consensus clusters with the PAIRS served from the
-    // stored index (both fingerprint families read off `_fps` — no
-    // payload ever re-decoded); label-prop runs over only the
-    // two-family-CONFIRMED edge set, which is banded-then-verified and
-    // orders of magnitude smaller than the corpus. Same oracle as the
-    // corpus-scan face.
+    // Precision-first consensus clusters served from the persisted
+    // `_cclusters` artifact: the pairs read stored fingerprints (both
+    // families off `_fps` — no payload re-decoded) and label-prop ran
+    // ONCE at build time, so the read face is a bucket scan like
+    // mm_index_clusters. Same oracle as the corpus-scan face.
     Q(
       "mm_index_consensus_clusters",
-      (s, d) => graft.operators.DedupOps.connectedComponents(
-        graft.operators.MediaIndexOps.consensusFromIndex(
-          s, fullMediaIndex(s, d, "image"), maxHamming = 5, whashBudget = 5)
-          .filter(col("confirmed"))
-          .select(col("doc_a"), col("doc_b"))),
+      (s, d) => graft.operators.MediaIndexOps.consensusClustersFromIndex(
+        s, fullMediaIndex(s, d, "image")),
       Some(ccSql(s"SELECT doc_a, doc_b FROM ($consensusSql) WHERE confirmed")),
     ),
     // AUDIO dedup clusters — parity with the image and video cluster

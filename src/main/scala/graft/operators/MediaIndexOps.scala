@@ -201,6 +201,7 @@ object MediaIndexOps {
       buckets: Int,
       prefix: String,
       mediaType: String = "image",
+      whashBudget: Int = 5,
   ): Unit = {
     writeMetaTable(media, buckets, prefix, mediaType)
     val pairs =
@@ -210,7 +211,26 @@ object MediaIndexOps {
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${prefix}_clusters")
+    // The PRECISION-FIRST cluster assignment (both fingerprint families
+    // agree — the auto-delete-policy clustering) is persisted on the
+    // same cadence: its pairs read the stored fingerprints
+    // ([[consensusFromIndex]]), label-prop runs once here, and the
+    // read face is a bucket scan like `_clusters`.
+    DedupOps.connectedComponents(
+      consensusFromIndex(spark, prefix, maxHamming, whashBudget)
+        .filter(col("confirmed"))
+        .select(col("doc_a"), col("doc_b")))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_cclusters")
   }
+
+  /** The persisted PRECISION-FIRST (two-family-confirmed) cluster
+    * assignment as a read face — [[clustersFromIndex]]'s sibling over
+    * the `_cclusters` artifact.
+    */
+  def consensusClustersFromIndex(spark: SparkSession, prefix: String): DataFrame =
+    spark.table(s"${prefix}_cclusters").orderBy("doc_id")
 
   /** The persisted cluster assignment as a read face — the dedup
     * clustering every downstream consumer (curation, savings,
