@@ -123,6 +123,34 @@ class SqlSurfaceSpec extends SparkSpec {
     assert((0L to hops.max).forall(hops.contains))
   }
 
+  test("the curation verdict runs as pure SQL text over the persisted artifact tables") {
+    import graft.operators.{MediaIndexOps, MultimodalOps}
+    val prefix = "sqlcuration"
+    Seq("_fps", "_chunks", "_meta", "_clusters", "_cclusters", "_batches")
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
+    val media = MultimodalOps.encodeMedia(Tables.documents(spark, Sf))
+    MediaIndexOps.writeIndex(media, 49, 6, buckets = 4, prefix = prefix)
+    MediaIndexOps.writeCurationArtifacts(spark, media, maxHamming = 5, buckets = 4, prefix = prefix)
+    // A SQL-only user composes the nightly verdict from the two
+    // bucketed tables directly — no DataFrame code, no extensions.
+    val got = spark.sql(
+      s"""SELECT m.doc_id,
+         |  CASE WHEN m.ex_keeper <> m.doc_id THEN 'exact_dup'
+         |       WHEN c.component IS NOT NULL AND c.component <> m.doc_id
+         |         THEN 'near_dup'
+         |       WHEN m.width * m.height < 16384 THEN 'too_small'
+         |       ELSE 'keep' END AS status,
+         |  CASE WHEN m.ex_keeper <> m.doc_id THEN m.ex_keeper
+         |       WHEN c.component IS NOT NULL AND c.component <> m.doc_id
+         |         THEN c.component END AS dup_of
+         |FROM ${prefix}_meta m
+         |LEFT JOIN ${prefix}_clusters c ON c.doc_id = m.doc_id
+         |ORDER BY m.doc_id""".stripMargin,
+    )
+    val (floor, label) = MultimodalOps.imageFloor(16384L)
+    assertSameRows(got, MediaIndexOps.curationFromIndex(spark, prefix, floor, label))
+  }
+
   test("LSH near-dup and ANN top-k run as pure SQL text via the registered engine functions") {
     // minhash_sig / shingle_hashes / sorted_intersect_count / unit_norm /
     // array_dot bind through spark.sql.extensions — a STATIC conf, so
