@@ -1102,8 +1102,8 @@ object TextQueries {
     // family): the iterative rounds run only over the deterministic 30%
     // hash sample; the full corpus is touched exactly once, at scoring
     // time — which is also what keeps the gradient sums inside the
-    // BIGINT envelope past the ~4·10^8-document bound stated at the
-    // operator.
+    // BIGINT envelope past the ~7·10^8-document bound stated at the
+    // operator (TextOps' scale-bound paragraph).
     Q(
       "tx_quality_train_sampled",
       (s, d) => TextOps.qualityScoreTrained(

@@ -215,14 +215,23 @@ object MediaIndexOps {
     // agree — the auto-delete-policy clustering) is persisted on the
     // same cadence: its pairs read the stored fingerprints
     // ([[consensusFromIndex]]), label-prop runs once here, and the
-    // read face is a bucket scan like `_clusters`.
-    DedupOps.connectedComponents(
-      consensusFromIndex(spark, prefix, maxHamming, whashBudget)
-        .filter(col("confirmed"))
-        .select(col("doc_a"), col("doc_b")))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${prefix}_cclusters")
+    // read face is a bucket scan like `_clusters`. IMAGE-ONLY: the
+    // consensus read face (`mm_index_consensus_clusters`) exists for
+    // the image index alone; building the artifact for audio/video
+    // would pay an extra consensus pass + label-prop + table write
+    // that nothing reads (and video's non-min-aggregated frame pairs
+    // have no oracle-pinned consensus semantics). The drop keeps a
+    // stale prior-generation artifact from being served.
+    if (mediaType == "image")
+      DedupOps.connectedComponents(
+        consensusFromIndex(spark, prefix, maxHamming, whashBudget)
+          .filter(col("confirmed"))
+          .select(col("doc_a"), col("doc_b")))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${prefix}_cclusters")
+    else
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_cclusters")
   }
 
   /** The persisted PRECISION-FIRST (two-family-confirmed) cluster

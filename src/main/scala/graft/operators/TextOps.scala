@@ -132,21 +132,29 @@ object TextOps {
     */
   private[graft] def qualityFeatures(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
-    val nt = size(w).cast("long")
-    val nstop = countIn(w, Stopwords).cast("long")
-    val ndist = size(array_distinct(w)).cast("long")
-    val ntSafe = greatest(nt, lit(1L))
-    docs.select(
-      col("doc_id"),
-      lit(4L).as("x0"),
-      (least(nt, lit(32L)) - 16L).as("x1"),
-      (floor(least(nt, lit(256L)) / 8.0).cast("long") - 16L).as("x2"),
-      (floor(nstop * 32L / ntSafe).cast("long") - 8L).as("x3"),
-      (floor(ndist * 32L / ntSafe).cast("long") - 16L).as("x4"),
-      when(
-        nt >= 20L && nt <= 200L && nstop * 10L <= nt * 3L && ndist * 10L >= nt,
-        1L).otherwise(0L).as("y"),
-    )
+    // x2/x3/x4 are stated as INTEGER division (`div`, truncating — equal
+    // to the oracle's floor `//` on these non-negative operands), not
+    // floor() over a double quotient: both engines run the same integer
+    // operation with no float intermediary, the repo's sdiv discipline.
+    docs
+      .select(
+        col("doc_id"),
+        size(w).cast("long").as("nt"),
+        countIn(w, Stopwords).cast("long").as("nstop"),
+        size(array_distinct(w)).cast("long").as("ndist"),
+      )
+      .select(
+        col("doc_id"),
+        lit(4L).as("x0"),
+        (least(col("nt"), lit(32L)) - 16L).as("x1"),
+        (expr("least(nt, 256L) div 8") - 16L).as("x2"),
+        (expr("(nstop * 32) div greatest(nt, 1)") - 8L).as("x3"),
+        (expr("(ndist * 32) div greatest(nt, 1)") - 16L).as("x4"),
+        when(
+          col("nt") >= 20L && col("nt") <= 200L &&
+            col("nstop") * 10L <= col("nt") * 3L && col("ndist") * 10L >= col("nt"),
+          1L).otherwise(0L).as("y"),
+      )
   }
 
   /** The fixed-round training loop: per round ONE distributed
