@@ -56,13 +56,49 @@ object MultimodalQueries {
     )
   }
 
+  /** The STORED-SPLIT index + meta (stored corpus = doc_id % 5 ≠ 0) the
+    * upload-verdict faces probe — built once per (session, dataset,
+    * modality) on the [[fullMediaIndex]] pattern, so
+    * `mm_index_upload_verdict[/_audio/_video]` time exactly what an
+    * admission gate costs per arrival at 100 TB: decode the batch,
+    * digest-join the stored `_meta`, banded-probe the stored chunks —
+    * never the stored-split index build itself.
+    */
+  private val builtSplitIdx = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String), String]
+
+  private[graft] def splitMediaIndex(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      mediaType: String,
+  ): String = {
+    builtSplitIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtSplitIdx.remove)
+    builtSplitIdx.getOrElseUpdate(
+      (s, d, mediaType), {
+        val pre = Tables.tempIndexDb(s, "media", s"split_${mediaType}_${Tables.datasetKey(d)}")
+        val stored = MultimodalOps.encodeMedia(documents(s, d))
+          .filter(col("doc_id") % 5 =!= 0)
+        graft.operators.MediaIndexOps.writeIndex(
+          stored, regions = 49, blockBands = 6, buckets = 8, prefix = pre,
+          mediaType = mediaType)
+        graft.operators.MediaIndexOps.writeMetaTable(
+          stored, buckets = 8, prefix = pre, mediaType = mediaType)
+        pre
+      },
+    )
+  }
+
   /** Eagerly builds the three shared per-modality fingerprint indexes
-    * for `d` (no-op when already built) — called from Bench's un-timed
-    * setup phase like the sim/tx twins, so a one-time corpus build can
-    * never masquerade as an index READ's steady-state cost.
+    * for `d` plus the three stored-split admission-gate artifacts
+    * (no-op when already built) — called from Bench's un-timed setup
+    * phase like the sim/tx twins, so a one-time corpus build can never
+    * masquerade as an index READ's steady-state cost.
     */
   def prepareSharedArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit =
-    Seq("image", "audio", "video").foreach(m => fullMediaIndex(s, d, m))
+    Seq("image", "audio", "video").foreach { m =>
+      fullMediaIndex(s, d, m)
+      splitMediaIndex(s, d, m)
+    }
 
   private val mediaSql =
     """SELECT doc_id,
@@ -1142,20 +1178,20 @@ object MultimodalQueries {
     // stored item at the smallest (hamming, doc_id) — a deterministic
     // arg-min), then the resolution floor, else keep. Read-only on the
     // index: the verdict gates admission, ingest is the
-    // streaming-dedup face's job. The oracle replays the exact match as
-    // the (text, container-parity) partition restricted across the
-    // split, the near match as the symmetric pair derivation's cross
-    // pairs with a row_number arg-min, and the floor from the
-    // independent header formulas.
+    // streaming-dedup face's job. The stored-split index + meta are
+    // PRE-BUILT shared artifacts ([[splitMediaIndex]], Bench's un-timed
+    // setup) — the timed query is the per-arrival probe alone, which is
+    // what an admission gate costs at 100 TB (MediaIndexSpec asserts it
+    // bit-equal to an in-query-build twin). The oracle replays the
+    // exact match as the (text, container-parity) partition restricted
+    // across the split, the near match as the symmetric pair
+    // derivation's cross pairs with a row_number arg-min, and the floor
+    // from the independent header formulas.
     Q(
       "mm_index_upload_verdict",
       (s, d) => {
-        val pre = Tables.tempIndexDb(s, "media", "upload")
+        val pre = splitMediaIndex(s, d, "image")
         val media = MultimodalOps.encodeMedia(documents(s, d))
-        val stored = media.filter(col("doc_id") % 5 =!= 0)
-        graft.operators.MediaIndexOps.writeIndex(
-          stored, regions = 49, blockBands = 6, buckets = 8, prefix = pre)
-        graft.operators.MediaIndexOps.writeMetaTable(stored, buckets = 8, prefix = pre)
         val (floor, label) = MultimodalOps.imageFloor(16384L)
         graft.operators.MediaIndexOps.uploadVerdict(
           s, pre, media.filter(col("doc_id") % 5 === 0),
@@ -1193,18 +1229,13 @@ object MultimodalQueries {
     ),
     // The AUDIO upload verdict — completes the admission-gate triplet:
     // digest probe, banded fingerprint probe over the raw stand-in
-    // streams, and the too_short signal floor.
+    // streams, and the too_short signal floor. Pre-built split
+    // artifacts; the timed query is the per-arrival probe alone.
     Q(
       "mm_index_upload_verdict_audio",
       (s, d) => {
-        val pre = Tables.tempIndexDb(s, "media", "uploada")
+        val pre = splitMediaIndex(s, d, "audio")
         val media = MultimodalOps.encodeMedia(documents(s, d))
-        val stored = media.filter(col("doc_id") % 5 =!= 0)
-        graft.operators.MediaIndexOps.writeIndex(
-          stored, regions = 49, blockBands = 6, buckets = 8, prefix = pre,
-          mediaType = "audio")
-        graft.operators.MediaIndexOps.writeMetaTable(
-          stored, buckets = 8, prefix = pre, mediaType = "audio")
         val (floor, label) = MultimodalOps.audioFloor(49)
         graft.operators.MediaIndexOps.uploadVerdict(
           s, pre, media.filter(col("doc_id") % 5 === 0),
@@ -1246,17 +1277,13 @@ object MultimodalQueries {
     // pigeonhole), and the arg-min names the stored video. Floor =
     // the no_content frame cut; videos share one container family so
     // the exact partition is the text alone.
+    // Pre-built split artifacts here too: the timed query is the
+    // per-arrival frame probe alone.
     Q(
       "mm_index_upload_verdict_video",
       (s, d) => {
-        val pre = Tables.tempIndexDb(s, "media", "uploadv")
+        val pre = splitMediaIndex(s, d, "video")
         val media = MultimodalOps.encodeMedia(documents(s, d))
-        val stored = media.filter(col("doc_id") % 5 =!= 0)
-        graft.operators.MediaIndexOps.writeIndex(
-          stored, regions = 49, blockBands = 6, buckets = 8, prefix = pre,
-          mediaType = "video")
-        graft.operators.MediaIndexOps.writeMetaTable(
-          stored, buckets = 8, prefix = pre, mediaType = "video")
         val (floor, label) = MultimodalOps.videoFloor
         graft.operators.MediaIndexOps.uploadVerdict(
           s, pre, media.filter(col("doc_id") % 5 === 0),

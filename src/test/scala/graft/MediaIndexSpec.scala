@@ -159,6 +159,38 @@ class MediaIndexSpec extends SparkSpec {
     }
   }
 
+  test("upload verdict from the pre-built split artifacts equals an in-query-build twin") {
+    // The registry faces (mm_index_upload_verdict*) probe the SHARED
+    // pre-built stored-split index + meta (MultimodalQueries
+    // .splitMediaIndex) so the timed query is the per-arrival probe
+    // alone; this pins that serving from the pre-built artifact is
+    // bit-equal to building the identical split index inside the query.
+    val cases = Seq(
+      ("image", MultimodalOps.imageFloor(16384L)),
+      ("audio", MultimodalOps.audioFloor(Regions)),
+      ("video", MultimodalOps.videoFloor),
+    )
+    cases.foreach { case (mt, (floor, label)) =>
+      val twinPre = s"mediaixupl$mt"
+      Seq("_fps", "_chunks", "_meta")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $twinPre$sfx"))
+      val stored = media().filter(col("doc_id") % 5 =!= 0)
+      val batch = media().filter(col("doc_id") % 5 === 0)
+      MediaIndexOps.writeIndex(
+        stored, Regions, Bands, buckets = 4, prefix = twinPre, mediaType = mt)
+      MediaIndexOps.writeMetaTable(stored, buckets = 4, prefix = twinPre, mediaType = mt)
+      val twin = MediaIndexOps.uploadVerdict(
+        spark, twinPre, batch, Regions, Bands, MaxHamming, floor, label, mt)
+      val prebuilt = MediaIndexOps.uploadVerdict(
+        spark, MultimodalQueries.splitMediaIndex(spark, Sf, mt), batch,
+        Regions, Bands, MaxHamming, floor, label, mt)
+      assert(prebuilt.count() > 0, s"$mt upload verdict is empty")
+      assert(
+        prebuilt.exceptAll(twin).isEmpty && twin.exceptAll(prebuilt).isEmpty,
+        s"$mt pre-built-artifact verdict differs from the in-query-build twin")
+    }
+  }
+
   test("cross-modal frame match from the stored image index equals the corpus-scan operator") {
     buildOnce()
     val fromIndex = MediaIndexOps.frameMatchAgainstIndex(
