@@ -536,7 +536,24 @@ object MediaIndexOps {
       .join(dups.select(col("new_doc_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .join(spark.table(s"${prefix}_fps").select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    appendKeepers(spark, prefix, kept, buckets, crashAfter)
+    // Incremental `_meta` maintenance: when the prefix carries the
+    // curation-meta artifact, the admitted keepers' one-decoded-scan
+    // meta rows ride the SAME ledgered commit — so the upload-time
+    // digest probe sees incrementally-admitted items, and an exact
+    // copy replayed later is labeled `exact_dup` with the digest-named
+    // `dup_of` instead of `near_dup` at hamming 0. Keepers are
+    // pairwise digest-distinct (an identical payload is a hamming-0
+    // dup by construction), so each appended row's ex_keeper is its
+    // own doc_id — exactly what a wholesale rebuild over the grown
+    // corpus would assign it.
+    val keptMeta =
+      if (spark.catalog.tableExists(s"${prefix}_meta"))
+        Some(MultimodalOps
+          .curationMeta(
+            batch.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"), mediaType)
+          .localCheckpoint())
+      else None
+    appendKeepers(spark, prefix, kept, buckets, crashAfter, keptMeta)
     dups
   }
 
@@ -545,19 +562,22 @@ object MediaIndexOps {
     */
   private[graft] val ProbeIdCap = 100000
 
-  /** Appends the batch's keepers to both index tables, crash-repairably
+  /** Appends the batch's keepers to the index tables, crash-repairably
     * (the [[LshIndexOps]] intent/commit keeper discipline): chunks
-    * FIRST, fps LAST — fps is the membership table the kept anti-join
-    * reads, so its append is the batch's commit marker; the reverse
-    * order would make a crash-between unrepairable (keepers in fps
-    * with no chunk rows, invisible to every future candidate join, and
-    * hidden from the replay by the very anti-join that should repair
-    * them). Keepers never verify against each other, so a replay
-    * recomputes the identical kept set even with their chunks already
-    * stored (the self-collision guard covers exact replays). The
+    * FIRST, then the optional `_meta` rows, fps LAST — fps is the
+    * membership table the kept anti-join reads, so its append is the
+    * batch's commit marker; the reverse order would make a
+    * crash-between unrepairable (keepers in fps with no chunk rows,
+    * invisible to every future candidate join, and hidden from the
+    * replay by the very anti-join that should repair them). Keepers
+    * never verify against each other, so a replay recomputes the
+    * identical kept set even with their chunks already stored (the
+    * self-collision guard covers exact replays). The
     * `<prefix>_batches` ledger (batch key = min kept doc_id) records
     * intent/commit; intent-without-commit replays presence-guard each
-    * append by the bounded kept-id list.
+    * append by the bounded kept-id list. `keptMeta` (when the prefix
+    * carries the curation-meta artifact) appends at the TABLE's own
+    * bucket count under the same ledger entry.
     */
   private def appendKeepers(
       spark: SparkSession,
@@ -565,6 +585,7 @@ object MediaIndexOps {
       kept: DataFrame,
       buckets: Int,
       crashAfter: String,
+      keptMeta: Option[DataFrame] = None,
   ): Unit = {
     if (kept.isEmpty) return // nothing to append → no ledger entry needed
     val batchKey = kept.agg(min(col("doc_id"))).first().getLong(0)
@@ -595,6 +616,17 @@ object MediaIndexOps {
     }
     if (crashAfter == "chunks")
       throw new IllegalStateException("injected crash after chunks append")
+    keptMeta.foreach { m =>
+      if (!repairing || !present("meta")) {
+        m.write.mode("append")
+          .bucketBy(IndexCatalog.tableBuckets(spark, s"${prefix}_meta"), "doc_id")
+          .sortBy("doc_id")
+          .saveAsTable(s"${prefix}_meta")
+        spark.catalog.refreshTable(s"${prefix}_meta")
+      }
+    }
+    if (crashAfter == "meta")
+      throw new IllegalStateException("injected crash after meta append")
     if (!repairing || !present("fps")) {
       kept.select(col("doc_id"), col("dhash"), col("whash"))
         .write.mode("append")

@@ -331,19 +331,58 @@ class MediaIndexSpec extends SparkSpec {
       "a replayed batch must not grow the index")
   }
 
+  test("incrementally admitted keepers are visible to the exact-dup digest probe") {
+    import spark.implicits._
+    val pre = "mediaixmetagrow"
+    Seq("_fps", "_chunks", "_meta", "_batches")
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $pre$sfx"))
+    val stored = media().filter(col("doc_id") % 5 =!= 0)
+    val batch = media().filter(col("doc_id") % 5 === 0)
+    MediaIndexOps.writeIndex(stored, Regions, Bands, buckets = 4, prefix = pre)
+    MediaIndexOps.writeMetaTable(stored, buckets = 4, prefix = pre)
+    val metaBefore = spark.table(s"${pre}_meta").count()
+    MediaIndexOps.dedupBatchAndGrow(
+      spark, pre, batch, Regions, Bands, buckets = 4, maxHamming = MaxHamming)
+    // The admitted keepers' meta rows landed in the same commit: one
+    // row per kept fps doc_id, each its own ex_keeper.
+    val keptIds = spark.table(s"${pre}_fps").select("doc_id").as[Long].collect().toSet --
+      stored.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.nonEmpty)
+    val metaRows = spark.table(s"${pre}_meta")
+    assert(metaRows.count() == metaBefore + keptIds.size)
+    assert(metaRows.filter(col("doc_id").isin(keptIds.toSeq: _*))
+      .filter(col("ex_keeper") =!= col("doc_id")).isEmpty)
+    // Replay an EXACT copy of an admitted item (same payload, fresh
+    // doc_id): the digest probe must label it exact_dup with the
+    // admitted item's doc_id as dup_of — not near_dup at hamming 0.
+    val admitted = keptIds.min
+    val payload = batch.filter(col("doc_id") === admitted)
+      .select("payload").as[Array[Byte]].head()
+    val maxId = media().agg(max(col("doc_id"))).as[Long].head()
+    val copy = Seq((maxId + 1L, "image", payload)).toDF("doc_id", "media_type", "payload")
+    val (floor, label) = MultimodalOps.imageFloor(16384L)
+    val verdict = MediaIndexOps.uploadVerdict(
+      spark, pre, copy, Regions, Bands, MaxHamming, floor, label)
+      .as[(Long, String, java.lang.Long)].collect().toSeq
+    assert(verdict == Seq((maxId + 1L, "exact_dup", java.lang.Long.valueOf(admitted))),
+      s"expected exact_dup of $admitted, got $verdict")
+  }
+
   test("crash between chunks and fps appends is repaired on replay") {
     import spark.implicits._
     val prefix = "mediacrash"
-    Seq(s"${prefix}_fps", s"${prefix}_chunks", s"${prefix}_batches")
+    Seq(s"${prefix}_fps", s"${prefix}_chunks", s"${prefix}_meta", s"${prefix}_batches")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val rows = media().select("doc_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])].collect().sortBy(_._1)
     val images = rows.filter(_._2 == "image").map(_._1)
     val cut = images(images.length / 2)
     val (seedRows, streamRows) = rows.partition(_._1 < cut)
-    MediaIndexOps.writeIndex(
-      seedRows.toSeq.toDF("doc_id", "media_type", "payload"),
-      Regions, Bands, buckets = 4, prefix = prefix)
+    val seed = seedRows.toSeq.toDF("doc_id", "media_type", "payload")
+    MediaIndexOps.writeIndex(seed, Regions, Bands, buckets = 4, prefix = prefix)
+    // Meta rides the same ledgered commit — the crash/repair must keep
+    // it exactly-once too.
+    MediaIndexOps.writeMetaTable(seed, buckets = 4, prefix = prefix)
     val batch = streamRows.toSeq.toDF("doc_id", "media_type", "payload")
     // The kill: keepers' chunks land, the fps membership rows do not.
     intercept[IllegalStateException] {
@@ -362,11 +401,11 @@ class MediaIndexSpec extends SparkSpec {
       "repair must not re-append the chunks that survived the crash")
     assert(!replayDups.exists(d => d._1 == d._2), "no self-dups on the repair replay")
     val cleanPrefix = "mediacrashref"
-    Seq(s"${cleanPrefix}_fps", s"${cleanPrefix}_chunks", s"${cleanPrefix}_batches")
+    Seq(s"${cleanPrefix}_fps", s"${cleanPrefix}_chunks", s"${cleanPrefix}_meta",
+      s"${cleanPrefix}_batches")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    MediaIndexOps.writeIndex(
-      seedRows.toSeq.toDF("doc_id", "media_type", "payload"),
-      Regions, Bands, buckets = 4, prefix = cleanPrefix)
+    MediaIndexOps.writeIndex(seed, Regions, Bands, buckets = 4, prefix = cleanPrefix)
+    MediaIndexOps.writeMetaTable(seed, buckets = 4, prefix = cleanPrefix)
     val cleanDups = MediaIndexOps.dedupBatchAndGrow(
       spark, cleanPrefix, batch, Regions, Bands, buckets = 4, maxHamming = MaxHamming)
       .as[(Long, Long, Int)].collect().toSet
@@ -375,5 +414,37 @@ class MediaIndexSpec extends SparkSpec {
     val clean = MediaIndexOps.nearDupPairs(spark, cleanPrefix, MaxHamming)
     assert(repaired.exceptAll(clean).isEmpty && clean.exceptAll(repaired).isEmpty,
       "repaired index must serve pairs identical to the uninterrupted run")
+    val repairedMeta = spark.table(s"${prefix}_meta")
+    val cleanMeta = spark.table(s"${cleanPrefix}_meta")
+    assert(repairedMeta.exceptAll(cleanMeta).isEmpty && cleanMeta.exceptAll(repairedMeta).isEmpty,
+      "repaired meta must equal the uninterrupted run's — exactly-once under crash/replay")
+  }
+
+  test("crash between meta and fps appends is repaired on replay without doubling meta") {
+    import spark.implicits._
+    val prefix = "mediacrashmeta"
+    Seq(s"${prefix}_fps", s"${prefix}_chunks", s"${prefix}_meta", s"${prefix}_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val stored = media().filter(col("doc_id") % 5 =!= 0)
+    val batch = media().filter(col("doc_id") % 5 === 0)
+    MediaIndexOps.writeIndex(stored, Regions, Bands, buckets = 4, prefix = prefix)
+    MediaIndexOps.writeMetaTable(stored, buckets = 4, prefix = prefix)
+    intercept[IllegalStateException] {
+      MediaIndexOps.dedupBatchAndGrow(
+        spark, prefix, batch, Regions, Bands, buckets = 4, maxHamming = MaxHamming,
+        crashAfter = "meta")
+    }
+    val metaAfterCrash = spark.table(s"${prefix}_meta").count()
+    assert(spark.table(s"${prefix}_batches").filter(col("phase") === "commit").isEmpty)
+    MediaIndexOps.dedupBatchAndGrow(
+      spark, prefix, batch, Regions, Bands, buckets = 4, maxHamming = MaxHamming)
+    assert(spark.table(s"${prefix}_meta").count() == metaAfterCrash,
+      "repair must not re-append the meta rows that survived the crash")
+    assert(!spark.table(s"${prefix}_batches").filter(col("phase") === "commit").isEmpty)
+    // Every fps member has exactly one meta row after the repair.
+    val fpsIds = spark.table(s"${prefix}_fps").select("doc_id")
+    val metaIds = spark.table(s"${prefix}_meta").select("doc_id")
+    assert(fpsIds.exceptAll(metaIds).isEmpty, "every member must carry a meta row")
+    assert(metaIds.count() == metaIds.distinct().count(), "meta rows must be unique per doc")
   }
 }
