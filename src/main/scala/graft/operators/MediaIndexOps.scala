@@ -387,6 +387,175 @@ object MediaIndexOps {
       }
       .start()
 
+  /** Incremental CLUSTER maintenance — merge `newPairs` (verified
+    * pairs involving a just-ingested batch) into the persisted
+    * assignment at `<prefix>_<table>` by label-prop over ONLY the
+    * touched components: the edge set is the new pairs plus the STAR
+    * edges (member → component label) of every stored component
+    * containing a pair endpoint. Stars preserve the old components'
+    * connectivity exactly, so the merged labels equal a from-scratch
+    * label-prop over the full grown pair set (MediaIndexSpec asserts
+    * bit-equality after N batches) while the iterative work is
+    * proportional to the touched slice, not the corpus; untouched
+    * components carry over unchanged. Idempotent: re-merging the same
+    * pairs reproduces the identical table, so a crashed ingest replays
+    * cleanly.
+    */
+  def growClustersWith(
+      spark: SparkSession,
+      prefix: String,
+      newPairs: DataFrame,
+      table: String = "clusters",
+  ): Unit = {
+    val full = s"${prefix}_$table"
+    val np = newPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    if (np.isEmpty) return
+    val buckets = IndexCatalog.tableBuckets(spark, full)
+    val stored = spark.table(full)
+    val endpoints = np.select(col("doc_a").as("doc_id"))
+      .unionAll(np.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val touched = stored.join(endpoints, Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct()
+    // Materialize BOTH table-derived frames before the overwrite below
+    // mutates the table they read.
+    val untouched = stored.join(touched, Seq("component"), "left_anti")
+      .select(col("doc_id"), col("component"))
+      .localCheckpoint()
+    val stars = stored.join(touched, Seq("component"), "left_semi")
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("doc_a"), col("component").as("doc_b"))
+      .localCheckpoint()
+    val merged = DedupOps.connectedComponents(np.unionByName(stars))
+    untouched
+      .unionByName(merged.select(col("doc_id"), col("component")))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(full)
+    spark.catalog.refreshTable(full)
+  }
+
+  /** GROW-EVERYTHING ingest + artifact maintenance — the full-corpus
+    * nightly index's incremental face: every batch item is appended to
+    * `_fps`/`_chunks` (and its meta row to `_meta`), and the batch's
+    * verified pairs are merged into the persisted `_clusters` (and the
+    * consensus-confirmed pairs into `_cclusters`, where present) by
+    * [[growClustersWith]]'s touched-component label-prop — so the
+    * savings/curation/cluster read faces stay fresh between wholesale
+    * rebuilds without re-fingerprinting or re-clustering the corpus.
+    * Unlike [[dedupBatchAndGrow]] (the admission gate: dups are
+    * REJECTED), this is the archive shape: dups are admitted and the
+    * maintained cluster assignment is what names them for curation.
+    *
+    * Replay/crash safety: pair generation excludes the batch's own ids
+    * from the stored side (immune to a prior partial append), both
+    * cluster merges are idempotent, the ex_keeper relabel is a
+    * least()-fixpoint, and the appends ride [[appendKeepers]]'s
+    * intent/commit ledger with presence-probe repair — so replaying a
+    * crashed batch converges to the uninterrupted result.
+    *
+    * ex_keeper exactness: a stored row sharing a payload digest with a
+    * batch item of SMALLER doc_id is relabeled to the new global min —
+    * a metadata-only `_meta` rewrite taken only when such a collision
+    * exists (with monotone arrival ids it never fires and `_meta`
+    * stays append-only; at 100 TB this is a MERGE on a transactional
+    * table).
+    */
+  def ingestBatchAndMaintain(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      regions: Int,
+      blockBands: Int,
+      buckets: Int,
+      maxHamming: Int,
+      whashBudget: Int = 5,
+      mediaType: String = "image",
+  ): Unit = {
+    val idx = fpFrame(batch, regions, blockBands, mediaType).localCheckpoint()
+    val batchIds = idx.select(col("doc_id")).distinct().localCheckpoint()
+    val batchChunks = chunkRows(idx)
+    val keys = Seq("chunk_idx", "chunk_bits")
+    val storedChunks = spark.table(s"${prefix}_chunks")
+      .join(batchIds, Seq("doc_id"), "left_anti")
+    val vsStored = Banding.hammingPairs(batchChunks, storedChunks, keys, "dhash", maxHamming)
+    val withinBatch = Banding.hammingPairs(
+      batchChunks, batchChunks, keys, "dhash", maxHamming,
+      docPred = Some(col("x.doc_id") < col("y.doc_id")))
+    // One row per unordered pair; min frame hamming (exact for a
+    // per-frame video index by the pigeonhole argument, identity for
+    // single-stream modalities).
+    val pairs = vsStored.unionByName(withinBatch)
+      .select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"),
+        col("hamming"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .localCheckpoint()
+    // Cluster merges run BEFORE the ledgered appends: both are
+    // idempotent, so any crash point replays cleanly; their inputs
+    // never read un-excluded batch state.
+    if (spark.catalog.tableExists(s"${prefix}_clusters"))
+      growClustersWith(spark, prefix, pairs.select(col("doc_a"), col("doc_b")))
+    if (spark.catalog.tableExists(s"${prefix}_cclusters")) {
+      val wfp = spark.table(s"${prefix}_fps")
+        .join(batchIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("whash"))
+        .unionByName(idx.select(col("doc_id"), col("whash")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("whash")).as("whash"))
+      growClustersWith(
+        spark, prefix,
+        MultimodalOps.confirmPairs(pairs, wfp, whashBudget)
+          .filter(col("confirmed"))
+          .select(col("doc_a"), col("doc_b")),
+        table = "cclusters")
+    }
+    val newRows = idx
+      .join(spark.table(s"${prefix}_fps").select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val metaCols = Seq("doc_id", "payload_md5", "width", "height", "n_bytes", "has_signal")
+    val keptMeta =
+      if (spark.catalog.tableExists(s"${prefix}_meta")) {
+        val storedMeta = spark.table(s"${prefix}_meta")
+          .join(batchIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val storedKeeper = storedMeta
+          .groupBy(col("payload_md5")).agg(min(col("ex_keeper")).as("stored_keeper"))
+        val newMeta = MultimodalOps
+          .curationMeta(
+            batch.join(newRows.select("doc_id"), Seq("doc_id"), "left_semi"), mediaType)
+          .join(storedKeeper, Seq("payload_md5"), "left")
+          .select(
+            metaCols.map(col) :+
+              least(col("ex_keeper"), coalesce(col("stored_keeper"), col("ex_keeper")))
+                .as("ex_keeper"): _*)
+          .localCheckpoint()
+        val batchKeeper = newMeta
+          .groupBy(col("payload_md5")).agg(min(col("ex_keeper")).as("batch_keeper"))
+        val relabel = storedMeta
+          .join(batchKeeper, Seq("payload_md5"))
+          .filter(col("batch_keeper") < col("ex_keeper"))
+        if (!relabel.isEmpty) {
+          val metaBuckets = IndexCatalog.tableBuckets(spark, s"${prefix}_meta")
+          storedMeta
+            .join(batchKeeper, Seq("payload_md5"), "left")
+            .select(
+              metaCols.map(col) :+
+                least(col("ex_keeper"), coalesce(col("batch_keeper"), col("ex_keeper")))
+                  .as("ex_keeper"): _*)
+            .localCheckpoint()
+            .write.mode("overwrite")
+            .bucketBy(metaBuckets, "doc_id").sortBy("doc_id")
+            .saveAsTable(s"${prefix}_meta")
+          spark.catalog.refreshTable(s"${prefix}_meta")
+        }
+        Some(newMeta)
+      } else None
+    appendKeepers(spark, prefix, newRows, buckets, crashAfter = "", keptMeta)
+  }
+
   /** The skew STOP-KEY dial on the fingerprint banding (the
     * [[LshIndexOps.nearDupPairsCapped]] policy): chunk buckets holding
     * more than `maxBucket` fingerprints are excluded from candidate

@@ -420,6 +420,59 @@ class MediaIndexSpec extends SparkSpec {
       "repaired meta must equal the uninterrupted run's — exactly-once under crash/replay")
   }
 
+  test("grow-everything ingest keeps every artifact bit-equal to a from-scratch rebuild") {
+    import spark.implicits._
+    val pre = "mediaixgrow"
+    val ref = "mediaixgrowref"
+    val tables = Seq("_fps", "_chunks", "_meta", "_clusters", "_cclusters", "_batches")
+    Seq(pre, ref).foreach(p => tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $p$t")))
+    val rows = media().select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])].collect().sortBy(_._1)
+    val images = rows.filter(_._2 == "image").map(_._1)
+    val cut = images(images.length / 2)
+    val (seedRows, rest) = rows.partition(_._1 < cut)
+    // Exercise the ex_keeper relabel: an exact copy of a SEED image's
+    // payload arrives later under a SMALLER doc_id — the from-scratch
+    // rebuild assigns both rows ex_keeper = -7, so the incremental
+    // path must relabel the stored row too.
+    val seedImg = seedRows.find(_._2 == "image").get
+    val halves = rest.grouped(rest.length / 2 + 1).toSeq
+    val waves = Seq(halves.head.toSeq, halves(1).toSeq :+ (-7L, "image", seedImg._3))
+    val seed = seedRows.toSeq.toDF("doc_id", "media_type", "payload")
+    MediaIndexOps.writeIndex(seed, Regions, Bands, buckets = 4, prefix = pre)
+    MediaIndexOps.writeCurationArtifacts(spark, seed, MaxHamming, buckets = 4, prefix = pre)
+    waves.foreach { w =>
+      MediaIndexOps.ingestBatchAndMaintain(
+        spark, pre, w.toDF("doc_id", "media_type", "payload"),
+        Regions, Bands, buckets = 4, maxHamming = MaxHamming)
+    }
+    val union = (seedRows.toSeq ++ waves.flatten).toDF("doc_id", "media_type", "payload")
+    MediaIndexOps.writeIndex(union, Regions, Bands, buckets = 4, prefix = ref)
+    MediaIndexOps.writeCurationArtifacts(spark, union, MaxHamming, buckets = 4, prefix = ref)
+    Seq("_fps", "_meta", "_clusters", "_cclusters").foreach { t =>
+      val grown = spark.table(s"$pre$t")
+      val rebuilt = spark.table(s"$ref$t")
+      assert(rebuilt.count() > 0, s"$t rebuild is empty")
+      assert(
+        grown.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(grown).isEmpty,
+        s"incrementally maintained $t differs from the from-scratch rebuild")
+    }
+    // The relabel genuinely fired: the stored seed image's keeper is
+    // now the later-arriving smaller id.
+    assert(spark.table(s"${pre}_meta").filter(col("doc_id") === seedImg._1)
+      .select("ex_keeper").as[Long].head() == -7L)
+    // Replaying the last wave is a no-op on every artifact.
+    val before = Seq("_fps", "_meta", "_clusters", "_cclusters")
+      .map(t => t -> spark.table(s"$pre$t").collect().toSeq).toMap
+    MediaIndexOps.ingestBatchAndMaintain(
+      spark, pre, waves.last.toDF("doc_id", "media_type", "payload"),
+      Regions, Bands, buckets = 4, maxHamming = MaxHamming)
+    before.foreach { case (t, rows0) =>
+      assert(spark.table(s"$pre$t").collect().toSeq.sortBy(_.toString) ==
+        rows0.sortBy(_.toString), s"replaying a committed batch must not change $t")
+    }
+  }
+
   test("crash between meta and fps appends is repaired on replay without doubling meta") {
     import spark.implicits._
     val prefix = "mediacrashmeta"
