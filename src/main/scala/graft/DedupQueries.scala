@@ -16,11 +16,11 @@ object DedupQueries {
   /** Word-3-gram shingles, 32-wide minhash in 8 bands × 4 rows
     * (collision threshold ≈ (1/8)^(1/4) ≈ 0.59), verify at jaccard ≥ 0.8.
     */
-  private val N = 3
-  private val K = 32
-  private val Bands = 8
+  private[graft] val N = 3
+  private[graft] val K = 32
+  private[graft] val Bands = 8
   private val RowsPerBand = K / Bands
-  private val JaccardThreshold = 0.8
+  private[graft] val JaccardThreshold = 0.8
 
   /** 32-bit simhash, 4-chunk pigeonhole blocking, hamming ≤ 3 (exact:
     * 4 bands > 3 differing bits ⇒ ≥1 intact shared band).
@@ -66,7 +66,7 @@ object DedupQueries {
   /** Oracle for the minhash-LSH pair pipeline — shared by the pairs
     * query and the clusters query built on top of it.
     */
-  private val minhashPairsSql: String =
+  private[graft] val minhashPairsSql: String =
     s"""WITH $lshCandCtes
        |SELECT c.doc_a, c.doc_b, ${jaccard("a.sh", "b.sh")} AS jaccard
        |FROM cand c

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 import graft.operators.TextOps
 import Tables.documents
 
@@ -126,6 +126,30 @@ object TextQueries {
        |  f.y = 1 AS heuristic_keep,
        |  (2 * ($score) > 33554432) = (f.y = 1) AS agrees
        |FROM f CROSS JOIN w$rounds w ORDER BY f.doc_id""".stripMargin
+  }
+
+  /** The trained model's keep predicate as a doc_id subquery over a
+    * feature CTE `from` — shared by the held-out eval (scores `fh`)
+    * and the quality-mix composition (scores the full-corpus `f`).
+    */
+  private def qualityKeepSubquery(rounds: Int, from: String): String = {
+    val score = (0 to 4).map(j => s"w.w$j * $from.x$j").mkString(" + ")
+    s"SELECT $from.doc_id FROM $from CROSS JOIN w$rounds w WHERE 2 * ($score) > 33554432"
+  }
+
+  /** The held-out confusion tail: the model trained on the sample
+    * (`ft`) applied to the DISJOINT held-out feature frame `fh`, rolled
+    * into the (heuristic, predicted) confusion counts a deployment
+    * gates promotion on.
+    */
+  private def qualityEvalSelect(rounds: Int): String = {
+    val score = (0 to 4).map(j => s"w.w$j * fh.x$j").mkString(" + ")
+    s"""SELECT heuristic_keep, predicted_keep, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM (SELECT fh.y = 1 AS heuristic_keep,
+       |             2 * ($score) > 33554432 AS predicted_keep
+       |      FROM fh CROSS JOIN w$rounds w)
+       |GROUP BY heuristic_keep, predicted_keep
+       |ORDER BY heuristic_keep, predicted_keep""".stripMargin
   }
 
   /** Temp-warehouse prefix for the search-index queries (shared
@@ -1113,6 +1137,97 @@ object TextQueries {
                 QualityTrainRounds,
                 s"WHERE ${OracleSnippets.charHash("text")} % 10 < 3")}
               |${qualityScoreSelect(QualityTrainRounds)}""".stripMargin),
+    ),
+    // HELD-OUT evaluation of the sampled-trained classifier — the
+    // number a deployment actually gates promotion on: train on the
+    // deterministic 30% hash sample, score ONLY the disjoint 70%, and
+    // report the (heuristic, predicted) confusion counts. The standing
+    // `agrees` flags of tx_quality_trained are measured on data the
+    // full-corpus model saw; this face's agreement is out-of-sample.
+    // The oracle replays the sample-restricted training chain and
+    // scores an independently-derived held-out feature frame.
+    Q(
+      "tx_quality_eval",
+      (s, d) => {
+        val docs = documents(s, d)
+        TextOps.qualityScoreTrained(
+          TextOps.hashSample(docs, buckets = 10, keep = 3),
+          TextOps.hashSampleHeldOut(docs, buckets = 10, keep = 3),
+          rounds = QualityTrainRounds)
+          .groupBy(col("heuristic_keep"), col("predicted_keep"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("heuristic_keep", "predicted_keep")
+      },
+      Some(s"""WITH ${qualityTrainChain(
+                QualityTrainRounds,
+                s"WHERE ${OracleSnippets.charHash("text")} % 10 < 3")},
+              |${qualityFeatureSql(
+                "fh",
+                s"WHERE ${OracleSnippets.charHash("text")} % 10 >= 3")}
+              |${qualityEvalSelect(QualityTrainRounds)}""".stripMargin),
+    ),
+    // The TRAINED model put to work in the shipping composition —
+    // dedup → model-predicted quality filter → token-budget mixing
+    // (dd_dedup_mix's shape keyed by predicted_keep instead of the
+    // heuristic): LSH cluster keepers that the sampled-trained
+    // classifier keeps, budgeted per source. The oracle composes the
+    // recursive cluster closure, the unrolled training chain's round-8
+    // weights as the keep predicate, and the integer budget arithmetic
+    // — a drift anywhere in the three stages hash-mismatches.
+    Q(
+      "tx_quality_mix",
+      (s, d) => {
+        val docs = documents(s, d)
+        val clusters = graft.operators.DedupOps.connectedComponents(
+          graft.operators.DedupOps.minhashLshPairs(
+            docs, DedupQueries.N, DedupQueries.K, DedupQueries.Bands,
+            DedupQueries.JaccardThreshold))
+        val keepers = docs
+          .join(clusters, Seq("doc_id"), "left")
+          .filter(col("component").isNull || col("component") === col("doc_id"))
+        val modelKeep = TextOps.qualityScoreTrained(
+          TextOps.hashSample(docs, buckets = 10, keep = 3), docs,
+          rounds = QualityTrainRounds)
+          .filter(col("predicted_keep"))
+          .select(col("doc_id"))
+        TextOps.mixByTokenBudget(
+          keepers.join(modelKeep, Seq("doc_id"), "left_semi"),
+          perSourceBudget = 500L, buckets = 10)
+      },
+      Some(s"""WITH RECURSIVE
+              |${qualityTrainChain(
+                QualityTrainRounds,
+                s"WHERE ${OracleSnippets.charHash("text")} % 10 < 3")},
+              |p AS (SELECT doc_a, doc_b FROM (${DedupQueries.minhashPairsSql})),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              |          UNION SELECT doc_b, doc_a FROM p),
+              |reach AS (SELECT u, v FROM edges
+              |          UNION
+              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |nodes AS (SELECT DISTINCT u AS id FROM edges),
+              |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+              |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+              |tok AS (
+              |  SELECT d.source, d.text,
+              |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+              |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+              |  WHERE (c.component IS NULL OR c.component = d.doc_id)
+              |    AND d.doc_id IN (${qualityKeepSubquery(QualityTrainRounds, "f")})),
+              |rate AS (
+              |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              |    CAST(least(10, (500*10)//sum(n_tok)) AS BIGINT) AS keep_buckets
+              |  FROM tok GROUP BY source),
+              |kept AS (
+              |  SELECT t.source, count(*) AS n_docs_kept,
+              |    CAST(sum(t.n_tok) AS BIGINT) AS tokens_kept
+              |  FROM tok t JOIN rate r ON t.source = r.source
+              |  WHERE ${OracleSnippets.charHash("t.text")} % 10 < r.keep_buckets
+              |  GROUP BY t.source)
+              |SELECT r.source AS source, total_tokens, keep_buckets,
+              |  coalesce(n_docs_kept, 0) AS n_docs_kept,
+              |  coalesce(tokens_kept, 0) AS tokens_kept
+              |FROM rate r LEFT JOIN kept k ON r.source = k.source
+              |ORDER BY source""".stripMargin),
     ),
     // Bigram-LM next-token serving table: for the 20 most frequent
     // bigram-starting unigrams, the argmax continuation and its exact

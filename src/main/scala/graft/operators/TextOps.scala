@@ -315,6 +315,14 @@ object TextOps {
   def hashSample(docs: DataFrame, buckets: Int, keep: Int): DataFrame =
     docs.filter(pmod(HashOps.polyHash(col("text")), lit(buckets.toLong)) < keep)
 
+  /** The exact complement of [[hashSample]] — the held-out slice a
+    * sampled-training evaluation scores: membership is the same pure
+    * row predicate, so sample ∪ held-out partitions the corpus with no
+    * coordination and no RNG state.
+    */
+  def hashSampleHeldOut(docs: DataFrame, buckets: Int, keep: Int): DataFrame =
+    docs.filter(pmod(HashOps.polyHash(col("text")), lit(buckets.toLong)) >= keep)
+
   /** Stratified deterministic sampling: per-stratum keep rates over the
     * same hash-bucket membership as [[hashSample]] — the corpus-mixing
     * primitive (upsample scarce languages, downsample dominant ones)
