@@ -2825,12 +2825,19 @@ object RelationalQueries {
              |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
              |GROUP BY node ORDER BY node""".stripMargin),
     ),
+    // PageRank serves its rank-update joins off the adjacency PERSISTED
+    // bucketed on src (the index-artifact discipline): the edge side of
+    // every iteration's join reads exchange-free — only the |V|-row
+    // rank vector shuffles per round, deleting the per-iteration |E|
+    // exchange that dominated this family's shuffle bytes.
     Q(
       "q_pagerank",
       (s, d) => {
         val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         val edges = graft.operators.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_suppkey")
-        graft.operators.GraphOps.pageRankInt(edges, iters = 3, scale = 1000000000000L)
+        graft.operators.GraphOps.pageRankIntBucketed(
+          s, edges, iters = 3, scale = 1000000000000L,
+          table = Tables.tempIndexDb(s, "graph", s"pr_edges_${Tables.datasetKey(d)}"))
       },
       Some("""WITH m AS MATERIALIZED (
              |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS k FROM lineitem),

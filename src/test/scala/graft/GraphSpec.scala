@@ -70,6 +70,54 @@ class GraphSpec extends SparkSpec {
         "irregular degrees must differentiate ranks")
   }
 
+  test("pageRankIntBucketed equals pageRankInt and reads the edge side exchange-free") {
+    val li = lineitem(spark, Sf).select(col("l_orderkey"), col("l_suppkey"))
+    val edges = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_suppkey")
+    val table = "prbucketed_edges"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val bucketed = GraphOps
+      .pageRankIntBucketed(spark, edges, iters = 3, scale = 1000000000000L, table, buckets = 4)
+      .collect().toSeq
+    val direct = GraphOps.pageRankInt(edges, iters = 3, scale = 1000000000000L)
+      .collect().toSeq
+    assert(bucketed.nonEmpty && bucketed == direct,
+      "persisted-bucketed ranks must be bit-identical to the in-memory loop's")
+    // The rank-update join's edge side must read the bucketed table in
+    // place: the ONLY allowed exchange is the rank-vector side's.
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val adj = spark.table(table)
+      // A rank-vector stand-in NOT derived from the table, so the join
+      // sides are structurally distinguishable in the plan.
+      val pr = (0L until 64L).toDF("node").select(col("node"), (col("node") * 7L).as("pr"))
+      val joined = adj.join(pr, adj("src") === pr("node"))
+        .select(col("dst"), expr("pr div out_deg").as("c"))
+      joined.count()
+      val exec = joined.queryExecution.executedPlan
+      val joinNodes = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j: org.apache.spark.sql.execution.SparkPlan
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j: org.apache.spark.sql.execution.SparkPlan
+      }
+      assert(joinNodes.nonEmpty, s"expected a shuffled join over the edge table:\n$exec")
+      val Seq(left, right) = joinNodes.head.children
+      val (edgeSide, prSide) =
+        if (left.toString.contains("prbucketed_edges")) (left, right) else (right, left)
+      assert(edgeSide.toString.contains("prbucketed_edges"))
+      assert(!edgeSide.toString.contains("Exchange"),
+        s"the bucketed edge scan must not sit under an exchange:\n$exec")
+      assert(prSide.toString.contains("Exchange hashpartitioning"),
+        s"the rank side shuffles to the bucket layout:\n$exec")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
+  }
+
   test("triangleCounts credits each triangle's three corners exactly once") {
     // Two triangles sharing edge 2–3: (1,2,3) and (2,3,4), plus a
     // pendant 4–5 (on no triangle) and a square 6-7-8-9 (cycles ≠
