@@ -39,5 +39,6 @@ object Registry {
     TextQueries.prepareSharedArtifacts(spark, dir)
     SimilarityQueries.prepareSharedArtifacts(spark, dir)
     MultimodalQueries.prepareSharedArtifacts(spark, dir)
+    RelationalQueries.prepareSharedArtifacts(spark, dir)
   }
 }
