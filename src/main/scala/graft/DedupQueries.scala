@@ -77,11 +77,87 @@ object DedupQueries {
 
   /** Temp-warehouse prefix for the LSH-index queries (shared helper:
     * [[Tables.tempIndexDb]] — see its comment for the appId-keying
-    * rationale). These queries rebuild their tables per invocation, so
-    * the prefix needs no dataset key.
+    * rationale). Only the deliberately-incremental faces still build
+    * per invocation (their build IS the test); the read faces serve
+    * the shared artifacts below.
     */
   private def indexDb(s: SparkSession, name: String): String =
     Tables.tempIndexDb(s, "lsh", name)
+
+  /** The cluster fixpoint over the LSH pair pipeline as one recursive
+    * closure — shared by the corpus-scan clustering face and the two
+    * persisted-artifact reads (from-scratch and incrementally grown):
+    * all three state the identical full-corpus truth.
+    */
+  private val lshClustersSql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges)
+       |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+       |FROM nodes n JOIN reach r ON r.u = n.id
+       |GROUP BY n.id ORDER BY doc_id""".stripMargin
+
+  /** The FULL-CORPUS text LSH index + persisted cluster assignment,
+    * built once per (session, dataset) — the build-once read-many
+    * discipline every other index family follows (fullMediaIndex
+    * pattern: dataset folded into the physical name, stopped sessions
+    * evicted; built eagerly in Bench's un-timed setup so a one-time
+    * corpus build can never masquerade as an index READ's steady-state
+    * cost). The deliberately-incremental faces keep building their
+    * own.
+    */
+  private val builtFullLsh = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[graft] def fullLshIndex(s: SparkSession, d: String): String = {
+    builtFullLsh.keys.filter(_._1.sparkContext.isStopped).foreach(builtFullLsh.remove)
+    builtFullLsh.getOrElseUpdate(
+      (s, d), {
+        val pre = Tables.tempIndexDb(s, "lsh", s"full_${Tables.datasetKey(d)}")
+        LshIndexOps.writeIndex(documents(s, d), N, K, Bands, buckets = 8, prefix = pre)
+        LshIndexOps.writeClusters(s, pre, JaccardThreshold, buckets = 8)
+        pre
+      },
+    )
+  }
+
+  /** The INCREMENTALLY-GROWN text index: seeded from the stored split
+    * (doc_id % 5 ≠ 0) with its cluster artifact, then the remaining
+    * fifth ingested through [[LshIndexOps.ingestBatchAndMaintain]] —
+    * its read face shares the FULL-CORPUS oracle, so a drifted
+    * incremental merge hash-mismatches the from-scratch truth.
+    */
+  private val builtGrownLsh = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[graft] def grownLshIndex(s: SparkSession, d: String): String = {
+    builtGrownLsh.keys.filter(_._1.sparkContext.isStopped).foreach(builtGrownLsh.remove)
+    builtGrownLsh.getOrElseUpdate(
+      (s, d), {
+        val pre = Tables.tempIndexDb(s, "lsh", s"grown_${Tables.datasetKey(d)}")
+        val docs = documents(s, d)
+        LshIndexOps.writeIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), N, K, Bands, buckets = 8, prefix = pre)
+        LshIndexOps.writeClusters(s, pre, JaccardThreshold, buckets = 8)
+        LshIndexOps.ingestBatchAndMaintain(
+          s, pre, docs.filter(col("doc_id") % 5 === 0), N, K, Bands,
+          buckets = 8, threshold = JaccardThreshold)
+        pre
+      },
+    )
+  }
+
+  /** Eager build of the shared text-index artifacts (no-op when built). */
+  def prepareSharedArtifacts(s: SparkSession, d: String): Unit = {
+    fullLshIndex(s, d)
+    grownLshIndex(s, d)
+    ()
+  }
 
   val all: Seq[Q] = Seq(
     Q(
@@ -194,18 +270,14 @@ object DedupQueries {
               |  AND levenshtein(a.text, b.text) <= 6
               |ORDER BY doc_a, doc_b""".stripMargin),
     ),
-    // The PERSISTED-index read path (LshIndexOps): build the bucketed
-    // shingle/band tables into a temp-warehouse database, then answer
-    // entirely from the stored artifact — the exchange-free candidate
-    // self-join LshIndexSpec pins. Pairs are identical to
+    // The PERSISTED-index read path (LshIndexOps): answer entirely from
+    // the SHARED stored artifact (fullLshIndex, built once in the
+    // un-timed setup like every index family) — the exchange-free
+    // candidate self-join LshIndexSpec pins. Pairs are identical to
     // dd_minhash_lsh's, so they share its oracle.
     Q(
       "dd_index_pairs",
-      (s, d) => {
-        LshIndexOps.writeIndex(
-          documents(s, d), N, K, Bands, buckets = 8, prefix = indexDb(s, "pairs"))
-        LshIndexOps.nearDupPairs(s, indexDb(s, "pairs"), JaccardThreshold)
-      },
+      (s, d) => LshIndexOps.nearDupPairs(s, fullLshIndex(s, d), JaccardThreshold),
       Some(minhashPairsSql),
     ),
     // The stop-band-key (skew) dial itself, applied: band buckets with
@@ -216,12 +288,8 @@ object DedupQueries {
     // band derivation.
     Q(
       "dd_index_pairs_capped",
-      (s, d) => {
-        LshIndexOps.writeIndex(
-          documents(s, d), N, K, Bands, buckets = 8, prefix = indexDb(s, "capped"))
-        LshIndexOps.nearDupPairsCapped(
-          s, indexDb(s, "capped"), JaccardThreshold, maxBucket = 2)
-      },
+      (s, d) => LshIndexOps.nearDupPairsCapped(
+        s, fullLshIndex(s, d), JaccardThreshold, maxBucket = 2),
       Some(s"""WITH $lshCandCtes,
               |sz AS (SELECT band_idx, band_key, count(*) AS s
               |       FROM bk GROUP BY band_idx, band_key),
@@ -247,10 +315,8 @@ object DedupQueries {
     // dial is needed — all integer arithmetic, fully portable.
     Q(
       "dd_index_stats",
-      (s, d) => {
-        LshIndexOps.writeIndex(
-          documents(s, d), N, K, Bands, buckets = 8, prefix = indexDb(s, "stats"))
-        s.table(s"${indexDb(s, "stats")}_bands")
+      (s, d) =>
+        s.table(s"${fullLshIndex(s, d)}_bands")
           .groupBy(col("band_idx"), col("band_key"))
           .agg(count(lit(1)).as("bucket_size"))
           .groupBy(col("band_idx"))
@@ -259,8 +325,7 @@ object DedupQueries {
             max(col("bucket_size")).as("max_bucket"),
             sum(expr("bucket_size * (bucket_size - 1) DIV 2")).as("candidate_pairs"),
           )
-          .orderBy("band_idx")
-      },
+          .orderBy("band_idx"),
       Some(s"""WITH $lshCandCtes,
               |b AS (SELECT band_idx, band_key, count(*) AS s
               |      FROM bk GROUP BY band_idx, band_key)
@@ -317,17 +382,27 @@ object DedupQueries {
         DedupOps.connectedComponents(
           DedupOps.minhashLshPairs(documents(s, d), N, K, Bands, JaccardThreshold),
         ),
-      Some(s"""WITH RECURSIVE
-              |p AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT u, v FROM edges
-              |          UNION
-              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |nodes AS (SELECT DISTINCT u AS id FROM edges)
-              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
-              |FROM nodes n JOIN reach r ON r.u = n.id
-              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+      Some(lshClustersSql),
+    ),
+    // The cluster assignment as a PERSISTED-artifact read — label-prop
+    // ran ONCE at index build (the nightly cadence); a read costs a
+    // bucket scan. Same fixpoint oracle as the corpus-scan face.
+    Q(
+      "dd_index_clusters",
+      (s, d) => LshIndexOps.clustersFromIndex(s, fullLshIndex(s, d)),
+      Some(lshClustersSql),
+    ),
+    // ARTIFACT FRESHNESS under incremental text ingest: the cluster
+    // assignment served from the GROWN index — seeded at 4/5 of the
+    // corpus, the last fifth ingested batch-wise through
+    // LshIndexOps.ingestBatchAndMaintain's touched-component merge —
+    // against the FULL-CORPUS oracle. A missed pair or stale component
+    // hash-mismatches the from-scratch truth while dd_index_clusters
+    // (the wholesale-rebuilt twin) still passes.
+    Q(
+      "dd_index_grow_clusters",
+      (s, d) => LshIndexOps.clustersFromIndex(s, grownLshIndex(s, d)),
+      Some(lshClustersSql),
     ),
     // The same pairs→clusters fixpoint via alternating large-star /
     // small-star contraction — the O(log n)-round billion-edge path

@@ -40,5 +40,6 @@ object Registry {
     SimilarityQueries.prepareSharedArtifacts(spark, dir)
     MultimodalQueries.prepareSharedArtifacts(spark, dir)
     RelationalQueries.prepareSharedArtifacts(spark, dir)
+    DedupQueries.prepareSharedArtifacts(spark, dir)
   }
 }

@@ -441,6 +441,53 @@ object DedupOps {
     labels.select(col("id").as("doc_id"), col("comp").as("component")).orderBy("doc_id")
   }
 
+  /** Incremental maintenance of a PERSISTED cluster assignment table
+    * (`(doc_id, component)` bucketed+sorted on doc_id, component = min
+    * reachable id — [[connectedComponents]]' fixpoint): merge
+    * `newPairs` (verified pairs involving a just-ingested batch) by
+    * label-prop over ONLY the touched components. The edge set is the
+    * new pairs plus the STAR edges (member → component label) of every
+    * stored component containing a pair endpoint — stars preserve the
+    * old components' connectivity exactly, so the merged labels equal
+    * a from-scratch label-prop over the full grown pair set while the
+    * iterative work scales with the touched slice, not the corpus;
+    * untouched components carry over unchanged. Idempotent:
+    * re-merging the same pairs reproduces the identical table, so a
+    * crashed ingest replays cleanly. Shared by the media-fingerprint
+    * and text-LSH index maintainers.
+    */
+  def growPersistedClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      newPairs: DataFrame,
+  ): Unit = {
+    val np = newPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    if (np.isEmpty) return
+    val buckets = IndexCatalog.tableBuckets(spark, table)
+    val stored = spark.table(table)
+    val endpoints = np.select(col("doc_a").as("doc_id"))
+      .unionAll(np.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val touched = stored.join(endpoints, Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct()
+    // Materialize BOTH table-derived frames before the overwrite below
+    // mutates the table they read.
+    val untouched = stored.join(touched, Seq("component"), "left_anti")
+      .select(col("doc_id"), col("component"))
+      .localCheckpoint()
+    val stars = stored.join(touched, Seq("component"), "left_semi")
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("doc_a"), col("component").as("doc_b"))
+      .localCheckpoint()
+    val merged = connectedComponents(np.unionByName(stars))
+    untouched
+      .unionByName(merged.select(col("doc_id"), col("component")))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Connected components via alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — the billion-edge path that [[connectedComponents]]'s

@@ -137,6 +137,108 @@ object LshIndexOps {
     verifiedPairs(spark, prefix, Banding.candidateSelfPairs(small, keys), threshold)
   }
 
+  /** Persist the cluster assignment next to the index — label-prop
+    * connected components over pairs read FROM the just-written band
+    * table (clustering never re-shingles a document), bucketed+sorted
+    * on doc_id like `_docs` so downstream reads are bucket scans. The
+    * nightly-refresh artifact [[clustersFromIndex]] serves;
+    * [[ingestBatchAndMaintain]] keeps it fresh between rebuilds.
+    */
+  def writeClusters(
+      spark: SparkSession,
+      prefix: String,
+      threshold: Double,
+      buckets: Int,
+  ): Unit = {
+    DedupOps
+      .connectedComponents(
+        nearDupPairs(spark, prefix, threshold).select(col("doc_a"), col("doc_b")))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_clusters")
+    spark.catalog.refreshTable(s"${prefix}_clusters")
+  }
+
+  /** The persisted cluster assignment as a read face — label-prop ran
+    * once at build time (or incrementally via
+    * [[ingestBatchAndMaintain]]); a read costs a bucket scan.
+    * Identical to `DedupOps.connectedComponents` over the corpus-scan
+    * pairs (the registry faces share the oracle).
+    */
+  def clustersFromIndex(spark: SparkSession, prefix: String): DataFrame =
+    spark.table(s"${prefix}_clusters").orderBy("doc_id")
+
+  /** GROW-EVERYTHING ingest + cluster maintenance — the text twin of
+    * `MediaIndexOps.ingestBatchAndMaintain` (the archive shape: dups
+    * are ADMITTED, the maintained cluster assignment names them for
+    * curation, vs [[dedupBatchAndGrow]]'s reject gate): every batch
+    * doc is appended to `_docs`/`_bands` under the intent/commit
+    * ledger, and the batch's Jaccard-verified pairs (vs the stored
+    * corpus + within-batch) merge into the persisted `_clusters` by
+    * [[DedupOps.growPersistedClusters]]' touched-component label-prop
+    * — so the cluster read face stays fresh between wholesale rebuilds
+    * without re-shingling or re-clustering the corpus. Pair generation
+    * excludes the batch's own ids from the stored side (immune to a
+    * prior partial append) and the merge is idempotent, so a crashed
+    * replay converges (LshIndexSpec asserts bit-equality to a
+    * from-scratch rebuild after N batches and replay as a no-op).
+    */
+  def ingestBatchAndMaintain(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      n: Int,
+      k: Int,
+      bands: Int,
+      buckets: Int,
+      threshold: Double,
+  ): Unit = {
+    val idx = indexFrame(batch, n, k, bands).localCheckpoint()
+    val batchIds = idx.select(col("doc_id")).distinct().localCheckpoint()
+    val batchBands = idx
+      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
+    val keys = Seq("band_idx", "band_key")
+    val storedBands = spark.table(s"${prefix}_bands")
+      .join(batchIds, Seq("doc_id"), "left_anti")
+    val storedSets = spark.table(s"${prefix}_docs")
+      .join(batchIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("dup_of"), col("sh").as("sh_b"))
+    val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    def verified(candidates: DataFrame, rightSets: DataFrame): DataFrame =
+      candidates
+        .join(idx.select(col("doc_id").as("new_doc_id"), col("sh").as("sh_a")), "new_doc_id")
+        .join(rightSets, "dup_of")
+        .select(
+          col("new_doc_id"),
+          col("dup_of"),
+          (c.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - c)).as("jaccard"),
+        )
+        .filter(col("jaccard") >= threshold)
+    val vsStored = verified(
+      Banding.candidatePairs(batchBands, storedBands, keys, "new_doc_id", "dup_of"),
+      storedSets)
+    val withinBatch = verified(
+      Banding.candidatePairs(
+        batchBands, batchBands, keys, "new_doc_id", "dup_of",
+        docPred = Some(col("y.doc_id") < col("x.doc_id"))),
+      idx.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")))
+    val pairs = vsStored.unionByName(withinBatch)
+      .select(
+        least(col("new_doc_id"), col("dup_of")).as("doc_a"),
+        greatest(col("new_doc_id"), col("dup_of")).as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    // The merge runs BEFORE the ledgered appends: it is idempotent and
+    // its inputs never read un-excluded batch state, so any crash
+    // point replays cleanly.
+    if (spark.catalog.tableExists(s"${prefix}_clusters"))
+      DedupOps.growPersistedClusters(spark, s"${prefix}_clusters", pairs)
+    val newRows = idx
+      .join(spark.table(s"${prefix}_docs").select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    appendKeepers(spark, prefix, newRows, buckets, crashAfter = "")
+  }
+
   /** Incremental dedup — the reason a pipeline PERSISTS the index: new
     * documents are checked against the existing corpus by joining the
     * batch's band keys against the stored band table (bucketed side

@@ -389,51 +389,19 @@ object MediaIndexOps {
 
   /** Incremental CLUSTER maintenance — merge `newPairs` (verified
     * pairs involving a just-ingested batch) into the persisted
-    * assignment at `<prefix>_<table>` by label-prop over ONLY the
-    * touched components: the edge set is the new pairs plus the STAR
-    * edges (member → component label) of every stored component
-    * containing a pair endpoint. Stars preserve the old components'
-    * connectivity exactly, so the merged labels equal a from-scratch
-    * label-prop over the full grown pair set (MediaIndexSpec asserts
-    * bit-equality after N batches) while the iterative work is
-    * proportional to the touched slice, not the corpus; untouched
-    * components carry over unchanged. Idempotent: re-merging the same
-    * pairs reproduces the identical table, so a crashed ingest replays
-    * cleanly.
+    * assignment at `<prefix>_<table>` by
+    * [[DedupOps.growPersistedClusters]]' touched-component label-prop
+    * (MediaIndexSpec asserts bit-equality to a from-scratch rebuild
+    * after N batches; the merge is idempotent, so a crashed ingest
+    * replays cleanly).
     */
   def growClustersWith(
       spark: SparkSession,
       prefix: String,
       newPairs: DataFrame,
       table: String = "clusters",
-  ): Unit = {
-    val full = s"${prefix}_$table"
-    val np = newPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    if (np.isEmpty) return
-    val buckets = IndexCatalog.tableBuckets(spark, full)
-    val stored = spark.table(full)
-    val endpoints = np.select(col("doc_a").as("doc_id"))
-      .unionAll(np.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val touched = stored.join(endpoints, Seq("doc_id"), "left_semi")
-      .select(col("component")).distinct()
-    // Materialize BOTH table-derived frames before the overwrite below
-    // mutates the table they read.
-    val untouched = stored.join(touched, Seq("component"), "left_anti")
-      .select(col("doc_id"), col("component"))
-      .localCheckpoint()
-    val stars = stored.join(touched, Seq("component"), "left_semi")
-      .filter(col("doc_id") =!= col("component"))
-      .select(col("doc_id").as("doc_a"), col("component").as("doc_b"))
-      .localCheckpoint()
-    val merged = DedupOps.connectedComponents(np.unionByName(stars))
-    untouched
-      .unionByName(merged.select(col("doc_id"), col("component")))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(full)
-    spark.catalog.refreshTable(full)
-  }
+  ): Unit =
+    DedupOps.growPersistedClusters(spark, s"${prefix}_$table", newPairs)
 
   /** GROW-EVERYTHING ingest + artifact maintenance — the full-corpus
     * nightly index's incremental face: every batch item is appended to

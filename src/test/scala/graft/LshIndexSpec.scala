@@ -298,6 +298,58 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("grow-everything text ingest keeps the cluster artifact bit-equal to a from-scratch rebuild") {
+    import spark.implicits._
+    val pre = "lshixgrow"
+    val ref = "lshixgrowref"
+    val tables = Seq("_docs", "_bands", "_clusters", "_batches")
+    Seq(pre, ref).foreach(p => tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $p$t")))
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    val seed = docs.filter(col("doc_id") < cut)
+    val rest = docs.filter(col("doc_id") >= cut)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val waves = rest.grouped(rest.length / 2 + 1).toSeq.map(_.toSeq)
+    LshIndexOps.writeIndex(seed, N, K, Bands, buckets = 4, prefix = pre)
+    LshIndexOps.writeClusters(spark, pre, Threshold, buckets = 4)
+    waves.foreach { w =>
+      LshIndexOps.ingestBatchAndMaintain(
+        spark, pre, w.toDF("doc_id", "text"), N, K, Bands, buckets = 4,
+        threshold = Threshold)
+    }
+    LshIndexOps.writeIndex(docs, N, K, Bands, buckets = 4, prefix = ref)
+    LshIndexOps.writeClusters(spark, ref, Threshold, buckets = 4)
+    Seq("_docs", "_clusters").foreach { t =>
+      val grown = spark.table(s"$pre$t")
+      val rebuilt = spark.table(s"$ref$t")
+      assert(rebuilt.count() > 0, s"$t rebuild is empty")
+      assert(
+        grown.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(grown).isEmpty,
+        s"incrementally maintained $t differs from the from-scratch rebuild")
+    }
+    // Clusters must span the split: at least one component joining a
+    // seed doc to an ingested doc, or the maintenance path was not
+    // genuinely exercised.
+    val crossSplit = spark.table(s"${pre}_clusters")
+      .groupBy(col("component"))
+      .agg(
+        sum(when(col("doc_id") < cut, 1L).otherwise(0L)).as("n_seed"),
+        sum(when(col("doc_id") >= cut, 1L).otherwise(0L)).as("n_new"))
+      .filter(col("n_seed") > 0 && col("n_new") > 0)
+    assert(!crossSplit.isEmpty, "expected at least one cross-split cluster")
+    // Replaying the last wave is a no-op on every artifact.
+    val before = Seq("_docs", "_clusters")
+      .map(t => t -> spark.table(s"$pre$t").collect().toSeq).toMap
+    LshIndexOps.ingestBatchAndMaintain(
+      spark, pre, waves.last.toDF("doc_id", "text"), N, K, Bands, buckets = 4,
+      threshold = Threshold)
+    before.foreach { case (t, rows0) =>
+      assert(spark.table(s"$pre$t").collect().toSeq.sortBy(_.toString) ==
+        rows0.sortBy(_.toString), s"replaying a committed batch must not change $t")
+    }
+  }
+
   test("incremental dedup against the index flags a planted near-duplicate") {
     buildOnce()
     import spark.implicits._
