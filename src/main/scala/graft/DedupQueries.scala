@@ -152,10 +152,32 @@ object DedupQueries {
     )
   }
 
+  /** The STORED-SPLIT text index + meta (stored = doc_id % 5 ≠ 0) the
+    * upload-verdict face probes — pre-built like the media admission
+    * gate's split artifacts, so the timed query is the per-arrival
+    * probe alone.
+    */
+  private val builtSplitLsh = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[graft] def splitLshIndex(s: SparkSession, d: String): String = {
+    builtSplitLsh.keys.filter(_._1.sparkContext.isStopped).foreach(builtSplitLsh.remove)
+    builtSplitLsh.getOrElseUpdate(
+      (s, d), {
+        val pre = Tables.tempIndexDb(s, "lsh", s"split_${Tables.datasetKey(d)}")
+        val stored = documents(s, d).filter(col("doc_id") % 5 =!= 0)
+        LshIndexOps.writeIndex(stored, N, K, Bands, buckets = 8, prefix = pre)
+        LshIndexOps.writeMetaTable(stored, buckets = 8, prefix = pre)
+        pre
+      },
+    )
+  }
+
   /** Eager build of the shared text-index artifacts (no-op when built). */
   def prepareSharedArtifacts(s: SparkSession, d: String): Unit = {
     fullLshIndex(s, d)
     grownLshIndex(s, d)
+    splitLshIndex(s, d)
     ()
   }
 
@@ -403,6 +425,52 @@ object DedupQueries {
       "dd_index_grow_clusters",
       (s, d) => LshIndexOps.clustersFromIndex(s, grownLshIndex(s, d)),
       Some(lshClustersSql),
+    ),
+    // The UPLOAD-TIME admission verdict for TEXT — the media admission
+    // gate's discipline on the document corpus: each arriving doc
+    // (doc_id % 5 = 0) is judged against the STORED corpus's artifacts
+    // only — exact_dup by digest probe against the stored `_meta`,
+    // near_dup by the banded probe against the stored band table with
+    // a deterministic (jaccard DESC, doc_id) arg-max naming dup_of,
+    // then the token floor (the tx_quality keep-rule's lower bound,
+    // n_tok < 20 → too_short), else keep. Read-only on the index; the
+    // split artifacts are pre-built shared state, so the timed query
+    // is the per-arrival probe alone. The oracle replays the exact
+    // match as text equality across the split, the near match as the
+    // pair derivation's cross pairs with a row_number arg-max, and the
+    // floor from the independent token count.
+    Q(
+      "dd_index_upload_verdict",
+      (s, d) => LshIndexOps.uploadVerdict(
+        s, splitLshIndex(s, d), documents(s, d).filter(col("doc_id") % 5 === 0),
+        N, K, Bands, JaccardThreshold, minTok = 20L),
+      Some(s"""WITH arr AS (SELECT doc_id, text,
+              |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              |             FROM documents WHERE doc_id % 5 = 0),
+              |st AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+              |ex AS (SELECT a.doc_id, min(s.doc_id) AS exact_of
+              |       FROM arr a JOIN st s ON s.text = a.text
+              |       GROUP BY a.doc_id),
+              |ndp AS (SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+              |               CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS stored,
+              |               jaccard
+              |        FROM ($minhashPairsSql)
+              |        WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)),
+              |nd AS (SELECT doc_id, stored AS near_of FROM (
+              |         SELECT doc_id, stored,
+              |                row_number() OVER (PARTITION BY doc_id
+              |                                   ORDER BY jaccard DESC, stored) AS rn
+              |         FROM ndp) WHERE rn = 1)
+              |SELECT a.doc_id,
+              |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+              |       WHEN n.near_of IS NOT NULL THEN 'near_dup'
+              |       WHEN a.n < 20 THEN 'too_short'
+              |       ELSE 'keep' END AS status,
+              |  coalesce(e.exact_of, n.near_of) AS dup_of
+              |FROM arr a
+              |LEFT JOIN ex e ON e.doc_id = a.doc_id
+              |LEFT JOIN nd n ON n.doc_id = a.doc_id
+              |ORDER BY a.doc_id""".stripMargin),
     ),
     // The same pairs→clusters fixpoint via alternating large-star /
     // small-star contraction — the O(log n)-round billion-edge path

@@ -137,6 +137,82 @@ object LshIndexOps {
     verifiedPairs(spark, prefix, Banding.candidateSelfPairs(small, keys), threshold)
   }
 
+  /** Persist the `<prefix>_meta` table — (doc_id, text_md5, n_tok),
+    * the per-document metadata the upload-time admission gate probes:
+    * the digest answers "is this EXACT text already held?" without
+    * re-reading stored text, the token count carries the quality
+    * floor. Bucketed+sorted on doc_id like `_docs`. Unlike the media
+    * `_meta` there is no stored ex_keeper: the exact-dup keeper is
+    * derived at probe time as min(stored doc_id per digest), so
+    * incremental appends never need a relabel pass.
+    */
+  def writeMetaTable(docs: DataFrame, buckets: Int, prefix: String): Unit = {
+    textMeta(docs)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_meta")
+    docs.sparkSession.catalog.refreshTable(s"${prefix}_meta")
+  }
+
+  private def textMeta(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("text_md5"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+    )
+
+  /** The UPLOAD-TIME admission verdict for TEXT — the per-arrival
+    * decision a corpus pipeline makes before admitting a document,
+    * entirely against the STORED artifacts (read-only; admitting
+    * keepers is [[dedupBatchAndGrow]]'s job — the
+    * `MediaIndexOps.uploadVerdict` discipline on the text index):
+    * `exact_dup` when the arrival's text digest matches a stored item
+    * (probe against `_meta` — dup_of = the lowest stored doc_id
+    * holding it), `near_dup` when the banded probe against the stored
+    * band table Jaccard-verifies a match (dup_of = the stored item at
+    * the best (jaccard DESC, doc_id ASC) — a deterministic arg-max),
+    * then the `too_short` token floor, else `keep`. Stored text is
+    * never re-read; the bucketed band side never shuffles.
+    */
+  def uploadVerdict(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      n: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      minTok: Long,
+  ): DataFrame = {
+    val bm = textMeta(batch).localCheckpoint()
+    val ex = bm
+      .select(col("doc_id"), col("text_md5"))
+      .join(
+        spark.table(s"${prefix}_meta")
+          .select(col("text_md5"), col("doc_id").as("stored_id")),
+        Seq("text_md5"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("stored_id")).as("exact_of"))
+    val near = dedupAgainstIndex(spark, prefix, batch, n, k, bands, threshold)
+      .groupBy(col("new_doc_id").as("doc_id"))
+      // Deterministic arg-max: highest jaccard wins, ties to the
+      // smallest stored id (min over (-jaccard, doc_id) structs).
+      .agg(min(struct((-col("jaccard")).as("nj"), col("dup_of"))).as("m"))
+      .select(col("doc_id"), col("m.dup_of").as("near_of"))
+    bm.join(ex, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("near_of").isNotNull, lit("near_dup"))
+          .when(col("n_tok") < minTok, lit("too_short"))
+          .otherwise(lit("keep")).as("status"),
+        when(col("exact_of").isNotNull, col("exact_of"))
+          .otherwise(col("near_of")).as("dup_of"),
+      )
+      .orderBy("doc_id")
+  }
+
   /** Persist the cluster assignment next to the index — label-prop
     * connected components over pairs read FROM the just-written band
     * table (clustering never re-shingles a document), bucketed+sorted
@@ -236,7 +312,9 @@ object LshIndexOps {
     val newRows = idx
       .join(spark.table(s"${prefix}_docs").select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    appendKeepers(spark, prefix, newRows, buckets, crashAfter = "")
+    appendKeepers(
+      spark, prefix, newRows, buckets, crashAfter = "",
+      metaFor(spark, prefix, batch, newRows))
   }
 
   /** Incremental dedup — the reason a pipeline PERSISTS the index: new
@@ -441,9 +519,27 @@ object LshIndexOps {
       .join(dups.select(col("new_doc_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .join(spark.table(s"${prefix}_docs").select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    appendKeepers(spark, prefix, kept, buckets, crashAfter)
+    appendKeepers(spark, prefix, kept, buckets, crashAfter, metaFor(spark, prefix, batch, kept))
     dups
   }
+
+  /** The admitted keepers' `_meta` rows, when the prefix carries the
+    * artifact (the MediaIndexOps meta-maintenance discipline): they
+    * ride the SAME ledgered commit, so the upload-time digest probe
+    * sees incrementally-admitted documents and an exact copy replayed
+    * later is labeled `exact_dup` — not `near_dup` at jaccard 1.
+    */
+  private def metaFor(
+      spark: SparkSession,
+      prefix: String,
+      batch: DataFrame,
+      kept: DataFrame,
+  ): Option[DataFrame] =
+    if (spark.catalog.tableExists(s"${prefix}_meta"))
+      Some(
+        textMeta(batch.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .localCheckpoint())
+    else None
 
   /** Micro-batches with at most this many distinct doc_ids use a
     * driver-side id list for the rare crash-repair presence probe
@@ -477,6 +573,7 @@ object LshIndexOps {
       kept: DataFrame,
       buckets: Int,
       crashAfter: String,
+      keptMeta: Option[DataFrame] = None,
   ): Unit = {
     if (kept.isEmpty) return // nothing to append → no ledger entry needed
     val bkRow = kept.agg(min(col("doc_id"))).first()
@@ -511,6 +608,17 @@ object LshIndexOps {
     }
     if (crashAfter == "bands")
       throw new IllegalStateException("injected crash after bands append")
+    keptMeta.foreach { m =>
+      if (!repairing || !present("meta")) {
+        m.write.mode("append")
+          .bucketBy(IndexCatalog.tableBuckets(spark, s"${prefix}_meta"), "doc_id")
+          .sortBy("doc_id")
+          .saveAsTable(s"${prefix}_meta")
+        spark.catalog.refreshTable(s"${prefix}_meta")
+      }
+    }
+    if (crashAfter == "meta")
+      throw new IllegalStateException("injected crash after meta append")
     if (!repairing || !present("docs")) {
       kept
         .select(col("doc_id"), col("sh"))

@@ -350,6 +350,38 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("incrementally admitted keepers are visible to the text exact-dup digest probe") {
+    import spark.implicits._
+    val pre = "lshixmetagrow"
+    Seq("_docs", "_bands", "_meta", "_batches")
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $pre$sfx"))
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val stored = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    LshIndexOps.writeIndex(stored, N, K, Bands, buckets = 4, prefix = pre)
+    LshIndexOps.writeMetaTable(stored, buckets = 4, prefix = pre)
+    val metaBefore = spark.table(s"${pre}_meta").count()
+    LshIndexOps.dedupBatchAndGrow(
+      spark, pre, batch, N, K, Bands, buckets = 4, threshold = Threshold)
+    val keptIds = spark.table(s"${pre}_docs").select("doc_id").as[Long].collect().toSet --
+      stored.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.nonEmpty)
+    assert(spark.table(s"${pre}_meta").count() == metaBefore + keptIds.size,
+      "admitted keepers' meta rows must ride the same commit")
+    // Replay an EXACT copy of an admitted doc (same text, fresh id):
+    // the digest probe labels it exact_dup with the admitted doc_id —
+    // not near_dup at jaccard 1.
+    val admitted = keptIds.min
+    val text = batch.filter(col("doc_id") === admitted).select("text").as[String].head()
+    val maxId = docs.agg(max(col("doc_id"))).as[Long].head()
+    val copy = Seq((maxId + 1L, text)).toDF("doc_id", "text")
+    val verdict = LshIndexOps.uploadVerdict(
+      spark, pre, copy, N, K, Bands, Threshold, minTok = 20L)
+      .as[(Long, String, java.lang.Long)].collect().toSeq
+    assert(verdict == Seq((maxId + 1L, "exact_dup", java.lang.Long.valueOf(admitted))),
+      s"expected exact_dup of $admitted, got $verdict")
+  }
+
   test("incremental dedup against the index flags a planted near-duplicate") {
     buildOnce()
     import spark.implicits._
