@@ -137,6 +137,50 @@ object TextQueries {
     s"SELECT $from.doc_id FROM $from CROSS JOIN w$rounds w WHERE 2 * ($score) > 33554432"
   }
 
+  /** The dedup→model-filter→token-budget-mix oracle — ONE truth for the
+    * in-query-derivation face (`tx_quality_mix`, the corpus-scan
+    * reference) and the artifact-served face (`tx_quality_mix_indexed`,
+    * reading the persisted `_clusters` + `_weights`): the recursive
+    * cluster closure over the LSH pair derivation, the unrolled
+    * sampled-training chain's round-8 weights as the keep predicate,
+    * and the integer budget arithmetic.
+    */
+  private lazy val qualityMixSql: String =
+    s"""WITH RECURSIVE
+       |${qualityTrainChain(
+        QualityTrainRounds,
+        s"WHERE ${OracleSnippets.charHash("text")} % 10 < 3")},
+       |p AS (SELECT doc_a, doc_b FROM (${DedupQueries.minhashPairsSql})),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+       |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
+       |tok AS (
+       |  SELECT d.source, d.text,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |  WHERE (c.component IS NULL OR c.component = d.doc_id)
+       |    AND d.doc_id IN (${qualityKeepSubquery(QualityTrainRounds, "f")})),
+       |rate AS (
+       |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |    CAST(least(10, (500*10)//sum(n_tok)) AS BIGINT) AS keep_buckets
+       |  FROM tok GROUP BY source),
+       |kept AS (
+       |  SELECT t.source, count(*) AS n_docs_kept,
+       |    CAST(sum(t.n_tok) AS BIGINT) AS tokens_kept
+       |  FROM tok t JOIN rate r ON t.source = r.source
+       |  WHERE ${OracleSnippets.charHash("t.text")} % 10 < r.keep_buckets
+       |  GROUP BY t.source)
+       |SELECT r.source AS source, total_tokens, keep_buckets,
+       |  coalesce(n_docs_kept, 0) AS n_docs_kept,
+       |  coalesce(tokens_kept, 0) AS tokens_kept
+       |FROM rate r LEFT JOIN kept k ON r.source = k.source
+       |ORDER BY source""".stripMargin
+
   /** The held-out confusion tail: the model trained on the sample
     * (`ft`) applied to the DISJOINT held-out feature frame `fh`, rolled
     * into the (heuristic, predicted) confusion counts a deployment
@@ -175,23 +219,65 @@ object TextQueries {
 
   private def fullSearchIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
     builtFullIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtFullIdx.remove)
-    builtFullIdx.getOrElseUpdate(
-      (s, d), {
-        val pre = searchDb(s, s"full_${Tables.datasetKey(d)}")
-        graft.operators.SearchIndexOps.writeIndex(documents(s, d), buckets = 8, prefix = pre)
-        pre
-      },
-    )
+    // synchronized: getOrElseUpdate may evaluate the build closure in two
+    // threads at once, racing the overwrite saveAsTable on one physical
+    // name. Serializing the memo is free — builds are one-time and the
+    // drivers are sequential today; this just removes the latent race.
+    builtFullIdx.synchronized {
+      builtFullIdx.getOrElseUpdate(
+        (s, d), {
+          val pre = searchDb(s, s"full_${Tables.datasetKey(d)}")
+          graft.operators.SearchIndexOps.writeIndex(documents(s, d), buckets = 8, prefix = pre)
+          pre
+        },
+      )
+    }
   }
 
-  /** Eagerly builds the shared full-corpus search index for `d` (no-op
-    * when already built). Bench calls this in its un-timed setup phase
-    * so the one-time build cost cannot land inside the first indexed
-    * query's timed region (first-iteration skew); queries themselves
-    * still build lazily when run standalone (Verify, tests).
+  /** The trained quality model PERSISTED as a 1-row `_weights` table —
+    * the round-8 weight vector of the sampled training run
+    * (tx_quality_train_sampled's recipe), written once per (session,
+    * dataset) beside the other shared artifacts so serving compositions
+    * (`tx_quality_mix_indexed`) read stored weights instead of
+    * retraining in-query. Every other trained/derived structure in the
+    * repo (LSH clusters, IVF/PQ codebooks, BPE merges, media
+    * fingerprints, pagerank adjacency) already had an artifact; this
+    * closes the last in-query re-derivation.
+    */
+  private val builtQualityWeights = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private[graft] def qualityWeightsTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): String = {
+    builtQualityWeights.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(builtQualityWeights.remove)
+    builtQualityWeights.synchronized {
+      builtQualityWeights.getOrElseUpdate(
+        (s, d), {
+          val t = Tables.tempIndexDb(s, "text", s"qweights_${Tables.datasetKey(d)}")
+          TextOps.qualityTrainedWeights(
+            TextOps.hashSample(documents(s, d), buckets = 10, keep = 3),
+            rounds = QualityTrainRounds)
+            .write.mode("overwrite").saveAsTable(t)
+          t
+        },
+      )
+    }
+  }
+
+  /** Eagerly builds the shared full-corpus search index and the trained
+    * quality-model weights for `d` (no-op when already built). Bench
+    * calls this in its un-timed setup phase so the one-time build cost
+    * cannot land inside the first indexed query's timed region
+    * (first-iteration skew); queries themselves still build lazily when
+    * run standalone (Verify, tests).
     */
   def prepareSharedArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    fullSearchIndex(s, d); ()
+    fullSearchIndex(s, d)
+    qualityWeightsTable(s, d)
+    ()
   }
 
   /** Oracle of the conjunctive search — shared by tx_search_and (the
@@ -1194,40 +1280,34 @@ object TextQueries {
           keepers.join(modelKeep, Seq("doc_id"), "left_semi"),
           perSourceBudget = 500L, buckets = 10)
       },
-      Some(s"""WITH RECURSIVE
-              |${qualityTrainChain(
-                QualityTrainRounds,
-                s"WHERE ${OracleSnippets.charHash("text")} % 10 < 3")},
-              |p AS (SELECT doc_a, doc_b FROM (${DedupQueries.minhashPairsSql})),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT u, v FROM edges
-              |          UNION
-              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |nodes AS (SELECT DISTINCT u AS id FROM edges),
-              |comp AS (SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
-              |         FROM nodes n JOIN reach r ON r.u = n.id GROUP BY n.id),
-              |tok AS (
-              |  SELECT d.source, d.text,
-              |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
-              |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-              |  WHERE (c.component IS NULL OR c.component = d.doc_id)
-              |    AND d.doc_id IN (${qualityKeepSubquery(QualityTrainRounds, "f")})),
-              |rate AS (
-              |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-              |    CAST(least(10, (500*10)//sum(n_tok)) AS BIGINT) AS keep_buckets
-              |  FROM tok GROUP BY source),
-              |kept AS (
-              |  SELECT t.source, count(*) AS n_docs_kept,
-              |    CAST(sum(t.n_tok) AS BIGINT) AS tokens_kept
-              |  FROM tok t JOIN rate r ON t.source = r.source
-              |  WHERE ${OracleSnippets.charHash("t.text")} % 10 < r.keep_buckets
-              |  GROUP BY t.source)
-              |SELECT r.source AS source, total_tokens, keep_buckets,
-              |  coalesce(n_docs_kept, 0) AS n_docs_kept,
-              |  coalesce(tokens_kept, 0) AS tokens_kept
-              |FROM rate r LEFT JOIN kept k ON r.source = k.source
-              |ORDER BY source""".stripMargin),
+      Some(qualityMixSql),
+    ),
+    // The shipping composition SERVED FROM ARTIFACTS — what a nightly
+    // mix run actually pays once the cluster assignment and the trained
+    // model are persisted: keepers read off fullLshIndex's `_clusters`
+    // (label-prop ran once at index build; same N/K/Bands/threshold as
+    // the in-query twin above), the keep predicate reads the stored
+    // 1-row `_weights` artifact (training ran once, on the hash
+    // sample), and the timed work is one corpus scan + the budget mix.
+    // The in-query-derivation twin above stays as the corpus-scan
+    // reference face; both state the same oracle truth, and
+    // TextOpsSpec pins them bit-equal.
+    Q(
+      "tx_quality_mix_indexed",
+      (s, d) => {
+        val docs = documents(s, d)
+        val clusters = s.table(s"${DedupQueries.fullLshIndex(s, d)}_clusters")
+        val keepers = docs
+          .join(clusters, Seq("doc_id"), "left")
+          .filter(col("component").isNull || col("component") === col("doc_id"))
+        val modelKeep = TextOps.qualityScoreStored(docs, s.table(qualityWeightsTable(s, d)))
+          .filter(col("predicted_keep"))
+          .select(col("doc_id"))
+        TextOps.mixByTokenBudget(
+          keepers.join(modelKeep, Seq("doc_id"), "left_semi"),
+          perSourceBudget = 500L, buckets = 10)
+      },
+      Some(qualityMixSql),
     ),
     // Bigram-LM next-token serving table: for the 20 most frequent
     // bigram-starting unigrams, the argmax continuation and its exact

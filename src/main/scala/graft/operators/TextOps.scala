@@ -231,6 +231,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The trained weights as a 1-ROW ARTIFACT frame `(w0..w4)` — what a
+    * pipeline PERSISTS after the nightly training run so every serving
+    * composition reads stored weights instead of retraining in-query
+    * (the `fullLshIndex`/codebook discipline applied to the third
+    * trained-artifact family). [[qualityScoreStored]] is the read path.
+    */
+  def qualityTrainedWeights(trainDocs: DataFrame, rounds: Int): DataFrame = {
+    val spark = trainDocs.sparkSession
+    import spark.implicits._
+    val w = qualityTrainCore(trainDocs, rounds)._2
+    Seq((w(0), w(1), w(2), w(3), w(4))).toDF("w0", "w1", "w2", "w3", "w4")
+  }
+
+  /** Score every document of `docs` with a STORED weight row (the
+    * 1-row `(w0..w4)` artifact [[qualityTrainedWeights]] persists) —
+    * bit-identical to [[qualityScoreTrained]]'s tail, with the training
+    * loop replaced by a broadcast of the stored row (the 1-row
+    * broadcast-crossJoin shape every codebook read uses): one corpus
+    * scan, no driver-paced rounds — the serving cost a composition
+    * actually pays once the model is an artifact.
+    */
+  def qualityScoreStored(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val xs = Array("x0", "x1", "x2", "x3", "x4")
+    val score = xs.indices.map(j => col(xs(j)) * col(s"w$j")).reduce(_ + _)
+    qualityFeatures(docs)
+      .crossJoin(broadcast(weights))
+      .select(
+        col("doc_id"),
+        score.as("score"),
+        (score * 2L > QPredScale).as("predicted_keep"),
+        (col("y") === 1L).as("heuristic_keep"),
+        ((score * 2L > QPredScale) === (col("y") === 1L)).as("agrees"),
+      )
+      .orderBy("doc_id")
+  }
+
   /** Language-id: marker-set scores per language, argmax with
     * lexicographic tie-break (deterministic), plus agreement with the
     * recorded label.

@@ -397,6 +397,20 @@ class TextOpsSpec extends SparkSpec {
     ), got.mkString(", "))
   }
 
+  test("artifact-served quality mix is bit-equal to the in-query-derivation twin") {
+    // tx_quality_mix_indexed reads the persisted fullLshIndex _clusters
+    // and the stored 1-row _weights artifact; tx_quality_mix re-derives
+    // both in-query. Same oracle, and here: bit-equal frames — a drifted
+    // stored weight row or a stale cluster assignment fails this before
+    // the oracle does.
+    val fns = Registry.queries
+    val ref = fns("tx_quality_mix")(spark, Sf)
+    val idx = fns("tx_quality_mix_indexed")(spark, Sf)
+    assert(
+      ref.exceptAll(idx).isEmpty && idx.exceptAll(ref).isEmpty,
+      "artifact-served quality mix differs from the in-query twin")
+  }
+
   test("lmNextToken returns the argmax continuation with deterministic ties") {
     // Bigrams: (a,b)×2, (a,c)×2 → tie broken to smaller w2 = b;
     // denominator is a's count as bigram START (4), so p = 2/4.
