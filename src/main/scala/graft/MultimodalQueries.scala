@@ -88,45 +88,53 @@ object MultimodalQueries {
     )
   }
 
-  /** The INCREMENTALLY-GROWN image index: seeded from the stored split
-    * (doc_id % 5 ≠ 0) with its full curation artifacts, then the
-    * remaining fifth ingested through
+  /** The INCREMENTALLY-GROWN index of one modality: seeded from the
+    * stored split (doc_id % 5 ≠ 0) with its full curation artifacts,
+    * then the remaining fifth ingested through
     * [[graft.operators.MediaIndexOps.ingestBatchAndMaintain]] — the
     * grow-everything archive face whose touched-component label-prop
-    * keeps `_meta`/`_clusters`/`_cclusters` fresh between wholesale
-    * rebuilds. Built once per (session, dataset); the read faces over
-    * it share the FULL-CORPUS oracles, so a drifted incremental merge
-    * (a missed pair, a stale keeper, an unrelabeled ex_keeper)
-    * hash-mismatches against the from-scratch truth.
+    * keeps `_meta`/`_clusters` (and, for image, `_cclusters`) fresh
+    * between wholesale rebuilds. Built once per (session, dataset,
+    * modality); the read faces over it share the FULL-CORPUS oracles,
+    * so a drifted incremental merge (a missed pair, a stale keeper, an
+    * unrelabeled ex_keeper) hash-mismatches against the from-scratch
+    * truth — including video, the hardest case, whose pairs carry the
+    * min-across-frames semantics through the incremental merge.
     */
   private val builtGrownIdx = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), String]
+    .empty[(org.apache.spark.sql.SparkSession, String, String), String]
 
   private[graft] def grownMediaIndex(
       s: org.apache.spark.sql.SparkSession,
       d: String,
+      mediaType: String = "image",
   ): String = {
     builtGrownIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtGrownIdx.remove)
-    builtGrownIdx.getOrElseUpdate(
-      (s, d), {
-        val pre = Tables.tempIndexDb(s, "media", s"grown_image_${Tables.datasetKey(d)}")
-        val media = MultimodalOps.encodeMedia(documents(s, d))
-        val seed = media.filter(col("doc_id") % 5 =!= 0)
-        graft.operators.MediaIndexOps.writeIndex(
-          seed, regions = 49, blockBands = 6, buckets = 8, prefix = pre)
-        graft.operators.MediaIndexOps.writeCurationArtifacts(
-          s, seed, maxHamming = 5, buckets = 8, prefix = pre)
-        graft.operators.MediaIndexOps.ingestBatchAndMaintain(
-          s, pre, media.filter(col("doc_id") % 5 === 0),
-          regions = 49, blockBands = 6, buckets = 8, maxHamming = 5)
-        pre
-      },
-    )
+    builtGrownIdx.synchronized {
+      builtGrownIdx.getOrElseUpdate(
+        (s, d, mediaType), {
+          val pre = Tables.tempIndexDb(
+            s, "media", s"grown_${mediaType}_${Tables.datasetKey(d)}")
+          val media = MultimodalOps.encodeMedia(documents(s, d))
+          val seed = media.filter(col("doc_id") % 5 =!= 0)
+          graft.operators.MediaIndexOps.writeIndex(
+            seed, regions = 49, blockBands = 6, buckets = 8, prefix = pre,
+            mediaType = mediaType)
+          graft.operators.MediaIndexOps.writeCurationArtifacts(
+            s, seed, maxHamming = 5, buckets = 8, prefix = pre, mediaType = mediaType)
+          graft.operators.MediaIndexOps.ingestBatchAndMaintain(
+            s, pre, media.filter(col("doc_id") % 5 === 0),
+            regions = 49, blockBands = 6, buckets = 8, maxHamming = 5,
+            mediaType = mediaType)
+          pre
+        },
+      )
+    }
   }
 
   /** Eagerly builds the three shared per-modality fingerprint indexes
     * for `d` plus the three stored-split admission-gate artifacts and
-    * the incrementally-grown image index (no-op when already built) —
+    * the three incrementally-grown indexes (no-op when already built) —
     * called from Bench's un-timed setup phase like the sim/tx twins,
     * so a one-time corpus build can never masquerade as an index
     * READ's steady-state cost.
@@ -135,8 +143,8 @@ object MultimodalQueries {
     Seq("image", "audio", "video").foreach { m =>
       fullMediaIndex(s, d, m)
       splitMediaIndex(s, d, m)
+      grownMediaIndex(s, d, m)
     }
-    grownMediaIndex(s, d)
   }
 
   private val mediaSql =
@@ -475,13 +483,16 @@ object MultimodalQueries {
        |FROM nodes n JOIN reach r ON r.u = n.id
        |GROUP BY n.id ORDER BY doc_id""".stripMargin
 
-  /** The dedup-savings oracle (per near-dup cluster: members, total
-    * encoded bytes, bytes reclaimed keeping only the keeper) — shared
-    * by the corpus-scan face and the index-served read.
+  /** The dedup-savings oracle for one modality's verified-pair
+    * derivation (per near-dup cluster: members, total encoded bytes,
+    * bytes reclaimed keeping only the keeper) — shared by the
+    * corpus-scan face and the index-served reads (full and grown;
+    * `sz` covers every modality, the cluster join restricts it to the
+    * pair derivation's own).
     */
-  private val dedupSavingsSql =
+  private def dedupSavingsSqlFor(pairsSql: String): String =
     s"""WITH RECURSIVE
-       |p AS (SELECT doc_a, doc_b FROM ($nearDupPairsSql)),
+       |p AS (SELECT doc_a, doc_b FROM ($pairsSql)),
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
        |          UNION SELECT doc_b, doc_a FROM p),
        |reach AS (SELECT u, v FROM edges
@@ -500,6 +511,10 @@ object MultimodalQueries {
        |       AS BIGINT) AS bytes_saved
        |FROM cl JOIN sz ON sz.doc_id = cl.doc_id
        |GROUP BY component ORDER BY keeper_doc_id""".stripMargin
+
+  private val dedupSavingsSql = dedupSavingsSqlFor(nearDupPairsSql)
+  private val dedupSavingsAudioSql = dedupSavingsSqlFor(nearDupPairsSqlFor(1))
+  private val dedupSavingsVideoSql = dedupSavingsSqlFor(videoNearDupSql)
 
   /** The text↔media screen oracle for a held modality `mod` (doc_id %
     * 3: 0 image, 1 audio, 2 video) — the blocklist is modality-agnostic
@@ -1499,6 +1514,46 @@ object MultimodalQueries {
       "mm_index_grow_savings",
       (s, d) => graft.operators.MediaIndexOps.savingsFromIndex(s, grownMediaIndex(s, d)),
       Some(dedupSavingsSql),
+    ),
+    // The AUDIO grown-index freshness pair: curation verdict + savings
+    // served from the incrementally-grown audio index against the
+    // FULL-CORPUS oracles — the single-stream modality's incremental
+    // merge gets its own oracle-checked faces instead of riding the
+    // image index's coverage.
+    Q(
+      "mm_index_grow_curation_audio",
+      (s, d) => {
+        val (floor, label) = MultimodalOps.audioFloor(49)
+        graft.operators.MediaIndexOps.curationFromIndex(
+          s, grownMediaIndex(s, d, "audio"), floor, label)
+      },
+      Some(curationAudioSql),
+    ),
+    Q(
+      "mm_index_grow_savings_audio",
+      (s, d) => graft.operators.MediaIndexOps.savingsFromIndex(
+        s, grownMediaIndex(s, d, "audio")),
+      Some(dedupSavingsAudioSql),
+    ),
+    // The VIDEO grown-index freshness pair — the hardest incremental
+    // case: every pair the ingest merges is a MIN across frame-level
+    // matches (per-frame chunk join, groupBy min), so a drifted
+    // min-aggregation anywhere in the grow path hash-mismatches the
+    // from-scratch per-frame truth here.
+    Q(
+      "mm_index_grow_curation_video",
+      (s, d) => {
+        val (floor, label) = MultimodalOps.videoFloor
+        graft.operators.MediaIndexOps.curationFromIndex(
+          s, grownMediaIndex(s, d, "video"), floor, label)
+      },
+      Some(curationVideoSql),
+    ),
+    Q(
+      "mm_index_grow_savings_video",
+      (s, d) => graft.operators.MediaIndexOps.savingsFromIndex(
+        s, grownMediaIndex(s, d, "video")),
+      Some(dedupSavingsVideoSql),
     ),
     // CROSS-MODAL text↔media screen — the remaining cross-modal arm
     // next to image↔video frame matching: which documents duplicate

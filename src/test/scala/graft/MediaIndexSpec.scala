@@ -473,6 +473,48 @@ class MediaIndexSpec extends SparkSpec {
     }
   }
 
+  test("VIDEO grow-everything ingest stays bit-equal to a from-scratch rebuild") {
+    // The hardest incremental case: every pair the grow path merges is a
+    // MIN across per-frame matches. N batches of incremental ingest over
+    // a per-frame index must leave _fps/_meta/_clusters identical to
+    // rebuilding from the full union (no _cclusters — consensus is
+    // image-only by design).
+    import spark.implicits._
+    val pre = "mediaixgrowvid"
+    val ref = "mediaixgrowvidref"
+    val tables = Seq("_fps", "_chunks", "_meta", "_clusters", "_batches")
+    Seq(pre, ref).foreach(p => tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $p$t")))
+    val rows = media().filter(col("media_type") === "video")
+      .select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])].collect().sortBy(_._1)
+    val cut = rows(rows.length / 2)._1
+    val (seedRows, rest) = rows.partition(_._1 < cut)
+    val waves = rest.grouped(rest.length / 2 + 1).map(_.toSeq).toSeq
+    val seed = seedRows.toSeq.toDF("doc_id", "media_type", "payload")
+    MediaIndexOps.writeIndex(
+      seed, Regions, Bands, buckets = 4, prefix = pre, mediaType = "video")
+    MediaIndexOps.writeCurationArtifacts(
+      spark, seed, MaxHamming, buckets = 4, prefix = pre, mediaType = "video")
+    waves.foreach { w =>
+      MediaIndexOps.ingestBatchAndMaintain(
+        spark, pre, w.toDF("doc_id", "media_type", "payload"),
+        Regions, Bands, buckets = 4, maxHamming = MaxHamming, mediaType = "video")
+    }
+    val union = (seedRows.toSeq ++ waves.flatten).toDF("doc_id", "media_type", "payload")
+    MediaIndexOps.writeIndex(
+      union, Regions, Bands, buckets = 4, prefix = ref, mediaType = "video")
+    MediaIndexOps.writeCurationArtifacts(
+      spark, union, MaxHamming, buckets = 4, prefix = ref, mediaType = "video")
+    Seq("_fps", "_meta", "_clusters").foreach { t =>
+      val grown = spark.table(s"$pre$t")
+      val rebuilt = spark.table(s"$ref$t")
+      assert(rebuilt.count() > 0, s"$t rebuild is empty")
+      assert(
+        grown.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(grown).isEmpty,
+        s"incrementally maintained video $t differs from the from-scratch rebuild")
+    }
+  }
+
   test("crash between meta and fps appends is repaired on replay without doubling meta") {
     import spark.implicits._
     val prefix = "mediacrashmeta"
