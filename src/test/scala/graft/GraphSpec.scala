@@ -97,20 +97,31 @@ class GraphSpec extends SparkSpec {
         .select(col("dst"), expr("pr div out_deg").as("c"))
       joined.count()
       val exec = joined.queryExecution.executedPlan
+      // Structural plan assertions (not string-matching the rendered
+      // plan, which is brittle against formatting changes): identify
+      // the join sides by which subtree SCANS the bucketed table, and
+      // detect shuffles by collecting ShuffleExchangeExec nodes.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def scanTables(p: SparkPlan): Seq[String] = p.collect {
+        case s: FileSourceScanExec => s.tableIdentifier.map(_.table).getOrElse("")
+      }
+      def exchanges(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case e: ShuffleExchangeExec => e }
       val joinNodes = exec.collect {
-        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
-          j: org.apache.spark.sql.execution.SparkPlan
-        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
-          j: org.apache.spark.sql.execution.SparkPlan
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j: SparkPlan
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j: SparkPlan
       }
       assert(joinNodes.nonEmpty, s"expected a shuffled join over the edge table:\n$exec")
       val Seq(left, right) = joinNodes.head.children
       val (edgeSide, prSide) =
-        if (left.toString.contains("prbucketed_edges")) (left, right) else (right, left)
-      assert(edgeSide.toString.contains("prbucketed_edges"))
-      assert(!edgeSide.toString.contains("Exchange"),
+        if (scanTables(left).exists(_.contains(table))) (left, right) else (right, left)
+      assert(scanTables(edgeSide).exists(_.contains(table)),
+        s"neither join side scans the bucketed edge table:\n$exec")
+      assert(exchanges(edgeSide).isEmpty,
         s"the bucketed edge scan must not sit under an exchange:\n$exec")
-      assert(prSide.toString.contains("Exchange hashpartitioning"),
+      assert(exchanges(prSide).nonEmpty,
         s"the rank side shuffles to the bucket layout:\n$exec")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
@@ -154,6 +165,63 @@ class GraphSpec extends SparkSpec {
     assert(three == one, "a converged subgraph is a fixpoint of further rounds")
     // k above the clique's connectivity empties the graph without error.
     assert(GraphOps.kCorePeel(edges, k = 5, rounds = 2).isEmpty)
+  }
+
+  test("graph registry faces read ONLY their stored edge artifacts, never lineitem") {
+    // The edge-table discipline family-wide: q_triangles/q_kcore/
+    // q_reachability must serve their analytics off the pre-built
+    // bucketed co-occurrence artifact — a lineitem scan (any testdata
+    // path) during the run means the face regressed to deriving the
+    // quadratic group self-join in-query. The faces localCheckpoint
+    // mid-pipeline (cutting the final frame's lineage), so the pin
+    // captures every relation every intermediate QueryExecution scans
+    // via a listener, artifact builds pre-paid like Bench's setup.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    RelationalQueries.prepareSharedArtifacts(spark, Sf)
+    val fns = Registry.queries
+    for (name <- Seq("q_triangles", "q_kcore", "q_reachability")) {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val qeGen = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+          qe.analyzed.foreach {
+            case r: LogicalRelation =>
+              r.relation match {
+                case h: HadoopFsRelation =>
+                  h.location.rootPaths.foreach(p => seen.add(p.toString))
+                case _ => ()
+              }
+            case _ => ()
+          }
+          qeGen.incrementAndGet()
+        }
+        override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit =
+          qeGen.incrementAndGet()
+      }
+      spark.listenerManager.register(l)
+      try {
+        fns(name)(spark, Sf).count()
+        // The listener bus is async — wait for event quiescence.
+        var last = -1L
+        var stable = 0
+        while (stable < 4) {
+          Thread.sleep(50)
+          val c = qeGen.get
+          if (c == last) stable += 1 else { last = c; stable = 0 }
+        }
+      } finally spark.listenerManager.unregister(l)
+      val paths = seen.asScala.toSeq
+      assert(paths.nonEmpty, s"$name scanned no file relations at all?")
+      // NB: the sanitized dataset key inside the artifact's NAME
+      // contains "testdata" with underscores — only the literal
+      // directory path marks an in-query corpus scan.
+      assert(paths.forall(p => !p.contains("/root/testdata")),
+        s"$name still scans a testdata table in-query: ${paths.mkString(", ")}")
+      assert(paths.exists(_.contains("_edges_")),
+        s"$name does not read a stored edge artifact: ${paths.mkString(", ")}")
+    }
   }
 
   test("graph plans stay equi-join shaped: no cartesian products anywhere") {
