@@ -116,40 +116,48 @@ object DedupQueries {
 
   private[graft] def fullLshIndex(s: SparkSession, d: String): String = {
     builtFullLsh.keys.filter(_._1.sparkContext.isStopped).foreach(builtFullLsh.remove)
-    builtFullLsh.getOrElseUpdate(
-      (s, d), {
-        val pre = Tables.tempIndexDb(s, "lsh", s"full_${Tables.datasetKey(d)}")
-        LshIndexOps.writeIndex(documents(s, d), N, K, Bands, buckets = 8, prefix = pre)
-        LshIndexOps.writeClusters(s, pre, JaccardThreshold, buckets = 8)
-        pre
-      },
-    )
+    builtFullLsh.synchronized {
+      builtFullLsh.getOrElseUpdate(
+        (s, d), {
+          val pre = Tables.tempIndexDb(s, "lsh", s"full_${Tables.datasetKey(d)}")
+          LshIndexOps.writeIndex(documents(s, d), N, K, Bands, buckets = 8, prefix = pre)
+          LshIndexOps.writeClusters(s, pre, JaccardThreshold, buckets = 8)
+          pre
+        },
+      )
+    }
   }
 
   /** The INCREMENTALLY-GROWN text index: seeded from the stored split
-    * (doc_id % 5 ≠ 0) with its cluster artifact, then the remaining
-    * fifth ingested through [[LshIndexOps.ingestBatchAndMaintain]] —
-    * its read face shares the FULL-CORPUS oracle, so a drifted
-    * incremental merge hash-mismatches the from-scratch truth.
+    * (doc_id % 5 ≠ 0) with its cluster AND `_meta` artifacts, then the
+    * remaining fifth ingested through
+    * [[LshIndexOps.ingestBatchAndMaintain]] (whose ledgered commit
+    * appends the admitted docs' meta rows) — its read faces share the
+    * FULL-CORPUS oracles, so a drifted incremental merge OR a meta
+    * append invisible to the digest probe hash-mismatches the
+    * from-scratch truth.
     */
   private val builtGrownLsh = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
   private[graft] def grownLshIndex(s: SparkSession, d: String): String = {
     builtGrownLsh.keys.filter(_._1.sparkContext.isStopped).foreach(builtGrownLsh.remove)
-    builtGrownLsh.getOrElseUpdate(
-      (s, d), {
-        val pre = Tables.tempIndexDb(s, "lsh", s"grown_${Tables.datasetKey(d)}")
-        val docs = documents(s, d)
-        LshIndexOps.writeIndex(
-          docs.filter(col("doc_id") % 5 =!= 0), N, K, Bands, buckets = 8, prefix = pre)
-        LshIndexOps.writeClusters(s, pre, JaccardThreshold, buckets = 8)
-        LshIndexOps.ingestBatchAndMaintain(
-          s, pre, docs.filter(col("doc_id") % 5 === 0), N, K, Bands,
-          buckets = 8, threshold = JaccardThreshold)
-        pre
-      },
-    )
+    builtGrownLsh.synchronized {
+      builtGrownLsh.getOrElseUpdate(
+        (s, d), {
+          val pre = Tables.tempIndexDb(s, "lsh", s"grown_${Tables.datasetKey(d)}")
+          val docs = documents(s, d)
+          val stored = docs.filter(col("doc_id") % 5 =!= 0)
+          LshIndexOps.writeIndex(stored, N, K, Bands, buckets = 8, prefix = pre)
+          LshIndexOps.writeMetaTable(stored, buckets = 8, prefix = pre)
+          LshIndexOps.writeClusters(s, pre, JaccardThreshold, buckets = 8)
+          LshIndexOps.ingestBatchAndMaintain(
+            s, pre, docs.filter(col("doc_id") % 5 === 0), N, K, Bands,
+            buckets = 8, threshold = JaccardThreshold)
+          pre
+        },
+      )
+    }
   }
 
   /** The STORED-SPLIT text index + meta (stored = doc_id % 5 ≠ 0) the
@@ -162,15 +170,17 @@ object DedupQueries {
 
   private[graft] def splitLshIndex(s: SparkSession, d: String): String = {
     builtSplitLsh.keys.filter(_._1.sparkContext.isStopped).foreach(builtSplitLsh.remove)
-    builtSplitLsh.getOrElseUpdate(
-      (s, d), {
-        val pre = Tables.tempIndexDb(s, "lsh", s"split_${Tables.datasetKey(d)}")
-        val stored = documents(s, d).filter(col("doc_id") % 5 =!= 0)
-        LshIndexOps.writeIndex(stored, N, K, Bands, buckets = 8, prefix = pre)
-        LshIndexOps.writeMetaTable(stored, buckets = 8, prefix = pre)
-        pre
-      },
-    )
+    builtSplitLsh.synchronized {
+      builtSplitLsh.getOrElseUpdate(
+        (s, d), {
+          val pre = Tables.tempIndexDb(s, "lsh", s"split_${Tables.datasetKey(d)}")
+          val stored = documents(s, d).filter(col("doc_id") % 5 =!= 0)
+          LshIndexOps.writeIndex(stored, N, K, Bands, buckets = 8, prefix = pre)
+          LshIndexOps.writeMetaTable(stored, buckets = 8, prefix = pre)
+          pre
+        },
+      )
+    }
   }
 
   /** Eager build of the shared text-index artifacts (no-op when built). */
@@ -471,6 +481,27 @@ object DedupQueries {
               |LEFT JOIN ex e ON e.doc_id = a.doc_id
               |LEFT JOIN nd n ON n.doc_id = a.doc_id
               |ORDER BY a.doc_id""".stripMargin),
+    ),
+    // The admission gate CLOSED over the GROWN index: the same
+    // per-arrival probe run against [[grownLshIndex]] — stored corpus
+    // = the 4/5 seed ∪ the incrementally-ingested fifth, whose meta
+    // rows were appended under the ledgered commit. Every arrival is a
+    // re-upload of an already-ingested doc, so the digest probe must
+    // label it exact_dup with dup_of = the corpus-wide min doc_id
+    // holding its text: an ingest whose meta append was lost, doubled,
+    // or invisible to the probe hash-mismatches here — the end-to-end
+    // oracle check of what the crash-repair specs pin in isolation.
+    Q(
+      "dd_index_upload_verdict_grown",
+      (s, d) => LshIndexOps.uploadVerdict(
+        s, grownLshIndex(s, d), documents(s, d).filter(col("doc_id") % 5 === 0),
+        N, K, Bands, JaccardThreshold, minTok = 20L),
+      Some("""WITH arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+             |ex AS (SELECT a.doc_id, min(s.doc_id) AS dup_of
+             |       FROM arr a JOIN documents s ON s.text = a.text
+             |       GROUP BY a.doc_id)
+             |SELECT doc_id, 'exact_dup' AS status, dup_of
+             |FROM ex ORDER BY doc_id""".stripMargin),
     ),
     // The same pairs→clusters fixpoint via alternating large-star /
     // small-star contraction — the O(log n)-round billion-edge path

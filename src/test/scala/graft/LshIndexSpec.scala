@@ -181,6 +181,52 @@ class LshIndexSpec extends SparkSpec {
     assert(spark.table(s"${prefix}_bands").count() == done)
   }
 
+  test("text crash between meta and docs appends is repaired on replay without doubling meta") {
+    // The text twin of MediaIndexSpec's crash-after-meta test: bands
+    // and meta landed, the docs membership rows did not — the replay
+    // must presence-probe meta (not re-append it) and complete docs,
+    // converging to the uninterrupted run.
+    import spark.implicits._
+    val prefix = "lshcrashmeta"
+    Seq(s"${prefix}_docs", s"${prefix}_bands", s"${prefix}_meta", s"${prefix}_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val all = Tables.documents(spark, Sf).select("doc_id", "text")
+    val stored = all.filter(col("doc_id") % 5 =!= 0)
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    LshIndexOps.writeIndex(stored, N, K, Bands, buckets = 4, prefix = prefix)
+    LshIndexOps.writeMetaTable(stored, buckets = 4, prefix = prefix)
+    intercept[IllegalStateException] {
+      LshIndexOps.dedupBatchAndGrow(
+        spark, prefix, batch, N, K, Bands, buckets = 4, threshold = Threshold,
+        crashAfter = "meta")
+    }
+    val metaAfterCrash = spark.table(s"${prefix}_meta").count()
+    assert(spark.table(s"${prefix}_batches").filter(col("phase") === "commit").isEmpty)
+    LshIndexOps.dedupBatchAndGrow(
+      spark, prefix, batch, N, K, Bands, buckets = 4, threshold = Threshold)
+    assert(spark.table(s"${prefix}_meta").count() == metaAfterCrash,
+      "repair must not re-append the meta rows that survived the crash")
+    assert(!spark.table(s"${prefix}_batches").filter(col("phase") === "commit").isEmpty)
+    // Every admitted doc carries exactly one meta row, and the repaired
+    // meta equals an uninterrupted run's.
+    val docIds = spark.table(s"${prefix}_docs").select("doc_id")
+    val metaIds = spark.table(s"${prefix}_meta").select("doc_id")
+    assert(docIds.exceptAll(metaIds).isEmpty, "every member must carry a meta row")
+    assert(metaIds.count() == metaIds.distinct().count(), "meta rows must be unique per doc")
+    val cleanPrefix = "lshcrashmetaref"
+    Seq(s"${cleanPrefix}_docs", s"${cleanPrefix}_bands", s"${cleanPrefix}_meta",
+      s"${cleanPrefix}_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    LshIndexOps.writeIndex(stored, N, K, Bands, buckets = 4, prefix = cleanPrefix)
+    LshIndexOps.writeMetaTable(stored, buckets = 4, prefix = cleanPrefix)
+    LshIndexOps.dedupBatchAndGrow(
+      spark, cleanPrefix, batch, N, K, Bands, buckets = 4, threshold = Threshold)
+    val repaired = spark.table(s"${prefix}_meta")
+    val clean = spark.table(s"${cleanPrefix}_meta")
+    assert(repaired.exceptAll(clean).isEmpty && clean.exceptAll(repaired).isEmpty,
+      "repaired meta must equal the uninterrupted run's — exactly-once under crash/replay")
+  }
+
   test("streaming dedup restart: replayed batch adds no keepers twice, no self-dups, converges to the uninterrupted run") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
