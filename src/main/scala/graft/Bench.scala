@@ -79,12 +79,14 @@ object Bench {
     // adjudication evidence (this host idles ~0; neighbor noise shows
     // as load ≳ 2 with no local process).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    def loadavg(): Double =
+    def loadField(i: Int): Double =
       try {
         val src = scala.io.Source.fromFile("/proc/loadavg")
-        try src.mkString.split(" ")(0).toDouble
+        try src.mkString.split(" ")(i).toDouble
         finally src.close()
       } catch { case _: Throwable => -1.0 }
+    def loadavg(): Double = loadField(0)
+    def load5(): Double = loadField(1)
     var load0 = loadavg()
     var loadMax = load0
     // Per-query shuffle bytes (directive: distinguish "slower because
@@ -162,24 +164,34 @@ object Bench {
     // load window reflects the timed pass alone. What was seen and how
     // long the gate held are logged and published ("gated" in the JSON)
     // so a still-contaminated run carries the evidence either way.
+    // The gate checks BOTH the 1-min and 5-min averages (round-16
+    // lesson: load1 had decayed under the gate while load5 still read
+    // 4.5 — the box was busy moments earlier and the driver window
+    // drifted ~15% above the quiet reps). The 5-min average includes
+    // this bench's OWN setup (warm pass + index prebuild above), so its
+    // gate is a LOOSER multiple of the 1-min gate rather than equal to
+    // it — a fully quiet host after a busy setup should not burn the
+    // whole wait budget; what was seen is published either way.
     val gateLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_LOAD", "3.0").toDouble
+    val gateLoad5 = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_LOAD5", (gateLoad * 1.5).toString).toDouble
     val gateMaxSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_SEC", "300").toInt
     var gatedSec = 0
-    while (loadavg() >= gateLoad && gatedSec < gateMaxSec) {
+    while ((loadavg() >= gateLoad || load5() >= gateLoad5) && gatedSec < gateMaxSec) {
       if (gatedSec == 0)
         System.err.println(
-          f"[bench] gating timed pass: 1-min load ${loadavg()}%.2f >= $gateLoad%.1f (max wait $gateMaxSec s)")
+          f"[bench] gating timed pass: load1 ${loadavg()}%.2f / load5 ${load5()}%.2f vs gates $gateLoad%.1f / $gateLoad5%.1f (max wait $gateMaxSec s)")
       Thread.sleep(10000)
       gatedSec += 10
     }
     if (gatedSec > 0)
       System.err.println(
-        f"[bench] gated $gatedSec s; starting timed pass at load ${loadavg()}%.2f")
+        f"[bench] gated $gatedSec s; starting timed pass at load1 ${loadavg()}%.2f / load5 ${load5()}%.2f")
     // Re-baseline the published load window at the gate's release: the
     // pre-gate sample included the bench's own setup (and whatever the
     // gate waited out) — the evidence readers need is the TIMED pass's.
     load0 = loadavg()
     loadMax = load0
+    val load5Start = load5()
     val firstPass = ordered.map { case (name, fn) =>
       (1 to warmReps).foreach(_ => rep(name, fn))
       (name, fn, (1 to reps).map(_ => rep(name, fn)))
@@ -277,7 +289,7 @@ object Bench {
       val stream = streamRates.map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.0f")
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"omitted":$omitted,"failed":$failed,"spread":$spread,"shuffle_mb":$shuf,"families_shuffle_mb":$famShuf,"load":$load,"gated":$gatedSec,"remeasured":$remeasured,"families":$families,"stream":$stream,"value":${r3(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":$reps,"queries":$qs,"omitted":$omitted,"failed":$failed,"spread":$spread,"shuffle_mb":$shuf,"families_shuffle_mb":$famShuf,"load":$load,"load5":${r3(load5Start)},"gated":$gatedSec,"remeasured":$remeasured,"families":$families,"stream":$stream,"value":${r3(total)}}"""
     }
     val budget = 1800 // bytes; leaves room for sbt's banner + [success] lines
     var keep = math.min(40, results.size)
