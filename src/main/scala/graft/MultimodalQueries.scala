@@ -39,21 +39,24 @@ object MultimodalQueries {
       mediaType: String,
   ): String = {
     builtMediaIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtMediaIdx.remove)
-    builtMediaIdx.getOrElseUpdate(
-      (s, d, mediaType), {
-        val pre = Tables.tempIndexDb(s, "media", s"full_${mediaType}_${Tables.datasetKey(d)}")
-        val media = MultimodalOps.encodeMedia(documents(s, d))
-        graft.operators.MediaIndexOps.writeIndex(
-          media, regions = 49, blockBands = 6, buckets = 8, prefix = pre, mediaType = mediaType)
-        // The curation artifacts ride the same build cadence: meta from
-        // ONE decoded scan, clusters from pairs read off the just-written
-        // chunk table — the nightly-refresh shape the verdict read faces
-        // (`mm_index_curation*`) serve from.
-        graft.operators.MediaIndexOps.writeCurationArtifacts(
-          s, media, maxHamming = 5, buckets = 8, prefix = pre, mediaType = mediaType)
-        pre
-      },
-    )
+    builtMediaIdx.synchronized {
+      builtMediaIdx.getOrElseUpdate(
+        (s, d, mediaType), {
+          val pre = Tables.tempIndexDb(s, "media", s"full_${mediaType}_${Tables.datasetKey(d)}")
+          val media = MultimodalOps.encodeMedia(documents(s, d))
+          graft.operators.MediaIndexOps.writeIndex(
+            media, regions = 49, blockBands = 6, buckets = 8, prefix = pre,
+            mediaType = mediaType)
+          // The curation artifacts ride the same build cadence: meta from
+          // ONE decoded scan, clusters from pairs read off the just-written
+          // chunk table — the nightly-refresh shape the verdict read faces
+          // (`mm_index_curation*`) serve from.
+          graft.operators.MediaIndexOps.writeCurationArtifacts(
+            s, media, maxHamming = 5, buckets = 8, prefix = pre, mediaType = mediaType)
+          pre
+        },
+      )
+    }
   }
 
   /** The STORED-SPLIT index + meta (stored corpus = doc_id % 5 ≠ 0) the
@@ -73,19 +76,21 @@ object MultimodalQueries {
       mediaType: String,
   ): String = {
     builtSplitIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtSplitIdx.remove)
-    builtSplitIdx.getOrElseUpdate(
-      (s, d, mediaType), {
-        val pre = Tables.tempIndexDb(s, "media", s"split_${mediaType}_${Tables.datasetKey(d)}")
-        val stored = MultimodalOps.encodeMedia(documents(s, d))
-          .filter(col("doc_id") % 5 =!= 0)
-        graft.operators.MediaIndexOps.writeIndex(
-          stored, regions = 49, blockBands = 6, buckets = 8, prefix = pre,
-          mediaType = mediaType)
-        graft.operators.MediaIndexOps.writeMetaTable(
-          stored, buckets = 8, prefix = pre, mediaType = mediaType)
-        pre
-      },
-    )
+    builtSplitIdx.synchronized {
+      builtSplitIdx.getOrElseUpdate(
+        (s, d, mediaType), {
+          val pre = Tables.tempIndexDb(s, "media", s"split_${mediaType}_${Tables.datasetKey(d)}")
+          val stored = MultimodalOps.encodeMedia(documents(s, d))
+            .filter(col("doc_id") % 5 =!= 0)
+          graft.operators.MediaIndexOps.writeIndex(
+            stored, regions = 49, blockBands = 6, buckets = 8, prefix = pre,
+            mediaType = mediaType)
+          graft.operators.MediaIndexOps.writeMetaTable(
+            stored, buckets = 8, prefix = pre, mediaType = mediaType)
+          pre
+        },
+      )
+    }
   }
 
   /** The INCREMENTALLY-GROWN index of one modality: seeded from the

@@ -48,11 +48,13 @@ object SimilarityQueries {
     // Evict stopped sessions — their checkpointed frames died with the
     // context, and a process that cycles sessions must not accrete them.
     cbCache.keys.filter(_._1.sparkContext.isStopped).foreach(cbCache.remove)
-    cbCache.getOrElseUpdate(
-      (s, d, blocks, subDim),
-      SimilarityOps.trainCodebook(
-        embeddings(s, d), blocks, subDim, isSeed = col("vec_id") < 8, iters = 2),
-    )
+    cbCache.synchronized {
+      cbCache.getOrElseUpdate(
+        (s, d, blocks, subDim),
+        SimilarityOps.trainCodebook(
+          embeddings(s, d), blocks, subDim, isSeed = col("vec_id") < 8, iters = 2),
+      )
+    }
   }
 
   /** The 4/5-subset codebook sim_index_incremental builds on — memoized
@@ -69,12 +71,14 @@ object SimilarityQueries {
       d: String,
   ): org.apache.spark.sql.DataFrame = {
     cbCache.keys.filter(_._1.sparkContext.isStopped).foreach(cbCache.remove)
-    cbCache.getOrElseUpdate(
-      (s, s"$d#mod5", 1, 64),
-      SimilarityOps.trainCodebook(
-        embeddings(s, d).filter(col("vec_id") % 5 =!= 0),
-        blocks = 1, subDim = 64, isSeed = col("vec_id") < 8, iters = 2),
-    )
+    cbCache.synchronized {
+      cbCache.getOrElseUpdate(
+        (s, s"$d#mod5", 1, 64),
+        SimilarityOps.trainCodebook(
+          embeddings(s, d).filter(col("vec_id") % 5 =!= 0),
+          blocks = 1, subDim = 64, isSeed = col("vec_id") < 8, iters = 2),
+      )
+    }
   }
 
   /** Temp-warehouse prefix for the vector-index queries (shared
@@ -96,16 +100,18 @@ object SimilarityQueries {
 
   private def fullVectorIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
     builtVecIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtVecIdx.remove)
-    builtVecIdx.getOrElseUpdate(
-      (s, d), {
-        val pre = vecDb(s, s"full_${Tables.datasetKey(d)}")
-        graft.operators.VectorIndexOps.writeIndex(
-          embeddings(s, d), dim = 64, isSeed = col("vec_id") < 8, iters = 2,
-          buckets = 8, prefix = pre,
-          codebook = Some(trainedCb(s, d, blocks = 1, subDim = 64)))
-        pre
-      },
-    )
+    builtVecIdx.synchronized {
+      builtVecIdx.getOrElseUpdate(
+        (s, d), {
+          val pre = vecDb(s, s"full_${Tables.datasetKey(d)}")
+          graft.operators.VectorIndexOps.writeIndex(
+            embeddings(s, d), dim = 64, isSeed = col("vec_id") < 8, iters = 2,
+            buckets = 8, prefix = pre,
+            codebook = Some(trainedCb(s, d, blocks = 1, subDim = 64)))
+          pre
+        },
+      )
+    }
   }
 
   /** The PQ compression layer over the full vector index — built once
@@ -116,15 +122,17 @@ object SimilarityQueries {
 
   private def fullPqIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
     builtPqIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtPqIdx.remove)
-    builtPqIdx.getOrElseUpdate(
-      (s, d), {
-        val pre = fullVectorIndex(s, d)
-        graft.operators.VectorIndexOps.writePqCodes(
-          embeddings(s, d), trainedCb(s, d, blocks = 4, subDim = 16),
-          blocks = 4, subDim = 16, nSeeds = 8, buckets = 8, prefix = pre)
-        pre
-      },
-    )
+    builtPqIdx.synchronized {
+      builtPqIdx.getOrElseUpdate(
+        (s, d), {
+          val pre = fullVectorIndex(s, d)
+          graft.operators.VectorIndexOps.writePqCodes(
+            embeddings(s, d), trainedCb(s, d, blocks = 4, subDim = 16),
+            blocks = 4, subDim = 16, nSeeds = 8, buckets = 8, prefix = pre)
+          pre
+        },
+      )
+    }
   }
 
   /** Eagerly builds the shared vector index + its PQ layer for `d`

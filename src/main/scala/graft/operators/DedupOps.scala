@@ -453,8 +453,13 @@ object DedupOps {
     * iterative work scales with the touched slice, not the corpus;
     * untouched components carry over unchanged. Idempotent:
     * re-merging the same pairs reproduces the identical table, so a
-    * crashed ingest replays cleanly. Shared by the media-fingerprint
-    * and text-LSH index maintainers.
+    * crashed ingest replays cleanly — the rewrite is STAGED (written
+    * to a shadow table, then swapped over the live name by
+    * [[IndexCatalog.swapStaged]]'s rename-first sequence), so a crash
+    * anywhere in the minutes-long write phase leaves the live artifact
+    * untouched; the remaining exposure is swapStaged's documented
+    * rename-instant window, with `_old` as the recovery copy. Shared
+    * by the media-fingerprint and text-LSH index maintainers.
     */
   def growPersistedClusters(
       spark: org.apache.spark.sql.SparkSession,
@@ -480,11 +485,14 @@ object DedupOps {
       .select(col("doc_id").as("doc_a"), col("component").as("doc_b"))
       .localCheckpoint()
     val merged = connectedComponents(np.unionByName(stars))
+    val staged = s"${table}_grown"
+    spark.sql(s"DROP TABLE IF EXISTS $staged")
     untouched
       .unionByName(merged.select(col("doc_id"), col("component")))
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(table)
+      .saveAsTable(staged)
+    IndexCatalog.swapStaged(spark, Seq((table, staged)))
     spark.catalog.refreshTable(table)
   }
 

@@ -506,7 +506,14 @@ object MediaIndexOps {
           .join(batchKeeper, Seq("payload_md5"))
           .filter(col("batch_keeper") < col("ex_keeper"))
         if (!relabel.isEmpty) {
+          // STAGED rewrite (shadow table + rename-first swap): a crash
+          // during the relabel write leaves the live `_meta` intact —
+          // the replay recomputes the identical least()-fixpoint; only
+          // swapStaged's rename-instant window remains, with `_old` as
+          // the recovery copy.
           val metaBuckets = IndexCatalog.tableBuckets(spark, s"${prefix}_meta")
+          val staged = s"${prefix}_meta_relabel"
+          spark.sql(s"DROP TABLE IF EXISTS $staged")
           storedMeta
             .join(batchKeeper, Seq("payload_md5"), "left")
             .select(
@@ -516,7 +523,8 @@ object MediaIndexOps {
             .localCheckpoint()
             .write.mode("overwrite")
             .bucketBy(metaBuckets, "doc_id").sortBy("doc_id")
-            .saveAsTable(s"${prefix}_meta")
+            .saveAsTable(staged)
+          IndexCatalog.swapStaged(spark, Seq((s"${prefix}_meta", staged)))
           spark.catalog.refreshTable(s"${prefix}_meta")
         }
         Some(newMeta)
