@@ -997,6 +997,19 @@ object MultimodalQueries {
         s, fullMediaIndex(s, d, "image")),
       Some(ccSql(s"SELECT doc_a, doc_b FROM ($consensusSql) WHERE confirmed")),
     ),
+    // The precision-first consensus assignment under INCREMENTAL ingest:
+    // `_cclusters` served from the grown image index against the same
+    // full-corpus oracle — until now the incremental consensus merge
+    // (confirmed pairs re-derived per batch from the stored + batch
+    // whashes, label-propped into the persisted table) was only
+    // spec-checked; a missed confirmed pair or stale component now
+    // hash-mismatches the from-scratch truth here.
+    Q(
+      "mm_index_grow_consensus_clusters",
+      (s, d) => graft.operators.MediaIndexOps.consensusClustersFromIndex(
+        s, grownMediaIndex(s, d)),
+      Some(ccSql(s"SELECT doc_a, doc_b FROM ($consensusSql) WHERE confirmed")),
+    ),
     // AUDIO dedup clusters — parity with the image and video cluster
     // faces: connected components (label prop to the fixpoint) over
     // the audio near-dup pairs, keeper = min doc_id.
