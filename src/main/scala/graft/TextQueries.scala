@@ -137,6 +137,47 @@ object TextQueries {
     s"SELECT $from.doc_id FROM $from CROSS JOIN w$rounds w WHERE 2 * ($score) > 33554432"
   }
 
+  /** The sampled-train→full-encode oracle — ONE truth for the composed
+    * face (`tx_bpe_train_sampled`, which pays the training loop
+    * in-query) and the artifact-served face (`tx_bpe_encode_indexed`,
+    * reading the persisted merge table): the unrolled training chain
+    * over the 30% hash sample, then the eight merge rows applied to
+    * every document as a cascade of literal replaces.
+    */
+  private lazy val bpeSampledEncodeSql: String = {
+    val sampleWhere = s"WHERE ${OracleSnippets.charHash("text")} % 10 < 3"
+    val applySteps = (1 to BpeTrainRounds).map { i =>
+      s"""|f$i AS (SELECT doc_id, n_before,
+          |  replace(s, '[' || tok_a || '][' || tok_b || ']',
+          |             '[' || tok_a || tok_b || ']') AS s
+          |  FROM f${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainChain(BpeTrainRounds, sampleWhere)},
+       |f0 AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS BIGINT)
+       |           AS n_before,
+       |         array_to_string(
+       |           list_transform(regexp_extract_all(text, '${TextOps.BpePattern}'),
+       |                          x -> '[' || x || ']'), '') AS s
+       |  FROM documents),
+       |$applySteps
+       |SELECT doc_id, n_before,
+       |  CAST(length(s) - length(replace(s, '[', '')) AS BIGINT) AS n_after,
+       |  substr(s, 1, 60) AS head
+       |FROM f$BpeTrainRounds ORDER BY doc_id""".stripMargin
+  }
+
+  /** The sampled-train→full-score oracle — shared by
+    * `tx_quality_train_sampled` (trains in-query) and
+    * `tx_quality_scored_indexed` (reads the stored `_weights` row).
+    */
+  private lazy val qualitySampledScoreSql: String =
+    s"""WITH ${qualityTrainChain(
+        QualityTrainRounds,
+        s"WHERE ${OracleSnippets.charHash("text")} % 10 < 3")}
+       |${qualityScoreSelect(QualityTrainRounds)}""".stripMargin
+
   /** The dedup→model-filter→token-budget-mix oracle — ONE truth for the
     * in-query-derivation face (`tx_quality_mix`, the corpus-scan
     * reference) and the artifact-served face (`tx_quality_mix_indexed`,
@@ -234,6 +275,36 @@ object TextQueries {
     }
   }
 
+  /** The trained BPE merge table PERSISTED as an artifact — the 8-round
+    * sampled-training merge rows (tx_bpe_train_sampled's recipe: the
+    * iterative loop pays only the 30% hash sample), written once per
+    * (session, dataset) so the recurring encode job
+    * (`tx_bpe_encode_indexed`) reads stored merges instead of
+    * retraining: at 100 TB a tokenizer trains once and encodes nightly.
+    */
+  private val builtBpeMerges = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private[graft] def bpeMergesTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): String = {
+    builtBpeMerges.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(builtBpeMerges.remove)
+    builtBpeMerges.synchronized {
+      builtBpeMerges.getOrElseUpdate(
+        (s, d), {
+          val t = Tables.tempIndexDb(s, "text", s"bpemerges_${Tables.datasetKey(d)}")
+          TextOps.bpeTrain(
+            TextOps.hashSample(documents(s, d), buckets = 10, keep = 3),
+            rounds = BpeTrainRounds)
+            .write.mode("overwrite").saveAsTable(t)
+          t
+        },
+      )
+    }
+  }
+
   /** The trained quality model PERSISTED as a 1-row `_weights` table —
     * the round-8 weight vector of the sampled training run
     * (tx_quality_train_sampled's recipe), written once per (session,
@@ -277,6 +348,7 @@ object TextQueries {
   def prepareSharedArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     fullSearchIndex(s, d)
     qualityWeightsTable(s, d)
+    bpeMergesTable(s, d)
     ()
   }
 
@@ -1158,29 +1230,24 @@ object TextQueries {
           .map(r => (r.getString(1), r.getString(2)))
         TextOps.bpeEncode(documents(s, d), merges)
       },
-      Some {
-        val sampleWhere = s"WHERE ${OracleSnippets.charHash("text")} % 10 < 3"
-        val applySteps = (1 to BpeTrainRounds).map { i =>
-          s"""|f$i AS (SELECT doc_id, n_before,
-              |  replace(s, '[' || tok_a || '][' || tok_b || ']',
-              |             '[' || tok_a || tok_b || ']') AS s
-              |  FROM f${i - 1} CROSS JOIN m$i)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH ${bpeTrainChain(BpeTrainRounds, sampleWhere)},
-           |f0 AS (
-           |  SELECT doc_id,
-           |         CAST(len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS BIGINT)
-           |           AS n_before,
-           |         array_to_string(
-           |           list_transform(regexp_extract_all(text, '${TextOps.BpePattern}'),
-           |                          x -> '[' || x || ']'), '') AS s
-           |  FROM documents),
-           |$applySteps
-           |SELECT doc_id, n_before,
-           |  CAST(length(s) - length(replace(s, '[', '')) AS BIGINT) AS n_after,
-           |  substr(s, 1, 60) AS head
-           |FROM f$BpeTrainRounds ORDER BY doc_id""".stripMargin
+      Some(bpeSampledEncodeSql),
+    ),
+    // The recurring encode job SERVED FROM THE ARTIFACT — what a
+    // nightly tokenization run actually pays once the merge table is
+    // persisted: read the stored 8-row cascade (a bounded-metadata
+    // collect, the tx_bpe_encode pattern) and encode the corpus in one
+    // pass — no training rounds in the timed query. Same oracle as the
+    // composed twin above; TextOpsSpec pins them bit-equal.
+    Q(
+      "tx_bpe_encode_indexed",
+      (s, d) => {
+        val merges = s.table(bpeMergesTable(s, d))
+          .orderBy("step")
+          .collect().toSeq
+          .map(r => (r.getString(1), r.getString(2)))
+        TextOps.bpeEncode(documents(s, d), merges)
       },
+      Some(bpeSampledEncodeSql),
     ),
     // The TRAINED quality classifier's training face: eight fixed-point
     // batch-gradient rounds over the integer quality features (the
@@ -1219,10 +1286,18 @@ object TextQueries {
       (s, d) => TextOps.qualityScoreTrained(
         TextOps.hashSample(documents(s, d), buckets = 10, keep = 3),
         documents(s, d), rounds = QualityTrainRounds),
-      Some(s"""WITH ${qualityTrainChain(
-                QualityTrainRounds,
-                s"WHERE ${OracleSnippets.charHash("text")} % 10 < 3")}
-              |${qualityScoreSelect(QualityTrainRounds)}""".stripMargin),
+      Some(qualitySampledScoreSql),
+    ),
+    // The scoring job SERVED FROM THE ARTIFACT: the stored 1-row
+    // `_weights` broadcast against one feature scan — the recurring
+    // cost of scoring a corpus once the model is persisted (the
+    // train-in-query twin above stays as the reference face; same
+    // oracle, spec-pinned bit-equal).
+    Q(
+      "tx_quality_scored_indexed",
+      (s, d) => TextOps.qualityScoreStored(
+        documents(s, d), s.table(qualityWeightsTable(s, d))),
+      Some(qualitySampledScoreSql),
     ),
     // HELD-OUT evaluation of the sampled-trained classifier — the
     // number a deployment actually gates promotion on: train on the

@@ -411,6 +411,21 @@ class TextOpsSpec extends SparkSpec {
       "artifact-served quality mix differs from the in-query twin")
   }
 
+  test("artifact-served scoring and encoding are bit-equal to their train-in-query twins") {
+    // tx_quality_scored_indexed reads the persisted 1-row _weights;
+    // tx_bpe_encode_indexed reads the persisted merge table — both must
+    // reproduce the faces that retrain in-query exactly.
+    val fns = Registry.queries
+    for ((ref, idx) <- Seq(
+        "tx_quality_train_sampled" -> "tx_quality_scored_indexed",
+        "tx_bpe_train_sampled" -> "tx_bpe_encode_indexed")) {
+      val a = fns(ref)(spark, Sf)
+      val b = fns(idx)(spark, Sf)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$idx differs from its in-query twin $ref")
+    }
+  }
+
   test("lmNextToken returns the argmax continuation with deterministic ties") {
     // Bigrams: (a,b)×2, (a,c)×2 → tie broken to smaller w2 = b;
     // denominator is a's count as bigram START (4), so p = 2/4.
