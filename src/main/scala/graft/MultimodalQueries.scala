@@ -137,12 +137,48 @@ object MultimodalQueries {
     }
   }
 
+  /** The cross-modal content-family assignment PERSISTED as an
+    * artifact: pairs from the index×index sweep
+    * ([[graft.operators.MediaIndexOps.frameMatchFromIndexes]] — both
+    * sides stored chunk tables, nothing decoded), label-prop run ONCE
+    * here, bucketed+sorted on doc_id like every cluster artifact. The
+    * takedown/licensing read face (`mm_index_frame_match_clusters`)
+    * is then a bucket scan; the corpus-scan face stays as the exact
+    * reference (shared oracle).
+    */
+  private val builtFmFamilies = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private[graft] def frameMatchFamiliesTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): String = {
+    builtFmFamilies.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(builtFmFamilies.remove)
+    builtFmFamilies.synchronized {
+      builtFmFamilies.getOrElseUpdate(
+        (s, d), {
+          val t = Tables.tempIndexDb(s, "media", s"fmfam_${Tables.datasetKey(d)}")
+          graft.operators.DedupOps.connectedComponents(
+            graft.operators.MediaIndexOps.frameMatchFromIndexes(
+              s, fullMediaIndex(s, d, "image"), fullMediaIndex(s, d, "video"),
+              maxHamming = 5)
+              .select(col("image_id").as("doc_a"), col("video_id").as("doc_b")))
+            .write.mode("overwrite")
+            .bucketBy(8, "doc_id").sortBy("doc_id")
+            .saveAsTable(t)
+          t
+        },
+      )
+    }
+  }
+
   /** Eagerly builds the three shared per-modality fingerprint indexes
-    * for `d` plus the three stored-split admission-gate artifacts and
-    * the three incrementally-grown indexes (no-op when already built) —
-    * called from Bench's un-timed setup phase like the sim/tx twins,
-    * so a one-time corpus build can never masquerade as an index
-    * READ's steady-state cost.
+    * for `d` plus the three stored-split admission-gate artifacts, the
+    * three incrementally-grown indexes, and the cross-modal family
+    * assignment (no-op when already built) — called from Bench's
+    * un-timed setup phase like the sim/tx twins, so a one-time corpus
+    * build can never masquerade as an index READ's steady-state cost.
     */
   def prepareSharedArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     Seq("image", "audio", "video").foreach { m =>
@@ -150,6 +186,8 @@ object MultimodalQueries {
       splitMediaIndex(s, d, m)
       grownMediaIndex(s, d, m)
     }
+    frameMatchFamiliesTable(s, d)
+    ()
   }
 
   private val mediaSql =
@@ -516,6 +554,24 @@ object MultimodalQueries {
        |       AS BIGINT) AS bytes_saved
        |FROM cl JOIN sz ON sz.doc_id = cl.doc_id
        |GROUP BY component ORDER BY keeper_doc_id""".stripMargin
+
+  /** The cross-modal content-family oracle (connected components over
+    * the image↔video match graph) — shared by the corpus-scan clusters
+    * face and the index×index sweep's clusters face.
+    */
+  private lazy val frameMatchClustersSql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT image_id AS doc_a, video_id AS doc_b
+       |      FROM ($frameMatchSql)),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges)
+       |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
+       |FROM nodes n JOIN reach r ON r.u = n.id
+       |GROUP BY n.id ORDER BY doc_id""".stripMargin
 
   private val dedupSavingsSql = dedupSavingsSqlFor(nearDupPairsSql)
   private val dedupSavingsAudioSql = dedupSavingsSqlFor(nearDupPairsSqlFor(1))
@@ -1055,18 +1111,31 @@ object MultimodalQueries {
           MultimodalOps.encodeMedia(documents(s, d)),
           regions = 49, blockBands = 6, maxHamming = 5)
           .select(col("image_id").as("doc_a"), col("video_id").as("doc_b"))),
-      Some(s"""WITH RECURSIVE
-              |p AS (SELECT image_id AS doc_a, video_id AS doc_b
-              |      FROM ($frameMatchSql)),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-              |          UNION SELECT doc_b, doc_a FROM p),
-              |reach AS (SELECT u, v FROM edges
-              |          UNION
-              |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |nodes AS (SELECT DISTINCT u AS id FROM edges)
-              |SELECT n.id AS doc_id, least(n.id, min(r.v)) AS component
-              |FROM nodes n JOIN reach r ON r.u = n.id
-              |GROUP BY n.id ORDER BY doc_id""".stripMargin),
+      Some(frameMatchClustersSql),
+    ),
+    // The full-catalog frame-match sweep as a PURE index×index read:
+    // both sides are STORED chunk tables (image index × per-frame
+    // video index) bucketed on the same (chunk_idx, chunk_bits) keys —
+    // the nightly sweep joins them exchange-free with nothing decoded
+    // and no fingerprint recomputed (mm_index_frame_match is the
+    // arrival-time sibling that fingerprints the incoming videos).
+    // Same oracle as the corpus-scan face.
+    Q(
+      "mm_index_frame_match_sweep",
+      (s, d) => graft.operators.MediaIndexOps.frameMatchFromIndexes(
+        s, fullMediaIndex(s, d, "image"), fullMediaIndex(s, d, "video"),
+        maxHamming = 5),
+      Some(frameMatchSql),
+    ),
+    // The cross-modal content FAMILIES as a PERSISTED-artifact read:
+    // pairs came from the index×index sweep (no payload touched) and
+    // label-prop ran ONCE at build time — the takedown/licensing unit
+    // costs a bucket scan, exactly like every other cluster read face.
+    // Same recursive-closure oracle as the corpus-scan clusters face.
+    Q(
+      "mm_index_frame_match_clusters",
+      (s, d) => s.table(frameMatchFamiliesTable(s, d)).orderBy("doc_id"),
+      Some(frameMatchClustersSql),
     ),
     // The same screen as an INDEX read — images are the stored
     // blocklist (the persisted fingerprint index), videos arrive and

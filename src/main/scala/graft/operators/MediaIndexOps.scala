@@ -641,6 +641,32 @@ object MediaIndexOps {
       .orderBy("image_id", "video_id")
   }
 
+  /** The cross-modal frame match as a PURE index×index read — both
+    * sides come from STORED chunk tables (the image index and the
+    * per-frame video index), so the takedown/licensing screen costs
+    * one equi-join of two tables bucketed on the SAME
+    * (chunk_idx, chunk_bits) keys: exchange-free on BOTH sides,
+    * nothing decoded, no fingerprint recomputed ([[frameMatchAgainstIndex]]
+    * is the arrival-time sibling that fingerprints an incoming batch;
+    * this is the nightly full-catalog sweep). Output identical to
+    * [[MultimodalOps.frameMatchPairs]] on the corpora the indexes hold
+    * (MediaIndexSpec asserts it; the registry faces share the oracle).
+    */
+  def frameMatchFromIndexes(
+      spark: SparkSession,
+      imagePrefix: String,
+      videoPrefix: String,
+      maxHamming: Int,
+  ): DataFrame =
+    Banding
+      .hammingPairs(
+        spark.table(s"${imagePrefix}_chunks"),
+        spark.table(s"${videoPrefix}_chunks"),
+        Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming, "image_id", "video_id")
+      .groupBy(col("image_id"), col("video_id"))
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy("image_id", "video_id")
+
   /** One micro-batch of the STREAMING image dedup: returns the batch's
     * near-dup rows `(new_doc_id, dup_of, hamming)` and GROWS the index
     * with the batch's kept (non-dup, not-already-indexed) images — the

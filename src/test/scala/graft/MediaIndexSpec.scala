@@ -473,6 +473,46 @@ class MediaIndexSpec extends SparkSpec {
     }
   }
 
+  test("index-by-index frame match equals the corpus-scan screen and joins exchange-free") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val imgPre = "mediaixfmimg"
+    val vidPre = "mediaixfmvid"
+    Seq(imgPre, vidPre).foreach(p =>
+      Seq(s"${p}_fps", s"${p}_chunks").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")))
+    MediaIndexOps.writeIndex(media(), Regions, Bands, buckets = 4, prefix = imgPre)
+    MediaIndexOps.writeIndex(
+      media(), Regions, Bands, buckets = 4, prefix = vidPre, mediaType = "video")
+    val fromIdx = MediaIndexOps.frameMatchFromIndexes(spark, imgPre, vidPre, MaxHamming)
+    val direct = MultimodalOps.frameMatchPairs(media(), Regions, Bands, MaxHamming)
+    assert(fromIdx.count() > 0)
+    assert(fromIdx.exceptAll(direct).isEmpty && direct.exceptAll(fromIdx).isEmpty,
+      "index-by-index frame match must equal the corpus-scan screen")
+    // Both chunk tables are bucketed on the join keys at the same
+    // count, so the equi-join must read them in place: no
+    // ShuffleExchange under either join child.
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = MediaIndexOps.frameMatchFromIndexes(spark, imgPre, vidPre, MaxHamming)
+        .queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j: SparkPlan
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(joins.nonEmpty, s"expected a shuffled-family join over the chunk tables:\n$plan")
+      joins.head.children.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"a bucketed chunk scan sits under an exchange:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
+  }
+
   test("VIDEO grow-everything ingest stays bit-equal to a from-scratch rebuild") {
     // The hardest incremental case: every pair the grow path merges is a
     // MIN across per-frame matches. N batches of incremental ingest over
