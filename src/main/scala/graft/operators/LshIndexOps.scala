@@ -213,6 +213,35 @@ object LshIndexOps {
       .orderBy("doc_id")
   }
 
+  /** The STREAMING face of the text upload verdict — the
+    * `MediaIndexOps.streamingUploadVerdict` twin: every micro-batch of
+    * arriving documents is judged against the stored artifacts
+    * ([[uploadVerdict]]) and its per-doc verdicts handed to
+    * `onVerdicts`. READ-ONLY on the index (the verdict gates
+    * admission; it does not ingest), so batches are independent and a
+    * replay re-emits identical verdicts — idempotent by construction,
+    * no ledger needed; LshIndexSpec asserts the batch twin identical.
+    */
+  def streamingUploadVerdict(
+      spark: SparkSession,
+      prefix: String,
+      docs: DataFrame,
+      n: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      minTok: Long,
+      checkpoint: String,
+      onVerdicts: (DataFrame, Long) => Unit,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onVerdicts(uploadVerdict(spark, prefix, batch, n, k, bands, threshold, minTok), batchId)
+      }
+      .start()
+
   /** Persist the cluster assignment next to the index — label-prop
     * connected components over pairs read FROM the just-written band
     * table (clustering never re-shingles a document), bucketed+sorted

@@ -304,6 +304,43 @@ class StreamingSpec extends SparkSpec {
       "an upload verdict must not grow the index")
   }
 
+  test("TEXT streaming upload verdict is batch/stream unified: identical verdicts, index untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LshIndexOps
+    val prefix = "txuploadstream"
+    Seq("_docs", "_bands", "_meta", "_batches")
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val stored = docs.filter(col("doc_id") % 5 =!= 0)
+    LshIndexOps.writeIndex(stored, n = 3, k = 32, bands = 8, buckets = 4, prefix = prefix)
+    LshIndexOps.writeMetaTable(stored, buckets = 4, prefix = prefix)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.Buffer[(Long, String, Option[Long])]()
+    val ckpt = Files.createTempDirectory("tx_upload_verdict").toFile.getAbsolutePath
+    val docsBefore = spark.table(s"${prefix}_docs").count()
+    val q = LshIndexOps.streamingUploadVerdict(
+      spark, prefix, in.toDF().toDF("doc_id", "text"),
+      n = 3, k = 32, bands = 8, threshold = 0.8, minTok = 20L, checkpoint = ckpt,
+      onVerdicts = (v, _) => collected ++= v.as[(Long, String, Option[Long])].collect(),
+    )
+    val waves = arrivals.grouped(arrivals.length / 3 + 1).toSeq
+    try waves.foreach { w => in.addData(w.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // A verdict depends only on the arrival and the standing index, so
+    // the union over waves must equal the batch face (itself pinned by
+    // its DuckDB oracle) exactly — every arrival exactly once.
+    val expected = LshIndexOps.uploadVerdict(
+      spark, prefix, docs.filter(col("doc_id") % 5 === 0),
+      n = 3, k = 32, bands = 8, threshold = 0.8, minTok = 20L)
+      .as[(Long, String, Option[Long])].collect()
+    assert(collected.nonEmpty && collected.size == expected.length)
+    assert(collected.toSet == expected.toSet)
+    assert(spark.table(s"${prefix}_docs").count() == docsBefore,
+      "an upload verdict must not grow the index")
+  }
+
   test("stream-stream interval join pairs bidirectional flows with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     def rawP(src: String, dst: String, psrc: Int, pdst: Int, bytes: Long, ts: String): String =
