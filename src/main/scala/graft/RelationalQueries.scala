@@ -89,12 +89,66 @@ object RelationalQueries {
   ): String = graphEdgeTable(
     s, d, "reach", "l_partkey", Some(col("l_quantity") === 1), withDeg = false)
 
+  /** The INCREMENTALLY-GROWN graph edge artifacts — the grownLshIndex
+    * discipline on the link graph: seeded from the stored split
+    * (l_orderkey % 5 ≠ 0) via [[graft.operators.GraphOps.buildGrowableEdgeTable]],
+    * then the remaining fifth of the slice ingested through
+    * [[graft.operators.GraphOps.growEdgeTable]]'s ledgered append +
+    * out-degree refresh. The read faces share the FULL-CORPUS oracles,
+    * so a drifted incremental merge (a missed cross-split edge, a
+    * stale out_deg) hash-mismatches the from-scratch truth.
+    */
+  private val builtGrownEdges = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String), String]
+
+  private def grownEdgeTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      tag: String,
+      keyCol: String,
+      slice: Option[org.apache.spark.sql.Column],
+  ): String = {
+    builtGrownEdges.keys.filter(_._1.sparkContext.isStopped).foreach(builtGrownEdges.remove)
+    builtGrownEdges.synchronized {
+      builtGrownEdges.getOrElseUpdate(
+        (s, d, tag), {
+          val t = Tables.tempIndexDb(s, "graph", s"${tag}_grown_edges_${Tables.datasetKey(d)}")
+          // Split on l_partkey (independent of both the group and the
+          // co-occurring key), so growth rows land INSIDE seeded orders
+          // — the batch genuinely extends existing groups' memberships
+          // (an l_orderkey split would only ever add whole new groups,
+          // never exercising the incremental cross-split edge merge).
+          val li = slice.foldLeft(lineitem(s, d))(_.filter(_))
+            .select(col("l_orderkey"), col("l_partkey"), col(keyCol))
+          graft.operators.GraphOps.buildGrowableEdgeTable(
+            s, li.filter(col("l_partkey") % 5 =!= 0), "l_orderkey", keyCol, t)
+          graft.operators.GraphOps.growEdgeTable(
+            s, t, li.filter(col("l_partkey") % 5 === 0), "l_orderkey", keyCol)
+          t
+        },
+      )
+    }
+  }
+
+  private[graft] def grownTriangleEdgeTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): String = grownEdgeTable(
+    s, d, "tri", "l_suppkey", Some(col("l_returnflag") === "R"))
+
+  private[graft] def grownPagerankEdgeTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): String = grownEdgeTable(s, d, "pr", "l_suppkey", None)
+
   /** Eager build of the shared graph artifacts (no-op when built). */
   def prepareSharedArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     pagerankEdgeTable(s, d)
     triangleEdgeTable(s, d)
     kcoreEdgeTable(s, d)
     reachEdgeTable(s, d)
+    grownTriangleEdgeTable(s, d)
+    grownPagerankEdgeTable(s, d)
     ()
   }
 
@@ -176,6 +230,81 @@ object RelationalQueries {
        |  CAST(min(rb) AS BIGINT) AS min_rb, CAST(max(rb) AS BIGINT) AS max_rb
        |FROM f GROUP BY layout, file_id)""".stripMargin
   }
+
+  /** q_triangles' full-corpus oracle — shared verbatim by the grown-
+    * artifact face (one truth, two read paths).
+    */
+  private val trianglesOracleSql =
+    """WITH m AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS k FROM lineitem
+             |  WHERE l_returnflag = 'R'),
+             |gok AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING count(*) <= 1000),
+             |und AS MATERIALIZED (
+             |  SELECT DISTINCT a.k AS u, b.k AS v
+             |  FROM m a JOIN m b ON b.g = a.g AND a.k < b.k
+             |  WHERE a.g IN (SELECT g FROM gok)),
+             |deg AS MATERIALIZED (
+             |  SELECT node, count(*) AS d FROM (
+             |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+             |  GROUP BY node),
+             |ori AS MATERIALIZED (
+             |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v) THEN u ELSE v END AS a,
+             |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v) THEN v ELSE u END AS b
+             |  FROM und JOIN deg da ON da.node = und.u JOIN deg db ON db.node = und.v),
+             |tri AS MATERIALIZED (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM ori e1 JOIN ori e2 ON e2.a = e1.b
+             |  WHERE EXISTS (SELECT 1 FROM ori e3 WHERE e3.a = e1.a AND e3.b = e2.b))
+             |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+             |FROM (SELECT x AS node FROM tri
+             |      UNION ALL SELECT y FROM tri
+             |      UNION ALL SELECT z FROM tri)
+             |GROUP BY node ORDER BY node""".stripMargin
+
+  /** q_pagerank's full-corpus oracle — shared verbatim by the grown-
+    * artifact face.
+    */
+  private val pagerankOracleSql =
+    """WITH m AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS k FROM lineitem),
+             |gok AS MATERIALIZED (
+             |  SELECT g FROM m GROUP BY g HAVING count(*) <= 1000),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT a.k AS src, b.k AS dst
+             |  FROM m a JOIN m b ON b.g = a.g AND b.k <> a.k
+             |  WHERE a.g IN (SELECT g FROM gok)),
+             |deg AS MATERIALIZED (
+             |  SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+             |nn AS (SELECT count(*) AS n FROM deg),
+             |p0 AS MATERIALIZED (
+             |  SELECT node, 1000000000000 // n AS pr FROM deg CROSS JOIN nn),
+             |c1 AS MATERIALIZED (
+             |  SELECT e.dst, CAST(sum(p.pr // d.out_deg) AS BIGINT) AS sc
+             |  FROM e JOIN p0 p ON p.node = e.src JOIN deg d ON d.node = e.src
+             |  GROUP BY e.dst),
+             |p1 AS MATERIALIZED (
+             |  SELECT d.node,
+             |    (15 * (1000000000000 // n)) // 100 + (85 * coalesce(c.sc, 0)) // 100 AS pr
+             |  FROM deg d CROSS JOIN nn LEFT JOIN c1 c ON c.dst = d.node),
+             |c2 AS MATERIALIZED (
+             |  SELECT e.dst, CAST(sum(p.pr // d.out_deg) AS BIGINT) AS sc
+             |  FROM e JOIN p1 p ON p.node = e.src JOIN deg d ON d.node = e.src
+             |  GROUP BY e.dst),
+             |p2 AS MATERIALIZED (
+             |  SELECT d.node,
+             |    (15 * (1000000000000 // n)) // 100 + (85 * coalesce(c.sc, 0)) // 100 AS pr
+             |  FROM deg d CROSS JOIN nn LEFT JOIN c2 c ON c.dst = d.node),
+             |c3 AS MATERIALIZED (
+             |  SELECT e.dst, CAST(sum(p.pr // d.out_deg) AS BIGINT) AS sc
+             |  FROM e JOIN p2 p ON p.node = e.src JOIN deg d ON d.node = e.src
+             |  GROUP BY e.dst),
+             |p3 AS MATERIALIZED (
+             |  SELECT d.node,
+             |    (15 * (1000000000000 // n)) // 100 + (85 * coalesce(c.sc, 0)) // 100 AS pr
+             |  FROM deg d CROSS JOIN nn LEFT JOIN c3 c ON c.dst = d.node)
+             |SELECT d.node, d.out_deg, CAST(p.pr AS BIGINT) AS pr
+             |FROM deg d JOIN p3 p ON p.node = d.node
+             |ORDER BY d.node""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -2843,31 +2972,17 @@ object RelationalQueries {
     Q(
       "q_triangles",
       (s, d) => graft.operators.GraphOps.triangleCounts(s.table(triangleEdgeTable(s, d))),
-      Some("""WITH m AS MATERIALIZED (
-             |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS k FROM lineitem
-             |  WHERE l_returnflag = 'R'),
-             |gok AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING count(*) <= 1000),
-             |und AS MATERIALIZED (
-             |  SELECT DISTINCT a.k AS u, b.k AS v
-             |  FROM m a JOIN m b ON b.g = a.g AND a.k < b.k
-             |  WHERE a.g IN (SELECT g FROM gok)),
-             |deg AS MATERIALIZED (
-             |  SELECT node, count(*) AS d FROM (
-             |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
-             |  GROUP BY node),
-             |ori AS MATERIALIZED (
-             |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v) THEN u ELSE v END AS a,
-             |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v) THEN v ELSE u END AS b
-             |  FROM und JOIN deg da ON da.node = und.u JOIN deg db ON db.node = und.v),
-             |tri AS MATERIALIZED (
-             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-             |  FROM ori e1 JOIN ori e2 ON e2.a = e1.b
-             |  WHERE EXISTS (SELECT 1 FROM ori e3 WHERE e3.a = e1.a AND e3.b = e2.b))
-             |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
-             |FROM (SELECT x AS node FROM tri
-             |      UNION ALL SELECT y FROM tri
-             |      UNION ALL SELECT z FROM tri)
-             |GROUP BY node ORDER BY node""".stripMargin),
+      Some(trianglesOracleSql),
+    ),
+    // The same wedge analytics over the INCREMENTALLY-GROWN edge
+    // artifact (seeded from 4/5 of the slice's rows, the last fifth
+    // ingested through growEdgeTable's ledgered append) — checked
+    // against the SAME full-corpus oracle, so a drifted incremental
+    // edge merge hash-mismatches the from-scratch truth.
+    Q(
+      "q_triangles_grown",
+      (s, d) => graft.operators.GraphOps.triangleCounts(s.table(grownTriangleEdgeTable(s, d))),
+      Some(trianglesOracleSql),
     ),
     // Bounded-round k-core peeling over the part co-occurrence graph
     // (quantity slice keeps it at realistic sparsity, avg degree ~5):
@@ -2919,46 +3034,18 @@ object RelationalQueries {
       "q_pagerank",
       (s, d) => graft.operators.GraphOps.pageRankOnTable(
         s, pagerankEdgeTable(s, d), iters = 3, scale = 1000000000000L),
-      Some("""WITH m AS MATERIALIZED (
-             |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS k FROM lineitem),
-             |gok AS MATERIALIZED (
-             |  SELECT g FROM m GROUP BY g HAVING count(*) <= 1000),
-             |e AS MATERIALIZED (
-             |  SELECT DISTINCT a.k AS src, b.k AS dst
-             |  FROM m a JOIN m b ON b.g = a.g AND b.k <> a.k
-             |  WHERE a.g IN (SELECT g FROM gok)),
-             |deg AS MATERIALIZED (
-             |  SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
-             |nn AS (SELECT count(*) AS n FROM deg),
-             |p0 AS MATERIALIZED (
-             |  SELECT node, 1000000000000 // n AS pr FROM deg CROSS JOIN nn),
-             |c1 AS MATERIALIZED (
-             |  SELECT e.dst, CAST(sum(p.pr // d.out_deg) AS BIGINT) AS sc
-             |  FROM e JOIN p0 p ON p.node = e.src JOIN deg d ON d.node = e.src
-             |  GROUP BY e.dst),
-             |p1 AS MATERIALIZED (
-             |  SELECT d.node,
-             |    (15 * (1000000000000 // n)) // 100 + (85 * coalesce(c.sc, 0)) // 100 AS pr
-             |  FROM deg d CROSS JOIN nn LEFT JOIN c1 c ON c.dst = d.node),
-             |c2 AS MATERIALIZED (
-             |  SELECT e.dst, CAST(sum(p.pr // d.out_deg) AS BIGINT) AS sc
-             |  FROM e JOIN p1 p ON p.node = e.src JOIN deg d ON d.node = e.src
-             |  GROUP BY e.dst),
-             |p2 AS MATERIALIZED (
-             |  SELECT d.node,
-             |    (15 * (1000000000000 // n)) // 100 + (85 * coalesce(c.sc, 0)) // 100 AS pr
-             |  FROM deg d CROSS JOIN nn LEFT JOIN c2 c ON c.dst = d.node),
-             |c3 AS MATERIALIZED (
-             |  SELECT e.dst, CAST(sum(p.pr // d.out_deg) AS BIGINT) AS sc
-             |  FROM e JOIN p2 p ON p.node = e.src JOIN deg d ON d.node = e.src
-             |  GROUP BY e.dst),
-             |p3 AS MATERIALIZED (
-             |  SELECT d.node,
-             |    (15 * (1000000000000 // n)) // 100 + (85 * coalesce(c.sc, 0)) // 100 AS pr
-             |  FROM deg d CROSS JOIN nn LEFT JOIN c3 c ON c.dst = d.node)
-             |SELECT d.node, d.out_deg, CAST(p.pr AS BIGINT) AS pr
-             |FROM deg d JOIN p3 p ON p.node = d.node
-             |ORDER BY d.node""".stripMargin),
+      Some(pagerankOracleSql),
+    ),
+    // PageRank over the GROWN artifact: stored symmetric edges join
+    // their maintained `_deg` table (both bucketed on src — no
+    // exchange in the adjacency assembly), same integer iteration,
+    // SAME full-corpus oracle — a stale out_deg after an incremental
+    // grow would hash-mismatch here.
+    Q(
+      "q_pagerank_grown",
+      (s, d) => graft.operators.GraphOps.pageRankOnGrownTable(
+        s, grownPagerankEdgeTable(s, d), iters = 3, scale = 1000000000000L),
+      Some(pagerankOracleSql),
     ),
     // Column profiler (the ANALYZE/dataset-card view): per column, null
     // count, exact NDV, and min/max. Nulls/min/max share ONE wide pass

@@ -457,15 +457,19 @@ object DedupOps {
     * to a shadow table, then swapped over the live name by
     * [[IndexCatalog.swapStaged]]'s rename-first sequence), so a crash
     * anywhere in the minutes-long write phase leaves the live artifact
-    * untouched; the remaining exposure is swapStaged's documented
-    * rename-instant window, with `_old` as the recovery copy. Shared
-    * by the media-fingerprint and text-LSH index maintainers.
+    * untouched; the rename-instant window is RETRIED on the read side
+    * (readers go through [[IndexCatalog.readLive]] — one retry, then
+    * the `_old` recovery copy) and a swap that crashed between its two
+    * renames is repaired by [[IndexCatalog.recoverDangling]] here and
+    * in every maintainer's tableExists guard. Shared by the
+    * media-fingerprint and text-LSH index maintainers.
     */
   def growPersistedClusters(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       newPairs: DataFrame,
   ): Unit = {
+    IndexCatalog.recoverDangling(spark, table)
     val np = newPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     if (np.isEmpty) return
     val buckets = IndexCatalog.tableBuckets(spark, table)

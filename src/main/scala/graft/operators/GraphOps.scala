@@ -51,16 +51,24 @@ object GraphOps {
       groupCol: String,
       keyCol: String,
       maxGroupSize: Int = 1000,
-  ): DataFrame = {
-    val members = rows
-      .select(col(groupCol).as("g"), col(keyCol).as("k"))
-      .distinct()
+  ): DataFrame =
+    edgesFromMembers(
+      rows.select(col(groupCol).as("g"), col(keyCol).as("k")).distinct(),
+      maxGroupSize)
+
+  /** The symmetric edge derivation over a distinct (g, k) membership
+    * frame — [[coOccurrenceEdges]]' tail, shared with the growable
+    * artifact's rebuild path ([[growEdgeTable]]), whose ground truth IS
+    * a stored membership table.
+    */
+  private def edgesFromMembers(members: DataFrame, maxGroupSize: Int): DataFrame = {
+    val sized = members
       .withColumn("gs", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
       .filter(col("gs") <= maxGroupSize)
       .select(col("g"), col("k"))
-    members
+    sized
       .select(col("g"), col("k").as("src"))
-      .join(members.select(col("g"), col("k").as("dst")), "g")
+      .join(sized.select(col("g"), col("k").as("dst")), "g")
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .distinct()
@@ -243,6 +251,221 @@ object GraphOps {
     }
     degrees(cur).orderBy("node")
   }
+
+  /** Build the GROWABLE co-occurrence edge artifact — the incremental
+    * sibling of [[buildSymEdgeTable]]/[[buildEdgeTable]] (a link graph
+    * at corpus scale grows daily; rebuilding the quadratic group
+    * self-join per refresh is exactly the shape the persisted indexes
+    * eliminated). Three tables:
+    *   - `${table}_members(g, k)` — the distinct group-membership
+    *     ground truth, bucketed on `g`: the self-join key, so both the
+    *     incremental candidate join and the rare rebuild read it
+    *     exchange-free;
+    *   - `${table}(src, dst)` — the symmetric distinct edge set,
+    *     bucketed+sorted on `src` (identical layout and content to
+    *     [[buildSymEdgeTable]] over [[coOccurrenceEdges]] of the same
+    *     rows — GraphSpec pins bit-equality);
+    *   - `${table}_deg(src, out_deg)` — the out-degree artifact,
+    *     bucketed on `src` at the same count, so
+    *     [[pageRankOnGrownTable]]'s adjacency join needs no exchange.
+    */
+  def buildGrowableEdgeTable(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      table: String,
+      maxGroupSize: Int = 1000,
+      buckets: Int = 32,
+  ): Unit = {
+    // A rebuilt artifact is a fresh generation — a stale grow ledger
+    // would make growEdgeTable skip the new generation's batches.
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_batches")
+    rows
+      .select(col(groupCol).cast("long").as("g"), col(keyCol).cast("long").as("k"))
+      .distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "g")
+      .saveAsTable(s"${table}_members")
+    spark.catalog.refreshTable(s"${table}_members")
+    edgesFromMembers(spark.table(s"${table}_members"), maxGroupSize)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    spark.table(table)
+      .groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(s"${table}_deg")
+    spark.catalog.refreshTable(s"${table}_deg")
+  }
+
+  /** Grow the artifact with a batch of new group rows — append-only on
+    * the common path, with the same ledger/staged discipline as the
+    * index families' ingests. Steps, all replay-idempotent:
+    *
+    *   1. fresh members = the batch's distinct (g, k) minus the
+    *      PRE-BATCH membership (the stored table anti-joined against
+    *      the batch's own rows, so a crashed partial append can't
+    *      perturb the view — the [[LshIndexOps.ingestBatchAndMaintain]]
+    *      exclusion trick);
+    *   2. new edges = fresh × (all post-batch members of the touched,
+    *      still-sane groups), symmetrized, minus edges already stored —
+    *      the anti-join makes the append idempotent AND dedups edges a
+    *      different group already witnessed. Only TOUCHED groups are
+    *      read: per-batch work scales with the batch's groups, not |E|;
+    *   3. the hub stop-key rule survives incrementally: a group whose
+    *      membership CROSSES `maxGroupSize` with this batch must have
+    *      its previously-emitted edges RETRACTED (the wholesale-drop
+    *      contract [[coOccurrenceEdges]] documents) — and since edges
+    *      don't carry witness groups, retraction is a STAGED full
+    *      rebuild from the membership ground truth (rare by
+    *      construction: once over the cap a group never re-crosses,
+    *      and the rebuild reads the bucketed members table, never the
+    *      raw corpus), committed by [[IndexCatalog.swapStaged]];
+    *   4. `${table}_deg` refreshes as a staged overwrite — O(|V|),
+    *      computed exchange-free off the bucketed edge table.
+    *
+    * The `${table}_batches` intent/commit ledger (batch key = the
+    * batch's min (g, k), reproducible across replays) short-circuits
+    * committed batches; every step between intent and commit is
+    * idempotent, so any crash point replays to the identical artifact
+    * (GraphSpec pins N-batch grow ≡ rebuild, replay as a no-op, and
+    * the cap-crossing retraction).
+    */
+  def growEdgeTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      batch: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      maxGroupSize: Int = 1000,
+  ): Unit = {
+    val membersT = s"${table}_members"
+    val batchMembers = batch
+      .select(col(groupCol).cast("long").as("g"), col(keyCol).cast("long").as("k"))
+      .distinct()
+      .localCheckpoint()
+    if (batchMembers.isEmpty) return
+    val ledger = s"${table}_batches"
+    if (!spark.catalog.tableExists(ledger))
+      spark.sql(s"CREATE TABLE $ledger (batch_g BIGINT, batch_k BIGINT, phase STRING) USING parquet")
+    val bk = batchMembers.agg(min(struct(col("g"), col("k")))).first().getStruct(0)
+    val (keyG, keyK) = (bk.getLong(0), bk.getLong(1))
+    val phases = spark.table(ledger)
+      .filter(col("batch_g") === keyG && col("batch_k") === keyK)
+      .select(col("phase")).collect().map(_.getString(0)).toSet
+    if (phases.contains("commit")) return
+    if (!phases.contains("intent")) {
+      spark.sql(s"INSERT INTO $ledger VALUES ($keyG, $keyK, 'intent')")
+      spark.catalog.refreshTable(ledger)
+    }
+    val stored = spark.table(membersT)
+    val affected = batchMembers.select(col("g")).distinct()
+    // Members of the touched groups as of BEFORE the batch — the
+    // anti-join excludes any rows a crashed prior attempt appended.
+    val preAff = stored
+      .join(affected, Seq("g"), "left_semi")
+      .join(batchMembers, Seq("g", "k"), "left_anti")
+    val fresh = batchMembers.join(preAff, Seq("g", "k"), "left_anti")
+    val postAff = preAff.unionByName(fresh).localCheckpoint()
+    val postSizes = postAff.groupBy(col("g")).agg(count(lit(1)).as("gs"))
+    // Crossing = a group whose pre-batch membership was sane (and big
+    // enough to have emitted an edge) pushed over the cap by this
+    // batch; its stored edges must be retracted, which needs the
+    // rebuild path.
+    val crossed = postSizes.filter(col("gs") > maxGroupSize)
+      .join(
+        preAff.groupBy(col("g")).agg(count(lit(1)).as("pgs")),
+        Seq("g"))
+      .filter(col("pgs") >= 2 && col("pgs") <= maxGroupSize)
+    val mustRebuild = !crossed.isEmpty
+    // Both append frames materialize BEFORE any table mutates.
+    val memberAppend = batchMembers
+      .join(stored, Seq("g", "k"), "left_anti")
+      .localCheckpoint()
+    val sane = postSizes.filter(col("gs") <= maxGroupSize).select(col("g"))
+    val cand = fresh
+      .join(sane, Seq("g"), "left_semi")
+      .select(col("g"), col("k").as("src"))
+      .join(postAff.select(col("g"), col("k").as("dst")), "g")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val edgeAppend =
+      if (mustRebuild) None
+      else
+        Some(
+          cand.unionAll(cand.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct()
+            .join(spark.table(table), Seq("src", "dst"), "left_anti")
+            .localCheckpoint())
+    val buckets = IndexCatalog.tableBuckets(spark, membersT)
+    if (!memberAppend.isEmpty) {
+      memberAppend
+        .write.mode("append")
+        .bucketBy(buckets, "g")
+        .saveAsTable(membersT)
+      spark.catalog.refreshTable(membersT)
+    }
+    if (mustRebuild) {
+      // The rare retraction path: rebuild the edge set from the
+      // membership ground truth (now including this batch), staged and
+      // rename-swapped so readers are served throughout.
+      IndexCatalog.swapStaged(
+        spark,
+        Seq(IndexCatalog.stageTableFrom(
+          spark, table,
+          edgesFromMembers(spark.table(membersT), maxGroupSize),
+          Seq("src"), Seq("src"), IndexCatalog.tableBuckets(spark, table))))
+      spark.catalog.refreshTable(table)
+    } else edgeAppend.filter(!_.isEmpty).foreach { ea =>
+      ea.write.mode("append")
+        .bucketBy(IndexCatalog.tableBuckets(spark, table), "src").sortBy("src")
+        .saveAsTable(table)
+      spark.catalog.refreshTable(table)
+    }
+    refreshDegTable(spark, table)
+    spark.sql(s"INSERT INTO $ledger VALUES ($keyG, $keyK, 'commit')")
+    spark.catalog.refreshTable(ledger)
+  }
+
+  /** Refresh `${table}_deg` from the current edge set — a staged
+    * O(|V|) overwrite (the edge table is bucketed on src, so the
+    * degree aggregation itself is exchange-free), rename-swapped so a
+    * concurrent pagerank run never reads a half-written degree table.
+    */
+  private def refreshDegTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+  ): Unit = {
+    val degT = s"${table}_deg"
+    IndexCatalog.swapStaged(
+      spark,
+      Seq(IndexCatalog.stageTableFrom(
+        spark, degT,
+        spark.table(table).groupBy(col("src")).agg(count(lit(1)).as("out_deg")),
+        Seq("src"), Seq("src"), IndexCatalog.tableBuckets(spark, degT))))
+    spark.catalog.refreshTable(degT)
+  }
+
+  /** PageRank over the GROWN artifact: the stored symmetric edges join
+    * their maintained out-degrees — both bucketed on src at the same
+    * count, so the adjacency assembly adds no exchange — then the same
+    * integer power iteration as [[pageRankOnTable]]. Bit-equal to
+    * [[pageRankInt]] over the equivalent edge set (integer arithmetic
+    * is summation-order-free; the registry face shares q_pagerank's
+    * FULL-CORPUS oracle).
+    */
+  def pageRankOnGrownTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      iters: Int,
+      scale: Long,
+  ): DataFrame =
+    pageRankLoop(
+      spark.table(table).join(IndexCatalog.readLive(spark, s"${table}_deg"), "src"),
+      iters, scale)
 
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.filter(col("src") < col("dst")).select(col("src").as("u"), col("dst").as("v"))

@@ -78,11 +78,60 @@ private[graft] object IndexCatalog {
     */
   def swapStaged(spark: SparkSession, pairs: Seq[(String, String)]): Unit =
     pairs.foreach { case (live, staged) =>
+      // A prior swap may have crashed between its two renames, leaving
+      // `_old` as the only copy; restore it before touching anything —
+      // the old behavior (DROP IF EXISTS `_old` first) silently
+      // destroyed the recovery copy and left downstream tableExists
+      // guards skipping maintenance on a missing live name.
+      recoverDangling(spark, live)
       val old = s"${live}_old"
       spark.sql(s"DROP TABLE IF EXISTS $old")
       spark.sql(s"ALTER TABLE $live RENAME TO $old")
       spark.sql(s"ALTER TABLE $staged RENAME TO $live")
       spark.sql(s"DROP TABLE $old")
+    }
+
+  /** Repair the crash window between [[swapStaged]]'s two renames: a
+    * dangling `${table}_old` with NO live `$table` means the first
+    * rename committed and the second never ran — `_old` is the sole
+    * complete copy, so rename it back. Maintainers call this BEFORE
+    * any `tableExists(table)` guard (a missing live name must read as
+    * "crashed swap, recover" — never as "artifact was never built",
+    * which would silently skip the maintenance step and leave the read
+    * face stale). Idempotent and cheap: two catalog existence probes
+    * on the healthy path.
+    */
+  def recoverDangling(spark: SparkSession, table: String): Unit = {
+    val old = s"${table}_old"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old)) {
+      spark.sql(s"ALTER TABLE $old RENAME TO $table")
+      spark.catalog.refreshTable(table)
+    }
+  }
+
+  /** Read a swap-managed artifact resiliently across [[swapStaged]]'s
+    * rename-instant window: resolve the live name; on a miss retry
+    * once (the swap completes in the gap between two catalog renames,
+    * so one retry covers the common race), then fall back to `_old` —
+    * the complete pre-swap copy that exists for exactly the duration
+    * of the window. Content-wise the fallback is safe by the staging
+    * contract: `_old` and the incoming live table hold the same
+    * logical artifact (a rebucket/compaction changes layout only; a
+    * cluster grow is idempotent), so a reader landing on `_old` sees a
+    * consistent — at worst one-swap-stale — artifact instead of a
+    * NoSuchTable failure. A miss with no `_old` either rethrows the
+    * original error (genuinely absent table).
+    */
+  def readLive(spark: SparkSession, table: String): DataFrame =
+    try spark.table(table)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        try spark.table(table)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            val old = s"${table}_old"
+            if (spark.catalog.tableExists(old)) spark.table(old) else throw e
+        }
     }
 
   /** Write `table`'s replacement under a staged name at `buckets`

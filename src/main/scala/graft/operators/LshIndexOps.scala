@@ -78,7 +78,8 @@ object LshIndexOps {
     * sides — no exchange, no recompute.
     */
   def candidatePairs(spark: SparkSession, prefix: String): DataFrame =
-    Banding.candidateSelfPairs(spark.table(s"${prefix}_bands"), Seq("band_idx", "band_key"))
+    Banding.candidateSelfPairs(
+      IndexCatalog.readLive(spark, s"${prefix}_bands"), Seq("band_idx", "band_key"))
 
   /** Verified near-dup pairs from the stored index: candidates from the
     * band table, exact-Jaccard verify against the stored shingle sets.
@@ -97,7 +98,7 @@ object LshIndexOps {
       candidates: DataFrame,
       threshold: Double,
   ): DataFrame = {
-    val sets = spark.table(s"${prefix}_docs")
+    val sets = IndexCatalog.readLive(spark, s"${prefix}_docs")
     val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -133,7 +134,8 @@ object LshIndexOps {
       maxBucket: Int,
   ): DataFrame = {
     val keys = Seq("band_idx", "band_key")
-    val small = Banding.capSmallBuckets(spark.table(s"${prefix}_bands"), keys, maxBucket)
+    val small = Banding.capSmallBuckets(
+      IndexCatalog.readLive(spark, s"${prefix}_bands"), keys, maxBucket)
     verifiedPairs(spark, prefix, Banding.candidateSelfPairs(small, keys), threshold)
   }
 
@@ -188,7 +190,7 @@ object LshIndexOps {
     val ex = bm
       .select(col("doc_id"), col("text_md5"))
       .join(
-        spark.table(s"${prefix}_meta")
+        IndexCatalog.readLive(spark, s"${prefix}_meta")
           .select(col("text_md5"), col("doc_id").as("stored_id")),
         Seq("text_md5"))
       .groupBy(col("doc_id"))
@@ -271,7 +273,7 @@ object LshIndexOps {
     * pairs (the registry faces share the oracle).
     */
   def clustersFromIndex(spark: SparkSession, prefix: String): DataFrame =
-    spark.table(s"${prefix}_clusters").orderBy("doc_id")
+    IndexCatalog.readLive(spark, s"${prefix}_clusters").orderBy("doc_id")
 
   /** GROW-EVERYTHING ingest + cluster maintenance — the text twin of
     * `MediaIndexOps.ingestBatchAndMaintain` (the archive shape: dups
@@ -335,7 +337,11 @@ object LshIndexOps {
       .localCheckpoint()
     // The merge runs BEFORE the ledgered appends: it is idempotent and
     // its inputs never read un-excluded batch state, so any crash
-    // point replays cleanly.
+    // point replays cleanly. Recover a swap that crashed between its
+    // renames first — otherwise the exists guard would misread the
+    // dangling `_old` state as "no cluster artifact" and silently skip
+    // the merge while still committing the batch.
+    IndexCatalog.recoverDangling(spark, s"${prefix}_clusters")
     if (spark.catalog.tableExists(s"${prefix}_clusters"))
       DedupOps.growPersistedClusters(spark, s"${prefix}_clusters", pairs)
     val newRows = idx
@@ -366,9 +372,9 @@ object LshIndexOps {
     val batchBands = idx
       .select(col("doc_id"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
     val candidates = Banding.candidatePairs(
-      batchBands, spark.table(s"${prefix}_bands"),
+      batchBands, IndexCatalog.readLive(spark, s"${prefix}_bands"),
       Seq("band_idx", "band_key"), "new_doc_id", "dup_of")
-    val storedSets = spark.table(s"${prefix}_docs")
+    val storedSets = IndexCatalog.readLive(spark, s"${prefix}_docs")
     val c = graft.expressions.SortedIntersectCount(col("sh_a"), col("sh_b"))
     candidates
       .join(idx.select(col("doc_id").as("new_doc_id"), col("sh").as("sh_a")), "new_doc_id")

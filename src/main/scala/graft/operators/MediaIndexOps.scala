@@ -105,7 +105,26 @@ object MediaIndexOps {
       .write.mode("overwrite")
       .bucketBy(buckets, "chunk_idx", "chunk_bits")
       .saveAsTable(s"${prefix}_chunks")
+    // Record the chunk layout on the artifact itself so index×index
+    // consumers ([[frameMatchFromIndexes]]) can enforce the pigeonhole
+    // recall guarantee without a data scan — appends inherit table
+    // properties, so the value survives every ingest.
+    media.sparkSession.sql(
+      s"ALTER TABLE ${prefix}_chunks SET TBLPROPERTIES ('graft.block_bands' = '$blockBands')")
   }
+
+  /** The stored chunk table's band count — from the `graft.block_bands`
+    * property [[writeIndex]] records (metadata-only); indexes written
+    * before the property existed (or rebucketed copies, which reset
+    * properties) derive it as max(chunk_idx)+1 — one narrow
+    * dictionary-encoded column scan, paid only on the legacy path.
+    */
+  private def storedBlockBands(spark: SparkSession, chunkTable: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(chunkTable))
+      .properties.get("graft.block_bands").map(_.toInt)
+      .getOrElse(
+        spark.table(chunkTable).agg(max(col("chunk_idx"))).head().getInt(0) + 1)
 
   /** Verified near-dup pairs from the stored index: the chunk
     * self-equi-join reads the bucketed artifact on both sides (no
@@ -118,7 +137,8 @@ object MediaIndexOps {
   def nearDupPairs(spark: SparkSession, prefix: String, maxHamming: Int): DataFrame =
     Banding
       .hammingSelfPairs(
-        spark.table(s"${prefix}_chunks"), Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
+        IndexCatalog.readLive(spark, s"${prefix}_chunks"),
+        Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
       .orderBy("doc_a", "doc_b")
 
   /** The pair read face for a PER-FRAME index (video: several
@@ -130,7 +150,8 @@ object MediaIndexOps {
   def nearDupPairsMin(spark: SparkSession, prefix: String, maxHamming: Int): DataFrame =
     Banding
       .hammingSelfPairs(
-        spark.table(s"${prefix}_chunks"), Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
+        IndexCatalog.readLive(spark, s"${prefix}_chunks"),
+        Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("hamming")).as("hamming"))
       .orderBy("doc_a", "doc_b")
@@ -155,12 +176,13 @@ object MediaIndexOps {
       maxHamming: Int,
       whashBudget: Int,
   ): DataFrame = {
-    val fps = spark.table(s"${prefix}_fps")
+    val fps = IndexCatalog.readLive(spark, s"${prefix}_fps")
       .groupBy(col("doc_id"))
       .agg(min(col("whash")).as("whash"))
     val pairs = Banding
       .hammingSelfPairs(
-        spark.table(s"${prefix}_chunks"), Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
+        IndexCatalog.readLive(spark, s"${prefix}_chunks"),
+        Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("hamming")).as("hamming"))
     MultimodalOps.confirmPairs(pairs, fps, whashBudget)
@@ -239,7 +261,7 @@ object MediaIndexOps {
     * the `_cclusters` artifact.
     */
   def consensusClustersFromIndex(spark: SparkSession, prefix: String): DataFrame =
-    spark.table(s"${prefix}_cclusters").orderBy("doc_id")
+    IndexCatalog.readLive(spark, s"${prefix}_cclusters").orderBy("doc_id")
 
   /** The persisted cluster assignment as a read face — the dedup
     * clustering every downstream consumer (curation, savings,
@@ -249,7 +271,7 @@ object MediaIndexOps {
     * pairs (the registry faces share the oracles).
     */
   def clustersFromIndex(spark: SparkSession, prefix: String): DataFrame =
-    spark.table(s"${prefix}_clusters").orderBy("doc_id")
+    IndexCatalog.readLive(spark, s"${prefix}_clusters").orderBy("doc_id")
 
   /** Dedup savings from the persisted artifacts — the storage-owner
     * report (`mm_dedup_savings`) as an index read: the cluster
@@ -259,9 +281,10 @@ object MediaIndexOps {
     * count, and the bytes reclaimed by keeping only the keeper.
     */
   def savingsFromIndex(spark: SparkSession, prefix: String): DataFrame =
-    spark.table(s"${prefix}_clusters")
+    IndexCatalog.readLive(spark, s"${prefix}_clusters")
       .join(
-        spark.table(s"${prefix}_meta").select(col("doc_id"), col("n_bytes").as("bytes")),
+        IndexCatalog.readLive(spark, s"${prefix}_meta")
+          .select(col("doc_id"), col("n_bytes").as("bytes")),
         "doc_id")
       .groupBy(col("component"))
       .agg(
@@ -297,8 +320,8 @@ object MediaIndexOps {
       floorLabel: String,
   ): DataFrame =
     MultimodalOps.curationVerdict(
-      spark.table(s"${prefix}_meta"),
-      spark.table(s"${prefix}_clusters"),
+      IndexCatalog.readLive(spark, s"${prefix}_meta"),
+      IndexCatalog.readLive(spark, s"${prefix}_clusters"),
       floorReject, floorLabel)
 
   /** The UPLOAD-TIME curation verdict — the per-arrival decision a
@@ -330,7 +353,7 @@ object MediaIndexOps {
     val ex = bm
       .select(col("doc_id"), col("payload_md5"))
       .join(
-        spark.table(s"${prefix}_meta")
+        IndexCatalog.readLive(spark, s"${prefix}_meta")
           .select(col("payload_md5"), col("doc_id").as("stored_id")),
         Seq("payload_md5"))
       .groupBy(col("doc_id"))
@@ -463,7 +486,13 @@ object MediaIndexOps {
       .localCheckpoint()
     // Cluster merges run BEFORE the ledgered appends: both are
     // idempotent, so any crash point replays cleanly; their inputs
-    // never read un-excluded batch state.
+    // never read un-excluded batch state. Recover swaps that crashed
+    // between their renames first — a dangling `_old` must not read as
+    // "no cluster artifact" (which would skip the merge yet still
+    // commit the batch, leaving the read face stale).
+    IndexCatalog.recoverDangling(spark, s"${prefix}_clusters")
+    IndexCatalog.recoverDangling(spark, s"${prefix}_cclusters")
+    IndexCatalog.recoverDangling(spark, s"${prefix}_meta")
     if (spark.catalog.tableExists(s"${prefix}_clusters"))
       growClustersWith(spark, prefix, pairs.select(col("doc_a"), col("doc_b")))
     if (spark.catalog.tableExists(s"${prefix}_cclusters")) {
@@ -508,9 +537,10 @@ object MediaIndexOps {
         if (!relabel.isEmpty) {
           // STAGED rewrite (shadow table + rename-first swap): a crash
           // during the relabel write leaves the live `_meta` intact —
-          // the replay recomputes the identical least()-fixpoint; only
-          // swapStaged's rename-instant window remains, with `_old` as
-          // the recovery copy.
+          // the replay recomputes the identical least()-fixpoint;
+          // swapStaged's rename-instant window is RETRIED on the read
+          // side (IndexCatalog.readLive → `_old` fallback) and a crash
+          // between the renames is repaired by recoverDangling above.
           val metaBuckets = IndexCatalog.tableBuckets(spark, s"${prefix}_meta")
           val staged = s"${prefix}_meta_relabel"
           spark.sql(s"DROP TABLE IF EXISTS $staged")
@@ -552,7 +582,8 @@ object MediaIndexOps {
       maxBucket: Int,
   ): DataFrame = {
     val keys = Seq("chunk_idx", "chunk_bits")
-    val small = Banding.capSmallBuckets(spark.table(s"${prefix}_chunks"), keys, maxBucket)
+    val small = Banding.capSmallBuckets(
+      IndexCatalog.readLive(spark, s"${prefix}_chunks"), keys, maxBucket)
     Banding
       .hammingSelfPairs(small, keys, "dhash", maxHamming)
       .orderBy("doc_a", "doc_b")
@@ -574,7 +605,8 @@ object MediaIndexOps {
       maxBucket: Int,
   ): DataFrame = {
     val keys = Seq("chunk_idx", "chunk_bits")
-    val small = Banding.capSmallBuckets(spark.table(s"${prefix}_chunks"), keys, maxBucket)
+    val small = Banding.capSmallBuckets(
+      IndexCatalog.readLive(spark, s"${prefix}_chunks"), keys, maxBucket)
     Banding
       .hammingSelfPairs(small, keys, "dhash", maxHamming)
       .groupBy(col("doc_a"), col("doc_b"))
@@ -601,7 +633,7 @@ object MediaIndexOps {
     val idx = fpFrame(batch, regions, blockBands, mediaType).localCheckpoint()
     Banding
       .hammingPairs(
-        chunkRows(idx), spark.table(s"${prefix}_chunks"),
+        chunkRows(idx), IndexCatalog.readLive(spark, s"${prefix}_chunks"),
         Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming, "new_doc_id", "dup_of")
       .orderBy("new_doc_id", "dup_of")
   }
@@ -633,7 +665,7 @@ object MediaIndexOps {
       .localCheckpoint()
     Banding
       .hammingPairs(
-        spark.table(s"${prefix}_chunks"),
+        IndexCatalog.readLive(spark, s"${prefix}_chunks"),
         Banding.chunkRows(vf, "dhash", bits, blockBands),
         Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming, "image_id", "video_id")
       .groupBy(col("image_id"), col("video_id"))
@@ -657,15 +689,27 @@ object MediaIndexOps {
       imagePrefix: String,
       videoPrefix: String,
       maxHamming: Int,
-  ): DataFrame =
+  ): DataFrame = {
+    // The pigeonhole recall guarantee needs bands > maxHamming — with
+    // the chunk layout implicit in the STORED tables, a too-large
+    // maxHamming would silently lose matches rather than fail. Both
+    // sides must also agree on the layout, or the chunk_idx equi-join
+    // compares different bit ranges.
+    val bb = storedBlockBands(spark, s"${imagePrefix}_chunks")
+    val bbV = storedBlockBands(spark, s"${videoPrefix}_chunks")
+    require(
+      bb == bbV,
+      s"chunk layouts differ: $imagePrefix has $bb bands, $videoPrefix has $bbV")
+    Banding.requirePigeonhole(bb, maxHamming)
     Banding
       .hammingPairs(
-        spark.table(s"${imagePrefix}_chunks"),
-        spark.table(s"${videoPrefix}_chunks"),
+        IndexCatalog.readLive(spark, s"${imagePrefix}_chunks"),
+        IndexCatalog.readLive(spark, s"${videoPrefix}_chunks"),
         Seq("chunk_idx", "chunk_bits"), "dhash", maxHamming, "image_id", "video_id")
       .groupBy(col("image_id"), col("video_id"))
       .agg(min(col("hamming")).as("hamming"))
       .orderBy("image_id", "video_id")
+  }
 
   /** One micro-batch of the STREAMING image dedup: returns the batch's
     * near-dup rows `(new_doc_id, dup_of, hamming)` and GROWS the index
@@ -698,7 +742,7 @@ object MediaIndexOps {
         "new_doc_id", "dup_of", docPred = Some(extra))
     val vsIndex = verified(
       batchChunks,
-      spark.table(s"${prefix}_chunks"),
+      IndexCatalog.readLive(spark, s"${prefix}_chunks"),
       col("x.doc_id") =!= col("y.doc_id"),
     )
     val withinBatch = verified(batchChunks, batchChunks, col("y.doc_id") < col("x.doc_id"))

@@ -396,7 +396,7 @@ object SearchIndexOps {
     * corpus explode.
     */
   def searchAnd(spark: SparkSession, prefix: String, terms: Seq[String]): DataFrame =
-    SearchOps.andFrom(spark.table(s"${prefix}_postings"), terms)
+    SearchOps.andFrom(IndexCatalog.readLive(spark, s"${prefix}_postings"), terms)
 
   /** Proximity (NEAR/slop) search from the stored postings — identical
     * core to [[SearchOps.searchNear]]; the term filter prunes buckets
@@ -404,7 +404,7 @@ object SearchIndexOps {
     * terms' posting lists.
     */
   def searchNear(spark: SparkSession, prefix: String, terms: Seq[String], slop: Int): DataFrame =
-    SearchOps.nearFrom(spark.table(s"${prefix}_postings"), terms, slop)
+    SearchOps.nearFrom(IndexCatalog.readLive(spark, s"${prefix}_postings"), terms, slop)
 
   /** Negated conjunctive retrieval (MUST/MUST_NOT) from the stored
     * postings — identical core to [[SearchOps.searchNot]]; the combined
@@ -418,7 +418,7 @@ object SearchIndexOps {
       must: Seq[String],
       mustNot: Seq[String],
   ): DataFrame =
-    SearchOps.notFrom(spark.table(s"${prefix}_postings"), must, mustNot)
+    SearchOps.notFrom(IndexCatalog.readLive(spark, s"${prefix}_postings"), must, mustNot)
 
   /** Exact phrase match from the stored positional postings — each
     * phrase term contributes one pruned per-term read.
@@ -454,13 +454,13 @@ object SearchIndexOps {
     * construct, not while they run).
     */
   def searchRanked(spark: SparkSession, prefix: String, terms: Seq[String], k: Int): DataFrame = {
-    val tf = SearchOps.tfFrom(spark.table(s"${prefix}_postings"), terms)
+    val tf = SearchOps.tfFrom(IndexCatalog.readLive(spark, s"${prefix}_postings"), terms)
     val df = spark
       .table(s"${prefix}_lexicon")
       .filter(col("term").isin(terms: _*))
       .groupBy(col("term"))
       .agg(sum(col("df")).as("df"))
-    val n = spark.table(s"${prefix}_meta").agg(sum(col("n_docs")).as("n"))
+    val n = IndexCatalog.readLive(spark, s"${prefix}_meta").agg(sum(col("n_docs")).as("n"))
     SearchOps.rankedFrom(tf, df, n, terms, k)
   }
 
@@ -481,7 +481,7 @@ object SearchIndexOps {
       k1: Double = 1.2,
       b: Double = 0.75,
   ): DataFrame = {
-    val tf = SearchOps.tfFrom(spark.table(s"${prefix}_postings"), terms)
+    val tf = SearchOps.tfFrom(IndexCatalog.readLive(spark, s"${prefix}_postings"), terms)
     val df = spark
       .table(s"${prefix}_lexicon")
       .filter(col("term").isin(terms: _*))
@@ -490,6 +490,7 @@ object SearchIndexOps {
     val stats = spark
       .table(s"${prefix}_meta")
       .agg(sum(col("n_docs")).as("n"), sum(col("n_tokens")).as("total_dl"))
-    SearchOps.bm25From(tf, df, stats, spark.table(s"${prefix}_docs"), terms, k, k1, b)
+    SearchOps.bm25From(
+      tf, df, stats, IndexCatalog.readLive(spark, s"${prefix}_docs"), terms, k, k1, b)
   }
 }

@@ -185,7 +185,7 @@ object VectorIndexOps {
     * stale code row.
     */
   private def live(spark: SparkSession, prefix: String, table: String): DataFrame = {
-    val stored = spark.table(table)
+    val stored = IndexCatalog.readLive(spark, table)
     val t = s"${prefix}_tombstones"
     if (spark.catalog.tableExists(t))
       stored.join(broadcast(spark.table(t)), Seq("vec_id"), "left_anti")

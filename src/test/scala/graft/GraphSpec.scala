@@ -129,6 +129,83 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("grown edge artifact: N-batch grow is bit-equal to the from-scratch rebuild") {
+    val t = "graphgrow_edges"
+    Seq(t, s"${t}_members", s"${t}_deg", s"${t}_batches")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    // The PART co-occurrence graph over the quantity slice — sparse
+    // enough at this SF that growth genuinely ADDS edges (the supplier
+    // graph is already complete from any 3/5 of the rows, which would
+    // leave the merge path vacuously green). The split column
+    // (l_suppkey) is independent of both the group and the key, so the
+    // grow batches land INSIDE already-seeded orders.
+    val li = lineitem(spark, Sf)
+      .filter(col("l_quantity") <= 10)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    GraphOps.buildGrowableEdgeTable(
+      spark, li.filter(col("l_suppkey") % 5 < 3), "l_orderkey", "l_partkey", t, buckets = 4)
+    GraphOps.growEdgeTable(
+      spark, t, li.filter(col("l_suppkey") % 5 === 3), "l_orderkey", "l_partkey")
+    GraphOps.growEdgeTable(
+      spark, t, li.filter(col("l_suppkey") % 5 === 4), "l_orderkey", "l_partkey")
+    val grown = spark.table(t)
+    val rebuilt = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    assert(rebuilt.count() > 0)
+    assert(grown.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(grown).isEmpty,
+      "grown edge set must equal the from-scratch co-occurrence derivation")
+    // The batches must have extended EXISTING groups: some edge only
+    // exists because a grow batch added a member to a seeded order.
+    val seedEdges = GraphOps.coOccurrenceEdges(
+      li.filter(col("l_suppkey") % 5 < 3), "l_orderkey", "l_partkey")
+    assert(grown.exceptAll(seedEdges).count() > 0,
+      "the grow batches contributed no new edges — the split does not exercise the merge")
+    // The maintained out-degree artifact equals the derivation.
+    val degGot = spark.table(s"${t}_deg")
+    val degWant = grown.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    assert(degGot.exceptAll(degWant).isEmpty && degWant.exceptAll(degGot).isEmpty,
+      "_deg must match the grown edge set's out-degrees")
+    // PageRank over the grown artifact equals the one-shot operator.
+    val prGrown = GraphOps.pageRankOnGrownTable(spark, t, iters = 2, scale = 1000000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val prRef = GraphOps.pageRankInt(rebuilt, iters = 2, scale = 1000000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(prGrown == prRef, "pagerank over the grown artifact must be bit-equal")
+    // Replaying a committed batch is a no-op on every table.
+    val before = Seq(t, s"${t}_members", s"${t}_deg")
+      .map(x => x -> spark.table(x).collect().toSeq.sortBy(_.toString)).toMap
+    GraphOps.growEdgeTable(
+      spark, t, li.filter(col("l_suppkey") % 5 === 4), "l_orderkey", "l_partkey")
+    before.foreach { case (x, rows0) =>
+      assert(spark.table(x).collect().toSeq.sortBy(_.toString) == rows0,
+        s"replaying a committed batch must not change $x")
+    }
+  }
+
+  test("grown edge artifact retracts a group's edges when it crosses the hub cap") {
+    val t = "graphcap_edges"
+    Seq(t, s"${t}_members", s"${t}_deg", s"${t}_batches")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    // Group 10 starts sane (3 members → edges emitted); the batch
+    // pushes it over the cap, so a from-scratch build would drop it
+    // WHOLESALE. Group 20 stays sane throughout, and edge (2,3) is
+    // also witnessed by group 20 — it must SURVIVE the retraction.
+    val seed = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L)).toDF("g", "k")
+    val batch = (4L to 9L).map(k => (10L, k)).toDF("g", "k")
+    GraphOps.buildGrowableEdgeTable(spark, seed, "g", "k", t, maxGroupSize = 5, buckets = 2)
+    assert(spark.table(t).count() == 6L, "seeded clique of 3 plus the shared pair")
+    GraphOps.growEdgeTable(spark, t, batch, "g", "k", maxGroupSize = 5)
+    val got = spark.table(t).as[(Long, Long)].collect().toSet
+    assert(got == Set(2L -> 3L, 3L -> 2L),
+      s"crossing the cap must retract group 10's edges, keep group 20's witness: $got")
+    val deg = spark.table(s"${t}_deg").as[(Long, Long)].collect().toSet
+    assert(deg == Set(2L -> 1L, 3L -> 1L), "out_deg must refresh after the retraction")
+    // And the result equals a from-scratch build over all rows.
+    val rebuilt = GraphOps.coOccurrenceEdges(
+      seed.unionByName(batch), "g", "k", maxGroupSize = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(got == rebuilt, "retraction path must converge to the rebuild truth")
+  }
+
   test("triangleCounts credits each triangle's three corners exactly once") {
     // Two triangles sharing edge 2–3: (1,2,3) and (2,3,4), plus a
     // pendant 4–5 (on no triangle) and a square 6-7-8-9 (cycles ≠
@@ -206,7 +283,10 @@ class GraphSpec extends SparkSpec {
         // The listener bus is async — wait for event quiescence.
         var last = -1L
         var stable = 0
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         while (stable < 4) {
+          assert(System.nanoTime() < deadline,
+            s"listener bus never went quiescent within 30 s (events=$last)")
           Thread.sleep(50)
           val c = qeGen.get
           if (c == last) stable += 1 else { last = c; stable = 0 }

@@ -396,6 +396,40 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("a swap crashed between renames is recovered by the next ingest, not silently skipped") {
+    import spark.implicits._
+    val pre = "lshixdangle"
+    val ref = "lshixdangleref"
+    val tables = Seq("_docs", "_bands", "_clusters", "_clusters_old", "_batches")
+    Seq(pre, ref).foreach(p => tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $p$t")))
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val seed = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    LshIndexOps.writeIndex(seed, N, K, Bands, buckets = 4, prefix = pre)
+    LshIndexOps.writeClusters(spark, pre, Threshold, buckets = 4)
+    // Inject the crash-between-renames state a prior maintenance swap
+    // can leave: `_clusters` gone, `_clusters_old` the sole copy. The
+    // old tableExists guard read this as "no cluster artifact", skipped
+    // the merge, and still committed the batch — leaving the cluster
+    // read face permanently stale.
+    spark.sql(s"ALTER TABLE ${pre}_clusters RENAME TO ${pre}_clusters_old")
+    LshIndexOps.ingestBatchAndMaintain(
+      spark, pre, batch.toDF("doc_id", "text"), N, K, Bands, buckets = 4,
+      threshold = Threshold)
+    assert(spark.catalog.tableExists(s"${pre}_clusters"),
+      "ingest must recover the dangling _old before its exists guard")
+    assert(!spark.catalog.tableExists(s"${pre}_clusters_old"))
+    // And the recovered-then-merged clusters equal the from-scratch truth.
+    LshIndexOps.writeIndex(docs, N, K, Bands, buckets = 4, prefix = ref)
+    LshIndexOps.writeClusters(spark, ref, Threshold, buckets = 4)
+    val grown = spark.table(s"${pre}_clusters")
+    val rebuilt = spark.table(s"${ref}_clusters")
+    assert(rebuilt.count() > 0)
+    assert(grown.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(grown).isEmpty,
+      "clusters maintained across the recovered swap must equal the rebuild")
+  }
+
   test("incrementally admitted keepers are visible to the text exact-dup digest probe") {
     import spark.implicits._
     val pre = "lshixmetagrow"

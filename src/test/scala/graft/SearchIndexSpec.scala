@@ -292,6 +292,39 @@ class SearchIndexSpec extends SparkSpec {
     assert(graft.operators.IndexCatalog.tableBuckets(spark, s"${prefix}_postings") == 16)
   }
 
+  test("mid-swap reads retry then fall back to _old; a dangling _old is recovered") {
+    import graft.operators.IndexCatalog
+    val prefix = "searchdangle"
+    Seq("postings", "lexicon", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_postings_old")
+    SearchIndexOps.writeIndex(Tables.documents(spark, Sf), buckets = 4, prefix = prefix)
+    val before = SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10).collect().toSeq
+    // Inject the exact mid-swap instant: live renamed to `_old`, the
+    // staged table not yet renamed over the live name. A read landing
+    // here used to fail with NoSuchTable; readLive must serve `_old`.
+    spark.sql(s"ALTER TABLE ${prefix}_postings RENAME TO ${prefix}_postings_old")
+    assert(
+      SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10).collect().toSeq == before,
+      "a read during the rename window must serve the _old recovery copy bit-for-bit")
+    // The crash-between-renames state (no live, dangling `_old`):
+    // recoverDangling must rename the sole complete copy back.
+    IndexCatalog.recoverDangling(spark, s"${prefix}_postings")
+    assert(spark.catalog.tableExists(s"${prefix}_postings"), "live name must be restored")
+    assert(!spark.catalog.tableExists(s"${prefix}_postings_old"), "_old must be gone")
+    assert(SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10).collect().toSeq == before)
+    // And swapStaged itself must tolerate entering on a dangling state:
+    // stage a replacement, re-inject the dangling rename, then swap —
+    // the entry recovery restores the live name instead of DROPping the
+    // only copy, and the swap completes normally.
+    val staged = SearchIndexOps.stageRebucket(spark, prefix, newBuckets = 8)
+    spark.sql(s"ALTER TABLE ${prefix}_postings RENAME TO ${prefix}_postings_old")
+    IndexCatalog.swapStaged(spark, staged)
+    assert(SearchIndexOps.searchBm25(spark, prefix, RankTerms, 10).collect().toSeq == before,
+      "swap entered on a dangling state must still commit the staged index")
+    assert(!spark.catalog.tableExists(s"${prefix}_postings_old"))
+    assert(graft.operators.IndexCatalog.tableBuckets(spark, s"${prefix}_postings") == 8)
+  }
+
   test("streaming ingest grows the index per micro-batch; queries equal a full-corpus scan") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
