@@ -530,6 +530,47 @@ object Bench {
       } finally q.stop()
       matchRows
     }
+
+    // Vector-index streaming ingest (VectorIndexOps.streamingIngest):
+    // micro-batch = intent/commit append against the FROZEN stored
+    // codebook. The index is seeded once outside the timing (an index
+    // pre-exists its ingest stream); each run streams a fresh disjoint
+    // vec_id range in 4 waves against a dropped ledger + fresh
+    // checkpoint, so rows/s is the steady-state ingest cost — the
+    // per-batch argmin assign + two bucketed appends + ledger round
+    // trips, the capacity number a continuous embedding pipeline plans
+    // against.
+    val vecRows = sys.env.getOrElse("SPARK_GRAFT_VEC_ROWS", "2000").toInt
+    locally {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val pre = "bench_vecingest"
+      Seq("codebook", "vectors", "cellstats", "tombstones", "batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${pre}_$t"))
+      val emb = Tables.embeddings(spark, sfDir)
+      graft.operators.VectorIndexOps.writeIndex(
+        emb, dim = 64, isSeed = col("vec_id") < 8, iters = 2, buckets = 8, prefix = pre)
+      val base = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+      val idGen = new java.util.concurrent.atomic.AtomicLong(1000000L)
+      timedN("vector_ingest", warmN = 500, n = vecRows) { n =>
+        val off = idGen.getAndAdd(n.toLong)
+        val rows = (0 until n).map(i => (off + i, base(i % base.length)._2))
+        // foreachBatch ids restart at 0 per checkpoint; the ledger must
+        // restart with them or every repeat run would no-op.
+        spark.sql(s"DROP TABLE IF EXISTS ${pre}_batches")
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val ckpt = java.nio.file.Files.createTempDirectory("bench_vecing").toFile.getAbsolutePath
+        val q = graft.operators.VectorIndexOps.streamingIngest(
+          spark, pre, in.toDF().toDF("vec_id", "embedding"), checkpoint = ckpt)
+        try rows.grouped(math.max(1, rows.length / 4)).foreach { w =>
+          in.addData(w); q.processAllAvailable()
+        } finally q.stop()
+        spark.table(s"${pre}_vectors").count()
+      }
+    }
     rates.toSeq
   }
 }

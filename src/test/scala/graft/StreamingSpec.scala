@@ -341,6 +341,77 @@ class StreamingSpec extends SparkSpec {
       "an upload verdict must not grow the index")
   }
 
+  test("vector-index streaming ingest: union over waves equals the batch face, tombstones honored") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{SimilarityOps, VectorIndexOps}
+    val streamPre = "vecsting"
+    val batchPre = "vecbting"
+    Seq(streamPre, batchPre).foreach(p =>
+      Seq("codebook", "vectors", "cellstats", "tombstones", "batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")))
+    val emb = Tables.embeddings(spark, Sf)
+    val rows = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cut = rows(rows.length / 2)._1
+    val (seed, rest) = rows.partition(_._1 < cut)
+    // Train ONCE and share — both indexes must hold the same frozen
+    // coarse quantizer for the faces to be comparable bit-for-bit.
+    val seedDf = seed.toSeq.toDF("vec_id", "embedding")
+    val cb = SimilarityOps.trainCodebook(
+      seedDf, blocks = 1, subDim = 64, isSeed = col("vec_id") < 8, iters = 2)
+    Seq(streamPre, batchPre).foreach(p =>
+      VectorIndexOps.writeIndex(
+        seedDf, dim = 64, isSeed = col("vec_id") < 8, iters = 2, buckets = 4,
+        prefix = p, codebook = Some(cb)))
+    // Two deletes from the seeded corpus: delGone stays deleted across
+    // the whole stream; delBack is RE-INSERTED by the second wave (the
+    // purge-then-append path under a running stream).
+    val delGone = seed.head._1
+    val delBack = seed(seed.length / 2)._1
+    val dels = Seq(delGone, delBack).toDF("vec_id")
+    Seq(streamPre, batchPre).foreach(p => VectorIndexOps.deleteVectors(spark, p, dels))
+    val waves0 = rest.grouped(rest.length / 2 + 1).toSeq.map(_.toSeq)
+    val reinsert = seed.find(_._1 == delBack).get
+    val waves = Seq(waves0.head, waves0.last :+ reinsert)
+    val in = MemoryStream[(Long, Array[Float])]
+    val ckpt = Files.createTempDirectory("vec_sting").toFile.getAbsolutePath
+    val q = VectorIndexOps.streamingIngest(
+      spark, streamPre, in.toDF().toDF("vec_id", "embedding"), checkpoint = ckpt)
+    try waves.foreach { w => in.addData(w); q.processAllAvailable() }
+    finally q.stop()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    // The batch face: identical seed + deletes, the same rows appended
+    // as plain batch calls.
+    waves.foreach(w => VectorIndexOps.appendVectors(spark, batchPre, w.toDF("vec_id", "embedding")))
+    // Union over waves ≡ batch face, across both index read faces.
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(
+      same(
+        VectorIndexOps.ivfTopK(spark, streamPre, col("vec_id") < 10, k = 5),
+        VectorIndexOps.ivfTopK(spark, batchPre, col("vec_id") < 10, k = 5)),
+      "stream-grown top-k must equal the batch-grown face")
+    assert(
+      same(
+        VectorIndexOps.ivfRangeSearch(spark, streamPre, col("vec_id") < 10, minCosine = 0.4),
+        VectorIndexOps.ivfRangeSearch(spark, batchPre, col("vec_id") < 10, minCosine = 0.4)),
+      "stream-grown range search must equal the batch-grown face")
+    // Tombstones honored end-to-end: the never-reinserted id is gone
+    // from every read face; the re-inserted id is back exactly once.
+    val ids = VectorIndexOps.ivfRangeSearch(
+      spark, streamPre, col("vec_id") === rows.last._1, minCosine = -1.0)
+      .select("neighbor_id").as[Long].collect()
+    assert(!ids.contains(delGone), "deleted vector must stay invisible to reads")
+    val stored = spark.table(s"${streamPre}_vectors")
+      .groupBy(col("vec_id")).count().filter(col("count") > 1)
+    assert(stored.isEmpty, "no vec_id may appear twice after the purge-then-reinsert")
+    assert(
+      spark.table(s"${streamPre}_vectors").filter(col("vec_id") === delBack).count() == 1L,
+      "the re-inserted vector must be live again")
+    assert(
+      spark.table(s"${streamPre}_vectors").filter(col("vec_id") === delGone).count() == 0L,
+      "the purge must have physically dropped the deleted vector")
+  }
+
   test("stream-stream interval join pairs bidirectional flows with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     def rawP(src: String, dst: String, psrc: Int, pdst: Int, bytes: Long, ts: String): String =
