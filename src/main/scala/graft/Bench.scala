@@ -297,6 +297,26 @@ object Bench {
     while (keep > 1 && line(shown(keep), results.size - keep).length > budget)
       keep -= 1
     println(line(shown(keep), results.size - keep))
+    // Full per-query dump for the min-of-reps composite
+    // (tools/bench_composite.py): the stdout line truncates to the
+    // slowest ~40 queries to fit the driver's capture window, but a
+    // noise-proof composite needs EVERY query's time from every rep.
+    // Official reps set SPARK_GRAFT_BENCH_DUMP to a file path; the
+    // stdout contract is unchanged.
+    sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { path =>
+      val qs = results.sortBy(_._1).map { case (k, v, hi, mb) =>
+        "\"" + k + "\":{\"sec\":" + r3(v) + ",\"max\":" + r3(hi) + ",\"shuffle_mb\":" + mb + "}"
+      }.mkString("{", ",", "}")
+      val stream = streamRates.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.0f")
+      }.mkString("{", ",", "}")
+      val load = s"[${r3(load0)},${r3(loadMax)},${r3(loadEnd)}]"
+      val json =
+        s"""{"sf":"$sfDir","n":$reps,"failed":$failed,"load":$load,"load5":${r3(load5Start)},"gated":$gatedSec,"remeasured":$remeasured,"families":$families,"stream":$stream,"total":${r3(total)},"queries":$qs}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path), json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full per-query dump → $path")
+    }
     spark.stop()
   }
 
@@ -544,7 +564,10 @@ object Bench {
     locally {
       import org.apache.spark.sql.functions.col
       import spark.implicits._
-      val pre = "bench_vecingest"
+      // appId-keyed temp DB (like every scratch index): a raw name in
+      // the default DB would collide with a prior JVM's orphaned
+      // warehouse directory (LOCATION_ALREADY_EXISTS).
+      val pre = Tables.tempIndexDb(spark, "bench", "vecingest")
       Seq("codebook", "vectors", "cellstats", "tombstones", "batches")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${pre}_$t"))
       val emb = Tables.embeddings(spark, sfDir)
