@@ -141,6 +141,18 @@ object RelationalQueries {
       d: String,
   ): String = grownEdgeTable(s, d, "pr", "l_suppkey", None)
 
+  private[graft] def grownKcoreEdgeTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): String = grownEdgeTable(
+    s, d, "kcore", "l_partkey", Some(col("l_quantity") <= 10))
+
+  private[graft] def grownReachEdgeTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): String = grownEdgeTable(
+    s, d, "reach", "l_partkey", Some(col("l_quantity") === 1))
+
   /** Eager build of the shared graph artifacts (no-op when built). */
   def prepareSharedArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     pagerankEdgeTable(s, d)
@@ -149,6 +161,8 @@ object RelationalQueries {
     reachEdgeTable(s, d)
     grownTriangleEdgeTable(s, d)
     grownPagerankEdgeTable(s, d)
+    grownKcoreEdgeTable(s, d)
+    grownReachEdgeTable(s, d)
     ()
   }
 
@@ -305,6 +319,37 @@ object RelationalQueries {
              |SELECT d.node, d.out_deg, CAST(p.pr AS BIGINT) AS pr
              |FROM deg d JOIN p3 p ON p.node = d.node
              |ORDER BY d.node""".stripMargin
+
+  /** q_kcore's full-corpus oracle — shared verbatim by the grown-
+    * artifact face.
+    */
+  private val kcoreOracleSql =
+    """WITH m AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS g, l_partkey AS k FROM lineitem
+             |  WHERE l_quantity <= 10),
+             |gok AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING count(*) <= 1000),
+             |und AS MATERIALIZED (
+             |  SELECT DISTINCT a.k AS u, b.k AS v
+             |  FROM m a JOIN m b ON b.g = a.g AND a.k < b.k
+             |  WHERE a.g IN (SELECT g FROM gok)),
+             |d1 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+             |  SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) GROUP BY node),
+             |a1 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= 4),
+             |e1 AS MATERIALIZED (SELECT u, v FROM und
+             |  WHERE u IN (SELECT node FROM a1) AND v IN (SELECT node FROM a1)),
+             |d2 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+             |  SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1) GROUP BY node),
+             |a2 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= 4),
+             |e2 AS MATERIALIZED (SELECT u, v FROM e1
+             |  WHERE u IN (SELECT node FROM a2) AND v IN (SELECT node FROM a2)),
+             |d3 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+             |  SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2) GROUP BY node),
+             |a3 AS MATERIALIZED (SELECT node FROM d3 WHERE d >= 4),
+             |e3 AS MATERIALIZED (SELECT u, v FROM e2
+             |  WHERE u IN (SELECT node FROM a3) AND v IN (SELECT node FROM a3))
+             |SELECT node, CAST(count(*) AS BIGINT) AS degree
+             |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
+             |GROUP BY node ORDER BY node""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -2996,32 +3041,15 @@ object RelationalQueries {
       "q_kcore",
       (s, d) => graft.operators.GraphOps.kCorePeel(
         s.table(kcoreEdgeTable(s, d)), k = 4, rounds = 3),
-      Some("""WITH m AS MATERIALIZED (
-             |  SELECT DISTINCT l_orderkey AS g, l_partkey AS k FROM lineitem
-             |  WHERE l_quantity <= 10),
-             |gok AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING count(*) <= 1000),
-             |und AS MATERIALIZED (
-             |  SELECT DISTINCT a.k AS u, b.k AS v
-             |  FROM m a JOIN m b ON b.g = a.g AND a.k < b.k
-             |  WHERE a.g IN (SELECT g FROM gok)),
-             |d1 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
-             |  SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) GROUP BY node),
-             |a1 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= 4),
-             |e1 AS MATERIALIZED (SELECT u, v FROM und
-             |  WHERE u IN (SELECT node FROM a1) AND v IN (SELECT node FROM a1)),
-             |d2 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
-             |  SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1) GROUP BY node),
-             |a2 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= 4),
-             |e2 AS MATERIALIZED (SELECT u, v FROM e1
-             |  WHERE u IN (SELECT node FROM a2) AND v IN (SELECT node FROM a2)),
-             |d3 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
-             |  SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2) GROUP BY node),
-             |a3 AS MATERIALIZED (SELECT node FROM d3 WHERE d >= 4),
-             |e3 AS MATERIALIZED (SELECT u, v FROM e2
-             |  WHERE u IN (SELECT node FROM a3) AND v IN (SELECT node FROM a3))
-             |SELECT node, CAST(count(*) AS BIGINT) AS degree
-             |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
-             |GROUP BY node ORDER BY node""".stripMargin),
+      Some(kcoreOracleSql),
+    ),
+    // The same bounded-round peel over the INCREMENTALLY-GROWN part
+    // co-occurrence artifact, against the SAME full-corpus oracle.
+    Q(
+      "q_kcore_grown",
+      (s, d) => graft.operators.GraphOps.kCorePeel(
+        s.table(grownKcoreEdgeTable(s, d)), k = 4, rounds = 3),
+      Some(kcoreOracleSql),
     ),
     // PageRank serves its rank-update joins off the adjacency PERSISTED
     // bucketed on src (the index-artifact discipline — built once in
@@ -3199,6 +3227,15 @@ object RelationalQueries {
       (s, d) => s.sql(
         s"""WITH RECURSIVE
            |${reachabilityBfsSql(reachEdgeTable(s, d))}""".stripMargin),
+      Some(reachabilitySql("lineitem")),
+    ),
+    // The same recursive BFS over the INCREMENTALLY-GROWN edge
+    // artifact, against the SAME full-corpus oracle.
+    Q(
+      "q_reachability_grown",
+      (s, d) => s.sql(
+        s"""WITH RECURSIVE
+           |${reachabilityBfsSql(grownReachEdgeTable(s, d))}""".stripMargin),
       Some(reachabilitySql("lineitem")),
     ),
     // Week-over-week growth: ISO-week revenue rollup per type with the
