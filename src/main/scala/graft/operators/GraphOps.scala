@@ -449,6 +449,53 @@ object GraphOps {
     spark.catalog.refreshTable(degT)
   }
 
+  /** Continuous edge ingestion — the streaming face of the growable
+    * artifact (the index-as-state discipline the dd/mm/sim/tx families
+    * follow): every micro-batch of group rows grows the stored graph
+    * through [[growEdgeTable]], whose ledger key (the batch's min
+    * (g, k)) is reproducible across checkpoint replays, so a replayed
+    * batch short-circuits on its commit row and every partial step is
+    * idempotent — the artifact converges to the batch-grown truth
+    * (StreamingSpec pins union-over-waves ≡ the batch face).
+    */
+  def streamingGrowEdges(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      rows: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      maxGroupSize: Int = 1000,
+      checkpoint: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        growEdgeTable(spark, table, batch, groupCol, keyCol, maxGroupSize)
+      }
+      .start()
+
+  /** Append compaction for a growable edge artifact — every
+    * [[growEdgeTable]] batch adds one file per touched bucket to the
+    * edge and members tables, so reads open O(batches) files per
+    * bucket until this runs ([[IndexCatalog.compactBucketed]]: staged
+    * + rename-swapped, readers served throughout; `_deg` is rewritten
+    * wholesale every grow and never fragments). Returns the rewritten
+    * tables.
+    */
+  def compactEdgeTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      maxFilesPerBucket: Int = 4,
+  ): Seq[String] =
+    IndexCatalog.compactBucketed(
+      spark,
+      Seq(
+        (table, Seq("src"), Seq("src")),
+        (s"${table}_members", Seq("g"), Nil),
+      ),
+      maxFilesPerBucket)
+
   /** PageRank over the GROWN artifact: the stored symmetric edges join
     * their maintained out-degrees — both bucketed on src at the same
     * count, so the adjacency assembly adds no exchange — then the same

@@ -412,6 +412,45 @@ class StreamingSpec extends SparkSpec {
       "the purge must have physically dropped the deleted vector")
   }
 
+  test("streaming edge grow: union over waves equals the batch-derived graph; compaction preserves it") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{GraphOps, IndexCatalog}
+    val t = "streamgrow_edges"
+    Seq(t, s"${t}_members", s"${t}_deg", s"${t}_batches")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val li = Tables.lineitem(spark, Sf)
+      .filter(col("l_quantity") <= 10)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    GraphOps.buildGrowableEdgeTable(
+      spark, li.filter(col("l_suppkey") % 5 < 3), "l_orderkey", "l_partkey", t, buckets = 4)
+    val rest = li.filter(col("l_suppkey") % 5 >= 3)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().sortBy(identity).toSeq
+    val in = MemoryStream[(Long, Long)]
+    val ckpt = Files.createTempDirectory("edge_grow").toFile.getAbsolutePath
+    val q = GraphOps.streamingGrowEdges(
+      spark, t, in.toDF().toDF("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", checkpoint = ckpt)
+    try rest.grouped(rest.length / 3 + 1).foreach { w =>
+      in.addData(w); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    val grown = spark.table(t)
+    val rebuilt = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    assert(rebuilt.count() > 0)
+    assert(grown.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(grown).isEmpty,
+      "stream-grown edge set must equal the from-scratch derivation")
+    // Each micro-batch appended a file per touched bucket; compaction
+    // restores one file per bucket without changing a row.
+    val before = grown.collect().toSeq.sortBy(_.toString)
+    val rewritten = GraphOps.compactEdgeTable(spark, t, maxFilesPerBucket = 1)
+    assert(rewritten.nonEmpty, "a multi-batch grow must leave something to compact")
+    assert(IndexCatalog.maxFilesPerBucket(spark, t) == 1,
+      "compaction must restore one file per bucket")
+    assert(spark.table(t).collect().toSeq.sortBy(_.toString) == before,
+      "compaction must preserve the edge set bit-for-bit")
+  }
+
   test("stream-stream interval join pairs bidirectional flows with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     def rawP(src: String, dst: String, psrc: Int, pdst: Int, bytes: Long, ts: String): String =
