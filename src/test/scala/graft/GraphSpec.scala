@@ -258,7 +258,10 @@ class GraphSpec extends SparkSpec {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     RelationalQueries.prepareSharedArtifacts(spark, Sf)
     val fns = Registry.queries
-    for (name <- Seq("q_triangles", "q_kcore", "q_reachability")) {
+    for (name <- Seq(
+        "q_triangles", "q_kcore", "q_reachability",
+        "q_triangles_grown", "q_pagerank_grown", "q_kcore_grown",
+        "q_reachability_grown")) {
       val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val qeGen = new java.util.concurrent.atomic.AtomicLong(0)
       val l = new org.apache.spark.sql.util.QueryExecutionListener {
