@@ -173,12 +173,61 @@ object MultimodalQueries {
     }
   }
 
+  /** The INCREMENTALLY-GROWN cross-modal family assignment — the last
+    * build-once artifact brought under the grow discipline: families
+    * are SEEDED from the index×index sweep of the stored-split video
+    * index (doc_id % 5 ≠ 0, label-prop run once at build), then the
+    * remaining fifth of the videos arrives as a batch whose pairs
+    * (fingerprinted once, matched against the STORED image index —
+    * the arrival-time [[graft.operators.MediaIndexOps.frameMatchAgainstIndex]]
+    * shape) merge into the persisted table by
+    * [[graft.operators.DedupOps.growPersistedClusters]]' touched-component
+    * label-prop. The read face shares the FULL-CORPUS recursive-closure
+    * oracle, so a missed cross-batch family merge hash-mismatches the
+    * from-scratch truth.
+    */
+  private val builtGrownFmFamilies = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private[graft] def grownFrameMatchFamiliesTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): String = {
+    builtGrownFmFamilies.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(builtGrownFmFamilies.remove)
+    builtGrownFmFamilies.synchronized {
+      builtGrownFmFamilies.getOrElseUpdate(
+        (s, d), {
+          val t = Tables.tempIndexDb(s, "media", s"fmfamg_${Tables.datasetKey(d)}")
+          graft.operators.DedupOps.connectedComponents(
+            graft.operators.MediaIndexOps.frameMatchFromIndexes(
+              s, fullMediaIndex(s, d, "image"), splitMediaIndex(s, d, "video"),
+              maxHamming = 5)
+              .select(col("image_id").as("doc_a"), col("video_id").as("doc_b")))
+            .write.mode("overwrite")
+            .bucketBy(8, "doc_id").sortBy("doc_id")
+            .saveAsTable(t)
+          val arrivals = MultimodalOps.encodeMedia(documents(s, d))
+            .filter(col("media_type") === "video" && col("doc_id") % 5 === 0)
+          graft.operators.DedupOps.growPersistedClusters(
+            s, t,
+            graft.operators.MediaIndexOps.frameMatchAgainstIndex(
+              s, fullMediaIndex(s, d, "image"), arrivals,
+              regions = 49, blockBands = 6, maxHamming = 5)
+              .select(col("image_id").as("doc_a"), col("video_id").as("doc_b")))
+          t
+        },
+      )
+    }
+  }
+
   /** Eagerly builds the three shared per-modality fingerprint indexes
     * for `d` plus the three stored-split admission-gate artifacts, the
     * three incrementally-grown indexes, and the cross-modal family
-    * assignment (no-op when already built) — called from Bench's
-    * un-timed setup phase like the sim/tx twins, so a one-time corpus
-    * build can never masquerade as an index READ's steady-state cost.
+    * assignment, static AND grown (no-op when already built) — called
+    * from Bench's un-timed setup phase like the sim/tx twins, so a
+    * one-time corpus build can never masquerade as an index READ's
+    * steady-state cost.
     */
   def prepareSharedArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     Seq("image", "audio", "video").foreach { m =>
@@ -187,6 +236,7 @@ object MultimodalQueries {
       grownMediaIndex(s, d, m)
     }
     frameMatchFamiliesTable(s, d)
+    grownFrameMatchFamiliesTable(s, d)
     ()
   }
 
@@ -1135,6 +1185,16 @@ object MultimodalQueries {
     Q(
       "mm_index_frame_match_clusters",
       (s, d) => s.table(frameMatchFamiliesTable(s, d)).orderBy("doc_id"),
+      Some(frameMatchClustersSql),
+    ),
+    // The families artifact INCREMENTALLY GROWN: seeded from the
+    // stored-split video index's sweep, the last fifth of videos
+    // merged in through the arrival-time match + touched-component
+    // label-prop — read face shares the FULL-CORPUS closure oracle,
+    // so a missed cross-batch family merge hash-mismatches.
+    Q(
+      "mm_index_frame_match_clusters_grown",
+      (s, d) => s.table(grownFrameMatchFamiliesTable(s, d)).orderBy("doc_id"),
       Some(frameMatchClustersSql),
     ),
     // The same screen as an INDEX read — images are the stored

@@ -513,6 +513,25 @@ class MediaIndexSpec extends SparkSpec {
     }
   }
 
+  test("grown cross-modal families equal the from-scratch assignment; layout guard fails fast") {
+    // The incrementally-grown families artifact (seeded from the
+    // split-video sweep, last fifth merged via the arrival-time match)
+    // must be bit-equal to the families built from the full sweep.
+    val grown = spark.table(MultimodalQueries.grownFrameMatchFamiliesTable(spark, Sf))
+    val full = spark.table(MultimodalQueries.frameMatchFamiliesTable(spark, Sf))
+    assert(full.count() > 0)
+    assert(grown.exceptAll(full).isEmpty && full.exceptAll(grown).isEmpty,
+      "grown families must equal the from-scratch label-prop")
+    // The stored chunk layout is 6 bands; an index×index sweep at
+    // maxHamming ≥ 6 would silently lose matches (pigeonhole needs
+    // bands > maxHamming) — it must throw instead.
+    val img = MultimodalQueries.fullMediaIndex(spark, Sf, "image")
+    val vid = MultimodalQueries.fullMediaIndex(spark, Sf, "video")
+    intercept[IllegalArgumentException] {
+      MediaIndexOps.frameMatchFromIndexes(spark, img, vid, maxHamming = 6)
+    }
+  }
+
   test("VIDEO grow-everything ingest stays bit-equal to a from-scratch rebuild") {
     // The hardest incremental case: every pair the grow path merges is a
     // MIN across per-frame matches. N batches of incremental ingest over
