@@ -327,12 +327,23 @@ object GraphOps {
     *   4. `${table}_deg` refreshes as a staged overwrite — O(|V|),
     *      computed exchange-free off the bucketed edge table.
     *
-    * The `${table}_batches` intent/commit ledger (batch key = the
-    * batch's min (g, k), reproducible across replays) short-circuits
-    * committed batches; every step between intent and commit is
+    * The `${table}_batches` intent/commit ledger short-circuits
+    * committed batches. The batch key is `batchId` when the caller
+    * supplies one (the natural identity a scheduler or ingest pipeline
+    * already carries — the dd/mm ingest-ledger shape); otherwise it is
+    * a CONTENT key, the order-independent sum of `xxhash64(g, k)` over
+    * the batch's distinct rows. Both are reproducible across replays,
+    * and — unlike the min-(g, k) key this replaced — the content key
+    * cannot alias two DISTINCT batches that happen to share their
+    * minimum member (an at-least-once redelivery of the earlier
+    * batch's min row alongside genuinely new rows used to
+    * short-circuit the whole second batch). Two batches with IDENTICAL
+    * content do collide — correctly: growing by the same rows twice is
+    * a semantic no-op. Every step between intent and commit is
     * idempotent, so any crash point replays to the identical artifact
-    * (GraphSpec pins N-batch grow ≡ rebuild, replay as a no-op, and
-    * the cap-crossing retraction).
+    * (GraphSpec pins N-batch grow ≡ rebuild, replay as a no-op,
+    * min-sharing batches both committing, and the cap-crossing
+    * retraction — including the overlapping-batch crossing).
     */
   def growEdgeTable(
       spark: org.apache.spark.sql.SparkSession,
@@ -341,6 +352,7 @@ object GraphOps {
       groupCol: String,
       keyCol: String,
       maxGroupSize: Int = 1000,
+      batchId: Option[Long] = None,
   ): Unit = {
     val membersT = s"${table}_members"
     val batchMembers = batch
@@ -349,16 +361,34 @@ object GraphOps {
       .localCheckpoint()
     if (batchMembers.isEmpty) return
     val ledger = s"${table}_batches"
+    // Pre-content-key ledgers (batch_g/batch_k columns) belong to a
+    // retired generation of the artifact; rebuilding the ledger is
+    // safe because every batch it recorded is fully committed (the
+    // old key was only consulted, never repaired, across schemas).
+    if (spark.catalog.tableExists(ledger) && !spark.table(ledger).columns.contains("batch_key"))
+      spark.sql(s"DROP TABLE $ledger")
     if (!spark.catalog.tableExists(ledger))
-      spark.sql(s"CREATE TABLE $ledger (batch_g BIGINT, batch_k BIGINT, phase STRING) USING parquet")
-    val bk = batchMembers.agg(min(struct(col("g"), col("k")))).first().getStruct(0)
-    val (keyG, keyK) = (bk.getLong(0), bk.getLong(1))
+      spark.sql(s"CREATE TABLE $ledger (batch_key STRING, phase STRING) USING parquet")
+    // Explicit ids and content keys live in disjoint namespaces so a
+    // small scheduler id can never collide with a content hash.
+    val batchKey = batchId match {
+      case Some(id) => s"id:$id"
+      case None =>
+        // decimal(38,0) accumulation: a sum of 64-bit hashes overflows
+        // LongType (an error under ANSI mode) — the DedupOps.fingerprint
+        // discipline.
+        val h = batchMembers
+          .agg(sum(xxhash64(col("g"), col("k")).cast("decimal(38,0)")))
+          .first().getDecimal(0)
+        s"h:$h"
+    }
     val phases = spark.table(ledger)
-      .filter(col("batch_g") === keyG && col("batch_k") === keyK)
+      .filter(col("batch_key") === batchKey)
       .select(col("phase")).collect().map(_.getString(0)).toSet
     if (phases.contains("commit")) return
-    if (!phases.contains("intent")) {
-      spark.sql(s"INSERT INTO $ledger VALUES ($keyG, $keyK, 'intent')")
+    val replaying = phases.contains("intent")
+    if (!replaying) {
+      spark.sql(s"INSERT INTO $ledger VALUES ('$batchKey', 'intent')")
       spark.catalog.refreshTable(ledger)
     }
     val stored = spark.table(membersT)
@@ -371,22 +401,51 @@ object GraphOps {
     val fresh = batchMembers.join(preAff, Seq("g", "k"), "left_anti")
     val postAff = preAff.unionByName(fresh).localCheckpoint()
     val postSizes = postAff.groupBy(col("g")).agg(count(lit(1)).as("gs"))
-    // Crossing = a group whose pre-batch membership was sane (and big
-    // enough to have emitted an edge) pushed over the cap by this
-    // batch; its stored edges must be retracted, which needs the
-    // rebuild path.
-    val crossed = postSizes.filter(col("gs") > maxGroupSize)
-      .join(
-        preAff.groupBy(col("g")).agg(count(lit(1)).as("pgs")),
-        Seq("g"))
-      .filter(col("pgs") >= 2 && col("pgs") <= maxGroupSize)
+    // Crossing = a group whose TRUE pre-batch membership was sane (and
+    // big enough, ≥ 2, to have emitted an edge) pushed over the cap by
+    // this batch; its stored edges must be retracted via the rebuild
+    // path. On the common first-attempt path the stored table IS the
+    // pre-batch truth, so its raw per-group counts decide exactly —
+    // in particular a batch that RE-SENDS existing members still
+    // counts them (the exclusion-trick counts undercounted here, and a
+    // batch re-sending ALL of a group's members dropped it from the
+    // inner join entirely, silently skipping the retraction). Only a
+    // replay of a crashed attempt can have appended batch rows into
+    // `stored`; there the raw count is polluted UPWARD and the
+    // excluded count is biased DOWNWARD, so the true pre-size sits
+    // between them and the bracket [excluded ≤ cap, raw ≥ 2] catches
+    // every genuine crossing — at worst it triggers a spurious
+    // rebuild, which converges to the identical truth (rebuilds are
+    // always semantically correct; the test only exists to keep them
+    // rare).
+    val over = postSizes.filter(col("gs") > maxGroupSize)
+    val preRawSizes = stored
+      .join(affected, Seq("g"), "left_semi")
+      .groupBy(col("g")).agg(count(lit(1)).as("pgs"))
+    val crossed =
+      if (!replaying)
+        over.join(preRawSizes, Seq("g"))
+          .filter(col("pgs") >= 2 && col("pgs") <= maxGroupSize)
+      else
+        over.join(preRawSizes, Seq("g"))
+          .join(
+            preAff.groupBy(col("g")).agg(count(lit(1)).as("pgs_excl")),
+            Seq("g"), "left")
+          .filter(col("pgs") >= 2 && coalesce(col("pgs_excl"), lit(0L)) <= maxGroupSize)
     val mustRebuild = !crossed.isEmpty
     // Both append frames materialize BEFORE any table mutates.
     val memberAppend = batchMembers
       .join(stored, Seq("g", "k"), "left_anti")
       .localCheckpoint()
     val sane = postSizes.filter(col("gs") <= maxGroupSize).select(col("g"))
-    val cand = fresh
+    // Candidate left side: on the first attempt only the truly-new
+    // members can witness a new edge (a re-sent member's pairs are all
+    // stored — overlapping batches pay for their new rows only); on a
+    // replay the crashed attempt may have appended members WITHOUT
+    // their edges, so the full batch re-candidates (the stored-edge
+    // anti-join keeps it idempotent either way).
+    val candLeft = if (replaying) fresh else memberAppend
+    val cand = candLeft
       .join(sane, Seq("g"), "left_semi")
       .select(col("g"), col("k").as("src"))
       .join(postAff.select(col("g"), col("k").as("dst")), "g")
@@ -426,7 +485,7 @@ object GraphOps {
       spark.catalog.refreshTable(table)
     }
     refreshDegTable(spark, table)
-    spark.sql(s"INSERT INTO $ledger VALUES ($keyG, $keyK, 'commit')")
+    spark.sql(s"INSERT INTO $ledger VALUES ('$batchKey', 'commit')")
     spark.catalog.refreshTable(ledger)
   }
 
@@ -452,11 +511,17 @@ object GraphOps {
   /** Continuous edge ingestion — the streaming face of the growable
     * artifact (the index-as-state discipline the dd/mm/sim/tx families
     * follow): every micro-batch of group rows grows the stored graph
-    * through [[growEdgeTable]], whose ledger key (the batch's min
-    * (g, k)) is reproducible across checkpoint replays, so a replayed
-    * batch short-circuits on its commit row and every partial step is
-    * idempotent — the artifact converges to the batch-grown truth
-    * (StreamingSpec pins union-over-waves ≡ the batch face).
+    * through [[growEdgeTable]], whose default CONTENT ledger key (the
+    * order-independent hash of the batch's distinct rows) is
+    * reproducible across checkpoint replays — a replayed micro-batch
+    * re-delivers the identical rows, hashes to the identical key, and
+    * short-circuits on its commit row, while two distinct batches can
+    * never alias — and every partial step is idempotent, so the
+    * artifact converges to the batch-grown truth (StreamingSpec pins
+    * union-over-waves ≡ the batch face). The foreachBatch epoch id is
+    * deliberately NOT used: epoch numbering restarts at 0 with every
+    * fresh checkpoint, so a re-pointed stream over the same artifact
+    * would alias its first batches with the previous stream's.
     */
   def streamingGrowEdges(
       spark: org.apache.spark.sql.SparkSession,
@@ -510,8 +575,12 @@ object GraphOps {
       iters: Int,
       scale: Long,
   ): DataFrame =
+    // Both tables are swap-managed (the cap-crossing retraction
+    // rename-swaps the edge table, every grow rename-swaps `_deg`), so
+    // both reads go through the retry-then-`_old` resilience path.
     pageRankLoop(
-      spark.table(table).join(IndexCatalog.readLive(spark, s"${table}_deg"), "src"),
+      IndexCatalog.readLive(spark, table)
+        .join(IndexCatalog.readLive(spark, s"${table}_deg"), "src"),
       iters, scale)
 
   def triangleCounts(edges: DataFrame): DataFrame = {

@@ -117,14 +117,24 @@ object MediaIndexOps {
     * property [[writeIndex]] records (metadata-only); indexes written
     * before the property existed (or rebucketed copies, which reset
     * properties) derive it as max(chunk_idx)+1 — one narrow
-    * dictionary-encoded column scan, paid only on the legacy path.
+    * dictionary-encoded column scan, paid only on the legacy path. A
+    * legacy table that is EMPTY (built, never ingested) has no rows to
+    * derive from — max() is NULL — so that case fails with an explicit
+    * message instead of the bare NPE a blind getInt(0) threw.
     */
   private def storedBlockBands(spark: SparkSession, chunkTable: String): Int =
     spark.sessionState.catalog
       .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(chunkTable))
       .properties.get("graft.block_bands").map(_.toInt)
-      .getOrElse(
-        spark.table(chunkTable).agg(max(col("chunk_idx"))).head().getInt(0) + 1)
+      .getOrElse {
+        val row = spark.table(chunkTable).agg(max(col("chunk_idx"))).head()
+        require(
+          !row.isNullAt(0),
+          s"$chunkTable carries no graft.block_bands property and is empty — " +
+            "the band count cannot be derived; rebuild the index with writeIndex",
+        )
+        row.getInt(0) + 1
+      }
 
   /** Verified near-dup pairs from the stored index: the chunk
     * self-equi-join reads the bucketed artifact on both sides (no

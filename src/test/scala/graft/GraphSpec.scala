@@ -181,6 +181,71 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("grown edge artifact: two distinct batches sharing their min (g,k) member both commit") {
+    val t = "graphalias_edges"
+    Seq(t, s"${t}_members", s"${t}_deg", s"${t}_batches")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val seed = Seq((10L, 1L), (10L, 2L)).toDF("g", "k")
+    GraphOps.buildGrowableEdgeTable(spark, seed, "g", "k", t, buckets = 2)
+    // Batch 1's minimum member is (10, 3). Batch 2 is an at-least-once
+    // redelivery of that SAME row alongside genuinely new rows — under
+    // a min-(g,k) ledger key it aliased onto batch 1's commit entry
+    // and its new rows were silently dropped; the content key keeps
+    // the two batches distinct.
+    val b1 = Seq((10L, 3L), (10L, 4L)).toDF("g", "k")
+    val b2 = Seq((10L, 3L), (10L, 5L), (20L, 5L), (20L, 6L)).toDF("g", "k")
+    GraphOps.growEdgeTable(spark, t, b1, "g", "k")
+    GraphOps.growEdgeTable(spark, t, b2, "g", "k")
+    val want = GraphOps.coOccurrenceEdges(
+      seed.unionByName(b1).unionByName(b2), "g", "k")
+      .as[(Long, Long)].collect().toSet
+    val got = spark.table(t).as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"the min-sharing second batch must commit its own rows: got $got, want $want")
+    assert(spark.table(s"${t}_members").count() == 7L,
+      "all seven distinct memberships must be stored")
+    // An explicit batch identity short-circuits its own replay...
+    val b3 = Seq((20L, 7L)).toDF("g", "k")
+    GraphOps.growEdgeTable(spark, t, b3, "g", "k", batchId = Some(42L))
+    val after3 = spark.table(t).as[(Long, Long)].collect().toSet
+    GraphOps.growEdgeTable(spark, t, b3, "g", "k", batchId = Some(42L))
+    assert(spark.table(t).as[(Long, Long)].collect().toSet == after3,
+      "replaying an explicitly-identified batch must be a no-op")
+    // ...and lives in a namespace disjoint from the content keys.
+    val keys = spark.table(s"${t}_batches")
+      .select("batch_key").as[String].collect().toSet
+    assert(keys.contains("id:42") && keys.exists(_.startsWith("h:")),
+      s"explicit and content keys must coexist without collision: $keys")
+  }
+
+  test("grown edge artifact retracts the cap crossing even when the batch re-sends every stored member") {
+    val t = "graphoverlap_edges"
+    Seq(t, s"${t}_members", s"${t}_deg", s"${t}_batches")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    // Group 10 starts sane with 3 members (edges emitted). The batch
+    // RE-SENDS all three alongside four new members, crossing the cap
+    // of 5. The exclusion-trick pre-size saw 0 stored rows for group
+    // 10 here (every stored member is also a batch member), so the old
+    // crossing test dropped the group from its inner join and the
+    // stale edges survived; the raw pre-batch count (3 ∈ [2, 5])
+    // triggers the retraction. Group 20's shared witness pair must
+    // still survive.
+    val seed = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L)).toDF("g", "k")
+    val batch = (Seq(1L, 2L, 3L) ++ (4L to 7L)).map(k => (10L, k)).toDF("g", "k")
+    GraphOps.buildGrowableEdgeTable(spark, seed, "g", "k", t, maxGroupSize = 5, buckets = 2)
+    assert(spark.table(t).count() == 6L)
+    GraphOps.growEdgeTable(spark, t, batch, "g", "k", maxGroupSize = 5)
+    val got = spark.table(t).as[(Long, Long)].collect().toSet
+    assert(got == Set(2L -> 3L, 3L -> 2L),
+      s"the overlapping cap-crossing must retract group 10's edges: $got")
+    val rebuilt = GraphOps.coOccurrenceEdges(
+      seed.unionByName(batch), "g", "k", maxGroupSize = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(got == rebuilt, "overlapping-batch retraction must converge to the rebuild truth")
+    val deg = spark.table(s"${t}_deg").as[(Long, Long)].collect().toSet
+    assert(deg == Set(2L -> 1L, 3L -> 1L), "out_deg must refresh after the retraction")
+  }
+
   test("grown edge artifact retracts a group's edges when it crosses the hub cap") {
     val t = "graphcap_edges"
     Seq(t, s"${t}_members", s"${t}_deg", s"${t}_batches")

@@ -530,6 +530,22 @@ class MediaIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MediaIndexOps.frameMatchFromIndexes(spark, img, vid, maxHamming = 6)
     }
+    // A legacy index (no graft.block_bands property) that is also
+    // EMPTY has nothing to derive the band count from: the sweep must
+    // fail with the explicit require message, not an NPE off the null
+    // max(chunk_idx).
+    import spark.implicits._
+    val empty = "mediaixlegacyempty"
+    Seq("_fps", "_chunks", "_batches").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $empty$t"))
+    MediaIndexOps.writeIndex(
+      Seq.empty[(Long, String, Array[Byte])].toDF("doc_id", "media_type", "payload"),
+      regions = 49, blockBands = 8, buckets = 2, prefix = empty)
+    spark.sql(s"ALTER TABLE ${empty}_chunks UNSET TBLPROPERTIES ('graft.block_bands')")
+    val e = intercept[IllegalArgumentException] {
+      MediaIndexOps.frameMatchFromIndexes(spark, empty, vid, maxHamming = 5)
+    }
+    assert(e.getMessage.contains("is empty"),
+      s"the empty-legacy path must fail with the derivation message, got: ${e.getMessage}")
   }
 
   test("VIDEO grow-everything ingest stays bit-equal to a from-scratch rebuild") {

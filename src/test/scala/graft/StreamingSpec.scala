@@ -440,15 +440,25 @@ class StreamingSpec extends SparkSpec {
     assert(rebuilt.count() > 0)
     assert(grown.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(grown).isEmpty,
       "stream-grown edge set must equal the from-scratch derivation")
-    // Each micro-batch appended a file per touched bucket; compaction
-    // restores one file per bucket without changing a row.
+    // Each micro-batch appended a file per touched bucket to BOTH
+    // append-mode tables (edges and the `_members` ground truth);
+    // compaction restores one file per bucket in each without changing
+    // a row.
     val before = grown.collect().toSeq.sortBy(_.toString)
+    val membersBefore = spark.table(s"${t}_members").collect().toSeq.sortBy(_.toString)
+    assert(IndexCatalog.maxFilesPerBucket(spark, s"${t}_members") > 1,
+      "the grow waves must have fragmented the members table for the check to bite")
     val rewritten = GraphOps.compactEdgeTable(spark, t, maxFilesPerBucket = 1)
-    assert(rewritten.nonEmpty, "a multi-batch grow must leave something to compact")
+    assert(rewritten.toSet == Set(t, s"${t}_members"),
+      s"both fragmented tables must compact: $rewritten")
     assert(IndexCatalog.maxFilesPerBucket(spark, t) == 1,
-      "compaction must restore one file per bucket")
+      "compaction must restore one file per bucket in the edge table")
+    assert(IndexCatalog.maxFilesPerBucket(spark, s"${t}_members") == 1,
+      "compaction must restore one file per bucket in the members table")
     assert(spark.table(t).collect().toSeq.sortBy(_.toString) == before,
       "compaction must preserve the edge set bit-for-bit")
+    assert(spark.table(s"${t}_members").collect().toSeq.sortBy(_.toString) == membersBefore,
+      "compaction must preserve the membership ground truth bit-for-bit")
   }
 
   test("stream-stream interval join pairs bidirectional flows with bounded state") {
