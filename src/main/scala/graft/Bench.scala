@@ -561,6 +561,15 @@ object Bench {
     // trips, the capacity number a continuous embedding pipeline plans
     // against.
     val vecRows = sys.env.getOrElse("SPARK_GRAFT_VEC_ROWS", "2000").toInt
+    // Temp checkpoint dirs are deleted after each run — a bench session
+    // makes dozens of runs and must not accumulate them.
+    def rmTree(path: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     locally {
       import org.apache.spark.sql.functions.col
       import spark.implicits._
@@ -573,10 +582,13 @@ object Bench {
       val emb = Tables.embeddings(spark, sfDir)
       graft.operators.VectorIndexOps.writeIndex(
         emb, dim = 64, isSeed = col("vec_id") < 8, iters = 2, buckets = 8, prefix = pre)
+      // A BOUNDED driver-side sample for row synthesis (cycled modulo
+      // its length) — collecting the whole embeddings table would scale
+      // the driver heap with the SF for no benchmarking gain.
       val base = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
-        .collect().sortBy(_._1)
+        .sort("vec_id").take(4096)
       val idGen = new java.util.concurrent.atomic.AtomicLong(1000000L)
-      timedN("vector_ingest", warmN = 500, n = vecRows) { n =>
+      def ingestRun(n: Int, waves: Int): Long = {
         val off = idGen.getAndAdd(n.toLong)
         val rows = (0 until n).map(i => (off + i, base(i % base.length)._2))
         // foreachBatch ids restart at 0 per checkpoint; the ledger must
@@ -588,10 +600,55 @@ object Bench {
         val ckpt = java.nio.file.Files.createTempDirectory("bench_vecing").toFile.getAbsolutePath
         val q = graft.operators.VectorIndexOps.streamingIngest(
           spark, pre, in.toDF().toDF("vec_id", "embedding"), checkpoint = ckpt)
+        try rows.grouped(math.max(1, rows.length / waves)).foreach { w =>
+          in.addData(w); q.processAllAvailable()
+        } finally { q.stop(); rmTree(ckpt) }
+        spark.table(s"${pre}_vectors").count()
+      }
+      timedN("vector_ingest", warmN = 500, n = vecRows)(ingestRun(_, waves = 4))
+      // The batch-size scaling point: the same ingest at ~20k vectors
+      // per micro-batch. The per-batch FIXED cost (ledger round trips +
+      // two bucketed appends + checkpoint commit) is the floor the
+      // small-batch face pays 4×; one large batch amortizes it, so
+      // rows/s here demonstrates micro-batch sizing as the scale lever
+      // a continuous embedding pipeline actually pulls.
+      val vecRows20k = sys.env.getOrElse("SPARK_GRAFT_VEC20K_ROWS", "20000").toInt
+      timedN("vector_ingest_b20k", warmN = 2000, n = vecRows20k)(ingestRun(_, waves = 1))
+    }
+
+    // Search-index streaming ingest (SearchIndexOps.streamingIndex):
+    // micro-batch = doc-level replay guard + four ledgered bucketed
+    // appends (postings/lexicon/meta/docs). Seeded once outside the timing
+    // from the corpus (an index pre-exists its ingest stream); each run
+    // streams a fresh disjoint doc_id range in 4 waves with texts
+    // cycled from a bounded corpus sample, against a dropped ledger +
+    // fresh checkpoint — the vector_ingest pattern — so rows/s is the
+    // steady-state indexing cost a continuous document pipeline plans
+    // against.
+    val searchRows = sys.env.getOrElse("SPARK_GRAFT_SEARCH_ROWS", "4000").toInt
+    locally {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val pre = Tables.tempIndexDb(spark, "bench", "searchingest")
+      Seq("postings", "lexicon", "meta", "docs", "batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${pre}_$t"))
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      graft.operators.SearchIndexOps.writeIndex(docs, buckets = 8, prefix = pre)
+      val base = docs.as[(Long, String)].sort("doc_id").take(1024)
+      val idGen = new java.util.concurrent.atomic.AtomicLong(1000000L)
+      timedN("search_ingest", warmN = 400, n = searchRows) { n =>
+        val off = idGen.getAndAdd(n.toLong)
+        val rows = (0 until n).map(i => (off + i, base(i % base.length)._2))
+        spark.sql(s"DROP TABLE IF EXISTS ${pre}_batches")
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val ckpt = java.nio.file.Files.createTempDirectory("bench_searching").toFile.getAbsolutePath
+        val q = graft.operators.SearchIndexOps.streamingIndex(
+          spark, pre, in.toDF().toDF("doc_id", "text"), checkpoint = ckpt)
         try rows.grouped(math.max(1, rows.length / 4)).foreach { w =>
           in.addData(w); q.processAllAvailable()
-        } finally q.stop()
-        spark.table(s"${pre}_vectors").count()
+        } finally { q.stop(); rmTree(ckpt) }
+        spark.table(s"${pre}_docs").count()
       }
     }
     rates.toSeq

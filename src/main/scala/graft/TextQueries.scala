@@ -275,6 +275,37 @@ object TextQueries {
     }
   }
 
+  /** The INCREMENTALLY-GROWN search index — the grownLshIndex
+    * discipline on the postings family: seeded from the stored split
+    * (doc_id % 5 ≠ 0) via [[graft.operators.SearchIndexOps.writeIndex]],
+    * then the remaining fifth ingested through
+    * [[graft.operators.SearchIndexOps.indexBatch]]'s ledgered
+    * four-table append. The read face shares the FULL-CORPUS oracle,
+    * so a drifted ingest (a lost postings append, a doubled df
+    * partial, a doc-guard miss) hash-mismatches the from-scratch
+    * truth — the end-to-end oracle check of what SearchIndexSpec's
+    * crash-repair cases pin in isolation.
+    */
+  private val builtGrownIdx = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def grownSearchIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    builtGrownIdx.keys.filter(_._1.sparkContext.isStopped).foreach(builtGrownIdx.remove)
+    builtGrownIdx.synchronized {
+      builtGrownIdx.getOrElseUpdate(
+        (s, d), {
+          val pre = searchDb(s, s"grown_${Tables.datasetKey(d)}")
+          val docs = documents(s, d)
+          graft.operators.SearchIndexOps.writeIndex(
+            docs.filter(col("doc_id") % 5 =!= 0), buckets = 8, prefix = pre)
+          graft.operators.SearchIndexOps.indexBatch(
+            s, pre, docs.filter(col("doc_id") % 5 === 0))
+          pre
+        },
+      )
+    }
+  }
+
   /** The trained BPE merge table PERSISTED as an artifact — the 8-round
     * sampled-training merge rows (tx_bpe_train_sampled's recipe: the
     * iterative loop pays only the 30% hash sample), written once per
@@ -347,6 +378,7 @@ object TextQueries {
     */
   def prepareSharedArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     fullSearchIndex(s, d)
+    grownSearchIndex(s, d)
     qualityWeightsTable(s, d)
     bpeMergesTable(s, d)
     ()
@@ -1610,6 +1642,20 @@ object TextQueries {
           s, fullSearchIndex(s, d), Seq("dup", "spark", "window")),
       Some(searchAndSql),
     ),
+    // The same conjunctive retrieval served from the INCREMENTALLY-
+    // GROWN index (4/5 seed + last fifth via indexBatch's ledgered
+    // append) — sharing the FULL-CORPUS oracle, so any drift in the
+    // incremental merge (lost append, doubled partial, guard miss)
+    // hash-mismatches the from-scratch truth. The grow discipline's
+    // oracle-checked read face, like dd_index_upload_verdict_grown for
+    // the LSH family.
+    Q(
+      "tx_search_indexed_grown",
+      (s, d) =>
+        graft.operators.SearchIndexOps.searchAnd(
+          s, grownSearchIndex(s, d), Seq("dup", "spark", "window")),
+      Some(searchAndSql),
+    ),
     // Boolean MUST/MUST_NOT retrieval served from the stored postings —
     // bucket pruning covers the union of both clause lists; shares
     // tx_search_not's oracle.
@@ -1658,6 +1704,19 @@ object TextQueries {
       (s, d) =>
         graft.operators.SearchIndexOps.searchBm25(
           s, fullSearchIndex(s, d), Seq("dup", "spark", "table"), 10),
+      Some(searchBm25Sql),
+    ),
+    // BM25 over the GROWN index — the strongest grown-read check of
+    // the family: the score touches ALL FOUR tables (tf from postings,
+    // df summed across the seed's AND the batch's lexicon partials, dl
+    // from docs, (N, avgdl) from summed meta partials), so any partial
+    // the ingest lost or doubled shifts a score and hash-mismatches
+    // the full-corpus oracle.
+    Q(
+      "tx_search_bm25_grown",
+      (s, d) =>
+        graft.operators.SearchIndexOps.searchBm25(
+          s, grownSearchIndex(s, d), Seq("dup", "spark", "table"), 10),
       Some(searchBm25Sql),
     ),
     // Index health stats — the operational read an index owner runs:
