@@ -344,6 +344,8 @@ object GraphOps {
     * (GraphSpec pins N-batch grow ≡ rebuild, replay as a no-op,
     * min-sharing batches both committing, and the cap-crossing
     * retraction — including the overlapping-batch crossing).
+    * `crashAfter` ("members" | "edges") is the spec's fault-injection
+    * seam, throwing right after the named mutation.
     */
   def growEdgeTable(
       spark: org.apache.spark.sql.SparkSession,
@@ -353,6 +355,7 @@ object GraphOps {
       keyCol: String,
       maxGroupSize: Int = 1000,
       batchId: Option[Long] = None,
+      crashAfter: String = "",
   ): Unit = {
     val membersT = s"${table}_members"
     val batchMembers = batch
@@ -467,6 +470,11 @@ object GraphOps {
         .saveAsTable(membersT)
       spark.catalog.refreshTable(membersT)
     }
+    // Spec fault-injection seam (the LshIndexOps/SearchIndexOps
+    // crashAfter discipline): die between the member append and the
+    // edge mutation, the exact window the replay bracket exists for.
+    if (crashAfter == "members")
+      throw new IllegalStateException("injected crash after members append")
     if (mustRebuild) {
       // The rare retraction path: rebuild the edge set from the
       // membership ground truth (now including this batch), staged and
@@ -484,6 +492,10 @@ object GraphOps {
         .saveAsTable(table)
       spark.catalog.refreshTable(table)
     }
+    // Second seam: die between the edge mutation and the _deg refresh
+    // + commit — the replay must converge without double-appending.
+    if (crashAfter == "edges")
+      throw new IllegalStateException("injected crash after edge append")
     refreshDegTable(spark, table)
     spark.sql(s"INSERT INTO $ledger VALUES ('$batchKey', 'commit')")
     spark.catalog.refreshTable(ledger)

@@ -271,6 +271,69 @@ class GraphSpec extends SparkSpec {
     assert(got == rebuilt, "retraction path must converge to the rebuild truth")
   }
 
+  test("grown edge artifact repairs a crash between the member append and the edge append") {
+    val t = "graphcrash_edges"
+    Seq(t, s"${t}_members", s"${t}_deg", s"${t}_batches")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val seed = Seq((10L, 1L), (10L, 2L)).toDF("g", "k")
+    GraphOps.buildGrowableEdgeTable(spark, seed, "g", "k", t, buckets = 2)
+    val batch = Seq((10L, 3L), (20L, 4L), (20L, 5L)).toDF("g", "k")
+    intercept[IllegalStateException] {
+      GraphOps.growEdgeTable(spark, t, batch, "g", "k", crashAfter = "members")
+    }
+    // The crash left members appended with NO edges for them; the
+    // replay sees its intent row, re-candidates from the FULL batch
+    // (the stored-side exclusion keeps the crashed rows out of the
+    // pre-batch view), and converges to the from-scratch truth.
+    GraphOps.growEdgeTable(spark, t, batch, "g", "k")
+    val want = GraphOps.coOccurrenceEdges(seed.unionByName(batch), "g", "k")
+      .as[(Long, Long)].collect().toSet
+    assert(spark.table(t).as[(Long, Long)].collect().toSet == want,
+      "crash-then-replay must converge to the rebuild truth")
+    val degWant = want.groupBy(_._1).view.mapValues(_.size.toLong).toSet
+    assert(spark.table(s"${t}_deg").as[(Long, Long)].collect().toSet
+      == degWant.map(identity),
+      "_deg must refresh on the replay")
+    // And a crash AFTER the edge append (before _deg + commit) also
+    // replays to the identical artifact without double-appends.
+    val batch2 = Seq((10L, 6L)).toDF("g", "k")
+    intercept[IllegalStateException] {
+      GraphOps.growEdgeTable(spark, t, batch2, "g", "k", crashAfter = "edges")
+    }
+    GraphOps.growEdgeTable(spark, t, batch2, "g", "k")
+    val want2 = GraphOps.coOccurrenceEdges(
+      seed.unionByName(batch).unionByName(batch2), "g", "k")
+      .as[(Long, Long)].collect().toSet
+    val got2 = spark.table(t).as[(Long, Long)].collect()
+    assert(got2.toSet == want2 && got2.length == want2.size,
+      "the replayed edge append must not double any edge")
+  }
+
+  test("grown edge artifact retracts an overlapping cap crossing even on a crash replay") {
+    val t = "graphcrashcap_edges"
+    Seq(t, s"${t}_members", s"${t}_deg", s"${t}_batches")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    // The nastiest corner: the batch re-sends EVERY stored member of
+    // group 10 while pushing it over the cap, AND the first attempt
+    // dies after its member append. On the replay the stored side is
+    // polluted with the crashed rows (raw pre-count = post-count > cap)
+    // while the exclusion view is empty (every stored member is also a
+    // batch member) — the bracket [excluded ≤ cap, raw ≥ 2] must still
+    // fire the retraction.
+    val seed = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L)).toDF("g", "k")
+    val batch = (Seq(1L, 2L, 3L) ++ (4L to 7L)).map(k => (10L, k)).toDF("g", "k")
+    GraphOps.buildGrowableEdgeTable(spark, seed, "g", "k", t, maxGroupSize = 5, buckets = 2)
+    intercept[IllegalStateException] {
+      GraphOps.growEdgeTable(spark, t, batch, "g", "k", maxGroupSize = 5, crashAfter = "members")
+    }
+    GraphOps.growEdgeTable(spark, t, batch, "g", "k", maxGroupSize = 5)
+    val got = spark.table(t).as[(Long, Long)].collect().toSet
+    assert(got == Set(2L -> 3L, 3L -> 2L),
+      s"the crash-replayed overlapping crossing must still retract group 10: $got")
+    assert(spark.table(s"${t}_deg").as[(Long, Long)].collect().toSet
+      == Set(2L -> 1L, 3L -> 1L))
+  }
+
   test("triangleCounts credits each triangle's three corners exactly once") {
     // Two triangles sharing edge 2–3: (1,2,3) and (2,3,4), plus a
     // pendant 4–5 (on no triangle) and a square 6-7-8-9 (cycles ≠
