@@ -357,6 +357,15 @@ object Bench {
           rates += name -> -1.0
       }
     def timed(name: String)(run: Int => Long): Unit = timedN(name, warmRows, rows)(run)
+    // Temp checkpoint dirs are deleted after each run — a bench session
+    // makes dozens of runs and must not accumulate them.
+    def rmTree(path: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     def flowGen(emit: String, n: Int) = spark.readStream.format(fmt)
       .option("rows", n).option("rowsPerBatch", n / 4)
       .option("seed", 11).option("emit", emit).load()
@@ -379,7 +388,9 @@ object Bench {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+        val out = q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+        rmTree(ckpt)
+        out
       } finally {
         prev match {
           case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -411,7 +422,9 @@ object Bench {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+        val out = q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+        rmTree(ckpt)
+        out
       } finally {
         prev match {
           case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -434,7 +447,9 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+      val out = q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+      rmTree(ckpt)
+      out
     }
 
     // The heaviest streaming face: continuous media ingest dedup —
@@ -473,7 +488,7 @@ object Bench {
         onDups = (d, _) => dupRows += d.count())
       try arrivals.grouped(math.max(1, arrivals.length / 4)).foreach { w =>
         in.addData(w.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      } finally { q.stop(); rmTree(ckpt) }
       Seq("fps", "chunks", "batches")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
       dupRows
@@ -508,7 +523,7 @@ object Bench {
         onDups = (d, _) => dupRows += d.count())
       try arrivals.grouped(math.max(1, arrivals.length / 4)).foreach { w =>
         in.addData(w.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      } finally { q.stop(); rmTree(ckpt) }
       Seq("docs", "bands", "batches")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
       dupRows
@@ -547,7 +562,7 @@ object Bench {
         onMatches = (m, _) => matchRows += m.count())
       try arrivals.grouped(math.max(1, arrivals.length / 4)).foreach { w =>
         in.addData(w.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      } finally { q.stop(); rmTree(ckpt) }
       matchRows
     }
 
@@ -561,15 +576,6 @@ object Bench {
     // trips, the capacity number a continuous embedding pipeline plans
     // against.
     val vecRows = sys.env.getOrElse("SPARK_GRAFT_VEC_ROWS", "2000").toInt
-    // Temp checkpoint dirs are deleted after each run — a bench session
-    // makes dozens of runs and must not accumulate them.
-    def rmTree(path: String): Unit = {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
     locally {
       import org.apache.spark.sql.functions.col
       import spark.implicits._
