@@ -3220,22 +3220,24 @@ object RelationalQueries {
     // is what's being checked; Spark runs it over the STORED edge
     // artifact (the edge-table discipline — the co-occurrence build ran
     // once in the un-timed setup) while the oracle derives the same
-    // edges in-SQL. UNION ALL recursion is bounded by the hop
-    // predicate; min(hops) collapses duplicate paths into BFS distance.
+    // edges in-SQL. The oracle keeps the textbook UNION ALL recursion
+    // (min(hops) collapses duplicate paths into BFS distance); Spark
+    // computes the identical levels by FRONTIER expansion
+    // (GraphOps.bfsHops) — path enumeration is exponential in the hop
+    // bound on dense graphs (8M+ path rows here), frontier BFS is
+    // linear per hop.
     Q(
       "q_reachability",
-      (s, d) => s.sql(
-        s"""WITH RECURSIVE
-           |${reachabilityBfsSql(reachEdgeTable(s, d))}""".stripMargin),
+      (s, d) => graft.operators.GraphOps.bfsHops(
+        s.table(reachEdgeTable(s, d)), maxHops = 3),
       Some(reachabilitySql("lineitem")),
     ),
-    // The same recursive BFS over the INCREMENTALLY-GROWN edge
-    // artifact, against the SAME full-corpus oracle.
+    // The same BFS over the INCREMENTALLY-GROWN edge artifact, against
+    // the SAME full-corpus oracle.
     Q(
       "q_reachability_grown",
-      (s, d) => s.sql(
-        s"""WITH RECURSIVE
-           |${reachabilityBfsSql(grownReachEdgeTable(s, d))}""".stripMargin),
+      (s, d) => graft.operators.GraphOps.bfsHops(
+        s.table(grownReachEdgeTable(s, d)), maxHops = 3),
       Some(reachabilitySql("lineitem")),
     ),
     // Week-over-week growth: ISO-week revenue rollup per type with the

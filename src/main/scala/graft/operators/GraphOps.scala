@@ -176,22 +176,28 @@ object GraphOps {
 
   private def pageRankLoop(adj: DataFrame, iters: Int, scale: Long): DataFrame = {
     val deg = adj.select(col("src").as("node"), col("out_deg")).distinct().localCheckpoint()
-    val n = broadcast(deg.agg(count(lit(1)).as("n")))
-    val base = deg.crossJoin(n)
-    var pr = base.select(col("node"), expr(s"$scale div n").as("pr")).localCheckpoint()
+    // N is vocabulary metadata (one bounded scalar, the same class of
+    // driver read as the clustering convergence checks); inlining
+    // `scale div N` as a literal deletes the per-round crossJoin of the
+    // one-row count frame.
+    val n = deg.count()
+    val pr0 = if (n > 0) scale / n else 0L
+    val baseConst = (15L * pr0) / 100L
+    var pr = deg.select(col("node"), lit(pr0).as("pr")).localCheckpoint()
     for (_ <- 1 to iters) {
+      // One exchange per round instead of three: the contribution rows
+      // union a zero row per node (so nodes with no inbound mass stay
+      // present — the symmetric-edge contract guarantees every dst is a
+      // source, GraphSpec-pinned), and a single dst-keyed sum replaces
+      // the former groupBy + left-join-back-to-base pair.
       val contrib = adj
         .join(pr, adj("src") === pr("node"))
-        .select(col("dst"), expr("pr div out_deg").as("c"))
-        .groupBy(col("dst"))
+        .select(col("dst").as("node"), expr("pr div out_deg").as("c"))
+      pr = contrib
+        .unionAll(deg.select(col("node"), lit(0L).as("c")))
+        .groupBy(col("node"))
         .agg(sum(col("c")).as("sc"))
-      pr = base
-        .join(contrib, col("node") === col("dst"), "left")
-        .select(
-          col("node"),
-          (expr(s"(15 * ($scale div n)) div 100") +
-            expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"),
-        )
+        .select(col("node"), (lit(baseConst) + expr("(85 * sc) div 100")).as("pr"))
         .localCheckpoint()
     }
     deg.join(pr, "node").select(col("node"), col("out_deg"), col("pr")).orderBy("node")
@@ -242,7 +248,11 @@ object GraphOps {
       .select(col("src").as("u"), col("dst").as("v"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val alive = degrees(cur).filter(col("degree") >= k).select(col("node")).localCheckpoint()
+      // One materialization job per round, not two: `alive` stays lazy —
+      // its aggregate subtree is IDENTICAL under both semi-joins, so the
+      // plan broadcasts/reuses one exchange (ReuseExchange) instead of
+      // paying a separate checkpoint job for it.
+      val alive = degrees(cur).filter(col("degree") >= k).select(col("node"))
       cur = cur
         .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
@@ -250,6 +260,63 @@ object GraphOps {
         .localCheckpoint()
     }
     degrees(cur).orderBy("node")
+  }
+
+  /** Bounded-hop BFS shortest-path levels from the highest-degree node:
+    * `(node, hops)` with hops = min path length ≤ maxHops from the seed
+    * (the node with the largest out-degree, ties to the smallest id).
+    *
+    * Semantically identical to the textbook recursive-CTE form
+    * (`r(node, hops) = seed UNION ALL step(r)` followed by min(hops) —
+    * the shape the DuckDB oracle states), but computed as FRONTIER
+    * expansion over distinct node sets: the recursive UNION ALL
+    * enumerates every PATH of length ≤ maxHops, which is exponential in
+    * the hop bound on dense graphs (measured: 8M+ path rows for 3 hops
+    * on the 997-node sf0.1 co-occurrence slice — the row count the
+    * min-aggregate then folds away), while the frontier form carries at
+    * most |V| rows per level. min over the per-level unions equals min
+    * over per-path rows because a node appears at level i iff some
+    * length-i path reaches it. This is the 100 TB shape: path
+    * enumeration is a scale-killer, frontier BFS is linear per hop.
+    *
+    * The seed read is one bounded scalar (the same driver-read class as
+    * the clustering convergence checks).
+    */
+  def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val seedRow = edges
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src"))
+      .limit(1)
+      .select(col("src"))
+      .collect()
+    val spark = edges.sparkSession
+    if (seedRow.isEmpty) {
+      // Empty edge set: the recursive form yields no rows.
+      return edges.select(col("src").as("node"), lit(0L).as("hops")).limit(0)
+    }
+    val seed = seedRow(0).get(0)
+    // The seed filter keeps the node column's native type (the literal
+    // comparison coerces); the seed has out-edges by construction.
+    var frontier = edges
+      .filter(col("src") === lit(seed))
+      .select(col("src").as("node"))
+      .distinct()
+      .localCheckpoint()
+    var levels = frontier.select(col("node"), lit(0).as("hops"))
+    for (h <- 1 to maxHops) {
+      frontier = edges
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node"))
+        .distinct()
+        .localCheckpoint()
+      levels = levels.unionAll(frontier.select(col("node"), lit(h).as("hops")))
+    }
+    levels
+      .groupBy(col("node"))
+      .agg(min(col("hops")).cast("long").as("hops"))
+      .orderBy("node")
   }
 
   /** Build the GROWABLE co-occurrence edge artifact — the incremental

@@ -731,31 +731,23 @@ object MultimodalOps {
       if (withWhash)
         Seq(graft.expressions.WHash(col("content"), regions, regions - 1).as("whash"))
       else Seq.empty[org.apache.spark.sql.Column]
-    val flen = floor(length(col("content")) / col("n_frames")).cast("int")
-    // The degenerate cut rides INSIDE the explode (empty frame list →
-    // row dropped) rather than as a separate filter: a Filter operator
-    // on flen would re-evaluate the frame-count parse (a full-payload
-    // hex walk) outside the projection where codegen's subexpression
-    // elimination can fold it — measured ~2× on the whole video
-    // fingerprint stage.
+    // ONE decode pass per video: DHashFrames emits every frame's dHash
+    // from a single walk of the content stream (bit-identical to
+    // DHash-over-substr per frame, which paid an O(frame_idx) seek into
+    // the variable-width stream plus a UTF-16 decode PER FRAME — O(F²)
+    // per video). The degenerate cut (flen = 0 → empty array) rides
+    // INSIDE the explode exactly as before: no Filter operator
+    // re-evaluates the frame-count parse outside the projection where
+    // codegen's subexpression elimination can fold it.
     v.select(
       Seq(
         col("doc_id"),
-        col("content"),
-        flen.as("flen"),
-        explode(
-          when(flen > 0, sequence(lit(0), (col("n_frames") - 1).cast("int")))
-            .otherwise(typedLit(Array.empty[Int]))).as("frame_idx"),
+        posexplode(graft.expressions.DHashFrames(col("content"), col("n_frames"), regions))
+          .as(Seq("frame_idx", "dhash")),
       ) ++ whashCols: _*,
     ).select(
-      Seq(
-        col("doc_id"),
-        col("frame_idx"),
-        graft.expressions.DHash(
-          col("content").substr(col("frame_idx") * col("flen") + lit(1), col("flen")),
-          regions,
-        ).as("dhash"),
-      ) ++ whashCols.map(_ => col("whash")): _*,
+      (Seq(col("doc_id"), col("frame_idx"), col("dhash")) ++
+        whashCols.map(_ => col("whash"))): _*,
     )
   }
 

@@ -876,24 +876,50 @@ object TextOps {
     var enc = docs
       .select(array_join(transform(t0, tk => concat(lit("["), tk, lit("]"))), "").as("s"))
       .localCheckpoint()
+    // Token-count identity: Σ tokens = Σ adjacent pairs + #(docs with ≥1
+    // token), and merges never empty a non-empty doc, so the doc count is
+    // a loop invariant computed once. Each round's pair aggregate then
+    // yields the PREVIOUS round's n_tokens_after for free (its total-pairs
+    // sum rides the same job as the argmax — the aggregate's exchange is
+    // planned once and reused), deleting the separate per-round token
+    // count pass the loop used to pay (measured ~0.11 s/round of the
+    // ~0.64 s round).
+    val nDocsNonEmpty = enc.filter(col("s") =!= "").count()
     val rows = Seq.newBuilder[(Int, String, String, Long, Long)]
+    // The merge of round k awaits its n_tokens_after until round k+1's
+    // aggregate (or the single trailing count after the last round).
+    var pending: Option[(Int, String, String, Long)] = None
     var exhausted = false
     for (step <- 1 to rounds if !exhausted) {
-      val best = enc
-        .select(explode(adjacentPairs(bracketTokens(col("s")))).as("p"))
+      // One corpus pass: a single byte-walk expression yields the
+      // adjacent pairs (no regex re-parse, no sliced intermediate
+      // arrays — graft.expressions.BracketPairs), aggregated once; the
+      // argmax row and the total-pairs sum both read that aggregate.
+      val pairCounts = enc
+        .select(explode(graft.expressions.BracketPairs(col("s"))).as("p"))
         .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
         .groupBy(col("tok_a"), col("tok_b"))
         .agg(count(lit(1)).as("pair_count"))
+      val res = pairCounts
         .orderBy(col("pair_count").desc, col("tok_a"), col("tok_b"))
         .limit(1)
+        .crossJoin(pairCounts.agg(coalesce(sum(col("pair_count")), lit(0L)).as("total_pairs")))
         .collect()
+      pending.foreach { case (ps, pa, pb, pc) =>
+        // total_pairs is over the stream AFTER round `ps`'s merge; an
+        // empty aggregate (no pairs anywhere) means 0 by the coalesce —
+        // but an empty argmax empties the crossJoin, so read 0 there.
+        val totalPairs = if (res.isEmpty) 0L else res(0).getLong(3)
+        rows += ((ps, pa, pb, pc, totalPairs + nDocsNonEmpty))
+      }
+      pending = None
       // A corpus can run out of adjacent pairs before the pinned round
       // count (empty corpus, or every doc fused to a single token) —
       // training stops there, matching the oracle's collapsing chain
       // (an empty argmax CTE empties every later round's rows).
-      if (best.isEmpty) { exhausted = true }
+      if (res.isEmpty) { exhausted = true }
       else {
-        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val (a, b, cnt) = (res(0).getString(0), res(0).getString(1), res(0).getLong(2))
         require(
           !s"$a$b".exists(c => c == '[' || c == ']'),
           "bracket-delimited BPE training requires a bracket-free token alphabet",
@@ -901,11 +927,16 @@ object TextOps {
         enc = enc
           .select(replace(col("s"), lit(s"[$a][$b]"), lit(s"[$a$b]")).as("s"))
           .localCheckpoint()
-        val nAfter = enc
-          .agg(sum((length(col("s")) - length(replace(col("s"), lit("[")))).cast("long")))
-          .head().getLong(0)
-        rows += ((step, a, b, cnt, nAfter))
+        pending = Some((step, a, b, cnt))
       }
+    }
+    pending.foreach { case (ps, pa, pb, pc) =>
+      // The last round has no successor aggregate: one trailing token
+      // count over the final checkpointed stream.
+      val nAfter = enc
+        .agg(sum((length(col("s")) - length(replace(col("s"), lit("[")))).cast("long")))
+        .head().getLong(0)
+      rows += ((ps, pa, pb, pc, nAfter))
     }
     import spark.implicits._
     rows.result().toDF("step", "tok_a", "tok_b", "pair_count", "n_tokens_after")
