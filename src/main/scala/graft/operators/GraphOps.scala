@@ -248,11 +248,12 @@ object GraphOps {
       .select(col("src").as("u"), col("dst").as("v"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      // One materialization job per round, not two: `alive` stays lazy —
-      // its aggregate subtree is IDENTICAL under both semi-joins, so the
-      // plan broadcasts/reuses one exchange (ReuseExchange) instead of
-      // paying a separate checkpoint job for it.
-      val alive = degrees(cur).filter(col("degree") >= k).select(col("node"))
+      // `alive` is checkpointed deliberately: lazy, its aggregate sits
+      // under TWO differently-projected broadcast builds (u-side and
+      // v-side), which do NOT share one exchange — measured 2× on the
+      // quiet composite when left lazy (r19: 0.45 → 0.88 s). The extra
+      // tiny job per round is cheaper than the double aggregate.
+      val alive = degrees(cur).filter(col("degree") >= k).select(col("node")).localCheckpoint()
       cur = cur
         .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")

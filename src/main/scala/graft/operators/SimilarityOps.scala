@@ -234,37 +234,83 @@ object SimilarityOps {
       .join(candU.select(col("query_id"), col("neighbor_id").as("b_id"), col("u").as("bu")), "query_id")
       .filter(col("a_id") =!= col("b_id"))
       .select(col("query_id"), col("a_id"), col("b_id"), dot(col("au"), col("bu")).as("sim"))
-      .localCheckpoint()
     val mu = 1.0 - lambda
-    var selected: DataFrame = null
-    var out: DataFrame = null
-    for (r <- 1 to k) {
-      val remaining =
-        if (selected == null) cand
-        else cand.join(selected.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_anti")
-      val withScore =
-        if (selected == null)
-          remaining.select(col("query_id"), col("neighbor_id"),
-            (lit(lambda) * col("rel") - lit(mu) * lit(0.0)).as("mmr"))
-        else {
-          val maxsim = pairSims
-            .join(selected.select(col("query_id"), col("neighbor_id").as("b_id")),
-              Seq("query_id", "b_id"))
-            .groupBy(col("query_id"), col("a_id"))
-            .agg(max(col("sim")).as("maxsim"))
-            .withColumnRenamed("a_id", "neighbor_id")
-          remaining.join(maxsim, Seq("query_id", "neighbor_id"))
-            .select(col("query_id"), col("neighbor_id"),
-              (lit(lambda) * col("rel") - lit(mu) * col("maxsim")).as("mmr"))
-        }
-      val pick = rankTopK(withScore, "mmr", ascending = false, 1)
-        .select(col("query_id"), lit(r).as("rank"), col("neighbor_id"), col("mmr"))
-        .localCheckpoint()
-      selected = if (selected == null) pick else selected.unionByName(pick)
-      out = if (out == null) pick else out.unionByName(pick)
-    }
-    out.orderBy("query_id", "rank")
+    // The greedy selection runs PER QUERY over its own bounded state
+    // (candK candidates + candK² pair sims), not as k driver-paced
+    // GLOBAL rounds of anti-join/join/top-1/checkpoint: each query's
+    // candidates and pair sims group into one row, and a k-step
+    // `aggregate` fold picks the argmax of λ·rel − μ·max(sim to
+    // selected) per step. Arithmetic is the identical expression per
+    // candidate; the argmax is array_max over (mmr, −neighbor_id)
+    // structs — catalyst's double ordering, same tie-break (score desc,
+    // id asc) as the TopKPairs top-1 it replaces. Scale story: one
+    // grouped pass over queries instead of k global join rounds whose
+    // every round shuffles the full candidate set.
+    val selSchema = "ARRAY<STRUCT<nid: BIGINT, mmr: DOUBLE>>"
+    val packed = cand
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("neighbor_id"), col("rel"))).as("cands"))
+      .join(
+        pairSims
+          .groupBy(col("query_id"))
+          .agg(collect_list(struct(col("a_id"), col("b_id"), col("sim"))).as("sims")),
+        Seq("query_id"),
+        "left",
+      )
+      .select(
+        col("query_id"),
+        col("cands"),
+        coalesce(col("sims"), expr("CAST(array() AS ARRAY<STRUCT<a_id: BIGINT, b_id: BIGINT, sim: DOUBLE>>)"))
+          .as("sims"),
+      )
+    val sel = aggregate(
+      sequence(lit(1), lit(k)),
+      expr(s"CAST(array() AS $selSchema)"),
+      (acc, _) => {
+        val selIds = transform(acc, s => s.getField("nid"))
+        val remaining = filter(
+          col("cands"),
+          c => !array_contains(selIds, c.getField("neighbor_id")))
+        val scored = transform(
+          remaining,
+          c => {
+            val ms = coalesce(
+              array_max(
+                transform(
+                  filter(
+                    col("sims"),
+                    s => s.getField("a_id") === c.getField("neighbor_id") &&
+                      array_contains(selIds, s.getField("b_id")),
+                  ),
+                  s => s.getField("sim"),
+                )
+              ),
+              lit(0.0),
+            )
+            struct(
+              (lit(lambda) * c.getField("rel") - lit(mu) * ms).as("mmr"),
+              (-c.getField("neighbor_id")).as("negid"),
+            )
+          },
+        )
+        val best = array_max(scored)
+        when(best.isNull, acc).otherwise(
+          concat(
+            acc,
+            array(struct(
+              (-best.getField("negid")).as("nid"),
+              best.getField("mmr").as("mmr")))))
+      },
+    )
+    packed
+      .select(col("query_id"), posexplode(sel).as(Seq("pos", "p")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("p.nid").as("neighbor_id"),
+        col("p.mmr").as("mmr"),
+      )
+      .orderBy("query_id", "rank")
   }
 
   /** Sign-LSH bucket id: one bit per probe dimension (axis-aligned
