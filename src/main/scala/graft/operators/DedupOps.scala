@@ -438,8 +438,18 @@ object DedupOps {
     //      second pass counting changed rows.
     // Round 1 is fused: from identity labels, base is just the
     // neighbor-min aggregate — no initial distinct/checkpoint needed.
+    // (count, Σcomp, Σhash) in ONE aggregate. Labels are monotone
+    // non-increasing over a fixed node universe, so Σcomp alone is an
+    // EXACT convergence test (any label movement strictly decreases it);
+    // the hash sum rides along as the set-identity cross-check. This
+    // removes the (astronomically unlikely) hash-sum collision the
+    // hash-only form of this check tolerated — same single-row cost.
     def labelChecksum(l: DataFrame): org.apache.spark.sql.Row =
-      l.agg(sum(xxhash64(col("id"), col("comp")).cast("decimal(38,0)")).as("hsum")).head()
+      l.agg(
+        count(lit(1)).as("n"),
+        sum(col("comp").cast("decimal(38,0)")).as("csum"),
+        sum(xxhash64(col("id"), col("comp")).cast("decimal(38,0)")).as("hsum"),
+      ).head()
     var labels: DataFrame = null
     var sig: org.apache.spark.sql.Row = null
     var done = false
@@ -584,27 +594,53 @@ object DedupOps {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      // min(N(u) ∪ {u}) — the grouping key can join the aggregate.
-      val lsMin = sym
-        .groupBy("u")
-        .agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // Every original edge is seen from its smaller endpoint's group
-      // (where the other endpoint is the strictly-larger neighbor), so
-      // no connectivity is dropped by the v > u filter.
+      import org.apache.spark.sql.expressions.Window
+      val byU = Window.partitionBy(col("u"))
+      // One-pass symmetrization off the checkpoint (explode of the two
+      // orientations — the connectedComponents discipline), and each
+      // star step's per-node minimum as a WINDOW over its partition
+      // instead of a groupBy + join-back: one exchange per step where
+      // the aggregate+join shape paid two (the probe side re-exchanged
+      // on the grouping key) and executed the large-star subtree once
+      // per consumer.
+      val sym = edges
+        .select(
+          explode(
+            array(
+              struct(col("u"), col("v")),
+              struct(col("v").as("u"), col("u").as("v")),
+            )
+          ).as("e")
+        )
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      // large-star: m = min(N(u) ∪ {u}); every original edge is seen
+      // from its smaller endpoint's group (where the other endpoint is
+      // the strictly-larger neighbor), so no connectivity is dropped by
+      // the v > u filter. Emitted un-deduplicated: small-star's window
+      // min is multiplicity-insensitive and the round's trailing
+      // distinct canonicalizes, so the intermediate distinct the
+      // join-back form needed (as its shared materialization point) is
+      // pure cost here.
       val ls = sym
-        .join(lsMin, "u")
+        .withColumn("m", least(min(col("v")).over(byU), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // ls emits (v, m) with m <= u < v, so orientation is (big, small)
       // and small-star's min(N(u) ∪ {u}) is just min over neighbors.
-      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      // Each row emits its (neighbor → m) edge plus the center's own
+      // (u → m) — the center row repeats per neighbor, collapsed by the
+      // same trailing distinct the join+union form relied on.
       val ss = ls
-        .join(ssMin, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(ssMin.select(col("u"), col("m").as("v")))
+        .withColumn("m", min(col("v")).over(byU))
+        .select(
+          explode(
+            array(
+              struct(col("v").as("u"), col("m").as("v")),
+              struct(col("u"), col("m").as("v")),
+            )
+          ).as("e")
+        )
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()

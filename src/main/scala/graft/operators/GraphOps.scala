@@ -684,10 +684,13 @@ object GraphOps {
       .select(col("a").as("x"), col("b").as("y"), col("c").as("z"))
     val tri = wedges
       .join(ori.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
+    // One pass over the triangle rows: each triangle contributes its three
+    // corners via a row-local explode. The former union of three
+    // projections re-executed the wedge join + semi-join subtree once per
+    // branch (no exchange to reuse above the join) — 3× the dominant cost.
+    // The exploded multiset is identical, so the per-node counts are too.
     tri
-      .select(col("x").as("node"))
-      .unionAll(tri.select(col("y").as("node")))
-      .unionAll(tri.select(col("z").as("node")))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy("node")

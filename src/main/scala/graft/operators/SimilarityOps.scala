@@ -1310,11 +1310,9 @@ object SimilarityOps {
       .select(col("vec_id"), col("cell"), zip_with(e, col("cv"), (x, y) => x - y).as("embedding"))
       .localCheckpoint()
     val pqCb = trainCodebook(resFrame, blocks, subDim, isSeed, iters)
-    val divisors = array((0 until blocks).map(b => lit(math.pow(nSeeds.toDouble, b).toLong)): _*)
     val corpusCodes = pqEncodeWith(resFrame, blocks, subDim, pqCb, nSeeds)
+      .select(col("vec_id"), col("pq_code"))
       .join(resFrame.select(col("vec_id"), col("cell")), "vec_id")
-      .select(col("vec_id"), col("cell"), col("pq_code"), posexplode(divisors).as(Seq("blk", "divisor")))
-      .select(col("vec_id"), col("cell"), col("blk"), expr(s"pq_code div divisor % $nSeeds").as("code"))
     val cdist = aggregate(
       zip_with(e, col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0),
@@ -1340,33 +1338,42 @@ object SimilarityOps {
       posexplode(array((0 until blocks).map(b => slice(col("qr"), b * subDim + 1, subDim)): _*))
         .as(Seq("blk", "qv")),
     )
+    // Each (query, probed cell)'s LUT packed into ONE map column keyed
+    // blk·nSeeds + code. The former shape exploded every corpus code
+    // ×blocks, joined the flat LUT on (cell, blk, code) and re-grouped by
+    // (query_id, vec_id) with a collect_list + array_sort + fold — one
+    // corpus-scale exchange plus a per-pair sort that this projection
+    // replaces. Every (blk, code in pqCb) key is present per (query,
+    // cell) (qBlocks carries all blocks, the LUT join is a full blk
+    // cross), and corpus codes only take surviving pqCb cids, so the map
+    // lookups below never miss — the inner-join semantics are preserved.
     val lut = broadcast(
       qBlocks
         .join(pqCb.select(col("cid").as("code"), col("blk"), col("cv")), Seq("blk"))
         .select(
           col("query_id"),
           col("cell"),
-          col("blk"),
-          col("code"),
+          (col("blk") * nSeeds + col("code")).cast("int").as("lk"),
           aggregate(
             zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
             lit(0.0),
             (acc, d) => acc + d,
           ).as("d"),
-        ),
+        )
+        .groupBy(col("query_id"), col("cell"))
+        .agg(map_from_entries(collect_list(struct(col("lk"), col("d")))).as("lut")),
     )
+    // Strict fold in ascending blk order — the identical summation order
+    // (and identical per-block doubles) as the former
+    // array_sort(struct(blk, d)) fold, so approx_dist is bit-equal.
+    val approxDist = (0 until blocks).foldLeft(lit(0.0)) { (acc, b) =>
+      val divisor = math.pow(nSeeds.toDouble, b).toLong
+      acc + element_at(col("lut"), expr(s"pq_code div ${divisor}L % $nSeeds").cast("int") + lit(b * nSeeds))
+    }
     val scored = corpusCodes
-      .join(lut, Seq("cell", "blk", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(
-        aggregate(
-          transform(array_sort(collect_list(struct(col("blk"), col("d")))), s => s.getField("d")),
-          lit(0.0),
-          (acc, x) => acc + x,
-        ).as("approx_dist"),
-      )
+      .join(lut, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), approxDist.as("approx_dist"))
     rankTopK(scored, "approx_dist", ascending = true, k)
   }
 }
